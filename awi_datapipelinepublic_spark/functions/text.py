@@ -1,0 +1,127 @@
+"""Text-analysis expressions for the documents table.
+
+These extend the engine beyond the reference surface (SURVEY.md §7
+step 7) with the text ops a training-data pipeline needs: language ID,
+quality scoring, token counting, fingerprinting, shingling. All are
+built-in Column expressions (split/filter/aggregate/transform run
+JVM-side inside codegen) — deliberately no Python in the hot path, so
+they scale to a 100 TB documents table exactly like any other
+projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Tiny high-frequency English stopword list used by the n-gram/token
+# heuristics. Frozen: changing it changes lang_id/quality outputs.
+EN_STOPWORDS = (
+    "the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
+    "on", "as", "with", "was", "at", "by", "an", "be", "this", "are",
+)
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokenization, empty-safe: '' → [] not ['']."""
+    t = F.trim(_col(c))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+
+
+def token_count(c: Column | str) -> Column:
+    """Number of whitespace-separated tokens."""
+    return F.size(tokens(c)).cast("long")
+
+
+def stopword_count(c: Column | str) -> Column:
+    """Tokens (lowercased, punctuation-stripped) matching EN_STOPWORDS."""
+    toks = tokens(F.lower(_col(c)))
+    cleaned = F.transform(toks, lambda x: F.regexp_replace(x, r"[^a-z]", ""))
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    return F.size(F.filter(cleaned, lambda x: F.array_contains(stop_arr, x))).cast("long")
+
+
+def stopword_ratio(c: Column | str) -> Column:
+    """stopwords / tokens; 0.0 for empty docs."""
+    n = token_count(c)
+    return F.when(n == 0, F.lit(0.0)).otherwise(stopword_count(c) / n.cast("double"))
+
+
+def lang_id(c: Column | str, threshold: float = 0.08) -> Column:
+    """N-gram-free stopword-ratio language heuristic: 'en' if at least
+    ``threshold`` of tokens are high-frequency English words, else
+    'unknown'. (A real deployment would swap in a trained n-gram
+    model via mapInPandas; the contract — string label column, pure
+    projection, no shuffle — is identical.)"""
+    return F.when(stopword_ratio(c) >= threshold, F.lit("en")).otherwise(F.lit("unknown"))
+
+
+def punct_ratio(c: Column | str) -> Column:
+    """Punctuation chars / total chars; 0.0 for empty docs."""
+    col = _col(c)
+    total = F.length(col)
+    punct = total - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    return F.when(total == 0, F.lit(0.0)).otherwise(punct.cast("double") / total.cast("double"))
+
+
+def quality_score(c: Column | str) -> Column:
+    """Composite document-quality score in [0,1]:
+    0.4·length_score + 0.4·stopword_score + 0.2·(1 − punct_ratio).
+
+    length_score saturates at 200 tokens; stopword_score at ratio 0.2
+    (well-formed English prose sits around 0.2-0.4). Deterministic,
+    fully JVM-side — the shape every heuristic quality filter
+    (Gopher/C4-style) takes.
+    """
+    n = token_count(c).cast("double")
+    length_score = F.least(n / F.lit(200.0), F.lit(1.0))
+    stop_score = F.least(stopword_ratio(c) / F.lit(0.2), F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * length_score + F.lit(0.4) * stop_score + F.lit(0.2) * (F.lit(1.0) - punct_ratio(c)),
+        6,
+    )
+
+
+def normalize_text(c: Column | str) -> Column:
+    """Canonical form for fingerprinting/dedup: lowercase, collapse
+    whitespace runs, trim."""
+    return F.trim(F.regexp_replace(F.lower(_col(c)), r"\s+", " "))
+
+
+def doc_fingerprint(c: Column | str) -> Column:
+    """Content fingerprint: md5 of the normalized text. Two documents
+    with the same fingerprint are exact (modulo whitespace/case)
+    duplicates. md5 is chosen over xxhash for cross-engine
+    verifiability; at 100 TB either is scan-bound, not hash-bound."""
+    return F.md5(normalize_text(c))
+
+
+def shingles_of(toks: Column, k: int = 5) -> Column:
+    """Word k-shingles from a tokens array, as array<string>.
+
+    IMPORTANT: pass a *materialized column* (a real attribute from a
+    prior withColumn), not a nested expression — expressions referenced
+    inside a higher-order-function lambda are re-evaluated per array
+    element, so a nested tokenize here turns O(n) shingling into O(n²)
+    regexp work per row. Bound column references are O(1) field reads.
+
+    Docs shorter than k tokens yield a single whole-text shingle so
+    they still participate in MinHash.
+    """
+    n = F.size(toks)
+    make = F.transform(
+        F.sequence(F.lit(0), n - F.lit(k)),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    )
+    whole = F.array(F.array_join(toks, " "))
+    return F.when(n >= k, make).otherwise(whole)
+
+
+def shingles(c: Column | str, k: int = 5) -> Column:
+    """Convenience expression form of shingles_of — fine for ad-hoc use
+    on small data; hot paths (operators/dedup.py) materialize the token
+    column first (see shingles_of's warning)."""
+    return shingles_of(tokens(normalize_text(c)), k)

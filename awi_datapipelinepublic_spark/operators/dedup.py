@@ -1,0 +1,221 @@
+"""Deduplication operators over the documents table.
+
+Beyond-reference scale ops (the reference dedups nothing; its merge
+discards whole time windows instead). Four tiers, cheapest first:
+
+- exact: fingerprint groupBy — one shuffle on a 32-char key.
+- simhash: 64-bit locality-sensitive fingerprint — one projection,
+  then exact-match (or hamming-ball) grouping.
+- minhash + LSH banding: shingle → k minhashes → b bands; candidate
+  pairs only form inside a band bucket, so the join is
+  |bucket|-bounded instead of |corpus|² — the standard web-dedup plan.
+- n-gram Jaccard: exact verify step for candidate pairs (or, at small
+  scale, a direct explode + self-join).
+
+Everything is built-in expressions (xxhash64, transform, aggregate,
+explode, groupBy) — JVM-side end to end; at 100 TB each stage is one
+scan + one hash-partition shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from awi_datapipelinepublic_spark.functions.text import (
+    doc_fingerprint,
+    normalize_text,
+    shingles_of,
+    tokens,
+)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per exact (normalized) content.
+
+    groupBy(md5) → min(id): one shuffle keyed on the fingerprint; the
+    partial aggregation combines map-side, so duplicate-heavy corpora
+    shrink before the shuffle.
+    """
+    return (
+        df.withColumn("fingerprint", doc_fingerprint(text_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def _seeded_hash(col, seed: int):
+    """Deterministic per-seed 64-bit hash of a string column. xxhash64
+    has no seed parameter in the Python API; prefixing the seed is the
+    standard workaround and keeps everything JVM-side."""
+    return F.xxhash64(F.concat(F.lit(f"s{seed}:"), col))
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    k: int = 5,
+) -> DataFrame:
+    """(id, signature array<bigint>): per-seed min over shingle hashes.
+
+    min(xxhash(shingle, seed)) per seed ≈ a random permutation's first
+    element — the classic MinHash estimator.
+
+    Plan shape: explode distinct shingles → 32 hash columns per
+    shingle row → groupBy(id).min×32 → array. The grouped min
+    aggregates combine map-side, so the shuffle carries one 32-long
+    row per document regardless of document length. (A pure-projection
+    variant — array_min over transform lambdas — computes the same
+    thing with zero shuffle but Catalyst's project-collapsing re-inlines
+    the tokenize expression into every lambda, going quadratic; the
+    explode/agg form is both safe from that and the standard
+    distributed-minhash shape.)
+    """
+    sh_rows = df.withColumn("__toks", tokens(normalize_text(text_col))).select(
+        F.col(id_col), F.explode(F.array_distinct(shingles_of(F.col("__toks"), k))).alias("__sh")
+    )
+    hashed = sh_rows.select(
+        F.col(id_col), *[_seeded_hash(F.col("__sh"), s).alias(f"__h{s}") for s in range(num_hashes)]
+    )
+    sig = hashed.groupBy(id_col).agg(
+        *[F.min(f"__h{s}").alias(f"__h{s}") for s in range(num_hashes)]
+    )
+    return sig.select(
+        F.col(id_col), F.array(*[F.col(f"__h{s}") for s in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding.
+
+    Signature is split into ``bands`` bands of num_hashes/bands rows;
+    documents sharing any band hash become a candidate pair. Plan:
+    projection → explode(bands) (×b row growth on ids only, not text)
+    → shuffle on band bucket → within-bucket pairing. Pair output is
+    deduplicated across bands. Returns (id_a, id_b) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signature(df.select(id_col, text_col), text_col, id_col, num_hashes, k)
+    band_cols = F.array(
+        *[
+            F.hash(F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band).cast("array<string>").cast("string"), F.lit(b))
+            for b in range(bands)
+        ]
+    )
+    banded = (
+        sigs.withColumn("band_keys", band_cols)
+        .select(id_col, F.posexplode("band_keys").alias("band_no", "band_key"))
+    )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash over token hashes, fully JVM-side.
+
+    Each token votes ±1 per bit of its xxhash64; the sign of each bit's
+    tally becomes that bit of the fingerprint. Near-duplicate docs land
+    within a small Hamming distance. One projection, no shuffle.
+    """
+    # Built as a SQL expression: the Python Column API's shiftright/
+    # shiftleft only take literal bit counts, but inside higher-order
+    # lambdas the bit index is itself a column. The SQL functions accept
+    # expression operands, and the whole thing still runs JVM-side.
+    with_norm = df.withColumn("__norm", normalize_text(text_col))
+    expr = """
+        aggregate(
+          zip_with(
+            aggregate(
+              transform(split(__norm, ' '), t -> xxhash64(t)),
+              array_repeat(0L, 64),
+              (acc, h) -> zip_with(
+                acc, sequence(0, 63),
+                (a, i) -> a + IF((shiftright(h, i) & 1) = 1, 1L, -1L))),
+            sequence(0, 63),
+            (c, i) -> IF(c > 0, shiftleft(1L, i), 0L)),
+          0L, (a, b) -> a | b)
+    """
+    return with_norm.withColumn(out_col, F.expr(expr)).drop("__norm")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs above threshold.
+
+    Plan: explode distinct shingles → self-join on shingle (shuffle on
+    shingle hash) → count intersections → join per-doc set sizes →
+    |∩| / (|A|+|B|−|∩|). Quadratic in the worst case — at scale this is
+    the *verify* stage fed by minhash_lsh_candidates, not a standalone
+    sweep. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = (
+        df.withColumn("__toks", tokens(normalize_text(text_col)))
+        .select(F.col(id_col), F.explode(F.array_distinct(shingles_of(F.col("__toks"), k))).alias("sh"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_near_dup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ t).
+
+    Small-side implementation is a self-join; the scale path buckets
+    by random-hyperplane LSH first (see operators/similarity.py
+    lsh_bucket) so the self-join is per-bucket.
+    """
+    from awi_datapipelinepublic_spark.functions.vectors import cosine_similarity
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine_similarity("va", "vb"), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

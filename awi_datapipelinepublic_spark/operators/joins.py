@@ -1,0 +1,50 @@
+"""Join helpers: broadcast dimension enrichment, fact-fact equi-join.
+
+Every reference join is a single-key left outer equi-join against a
+small lookup dimension (settings.yaml:57-60, 114-117) plus one
+fact-to-fact VIN enrichment (settings.yaml:135-137). Semantics we
+preserve (SURVEY.md §2.C): left-join fan-out on duplicate dimension
+keys, NULL keys never match, unmatched rows get NULL payload (patched
+by COALESCE downstream).
+
+Scale: dimensions are explicitly ``F.broadcast`` — a map-side hash
+join with zero shuffle of the fact table, regardless of fact size.
+Fact-fact joins are left to AQE (sort-merge with skew splitting); we
+never force-broadcast an unbounded side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def dim_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    payload: dict[str, str],
+    default: dict[str, str] | None = None,
+) -> DataFrame:
+    """fact ⟕ broadcast(dim), selecting payload columns (renamed per the
+    mapping), with optional COALESCE defaults for unmatched rows —
+    the reference's lookup-join + COALESCE('No ...') idiom
+    (settings.yaml:28-31, 57-60).
+    """
+    dim_sel = dim.select(F.col(dim_key).alias("__dk"), *[F.col(s).alias(d) for s, d in payload.items()])
+    out = fact.join(F.broadcast(dim_sel), fact[fact_key] == F.col("__dk"), "left").drop("__dk")
+    if default:
+        for name, dv in default.items():
+            out = out.withColumn(name, F.coalesce(F.col(name), F.lit(dv)))
+    return out
+
+
+def fact_fact_left(
+    left: DataFrame, right: DataFrame, left_key: str, right_key: str
+) -> DataFrame:
+    """Fact-to-fact left equi-join (TRANSACTIONS ⟕ optiom on VIN,
+    settings.yaml:135-137). No broadcast hint — both sides unbounded;
+    AQE picks sort-merge and handles skew. If the key is known-skewed
+    (a sentinel VIN like 'UNKNOWN'), pre-salt or null it out upstream.
+    """
+    return left.join(right, left[left_key] == right[right_key], "left")

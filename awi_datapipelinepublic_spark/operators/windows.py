@@ -1,0 +1,67 @@
+"""Window-function operators.
+
+The reference's window surface (settings.yaml:90-94): a *global*
+ROW_NUMBER() ordered by entry time, a per-key MIN() window, and the
+IsNew flag derived from their equality. SURVEY.md §2.E notes the
+idiomatic single-window rewrite; both forms are provided. The global
+row_number is the documented scale hazard (one partition): callers at
+scale should use ``global_row_number`` (zipWithIndex-style two-pass)
+instead of ``row_number_global``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def row_number_global(df: DataFrame, order_by: list, out_col: str = "Id") -> DataFrame:
+    """ROW_NUMBER() OVER (ORDER BY ...) — parity form
+    (settings.yaml:94). Single-partition window: fine at report scale,
+    wrong at 100 TB — use global_row_number there."""
+    return df.withColumn(out_col, F.row_number().over(Window.orderBy(*order_by)))
+
+
+def global_row_number(df: DataFrame, order_by: list, out_col: str = "Id") -> DataFrame:
+    """Scalable global sequence: per-partition row_number + partition
+    offset accumulation (the zipWithIndex pattern, driver-side state =
+    one row per partition).
+
+    Plan shape: range-partition shuffle on the sort key (parallel),
+    per-partition window (no cross-partition data movement), broadcast
+    of the tiny offset table. Equivalent to row_number_global for
+    fully-ordered keys.
+    """
+    ordered = df.repartitionByRange(*order_by).sortWithinPartitions(*order_by)
+    with_pid = ordered.withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy(*order_by)
+    local = with_pid.withColumn("__rn", F.row_number().over(w))
+    counts = local.groupBy("__pid").agg(F.max("__rn").alias("__cnt"))
+    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn("__off", F.coalesce(F.sum("__cnt").over(woff), F.lit(0)))
+    return (
+        local.join(F.broadcast(offsets.select("__pid", "__off")), "__pid")
+        .withColumn(out_col, (F.col("__rn") + F.col("__off")).cast("long"))
+        .drop("__pid", "__rn", "__off")
+    )
+
+
+def min_over_partition(df: DataFrame, part_col: str, val_col: str, out_col: str) -> DataFrame:
+    """MIN(val) OVER (PARTITION BY part) — per-group min broadcast to
+    every row (settings.yaml:92)."""
+    return df.withColumn(out_col, F.min(val_col).over(Window.partitionBy(part_col)))
+
+
+def is_new_flag(
+    df: DataFrame, part_col: str, order_col: str, out_col: str = "IsNew"
+) -> DataFrame:
+    """First-ever row per key → 'N', later rows → 'E'.
+
+    Idiomatic rewrite of the reference's three nested subqueries
+    (settings.yaml:90-94): one partitioned window instead of a global
+    row_number + per-key min + equality CASE. Equivalent up to ties on
+    the order column (the reference tie-break is nondeterministic too).
+    """
+    w = Window.partitionBy(part_col).orderBy(F.col(order_col).asc())
+    return df.withColumn(
+        out_col, F.when(F.row_number().over(w) == 1, F.lit("N")).otherwise(F.lit("E"))
+    )

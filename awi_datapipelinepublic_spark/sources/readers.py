@@ -1,0 +1,116 @@
+"""Readers: CSV scan with clean-stage semantics, Excel adapter, Parquet.
+
+``read_csv`` is the Spark rendition of the reference's
+``pd.read_csv(converters=..., parse_dates=..., usecols=...)``
+(reference: config.py:131-137): schema-declared columns only (no
+inference), per-column converter expressions, lenient DATE parsing.
+All transforms are Column expressions — they stay inside whole-stage
+codegen; nothing here is a Python UDF.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from awi_datapipelinepublic_spark.functions.cleaning import apply_converters, cast_to_schema
+from awi_datapipelinepublic_spark.sources.schema import (
+    date_columns,
+    string_read_struct,
+    to_struct_type,
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one of the synthetic parquet tables from a scale-factor dir."""
+    return spark.read.parquet(str(Path(sf_dir) / f"{name}.parquet"))
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events table reader, tolerant of TIMESTAMP(NANOS) parquet.
+
+    Spark 4 rejects nanosecond parquet timestamps outright
+    (PARQUET_TYPE_ILLEGAL); the escape hatch reads them as raw int64
+    nanos, which we convert with *integer* division (ts div 1000 —
+    float division would lose microseconds: 1.7e18 exceeds a double's
+    53-bit mantissa) and timestamp_micros. Sub-microsecond precision is
+    truncated, matching every downstream engine that is µs-native.
+    """
+    path = str(Path(sf_dir) / "events.parquet")
+    try:
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    fields: list[dict],
+    converters: dict[str, str] | None = None,
+) -> DataFrame:
+    """Schema-driven CSV scan + clean (reference config.py:131-144).
+
+    Order of operations mirrors the reference exactly:
+    1. scan as strings, pruned to schema columns (usecols)
+    2. per-column converters (e.g. strip_excel)
+    3. empty string → NULL ('' is never data; config.py:143)
+    4. cast to declared types; DATE columns via lenient to_date
+       (invalid → NULL, the errors='coerce' analog; config.py:139-142)
+    """
+    raw_schema = string_read_struct(fields)
+    df = (
+        spark.read.schema(raw_schema)
+        .options(header=True, multiLine=True, escape='"')
+        .csv(path)
+    )
+    # usecols: prune to declared schema columns (config.py:135). With a
+    # declared schema Spark already reads only these, but an explicit
+    # select keeps column order canonical.
+    df = df.select(*[f["name"] for f in fields])
+    if converters:
+        df = apply_converters(df, converters)
+    # '' → NULL for every column — applied pre-cast like config.py:143.
+    df = df.select(
+        *[F.when(F.col(c) == "", None).otherwise(F.col(c)).alias(c) for c in df.columns]
+    )
+    return cast_to_schema(df, to_struct_type(fields), lenient_dates=date_columns(fields))
+
+
+def read_excel_sheets(
+    spark: SparkSession,
+    path: str,
+    sheets: list[str],
+    fields: list[dict],
+) -> DataFrame:
+    """Driver-side Excel adapter (reference config.py:109-118).
+
+    Core Spark has no xlsx reader; the reference uses openpyxl via
+    pandas. We do the same at the driver edge (report files are small
+    by nature — one per period), then immediately hand off to a
+    distributed DataFrame. Fenced behind an import-try because
+    openpyxl is not guaranteed in this container.
+    """
+    try:
+        import pandas as pd  # noqa: F401
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError("pandas required for the Excel edge adapter") from e
+    try:
+        frames = [
+            __import__("pandas").read_excel(path, sheet_name=s, dtype=str) for s in sheets
+        ]
+    except ImportError as e:
+        raise NotImplementedError(
+            "openpyxl not installed; convert the sheet to CSV and use read_csv"
+        ) from e
+    sdfs = [spark.createDataFrame(f.where(f.notna(), None)) for f in frames]
+    out = sdfs[0]
+    for sdf in sdfs[1:]:
+        out = out.unionByName(sdf, allowMissingColumns=True)
+    return out

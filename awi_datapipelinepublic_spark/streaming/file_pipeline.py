@@ -1,0 +1,65 @@
+"""Streaming rendition of the pipeline (SURVEY.md §2.I).
+
+The reference's trigger chain — GCS object-finalize event → clean
+Cloud Function → Pub/Sub → load Cloud Function (main.py:18-63) — maps
+onto one Structured Streaming file source with a ``foreachBatch`` that
+runs clean + merge per micro-batch. ``trigger(availableNow=True)``
+gives the same drain-then-stop semantics as the event-driven
+functions; leaving the default trigger gives continuous tailing of the
+landing directory.
+
+The merge cutoff MIN(new.date_col) is the watermark analog: history
+below it is immutable, everything at-or-above is restated by the new
+batch (config.py:190-199).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from awi_datapipelinepublic_spark.functions.cleaning import apply_converters, cast_to_schema
+from awi_datapipelinepublic_spark.operators.merge import merge_into_path
+from awi_datapipelinepublic_spark.plans.spec import PipelineSpec
+from awi_datapipelinepublic_spark.sources.schema import (
+    date_columns,
+    load_schema_json,
+    string_read_struct,
+    to_struct_type,
+)
+
+
+def _clean_batch(df: DataFrame, spec: PipelineSpec, fields: list[dict]) -> DataFrame:
+    if spec.converters:
+        df = apply_converters(df, spec.converters)
+    df = df.select(
+        *[F.when(F.col(c) == "", None).otherwise(F.col(c)).alias(c) for c in df.columns]
+    )
+    df = cast_to_schema(df, to_struct_type(fields), lenient_dates=date_columns(fields))
+    return df.filter(F.col(spec.date_col).isNotNull())
+
+
+def stream_pipeline(
+    spark: SparkSession,
+    spec: PipelineSpec,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Start the streaming pipeline for one data type. Returns the
+    StreamingQuery; callers awaitTermination() or stop()."""
+    fields = load_schema_json(spec.schema_file)
+    raw = (
+        spark.readStream.schema(string_read_struct(fields))
+        .options(header=True, multiLine=True, escape='"')
+        .csv(spec.landing_dir)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        cleaned = _clean_batch(batch_df, spec, fields)
+        if cleaned.isEmpty():
+            return
+        merge_into_path(batch_df.sparkSession, spec.base_table_path, cleaned, spec.date_col)
+
+    writer = raw.writeStream.foreachBatch(process).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

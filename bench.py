@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Queries chosen to cover the engine's hot paths: grouped aggregation,
+broadcast-dim star join (the RETENTION view shape), partitioned window
+(IsNew), fact-fact join view, time-window merge, exact + minhash
+dedup, brute-force and LSH ANN, text stats, event windowing/sessions.
+Each query is fully materialized via a count/collect-free action
+(``df.write.format("noop")``) so measured time is plan execution, not
+driver serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import __spark_entry__ as entry_mod
+from awi_datapipelinepublic_spark import get_spark
+
+BENCH_QUERIES = [
+    "grouped_agg",
+    "view_retention",
+    "view_transactions",
+    "view_auto_optiom",
+    "merge_time_window",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "knn_cosine",
+    "knn_lsh",
+    "text_stats",
+    "events_tumbling",
+    "events_session",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+    spark = get_spark("awi-dp-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+
+    # Warm the JVM + parquet footers once with the cheapest query.
+    qs["grouped_agg"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

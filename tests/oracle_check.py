@@ -1,0 +1,104 @@
+"""Local mirror of the driver's DuckDB-oracle comparison.
+
+Runs every queries() entry and its oracle_sql() twin on the same
+parquet tables, compares row count + sorted-column value frame. Used
+both as a pytest (test_queries_oracle.py) and a standalone script for
+fast iteration:  python tests/oracle_check.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, canonicalize dtypes, sort rows — the
+    order-insensitive frame the driver hashes."""
+    import datetime
+
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        # Spark DateType → object of datetime.date; DuckDB DATE →
+        # datetime64 — unify before comparing.
+        if s.dtype == object and s.dropna().map(lambda v: isinstance(v, datetime.date)).all() and len(s.dropna()):
+            s = pd.to_datetime(s)
+            df[c] = s
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = pd.to_datetime(s).dt.tz_localize(None).astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64").round(6)
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("Int64")
+        elif s.dtype == object:
+            df[c] = s.astype(str).where(~s.isna(), None)
+    df = df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
+    return df
+
+
+def compare_one(spark, con, name: str, qfn, sql: str | None, sf_dir: str) -> str | None:
+    """Returns None if matching, else a mismatch description."""
+    sdf = qfn(spark, sf_dir)
+    spark_pd = sdf.toPandas()
+    if sql is None:
+        return None if len(spark_pd) >= 0 else "spark query failed"
+    duck_pd = con.execute(sql).df()
+    if len(spark_pd) != len(duck_pd):
+        return f"row count: spark={len(spark_pd)} duck={len(duck_pd)}"
+    a, b = normalize(spark_pd), normalize(duck_pd)
+    if list(a.columns) != list(b.columns):
+        return f"columns: spark={list(a.columns)} duck={list(b.columns)}"
+    try:
+        pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
+    except AssertionError as e:
+        return f"values: {str(e)[:500]}"
+    return None
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001", only: list[str] | None = None) -> int:
+    import __spark_entry__ as entry_mod
+    from awi_datapipelinepublic_spark import get_spark
+
+    spark = get_spark("oracle-check")
+    con = duck_con(sf_dir)
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = 0
+    for name, qfn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            msg = compare_one(spark, con, name, qfn, oracles.get(name), sf_dir)
+        except Exception as e:  # noqa: BLE001
+            msg = f"exception: {type(e).__name__}: {str(e)[:300]}"
+        tag = "rows-only" if name not in oracles else "oracle"
+        if msg:
+            failures += 1
+            print(f"FAIL  {name} [{tag}]: {msg}")
+        else:
+            print(f"ok    {name} [{tag}]")
+    return failures
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    sys.exit(1 if main(sf, only) else 0)

@@ -1,0 +1,75 @@
+"""Time-window merge semantics (reference config.py:180-212) incl. the
+SURVEY.md §5.3 property: every time window is owned by the latest batch
+that covered it."""
+
+import datetime as dt
+import random
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from awi_datapipelinepublic_spark.operators.merge import (
+    merge_cutoff,
+    merge_into_path,
+    merge_time_window,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, ["pk", "d", "v"])
+
+
+def test_merge_discards_restated_window(spark):
+    base = _df(spark, [(1, dt.date(2024, 1, 1), "old"), (2, dt.date(2024, 3, 1), "old")])
+    new = _df(spark, [(3, dt.date(2024, 2, 15), "new")])
+    out = {r["pk"]: r["v"] for r in merge_time_window(base, new, "d").collect()}
+    # base row at 2024-03-01 falls in the new batch's owned window → discarded
+    assert out == {1: "old", 3: "new"}
+
+
+def test_merge_empty_new_batch_is_identity(spark):
+    base = _df(spark, [(1, dt.date(2024, 1, 1), "old")])
+    new = _df(spark, []).limit(0) if False else spark.createDataFrame([], base.schema)
+    assert merge_cutoff(new, "d") is None
+    assert merge_time_window(base, new, "d").count() == 1
+
+
+def test_merge_property_latest_batch_owns_window(spark):
+    """Random batch sequences: final state row-for-row equals the
+    sequential replay of 'batch owns [min(batch.d), ∞)'."""
+    rng = random.Random(7)
+    days = [dt.date(2024, 1, 1) + dt.timedelta(days=i) for i in range(60)]
+    batches = []
+    for b in range(4):
+        start = rng.randint(0, 40)
+        width = rng.randint(5, 20)
+        batches.append(
+            [(1000 * b + i, days[start + i % width], f"b{b}") for i in range(rng.randint(3, 12))]
+        )
+    # engine fold
+    state = _df(spark, batches[0])
+    for batch in batches[1:]:
+        state = merge_time_window(state, _df(spark, batch), "d")
+    got = sorted((r["pk"], str(r["d"]), r["v"]) for r in state.collect())
+    # oracle replay in plain python
+    rows = list(batches[0])
+    for batch in batches[1:]:
+        cut = min(d for _, d, _ in batch)
+        rows = [r for r in rows if r[1] < cut] + batch
+    want = sorted((pk, str(d), v) for pk, d, v in rows)
+    assert got == want
+
+
+def test_merge_into_path_staged_overwrite(spark, tmp_path):
+    """Read-then-overwrite the same path must work (staging swap), and
+    month partitioning must prune below the cutoff."""
+    base_path = str(tmp_path / "base")
+    b1 = _df(spark, [(1, dt.date(2024, 1, 10), "a"), (2, dt.date(2024, 2, 10), "a")])
+    merge_into_path(spark, base_path, b1, "d")
+    b2 = _df(spark, [(3, dt.date(2024, 2, 1), "b")])
+    merge_into_path(spark, base_path, b2, "d")
+    out = {r["pk"]: r["v"] for r in spark.read.parquet(base_path).collect()}
+    assert out == {1: "a", 3: "b"}
+    # partition layout exists (month dirs)
+    assert any(p.name.startswith("_merge_month=") for p in Path(base_path).iterdir() if p.is_dir())

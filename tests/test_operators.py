@@ -1,0 +1,90 @@
+"""Operator tests: scalable global row number, dedup recall/locality,
+ANN recall, event sessionization edge cases."""
+
+import sys
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from awi_datapipelinepublic_spark.operators.dedup import (
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from awi_datapipelinepublic_spark.operators.similarity import knn_brute_force, knn_lsh
+from awi_datapipelinepublic_spark.operators.windows import global_row_number, row_number_global
+from awi_datapipelinepublic_spark.sources.readers import read_events, read_table
+
+
+def test_global_row_number_matches_single_partition_form(spark):
+    df = spark.range(0, 5000).select((F.col("id") * 7919 % 5000).alias("k"))
+    a = {r["k"]: r["Id"] for r in global_row_number(df, [F.col("k")]).collect()}
+    b = {r["k"]: r["Id"] for r in row_number_global(df, [F.col("k")]).collect()}
+    assert a == b
+    assert sorted(a.values()) == list(range(1, 5001))
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark, sf_dir):
+    """Every pair with true jaccard ≥ 0.8 must appear among LSH candidates
+    (32 hashes / 8 bands ⇒ s-curve threshold ≈ (1/8)^(1/4) ≈ 0.6)."""
+    docs = read_table(spark, sf_dir, "documents")
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.8).collect()
+    }
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(docs, num_hashes=32, bands=8, k=3).collect()
+    }
+    assert truth, "fixture should contain at least one high-jaccard pair"
+    missed = truth - cands
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+
+
+def test_simhash_deterministic_and_local(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+        (3, "completely unrelated text about database query optimization and shuffles"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    out2 = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    assert out == out2
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(out[1], out[2]) < hamming(out[1], out[3])
+
+
+def test_knn_lsh_recall(spark, sf_dir):
+    """LSH ANN (2-bit multiprobe) vs exact top-10.
+
+    The synthetic embeddings are near-uniform on the sphere, so angular
+    LSH has little concentration to exploit — recall ≈ 0.5 while
+    scanning only ~14% of the corpus (37/256 buckets). On real
+    embedding distributions (clustered) recall is far higher; the
+    assertions here pin the structural properties: the query's own
+    vector is always found, candidates are genuinely pruned, and recall
+    beats the scanned fraction by a wide margin (i.e. the buckets are
+    informative, not random)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = [r["vec_id"] for r in knn_brute_force(emb, qv, k=10).collect()]
+    approx = [r["vec_id"] for r in knn_lsh(emb, qv, dim=64, k=10, h=8).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert 0 in approx, "self-vector must be in its own bucket"
+    assert recall >= 0.4, f"LSH recall too low: {recall} (exact={exact}, approx={approx})"
+    from awi_datapipelinepublic_spark.operators.similarity import lsh_bucket
+    n_buckets = lsh_bucket(emb, dim=64, h=8).select("bucket").distinct().count()
+    assert n_buckets > 32, f"bucketing degenerate: {n_buckets} buckets for {n} vectors"
+
+
+def test_read_events_nanos(spark, sf_dir):
+    df = read_events(spark, sf_dir)
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert df.count() > 0

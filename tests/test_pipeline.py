@@ -1,0 +1,114 @@
+"""End-to-end runner + streaming tests: file drop → clean → merge →
+base table, with quarantine-on-failure (reference main.py:18-63)."""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from awi_datapipelinepublic_spark.plans.runner import run_clean, run_file, run_load
+from awi_datapipelinepublic_spark.plans.spec import PipelineSpec, load_specs, resolve_spec
+
+FIELDS = [
+    {"name": "AgencyNumber", "type": "STRING", "mode": "NULLABLE"},
+    {"name": "PolicyNumber", "type": "STRING", "mode": "NULLABLE"},
+    {"name": "PolicyExpiryDate", "type": "DATE", "mode": "NULLABLE"},
+    {"name": "CommissionAmt", "type": "NUMERIC", "mode": "NULLABLE"},
+]
+
+
+@pytest.fixture
+def spec(tmp_path):
+    schema_file = tmp_path / "renewals.json"
+    schema_file.write_text(json.dumps(FIELDS))
+    return PipelineSpec(
+        name="renewals",
+        schema_file=str(schema_file),
+        date_col="PolicyExpiryDate",
+        landing_dir=str(tmp_path / "landing"),
+        staging_dir=str(tmp_path / "staging"),
+        base_table_path=str(tmp_path / "base"),
+        converters={"AgencyNumber": "strip_excel"},
+        error_dir=str(tmp_path / "errors"),
+    )
+
+
+def _drop(spec, name, body):
+    landing = Path(spec.landing_dir)
+    landing.mkdir(parents=True, exist_ok=True)
+    p = landing / name
+    p.write_text(body)
+    return str(p)
+
+
+HDR = "AgencyNumber,PolicyNumber,PolicyExpiryDate,CommissionAmt\n"
+
+
+def test_run_file_then_incremental_merge(spark, spec):
+    f1 = _drop(spec, "renewals.csv", HDR + '"=""12""",P-1,2024-01-15,10\n,P-2,2024-03-10,20\nX,P-X,,5\n')
+    run_file(spark, spec, f1)
+    base = spark.read.parquet(spec.base_table_path)
+    rows = {r["PolicyNumber"]: r for r in base.collect()}
+    assert set(rows) == {"P-1", "P-2"}            # NULL-date row dropped
+    assert rows["P-1"]["AgencyNumber"] == "12"    # converter ran
+    assert not Path(f1).exists()                   # consumed input removed
+
+    # batch 2 restates everything from 2024-02-01 on
+    f2 = _drop(spec, "renewals.csv", HDR + "99,P-3,2024-02-01,30\n")
+    run_file(spark, spec, f2)
+    rows = {r["PolicyNumber"]: r for r in spark.read.parquet(spec.base_table_path).collect()}
+    assert set(rows) == {"P-1", "P-3"}            # P-2 owned by batch 2's window → gone
+
+
+def test_quarantine_on_bad_input(spark, spec):
+    bad = _drop(spec, "renewals.csv", "\x00\x01not-a-csv")
+    # a header-less binary blob yields zero schema columns → clean fails
+    try:
+        run_file(spark, spec, bad)
+    except Exception:
+        pass
+    assert not Path(bad).exists() or (Path(spec.error_dir) / "renewals.csv").exists()
+
+
+def test_spec_yaml_roundtrip_and_routing(tmp_path):
+    y = tmp_path / "settings.yaml"
+    y.write_text(
+        """
+name: renewals
+schema_file: /s/renewals.json
+date_col: PolicyExpiryDate
+landing_dir: /l
+staging_dir: /st
+base_table_path: /b
+converters: {AgencyNumber: strip_excel}
+---
+name: optiom
+schema_file: /s/optiom.json
+date_col: TRANS_DATE
+landing_dir: /l
+staging_dir: /st
+base_table_path: /b2
+excel_sheets: [Prime Production Report, Plus Production Report]
+excel_filename_marker: ProductionRpt
+"""
+    )
+    specs = load_specs(str(y))
+    assert set(specs) == {"renewals", "optiom"}
+    assert resolve_spec(specs, "renewals.csv").name == "renewals"
+    assert resolve_spec(specs, "ProductionRpt_Jan.xlsx").name == "optiom"
+    assert specs["optiom"].is_excel
+
+
+def test_streaming_pipeline_available_now(spark, spec, tmp_path):
+    from awi_datapipelinepublic_spark.streaming.file_pipeline import stream_pipeline
+
+    _drop(spec, "batch1.csv", HDR + "11,P-1,2024-01-15,10\n")
+    q = stream_pipeline(spark, spec, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert not q.isActive
+    rows = {r["PolicyNumber"] for r in spark.read.parquet(spec.base_table_path).collect()}
+    assert rows == {"P-1"}

@@ -1,0 +1,43 @@
+"""Driver-gate mirror: every queries() entry vs its DuckDB oracle at sf0.001."""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import __spark_entry__ as entry_mod
+from oracle_check import compare_one, duck_con
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    return duck_con(sf_dir)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema) > 0
+
+
+def test_every_query_has_callable_signature():
+    for name, fn in QUERIES.items():
+        assert callable(fn), name
+
+
+def test_oracle_coverage():
+    """Non-SQL-expressible ops are the only ones allowed to skip the oracle."""
+    allowed_rows_only = {"dedup_minhash_lsh", "dedup_simhash", "knn_lsh"}
+    missing = set(QUERIES) - set(ORACLES) - allowed_rows_only
+    assert not missing, f"queries without oracle: {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, con, sf_dir, name):
+    msg = compare_one(spark, con, name, QUERIES[name], ORACLES.get(name), sf_dir)
+    assert msg is None, f"{name}: {msg}"
