@@ -29,9 +29,15 @@ from awi_datapipelinepublic_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from awi_datapipelinepublic_spark.operators.events import sessionize, tumbling_window_agg
-from awi_datapipelinepublic_spark.operators.joins import dim_join, fact_fact_left
+from awi_datapipelinepublic_spark.operators.events import (
+    sessionize,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+from awi_datapipelinepublic_spark.operators.joins import asof_join, dim_join, fact_fact_left
+from awi_datapipelinepublic_spark.operators.multimodal import attach_binary_payload, decode_media
 from awi_datapipelinepublic_spark.operators.merge import merge_time_window
+from awi_datapipelinepublic_spark.operators.dedup import embedding_near_dup
 from awi_datapipelinepublic_spark.operators.similarity import knn_brute_force, knn_lsh
 from awi_datapipelinepublic_spark.operators.windows import is_new_flag, min_over_partition
 from awi_datapipelinepublic_spark.sources.readers import read_events
@@ -328,6 +334,185 @@ def q_view_auto_optiom(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Engine surface beyond the reference vocabulary: aggregates, set ops,
+# richer windows, semi/anti joins, as-of join, TPC-H-style analytics
+# ---------------------------------------------------------------------------
+
+def q_agg_distinct(spark, sf_dir):
+    """Distinct aggregation + multi-agg in one pass."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+    )
+
+
+def q_rollup_agg(spark, sf_dir):
+    """ROLLUP hierarchy totals (region → nation → grand total)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+    )
+
+
+def q_set_intersect(spark, sf_dir):
+    """INTERSECT (distinct set semantics)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s)
+
+
+def q_set_except(spark, sf_dir):
+    """EXCEPT (distinct set semantics): nations with no supplier."""
+    n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return n.subtract(s)
+
+
+def q_win_rank_lead_lag(spark, sf_dir):
+    """rank / dense_rank / ntile / lead / lag with a deterministic
+    unique-key ordering."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice", 1).over(w), 2).alias("next_price"),
+    )
+
+
+def q_win_frame_rows(spark, sf_dir):
+    """Explicit ROWS frame: per-customer running total. The window
+    forces one evaluation order, so the double sum is bitwise
+    reproducible across engines."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+def q_join_semi(spark, sf_dir):
+    """Left semi join: customers that have at least one order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+def q_join_anti(spark, sf_dir):
+    """Left anti join: customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join: each click event enriched with the user's most
+    recent view event at-or-before it. Union + single partitioned
+    window (linear), not a range join (quadratic)."""
+    ev = read_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("ts").alias("view_ts"), F.col("value").alias("view_value")
+    )
+    out = asof_join(clicks, views, key="user_id", left_ts="ts", right_ts="ts",
+                    right_payload=["view_ts", "view_value"])
+    return out.select("event_id", "user_id", "ts", "view_ts",
+                      F.round(F.col("view_value"), 2).alias("view_value"))
+
+
+def q_sliding_window(spark, sf_dir):
+    """Sliding 1h/30min windowed counts."""
+    return sliding_window_agg(read_events(spark, sf_dir))
+
+
+def q_events_json(spark, sf_dir):
+    """Semi-structured props extraction (regexp path — engine-neutral)
+    + grouped count."""
+    ev = read_events(spark, sf_dir)
+    k = F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("long")
+    return ev.select(k.alias("k")).groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_tpch_q3_topk(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter → fact join → grouped
+    revenue → top-10. The segment filter broadcasts; revenue agg is
+    partial-aggregated before the shuffle."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_tpch_q5_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: multi-way star join → revenue per nation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """Binary-column plumbing: synthesize payloads, decode via
+    Arrow-batched mapInPandas (stubbed codec, deterministic features).
+    The oracle replicates the stub's arithmetic in SQL, verifying the
+    distributed path produced exactly one correct row per input."""
+    d = attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return decode_media(d)
+
+
+def q_bpe_token_count(spark, sf_dir):
+    """BPE-style pre-tokenizer count: words / digits / punctuation
+    runs, the GPT-ish segmentation regex."""
+    d = _t(spark, sf_dir, "documents")
+    pat = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0)).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.3)."""
+    return embedding_near_dup(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
 # Extensions: deduplication
 # ---------------------------------------------------------------------------
 
@@ -464,6 +649,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "events_tumbling": q_events_tumbling,
         "events_session": q_events_session,
+        "agg_distinct": q_agg_distinct,
+        "rollup_agg": q_rollup_agg,
+        "set_intersect": q_set_intersect,
+        "set_except": q_set_except,
+        "win_rank_lead_lag": q_win_rank_lead_lag,
+        "win_frame_rows": q_win_frame_rows,
+        "join_semi": q_join_semi,
+        "join_anti": q_join_anti,
+        "asof_join": q_asof_join,
+        "sliding_window": q_sliding_window,
+        "events_json": q_events_json,
+        "tpch_q3_topk": q_tpch_q3_topk,
+        "tpch_q5_revenue": q_tpch_q5_revenue,
+        "multimodal_decode": q_multimodal_decode,
+        "bpe_token_count": q_bpe_token_count,
+        "embedding_near_dup": q_embedding_near_dup,
     }
 
 
@@ -691,6 +892,122 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "agg_distinct": """
+            SELECT o_orderstatus,
+                   COUNT(DISTINCT o_custkey) AS n_customers,
+                   COUNT(*) AS n_orders,
+                   ROUND(MAX(o_totalprice), 2) AS max_price,
+                   ROUND(MIN(o_totalprice), 2) AS min_price
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "rollup_agg": """
+            SELECT r_name, n_name, COUNT(*) AS n_customers,
+                   ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "set_intersect": """
+            SELECT c_nationkey AS nk FROM customer
+            INTERSECT SELECT s_nationkey FROM supplier
+        """,
+        "set_except": """
+            SELECT n_nationkey AS nk FROM nation
+            EXCEPT SELECT s_nationkey FROM supplier
+        """,
+        "win_rank_lead_lag": """
+            SELECT o_orderkey, o_custkey,
+                   RANK() OVER w AS rnk,
+                   DENSE_RANK() OVER w AS drnk,
+                   NTILE(4) OVER w AS quartile,
+                   ROUND(LAG(o_totalprice, 1) OVER w, 2) AS prev_price,
+                   ROUND(LEAD(o_totalprice, 1) OVER w, 2) AS next_price
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        """,
+        "win_frame_rows": """
+            SELECT o_orderkey, o_custkey,
+                   ROUND(SUM(o_totalprice) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+            FROM orders
+        """,
+        "join_semi": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "join_anti": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "asof_join": """
+            SELECT l.event_id, l.user_id, l.ts, r.view_ts,
+                   ROUND(r.view_value, 2) AS view_value
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT user_id, ts, ts AS view_ts, value AS view_value
+                            FROM events WHERE event_type = 'view') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "sliding_window": """
+            WITH e AS (
+              SELECT ts, time_bucket(INTERVAL '30 minutes', ts) AS tb FROM events)
+            SELECT ws AS window_start, COUNT(*) AS n_events
+            FROM (SELECT unnest([tb, tb - INTERVAL '30 minutes']) AS ws FROM e)
+            GROUP BY ws
+        """,
+        "events_json": """
+            SELECT CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "tpch_q3_topk": """
+            SELECT l_orderkey, o_orderdate,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+        """,
+        "tpch_q5_revenue": """
+            SELECT n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "multimodal_decode": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   CAST((octet_length(encode(text)) % 640) + 1 AS BIGINT) AS fake_width,
+                   CAST((octet_length(encode(text)) % 480) + 1 AS BIGINT) AS fake_height,
+                   CAST(list_sum(list_transform(range(1, LEAST(64, length(text)) + 1),
+                        i -> ascii(substring(text, CAST(i AS INTEGER), 1)))) AS BIGINT) AS checksum
+            FROM documents
+        """,
+        "bpe_token_count": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT)
+                     AS n_bpe_tokens
+            FROM documents
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.3
         """,
         "events_session": """
             WITH g AS (

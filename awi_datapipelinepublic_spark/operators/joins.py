@@ -48,3 +48,52 @@ def fact_fact_left(
     (a sentinel VIN like 'UNKNOWN'), pre-salt or null it out upstream.
     """
     return left.join(right, left[left_key] == right[right_key], "left")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    right_ts ≤ left_ts for the same key (beyond-reference operator;
+    the time-series enrichment primitive Spark lacks natively).
+
+    Implemented as union + one partitioned window — NOT a range
+    self-join: tag both sides, sort within (key) by (ts, side), and
+    carry the last seen right payload forward with
+    last_value(ignorenulls) over rows-unbounded-preceding. One shuffle
+    on the key, linear in |left|+|right|, no quadratic candidate
+    blow-up — this shape survives 100 TB where a theta-join would not.
+    Ties (right_ts == left_ts) match, mirroring DuckDB/kdb asof
+    semantics (right sorts before left at equal ts).
+    """
+    from pyspark.sql import Window
+
+    lcols = left.columns
+    tagged_l = left.select(
+        F.col(key).alias("__k"), F.col(left_ts).alias("__ts"), F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[p].dataType).alias(f"__p_{p}") for p in right_payload],
+    )
+    tagged_r = right.select(
+        F.col(key).alias("__k"), F.col(right_ts).alias("__ts"), F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(p).alias(f"__p_{p}") for p in right_payload],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = tagged_l.unionByName(tagged_r).select(
+        "*",
+        *[
+            F.last(f"__p_{p}", ignorenulls=True).over(w).alias(p)
+            for p in right_payload
+        ],
+    )
+    return carried.filter(F.col("__side") == 1).select(*lcols, *right_payload)

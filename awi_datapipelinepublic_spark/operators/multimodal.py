@@ -1,0 +1,99 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+processed by Arrow-batched Pandas UDFs over mapInPandas.
+
+Images/audio/video ride through the engine as ``binary`` columns with
+a metadata struct alongside. The Spark-side contract — schema,
+partition-sized Arrow batches, mapInPandas signature — is real and
+tested; the actual codec call is stubbed behind ``_decode_stub``
+(image/audio libraries are not in this container) with a deterministic
+fake so plumbing is verifiable end to end. Swapping the stub for
+PIL/torchaudio is a one-function change; the distributed plan is
+identical.
+
+Scale notes: mapInPandas streams Arrow batches (no per-row Python
+overhead); keep ``spark.sql.execution.arrow.maxRecordsPerBatch``
+bounded when payloads are large (a 10 MB image × 10k default batch
+would allocate 100 GB — set ~64-256 rows for media). Binary payloads
+should be stored in their own parquet column so column pruning skips
+them unless the decode stage runs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+DECODED_SCHEMA = (
+    "doc_id long, n_bytes long, fake_width long, fake_height long, checksum long"
+)
+
+
+def _decode_stub(payload: bytes) -> dict:
+    """Deterministic stand-in for an image decode.
+
+    A real deployment replaces this body with e.g.
+    ``img = PIL.Image.open(io.BytesIO(payload))`` and returns real
+    dimensions/features. The fake derives stable pseudo-dimensions
+    from the byte length and a cheap checksum, so tests (and the
+    DuckDB oracle) can verify the distributed plumbing produced
+    exactly one correctly-shaped row per input.
+    """
+    n = len(payload)
+    return {
+        "n_bytes": n,
+        "fake_width": (n % 640) + 1,
+        "fake_height": (n % 480) + 1,
+        "checksum": sum(payload[:64]) if n else 0,
+    }
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Test-fixture helper: synthesize a binary payload column from text
+    (the testdata ships no media table). Production inputs arrive as
+    real ``binary`` parquet columns with the same schema shape."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8")).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            F.length(F.col(text_col)).cast("long").alias("orig_size"),
+        ),
+    )
+
+
+def decode_media(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Decode/feature-extract each payload via mapInPandas.
+
+    One output row per input row; Arrow batches in, Arrow batches out.
+    The iterator form processes a partition as a stream of batches —
+    constant memory regardless of partition size.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_stub(p) for p in pdf[payload_col]]
+            out = pd.DataFrame(feats)
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def resize_stub(df: DataFrame, width: int, height: int, payload_col: str = "payload") -> DataFrame:
+    """Resize contract: payload → payload' plus updated metadata.
+
+    Stubbed (no codec): truncates/pads the byte payload to a
+    deterministic function of (w, h) so the pipeline shape — binary in,
+    binary out, metadata rewrite — is exercised. Real impl swaps the
+    lambda body for an actual resample."""
+    target = max(1, (width * height) // 100)
+    return df.withColumn(
+        payload_col, F.substring(F.col(payload_col), 1, target)
+    ).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image/fake-resized").alias("mime"),
+            F.length(F.col(payload_col)).cast("long").alias("orig_size"),
+        ),
+    )

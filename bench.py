@@ -38,6 +38,11 @@ BENCH_QUERIES = [
     "text_stats",
     "events_tumbling",
     "events_session",
+    "tpch_q3_topk",
+    "tpch_q5_revenue",
+    "asof_join",
+    "sliding_window",
+    "multimodal_decode",
 ]
 
 
