@@ -338,6 +338,17 @@ def q_view_auto_optiom(spark, sf_dir):
 # richer windows, semi/anti joins, as-of join, TPC-H-style analytics
 # ---------------------------------------------------------------------------
 
+def q_agg_percentile(spark, sf_dir):
+    """Exact percentiles (median / p90, linear interpolation) — the
+    deterministic quantile surface; percentile_approx is the 100 TB
+    path (t-digest sketch, same call shape)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+    )
+
+
 def q_agg_distinct(spark, sf_dir):
     """Distinct aggregation + multi-agg in one pass."""
     o = _t(spark, sf_dir, "orders")
@@ -649,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "events_tumbling": q_events_tumbling,
         "events_session": q_events_session,
+        "agg_percentile": q_agg_percentile,
         "agg_distinct": q_agg_distinct,
         "rollup_agg": q_rollup_agg,
         "set_intersect": q_set_intersect,
@@ -892,6 +904,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "agg_percentile": """
+            SELECT o_orderstatus,
+                   ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+                   ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+            FROM orders GROUP BY o_orderstatus
         """,
         "agg_distinct": """
             SELECT o_orderstatus,

@@ -114,16 +114,28 @@ def minhash_lsh_candidates(
         sigs.withColumn("band_keys", band_cols)
         .select(id_col, F.posexplode("band_keys").alias("band_no", "band_key"))
     )
-    left = banded.alias("a")
-    right = banded.alias("b")
+    # Pair generation via groupBy + in-bucket expansion, NOT a self-join:
+    # a self-join recomputes the whole signature pipeline for both sides
+    # and shuffles it twice; grouping shuffles the (id, band) rows once
+    # and expands pairs inside each bucket. Bucket sizes are the LSH
+    # design parameter — a bucket of n yields n·(n−1)/2 pairs either
+    # way, so the expansion is not a new quadratic risk, just the same
+    # output without the duplicated upstream work.
+    buckets = (
+        banded.groupBy("band_no", "band_key")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     pairs = (
-        left.join(
-            right,
-            (F.col("a.band_no") == F.col("b.band_no"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), b -> struct(a AS id_a, b AS id_b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     return pairs

@@ -50,6 +50,41 @@ def fact_fact_left(
     return left.join(right, left[left_key] == right[right_key], "left")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-mitigated equi-join: salt the skewed (left) side, replicate
+    the right side ``salt`` ways.
+
+    For a hot key holding p% of the left table, a plain shuffle join
+    puts p% of the data in one task; salting splits it across ``salt``
+    tasks at the cost of replicating the right side ×salt. Use when a
+    specific key set is known-skewed and AQE's skew-join splitting
+    isn't available (e.g. the join feeds a window) — otherwise prefer
+    AQE, which does this adaptively without the replication cost.
+    Supports inner and left joins (the engine's vocabulary).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salted_l = left.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    salted_r = right.join(
+        F.broadcast(
+            left.sparkSession.range(salt).select(F.col("id").cast("int").alias("__salt"))
+        )
+    )
+    out = salted_l.join(
+        salted_r,
+        (salted_l[left_key] == salted_r[right_key]) & (salted_l["__salt"] == salted_r["__salt"]),
+        how,
+    )
+    return out.drop("__salt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -1,0 +1,116 @@
+"""Streaming analytics: watermarked windowed aggregation, session
+windows, and a custom stateful operator via applyInPandasWithState.
+
+These are the Structured Streaming twins of operators/events.py — the
+same logical expressions over an unbounded source, with watermarks
+bounding state. The reference's merge cutoff MIN(new.date) is exactly
+a watermark (SURVEY.md §2.I): history below it is immutable.
+
+State sizing at scale: a watermark of W and slide S keep ~W/S windows
+per key in the state store; sessionization state is one open session
+per active key. Both are bounded — the prerequisite for running a
+100 TB/day stream without unbounded state growth.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+
+def streaming_tumbling_counts(
+    events: DataFrame, ts_col: str = "ts", width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling counts over a streaming DataFrame.
+
+    Late rows beyond the watermark are dropped; closed windows emit
+    finalized results (append mode) — the streaming rendition of
+    operators/events.tumbling_window_agg.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), width).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def streaming_session_windows(
+    events: DataFrame, ts_col: str = "ts", gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session windows (F.session_window): gap-based sessions
+    closed by the watermark — the streaming twin of
+    operators/events.sessionize."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+RUNNING_STATE_SCHEMA = T.StructType(
+    [T.StructField("total", T.DoubleType()), T.StructField("n", T.LongType())]
+)
+RUNNING_OUT_SCHEMA = (
+    "user_id long, batch_events long, running_events long, running_value double"
+)
+
+
+def running_user_totals(events: DataFrame, timeout_minutes: int = 60) -> DataFrame:
+    """Custom stateful operator: per-user running totals across
+    micro-batches via applyInPandasWithState.
+
+    The per-group state is two scalars — the shape every custom
+    accumulating operator takes (fraud scores, rate limits, feature
+    aggregates). Idle users are evicted by processing-time timeout so
+    state stays bounded by the active-user set.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        total, n = state.get if state.exists else (0.0, 0)
+        batch_n = 0
+        for pdf in pdfs:
+            batch_n += len(pdf)
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((total, n))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "batch_events": batch_n,
+                    "running_events": n,
+                    "running_value": total,
+                }
+            ]
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_OUT_SCHEMA,
+            stateStructType=RUNNING_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-from awi_datapipelinepublic_spark.operators.joins import asof_join
+from awi_datapipelinepublic_spark.operators.joins import asof_join, salted_join
 from awi_datapipelinepublic_spark.operators.multimodal import (
     attach_binary_payload,
     decode_media,
@@ -52,6 +52,24 @@ def test_asof_join_never_duplicates_left_rows(spark):
     out = asof_join(left, right, "user_id", "ts", "rts", ["asof_v"]).collect()
     assert len(out) == 5
     assert all(r["asof_v"] == 19.0 for r in out)  # minute 19 ≤ 30 is the latest
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must be semantics-preserving: same rows as a plain join,
+    including rows whose key misses (left join) and duplicate right keys."""
+    left = spark.createDataFrame(
+        [(i, "HOT" if i % 3 else f"k{i}") for i in range(300)], "lid long, k string"
+    )
+    right = spark.createDataFrame(
+        [("HOT", 1.0), ("HOT", 2.0), ("k3", 9.0)], "rk string, v double"
+    )
+    plain = sorted(
+        (r["lid"], r["v"]) for r in left.join(right, left.k == right.rk, "left").collect()
+    )
+    salted = sorted(
+        (r["lid"], r["v"]) for r in salted_join(left, right, "k", "rk", "left").collect()
+    )
+    assert salted == plain
 
 
 def test_multimodal_decode_shape_and_determinism(spark, sf_dir):

@@ -1,0 +1,101 @@
+"""Structured Streaming tests: watermarked windows, session windows,
+and the custom stateful operator, driven with availableNow over a
+parquet copy of the events table."""
+
+import shutil
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from awi_datapipelinepublic_spark.operators.events import sessionize, tumbling_window_agg
+from awi_datapipelinepublic_spark.sources.readers import read_events
+from awi_datapipelinepublic_spark.streaming.windows import (
+    running_user_totals,
+    streaming_session_windows,
+    streaming_tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_dir, tmp_path_factory):
+    """Events re-staged as µs-timestamp parquet (streams can't use the
+    nanos escape hatch mid-plan)."""
+    out = str(tmp_path_factory.mktemp("events_parquet") / "events")
+    read_events(spark, sf_dir).write.mode("overwrite").parquet(out)
+    return out
+
+
+def _drain(stream_df, tmp_path, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return q
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir, events_stream_dir, tmp_path):
+    batch_events = spark.read.parquet(events_stream_dir)
+    stream_events = spark.readStream.schema(batch_events.schema).parquet(events_stream_dir)
+    _drain(streaming_tumbling_counts(stream_events), tmp_path, "tumbling")
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM tumbling").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in tumbling_window_agg(batch_events).select("window_start", "event_type", "n_events").collect()
+    }
+    # availableNow + watermark: all but the final (still-open) windows emit.
+    assert got, "stream produced no rows"
+    for k, v in got.items():
+        assert want.get(k) == v, f"window {k}: stream={v} batch={want.get(k)}"
+    missing = set(want) - set(got)
+    max_ws = max(ws for ws, _ in want)
+    assert all(ws >= max_ws - __import__("datetime").timedelta(hours=2) for ws, _ in missing), (
+        "only tail windows (inside the watermark) may be unemitted"
+    )
+
+
+def test_streaming_session_windows(spark, events_stream_dir, tmp_path):
+    batch_events = spark.read.parquet(events_stream_dir)
+    stream_events = spark.readStream.schema(batch_events.schema).parquet(events_stream_dir)
+    _drain(streaming_session_windows(stream_events), tmp_path, "sessions")
+    got = spark.sql("SELECT * FROM sessions").collect()
+    assert got, "no sessions emitted"
+    # closed streaming sessions must agree with the batch sessionization
+    want = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in sessionize(batch_events).collect()
+    }
+    mismatches = [
+        (r["user_id"], r["session_start"], r["n_events"], want.get((r["user_id"], r["session_start"])))
+        for r in got
+        if want.get((r["user_id"], r["session_start"])) != r["n_events"]
+    ]
+    assert not mismatches, f"first mismatches: {mismatches[:5]}"
+
+
+def test_running_user_totals_stateful(spark, events_stream_dir, tmp_path):
+    batch_events = spark.read.parquet(events_stream_dir)
+    stream_events = spark.readStream.schema(batch_events.schema).parquet(events_stream_dir)
+    _drain(running_user_totals(stream_events), tmp_path, "running")
+    rows = spark.sql("SELECT * FROM running").collect()
+    assert rows, "stateful op produced no rows"
+    # the final emitted running_events per user == the batch count
+    last = {}
+    for r in rows:
+        last[r["user_id"]] = max(last.get(r["user_id"], 0), r["running_events"])
+    want = {
+        r["user_id"]: r["n"]
+        for r in batch_events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert last == want
