@@ -504,6 +504,51 @@ def q_view_auto_optiom(spark, sf_dir):
 # richer windows, semi/anti joins, as-of join, TPC-H-style analytics
 # ---------------------------------------------------------------------------
 
+def q_pivot_status(spark, sf_dir):
+    """Pivot: order counts per priority × status matrix. Explicit pivot
+    values keep the plan a single pass (no distinct-scan to discover
+    columns — the thing to avoid at 100 TB)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+def q_win_range_frame(spark, sf_dir):
+    """RANGE frame over event time: events per user in the trailing
+    hour (value-based frame, not row-based)."""
+    e = read_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("double"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).alias("events_last_hour"),
+    )
+
+
+def q_agg_approx(spark, sf_dir):
+    """Sketch aggregates: HLL distinct + t-digest quantile — the 100 TB
+    substitutes for exact distinct/percentile. No SQL oracle (sketch
+    internals are engine-specific); tests/ bound the relative error
+    against the exact answers."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+    )
+
+
 def q_agg_percentile(spark, sf_dir):
     """Exact percentiles (median / p90, linear interpolation) — the
     deterministic quantile surface; percentile_approx is the 100 TB
@@ -843,6 +888,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "events_tumbling": q_events_tumbling,
         "events_session": q_events_session,
+        "pivot_status": q_pivot_status,
+        "win_range_frame": q_win_range_frame,
+        "agg_approx": q_agg_approx,
         "agg_percentile": q_agg_percentile,
         "agg_distinct": q_agg_distinct,
         "rollup_agg": q_rollup_agg,
@@ -1147,6 +1195,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "pivot_status": """
+            SELECT o_orderpriority,
+                   COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+                   COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+                   COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "win_range_frame": """
+            SELECT event_id, user_id,
+                   COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                     AS events_last_hour
+            FROM events
         """,
         "agg_percentile": """
             SELECT o_orderstatus,

@@ -54,6 +54,28 @@ def test_asof_join_never_duplicates_left_rows(spark):
     assert all(r["asof_v"] == 19.0 for r in out)  # minute 19 ≤ 30 is the latest
 
 
+def test_agg_approx_error_bounds(spark, sf_dir):
+    """Sketch aggregates must land within their advertised error of the
+    exact answers (HLL rsd=0.02 → allow 6%; t-digest median → 5%)."""
+    import __spark_entry__ as em
+
+    approx = {r["l_returnflag"]: r for r in em.q_agg_approx(spark, sf_dir).collect()}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("parts"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
+        )
+        .collect()
+    }
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a["approx_parts"] - e["parts"]) / e["parts"] < 0.06
+        assert abs(a["approx_median_price"] - e["median_price"]) / e["median_price"] < 0.05
+
+
 def test_salted_join_matches_plain_join(spark):
     """Salting must be semantics-preserving: same rows as a plain join,
     including rows whose key misses (left join) and duplicate right keys."""
