@@ -734,6 +734,95 @@ def q_embedding_near_dup(spark, sf_dir):
     return embedding_near_dup(_t(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
+def q_string_functions(spark, sf_dir):
+    """Scalar string vocabulary: upper/lower/substring/concat/replace/
+    lpad/length/trim — one projection, all codegen."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.lower("c_mktsegment").alias("lo"),
+        F.substring("c_name", 10, 5).alias("sub"),
+        F.concat(F.col("c_mktsegment"), F.lit("|"), F.col("c_name")).alias("cat"),
+        F.regexp_replace(F.col("c_name"), "0", "#").alias("repl"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.length("c_name").cast("long").alias("len"),
+    )
+
+
+def q_date_functions(spark, sf_dir):
+    """Date/time vocabulary: extract parts, truncate, add, diff."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("y"),
+        F.month(d).cast("long").alias("m"),
+        F.dayofmonth(d).cast("long").alias("dom"),
+        F.quarter(d).cast("long").alias("q"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.date_add(d.cast("date"), 30).alias("plus30"),
+        F.datediff(F.lit("1999-01-01").cast("date"), d.cast("date")).cast("long").alias("days_to_99"),
+    )
+
+
+def q_conditional_functions(spark, sf_dir):
+    """greatest/least/nullif/nvl vocabulary."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.greatest("l_quantity", "l_discount").alias("g"),
+        F.least("l_tax", "l_discount").alias("l"),
+        F.nullif(F.col("l_returnflag"), F.lit("N")).alias("flag_or_null"),
+        F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("NONE")).alias("flag_default"),
+    )
+
+
+def q_explode_ordinality(spark, sf_dir):
+    """Array explode with position (posexplode ↔ UNNEST WITH
+    ORDINALITY): embeddings unrolled to (vec_id, pos, value) rows."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "vec_id", (F.col("pos") + 1).cast("long").alias("pos"),
+        F.round(F.col("val").cast("double"), 6).alias("val"),
+    )
+
+
+def q_cross_join(spark, sf_dir):
+    """Explicit cartesian product (region × region) — the only place a
+    cross join is acceptable is tiny×tiny."""
+    r1 = _t(spark, sf_dir, "region").select(F.col("r_regionkey").alias("a"))
+    r2 = _t(spark, sf_dir, "region").select(F.col("r_regionkey").alias("b"))
+    return r1.crossJoin(r2)
+
+
+GROUPED_ZSCORE_SCHEMA = "user_id long, event_id long, zscore double"
+
+
+def q_grouped_map_zscore(spark, sf_dir):
+    """Grouped-map Pandas UDF (applyInPandas): per-user z-score of
+    event values — the custom-operator escape hatch for semantics the
+    built-ins can't express. One shuffle on the group key; Arrow
+    batches per group. (Here the semantics ARE SQL-expressible, which
+    is exactly what makes an oracle possible — the point under test is
+    the applyInPandas path itself.)"""
+    import pandas as pd
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        mean = v.mean()
+        sd = ((v - mean) ** 2).mean() ** 0.5  # population
+        z = (v - mean) / sd if sd > 0 else v * 0.0
+        return pd.DataFrame(
+            {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "zscore": z.round(4)}
+        )
+
+    ev = read_events(spark, sf_dir).select("user_id", "event_id", "value")
+    return ev.groupBy("user_id").applyInPandas(zscore, schema=GROUPED_ZSCORE_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Extensions: deduplication
 # ---------------------------------------------------------------------------
@@ -877,6 +966,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "view_retention": q_view_retention,
         "view_transactions": q_view_transactions,
         "view_auto_optiom": q_view_auto_optiom,
+        "string_functions": q_string_functions,
+        "date_functions": q_date_functions,
+        "conditional_functions": q_conditional_functions,
+        "explode_ordinality": q_explode_ordinality,
+        "cross_join": q_cross_join,
+        "grouped_map_zscore": q_grouped_map_zscore,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1123,6 +1218,57 @@ def oracle_sql() -> dict[str, str]:
             FROM tx LEFT JOIN rev ON tx.o_orderkey = rev.ok
             WHERE o_orderdate >= TIMESTAMP '1996-01-01'
             ORDER BY o_orderdate DESC
+        """,
+        "string_functions": """
+            SELECT c_custkey,
+                   upper(c_name) AS up,
+                   lower(c_mktsegment) AS lo,
+                   substring(c_name, 10, 5) AS sub,
+                   c_mktsegment || '|' || c_name AS cat,
+                   regexp_replace(c_name, '0', '#', 'g') AS repl,
+                   lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+                   CAST(length(c_name) AS BIGINT) AS len
+            FROM customer
+        """,
+        "date_functions": """
+            SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS BIGINT) AS y,
+                   CAST(month(o_orderdate) AS BIGINT) AS m,
+                   CAST(day(o_orderdate) AS BIGINT) AS dom,
+                   CAST(quarter(o_orderdate) AS BIGINT) AS q,
+                   date_trunc('month', o_orderdate) AS month_start,
+                   CAST(o_orderdate AS DATE) + 30 AS plus30,
+                   CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS BIGINT)
+                     AS days_to_99
+            FROM orders
+        """,
+        "conditional_functions": """
+            SELECT l_orderkey, l_linenumber,
+                   greatest(l_quantity, l_discount) AS g,
+                   least(l_tax, l_discount) AS l,
+                   nullif(l_returnflag, 'N') AS flag_or_null,
+                   COALESCE(nullif(l_returnflag, 'N'), 'NONE') AS flag_default
+            FROM lineitem
+        """,
+        "explode_ordinality": """
+            SELECT vec_id,
+                   CAST(unnest(range(1, len(embedding) + 1)) AS BIGINT) AS pos,
+                   ROUND(CAST(unnest(embedding) AS DOUBLE), 6) AS val
+            FROM embeddings WHERE vec_id < 50
+        """,
+        "cross_join": """
+            SELECT a.r_regionkey AS a, b.r_regionkey AS b
+            FROM region a CROSS JOIN region b
+        """,
+        "grouped_map_zscore": """
+            WITH s AS (
+              SELECT user_id, event_id, value,
+                     AVG(value) OVER (PARTITION BY user_id) AS mu,
+                     stddev_pop(value) OVER (PARTITION BY user_id) AS sd
+              FROM events)
+            SELECT user_id, event_id,
+                   ROUND(CASE WHEN sd > 0 THEN (value - mu) / sd ELSE 0.0 END, 4) AS zscore
+            FROM s
         """,
         "dedup_exact": f"""
             SELECT md5({_NORM}) AS fingerprint,
