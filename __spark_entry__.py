@@ -38,7 +38,7 @@ from awi_datapipelinepublic_spark.operators.joins import asof_join, dim_join, fa
 from awi_datapipelinepublic_spark.operators.multimodal import attach_binary_payload, decode_media
 from awi_datapipelinepublic_spark.operators.merge import merge_time_window
 from awi_datapipelinepublic_spark.operators.dedup import embedding_near_dup
-from awi_datapipelinepublic_spark.operators.similarity import knn_brute_force, knn_lsh
+from awi_datapipelinepublic_spark.operators.similarity import knn_brute_force, knn_ivf, knn_lsh
 from awi_datapipelinepublic_spark.operators.windows import is_new_flag, min_over_partition
 from awi_datapipelinepublic_spark.sources.readers import read_events
 
@@ -868,6 +868,12 @@ def q_knn_cosine(spark, sf_dir):
     return knn_brute_force(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10)
 
 
+def q_knn_ivf(spark, sf_dir):
+    """IVF-bucketed ANN top-10 (rows-only; recall vs brute force
+    asserted in tests/)."""
+    return knn_ivf(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10)
+
+
 def q_knn_lsh(spark, sf_dir):
     """Sign-LSH bucketed ANN top-10 (rows-only; recall vs brute force
     asserted in tests/)."""
@@ -978,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "knn_cosine": q_knn_cosine,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,

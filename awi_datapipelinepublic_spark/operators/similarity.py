@@ -74,6 +74,85 @@ def lsh_bucket(
     return emb.withColumn(out_col, bucket)
 
 
+def ivf_assign(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """IVF coarse quantizer: deterministic centroid pick (every
+    ⌈n/k⌉-th vector by id — reproducible without a kmeans fit; swap in
+    sampled kmeans centroids for clustered real data) + one
+    nearest-centroid assignment pass.
+
+    Returns (assigned_df, centroids). Assignment is a pure projection:
+    k dot products per row against broadcast centroid literals — no
+    shuffle. Writing the table partitioned by ``cluster`` makes each
+    probe a pruned scan of ~nprobe/k of the corpus.
+    """
+    # Centroid pick never collects the id column (at 100 TB that is the
+    # whole key space): count once, then a modulo filter + bounded limit
+    # brings back exactly n_clusters rows.
+    n = emb.count()
+    step = max(1, n // n_clusters)
+    cent_rows = (
+        emb.filter(F.col(id_col) % step == 0)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_clusters)
+        .collect()
+    )
+    centroids = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(sorted(cent_rows, key=lambda r: r[id_col]))]
+
+    # argmax via array + array_position — NOT a nested when() chain,
+    # which embeds the running best twice per level and grows the
+    # expression tree 2^k-fold (measured: 16 centroids hung codegen).
+    sims = F.array(
+        *[cosine_similarity(F.col(vec_col), F.array(*[F.lit(x) for x in cvec])) for _, cvec in centroids]
+    )
+    assigned = emb.withColumn("__sims", sims).withColumn(
+        out_col,
+        (F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))) - 1).cast("int"),
+    ).drop("__sims")
+    return assigned, centroids
+
+
+def knn_ivf(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: score only the nprobe clusters nearest the query.
+
+    The centroid table is tiny (k rows) so probe selection is
+    driver-side; the cluster filter lands before any per-vector
+    arithmetic — with cluster-partitioned storage it is partition
+    pruning, scanning nprobe/n_clusters of the corpus.
+    """
+    assigned, centroids = ivf_assign(emb, n_clusters, id_col, vec_col)
+    q = np.asarray(query_vec, dtype=float)
+    qn = np.linalg.norm(q)
+
+    def cos(c):
+        cv = np.asarray(c, dtype=float)
+        d = qn * np.linalg.norm(cv)
+        return float(np.dot(q, cv) / d) if d else 0.0
+
+    probes = [ci for ci, cvec in sorted(centroids, key=lambda t: -cos(t[1]))[:nprobe]]
+    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.filter(F.col("cluster").isin(probes))
+        .select(id_col, F.round(cosine_similarity(F.col(vec_col), qarr), 6).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def knn_lsh(
     emb: DataFrame,
     query_vec: list[float],

@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "knn_cosine",
     "knn_lsh",
+    "knn_ivf",
     "text_stats",
     "events_tumbling",
     "events_session",

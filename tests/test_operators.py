@@ -84,6 +84,26 @@ def test_knn_lsh_recall(spark, sf_dir):
     assert n_buckets > 32, f"bucketing degenerate: {n_buckets} buckets for {n} vectors"
 
 
+def test_knn_ivf_recall(spark, sf_dir):
+    """IVF with nprobe=4/16 scans ~25% of the corpus; on near-uniform
+    synthetic embeddings recall tracks the scanned fraction plus
+    concentration gain. Structural assertions: self-hit, genuine
+    pruning, recall above the random-scan baseline."""
+    from awi_datapipelinepublic_spark.operators.similarity import ivf_assign, knn_ivf
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = [r["vec_id"] for r in knn_brute_force(emb, qv, k=10).collect()]
+    approx = [r["vec_id"] for r in knn_ivf(emb, qv, k=10).collect()]
+    assert 0 in approx
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.4, f"IVF recall {recall} (exact={exact}, approx={approx})"
+    assigned, centroids = ivf_assign(emb)
+    assert len(centroids) == 16
+    n_clusters_used = assigned.select("cluster").distinct().count()
+    assert n_clusters_used >= 8, f"degenerate clustering: {n_clusters_used} clusters"
+
+
 def test_read_events_nanos(spark, sf_dir):
     df = read_events(spark, sf_dir)
     assert dict(df.dtypes)["ts"] == "timestamp"
