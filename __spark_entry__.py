@@ -28,6 +28,7 @@ from awi_datapipelinepublic_spark.operators.dedup import (
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash,
+    simhash_near_dup_candidates,
 )
 from awi_datapipelinepublic_spark.operators.events import (
     sessionize,
@@ -851,6 +852,12 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash(d).select("doc_id", "simhash")
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash Hamming-ball near-dup candidates (pigeonhole banding;
+    rows-only — engine-specific hash; recall vs jaccard in tests/)."""
+    return simhash_near_dup_candidates(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
 # ---------------------------------------------------------------------------
 # Extensions: similarity search
 # ---------------------------------------------------------------------------
@@ -982,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "knn_cosine": q_knn_cosine,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,

@@ -169,6 +169,58 @@ def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> 
     return with_norm.withColumn(out_col, F.expr(expr)).drop("__norm")
 
 
+def simhash_near_dup_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs by SimHash Hamming distance.
+
+    Pigeonhole banding: split the 64-bit fingerprint into
+    ``max_hamming + 1`` chunks — any pair within ``max_hamming`` bits
+    must agree exactly on at least one chunk, so candidates form only
+    inside (chunk_no, chunk_value) buckets. Same single-shuffle
+    groupBy + in-bucket expansion shape as MinHash-LSH; the exact
+    Hamming filter runs on the bounded candidate set via bit_count.
+    """
+    n_chunks = max_hamming + 1
+    bits = 64 // n_chunks
+    fp = simhash(df.select(id_col, text_col), text_col)
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), i * bits).bitwiseAND(F.lit((1 << bits) - 1))
+            for i in range(n_chunks)
+        ]
+    )
+    banded = fp.withColumn("chunks", chunks).select(
+        id_col, "simhash", F.posexplode("chunks").alias("chunk_no", "chunk_val")
+    )
+    buckets = (
+        banded.groupBy("chunk_no", "chunk_val")
+        .agg(F.sort_array(F.collect_list(F.struct(id_col, "simhash"))).alias("members"))
+        .filter(F.size("members") > 1)
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (a, i) -> "
+                    "transform(slice(members, i + 2, size(members) - i - 1), "
+                    f"b -> struct(a.{id_col} AS id_a, b.{id_col} AS id_b, "
+                    "a.simhash AS ha, b.simhash AS hb))))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return pairs
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -12,6 +12,7 @@ from awi_datapipelinepublic_spark.operators.dedup import (
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash,
+    simhash_near_dup_candidates,
 )
 from awi_datapipelinepublic_spark.operators.similarity import knn_brute_force, knn_lsh
 from awi_datapipelinepublic_spark.operators.windows import global_row_number, row_number_global
@@ -82,6 +83,28 @@ def test_knn_lsh_recall(spark, sf_dir):
     from awi_datapipelinepublic_spark.operators.similarity import lsh_bucket
     n_buckets = lsh_bucket(emb, dim=64, h=8).select("bucket").distinct().count()
     assert n_buckets > 32, f"bucketing degenerate: {n_buckets} buckets for {n} vectors"
+
+
+def test_simhash_hamming_ball_recall(spark, sf_dir):
+    """Every pair with jaccard ≥ 0.9 must fall inside the hamming-8
+    candidate set (pigeonhole banding guarantees no candidate is
+    missed; the jaccard→hamming relationship is the empirical part)."""
+    docs = read_table(spark, sf_dir, "documents")
+    truth = {
+        (r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(docs, k=3, threshold=0.9).collect()
+    }
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dup_candidates(docs, max_hamming=8).collect()
+    }
+    assert truth, "fixture should contain high-jaccard pairs"
+    missed = truth - cands
+    assert not missed, f"simhash banding missed near-dup pairs: {missed}"
+    # every candidate's hamming bound must actually hold
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    for r in simhash_near_dup_candidates(docs, max_hamming=8).collect():
+        h = bin((fps[r["id_a"]] ^ fps[r["id_b"]]) & ((1 << 64) - 1)).count("1")
+        assert h == r["hamming"] and h <= 8
 
 
 def test_knn_ivf_recall(spark, sf_dir):

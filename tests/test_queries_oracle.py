@@ -32,7 +32,10 @@ def test_every_query_has_callable_signature():
 
 def test_oracle_coverage():
     """Non-SQL-expressible ops are the only ones allowed to skip the oracle."""
-    allowed_rows_only = {"dedup_minhash_lsh", "dedup_simhash", "knn_lsh", "knn_ivf", "agg_approx"}
+    allowed_rows_only = {
+        "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
+        "knn_lsh", "knn_ivf", "agg_approx",
+    }
     missing = set(QUERIES) - set(ORACLES) - allowed_rows_only
     assert not missing, f"queries without oracle: {missing}"
 
