@@ -735,6 +735,24 @@ def q_embedding_near_dup(spark, sf_dir):
     return embedding_near_dup(_t(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
+def q_profile_columns(spark, sf_dir):
+    """Data-profiling sweep: per-column null counts, distinct counts,
+    numeric min/max — one wide single-pass aggregate (the shape a
+    100 TB profiler must take: never one pass per column)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_custkey"),
+        F.sum(F.col("o_orderpriority").isNull().cast("long")).alias("null_priority"),
+        F.countDistinct("o_custkey").alias("distinct_custkey"),
+        F.countDistinct("o_orderstatus").alias("distinct_status"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+    )
+
+
 def q_string_functions(spark, sf_dir):
     """Scalar string vocabulary: upper/lower/substring/concat/replace/
     lpad/length/trim — one projection, all codegen."""
@@ -979,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "view_retention": q_view_retention,
         "view_transactions": q_view_transactions,
         "view_auto_optiom": q_view_auto_optiom,
+        "profile_columns": q_profile_columns,
         "string_functions": q_string_functions,
         "date_functions": q_date_functions,
         "conditional_functions": q_conditional_functions,
@@ -1233,6 +1252,20 @@ def oracle_sql() -> dict[str, str]:
             FROM tx LEFT JOIN rev ON tx.o_orderkey = rev.ok
             WHERE o_orderdate >= TIMESTAMP '1996-01-01'
             ORDER BY o_orderdate DESC
+        """,
+        "profile_columns": """
+            SELECT COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS null_custkey,
+                   CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS null_priority,
+                   COUNT(DISTINCT o_custkey) AS distinct_custkey,
+                   COUNT(DISTINCT o_orderstatus) AS distinct_status,
+                   ROUND(MIN(o_totalprice), 2) AS min_price,
+                   ROUND(MAX(o_totalprice), 2) AS max_price,
+                   MIN(o_orderdate) AS min_date,
+                   MAX(o_orderdate) AS max_date
+            FROM orders
         """,
         "string_functions": """
             SELECT c_custkey,

@@ -91,6 +91,39 @@ def cast_to_schema(
     return df.select(*exprs)
 
 
+def cast_with_rejects(
+    df: DataFrame, schema: T.StructType, lenient_dates: list[str] | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Cast to schema, splitting rows whose values could not be cast.
+
+    The reference quarantines the entire input file on any failure
+    (failed_func, config.py:223-234); this is the row-granular
+    version: (good, rejected) where rejected rows kept their original
+    string values for inspection. A value is a cast failure when it
+    was non-null before the cast and null after — i.e. data loss, not
+    declared nullability.
+    """
+    lenient = set(lenient_dates or ())
+    flags = []
+    exprs = []
+    for fld in schema.fields:
+        src = F.col(fld.name)
+        is_lenient_date = fld.name in lenient and isinstance(fld.dataType, T.DateType)
+        casted = cast_date_coerce(fld.name) if is_lenient_date else src.cast(fld.dataType)
+        exprs.append(casted.alias(fld.name))
+        # lenient DATE columns coerce to NULL by design (config.py:139-142)
+        # — never a reject; strings can't fail a cast.
+        if not isinstance(fld.dataType, T.StringType) and not is_lenient_date:
+            flags.append(src.isNotNull() & casted.isNull())
+    had_error = F.lit(False)
+    for fl in flags:
+        had_error = had_error | fl
+    flagged = df.withColumn("__cast_error", had_error)
+    good = flagged.filter(~F.col("__cast_error")).select(*exprs)
+    rejected = flagged.filter(F.col("__cast_error")).drop("__cast_error")
+    return good, rejected
+
+
 def align_columns(df: DataFrame, schema: T.StructType) -> DataFrame:
     """Add schema columns the frame is missing as typed NULLs, then
     project in schema order — the name-based fix for the reference's

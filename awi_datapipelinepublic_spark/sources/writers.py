@@ -55,6 +55,26 @@ def overwrite_table(df: DataFrame, path: str, partition_by: list[str] | None = N
         shutil.rmtree(backup, ignore_errors=True)
 
 
+def compact_table(spark, path: str, target_file_mb: int = 256, partition_by: list[str] | None = None) -> int:
+    """Small-files compaction: rewrite a parquet table at a target file
+    size. Streaming merges and incremental loads accrete small files;
+    at 100 TB an uncompacted table turns every scan into metadata
+    churn. Sizing uses the table's on-disk bytes; the rewrite keeps
+    partition columns. Returns the file count after compaction.
+    """
+    from pathlib import Path as _P
+
+    total_bytes = sum(f.stat().st_size for f in _P(path).rglob("*.parquet"))
+    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if partition_by:
+        compacted = df.repartition(n_files, *[df[c] for c in partition_by])
+    else:
+        compacted = df.repartition(n_files)
+    overwrite_table(compacted, path, partition_by=partition_by)
+    return len(list(_P(path).rglob("*.parquet")))
+
+
 def quarantine(src_path: str, error_dir: str) -> str:
     """Failed-input quarantine (reference failed_func, config.py:223-234):
     move the raw file to an errors dir so the pipeline never re-ingests

@@ -80,6 +80,39 @@ def test_read_csv_end_to_end(spark, tmp_path):
     assert df.schema["SELLER__"].dataType.typeName() == "long"
 
 
+def test_cast_with_rejects_splits_bad_rows(spark):
+    """Row-level quarantine: unparseable numerics reject the row with
+    original values preserved; lenient DATE coercion never rejects."""
+    from awi_datapipelinepublic_spark.functions.cleaning import cast_with_rejects
+
+    df = spark.createDataFrame(
+        [("1", "P1", "2024-01-01", "1.5", "7", "true"),
+         ("2", "P2", "not-a-date", "2.0", "8", "false"),   # bad date → lenient NULL, keeps row
+         ("3", "P3", "2024-02-01", "NOT_NUM", "9", "true")],  # bad numeric → rejected
+        ["AgencyNumber", "PolicyNumber", "PolicyExpiryDate", "CommissionAmt", "SELLER__", "LeaseIndicator"],
+    )
+    good, rejected = cast_with_rejects(df, to_struct_type(FIELDS), lenient_dates=["PolicyExpiryDate"])
+    good_rows = {r["PolicyNumber"]: r for r in good.collect()}
+    bad_rows = {r["PolicyNumber"]: r for r in rejected.collect()}
+    assert set(good_rows) == {"P1", "P2"}
+    assert good_rows["P2"]["PolicyExpiryDate"] is None
+    assert set(bad_rows) == {"P3"}
+    assert bad_rows["P3"]["CommissionAmt"] == "NOT_NUM"  # original value preserved
+
+
+def test_compact_table(spark, tmp_path):
+    """Compaction rewrites many small files into the size-targeted count."""
+    from awi_datapipelinepublic_spark.sources.writers import compact_table
+
+    path = str(tmp_path / "frag")
+    spark.range(0, 20000).repartition(64).write.mode("overwrite").parquet(path)
+    before = len(list(Path(path).rglob("*.parquet")))
+    after = compact_table(spark, path, target_file_mb=256)
+    assert before >= 64
+    assert after <= 4
+    assert spark.read.parquet(path).count() == 20000
+
+
 def test_align_columns_union(spark):
     """The prime/plus sheet alignment (config.py:121-128), name-based."""
     schema = to_struct_type(FIELDS)
