@@ -505,6 +505,58 @@ def q_view_auto_optiom(spark, sf_dir):
 # richer windows, semi/anti joins, as-of join, TPC-H-style analytics
 # ---------------------------------------------------------------------------
 
+def q_agg_string_list(spark, sf_dir):
+    """Ordered collect: per-customer comma-joined order keys.
+    sort_array(collect_list(...)) pins the nondeterministic gather
+    order; serialized to a string so the compare is type-stable."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    return o.groupBy("o_custkey").agg(
+        F.array_join(F.sort_array(F.collect_list(F.col("o_orderkey").cast("string"))), ",").alias("order_keys")
+    )
+
+
+def q_subquery_in(spark, sf_dir):
+    """IN-subquery through Catalyst's subquery rewrite (planned as a
+    left semi join — the same shape q_join_semi builds directly)."""
+    for t in ("orders", "customer"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"awi_{t}")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM awi_orders
+        WHERE o_custkey IN (SELECT c_custkey FROM awi_customer WHERE c_acctbal > 9000)
+        """
+    )
+
+
+def q_subquery_scalar(spark, sf_dir):
+    """Scalar subquery: orders above the global average price."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("awi_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM awi_orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM awi_orders)
+        """
+    )
+
+
+def q_win_first_last(spark, sf_dir):
+    """first_value / last_value / nth_value over the full partition
+    frame (explicit unbounded frame — last_value's default frame stops
+    at CURRENT ROW, a classic correctness trap)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(w).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
+    )
+
+
 def q_pivot_status(spark, sf_dir):
     """Pivot: order counts per priority × status matrix. Explicit pivot
     values keep the plan a single pass (no distinct-scan to discover
@@ -1017,6 +1069,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "events_tumbling": q_events_tumbling,
         "events_session": q_events_session,
+        "agg_string_list": q_agg_string_list,
+        "subquery_in": q_subquery_in,
+        "subquery_scalar": q_subquery_scalar,
+        "win_first_last": q_win_first_last,
         "pivot_status": q_pivot_status,
         "win_range_frame": q_win_range_frame,
         "agg_approx": q_agg_approx,
@@ -1389,6 +1445,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "agg_string_list": """
+            SELECT o_custkey,
+                   string_agg(CAST(o_orderkey AS VARCHAR), ','
+                              ORDER BY CAST(o_orderkey AS VARCHAR)) AS order_keys
+            FROM orders WHERE o_custkey < 200 GROUP BY o_custkey
+        """,
+        "subquery_in": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        """,
+        "subquery_scalar": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        """,
+        "win_first_last": """
+            SELECT o_orderkey, o_custkey,
+                   first_value(o_orderkey) OVER w AS first_ok,
+                   last_value(o_orderkey) OVER w AS last_ok,
+                   nth_value(o_orderkey, 2) OVER w AS second_ok
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         """,
         "pivot_status": """
             SELECT o_orderpriority,

@@ -18,6 +18,7 @@ array literals — deterministic across runs/engines, no fit/state.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from awi_datapipelinepublic_spark.functions.vectors import cosine_similarity, dot
@@ -26,6 +27,30 @@ from awi_datapipelinepublic_spark.functions.vectors import cosine_similarity, do
 def _hyperplanes(dim: int, h: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((h, dim)).tolist()
+
+
+def _cosine_to_query_udf(query_vec: list[float]):
+    """Arrow-vectorized cosine against a fixed query vector.
+
+    Dense vector math is the one place the built-in path loses:
+    higher-order functions (zip_with/aggregate) are excluded from
+    whole-stage codegen and run interpreted per element — measured 3×
+    slower than this numpy matmul over Arrow batches, and even slower
+    than a row-at-a-time Python UDF (micro_bench.py, SCALING.md).
+    """
+    from pyspark.sql.types import DoubleType
+
+    q = np.asarray(query_vec, dtype=float)
+    qn = float(np.linalg.norm(q))
+
+    @F.pandas_udf(DoubleType())
+    def cos(col: pd.Series) -> pd.Series:
+        m = np.stack(col.values).astype(float)
+        d = np.linalg.norm(m, axis=1) * qn
+        safe = np.where(d == 0, 1.0, d)
+        return pd.Series(np.where(d == 0, 0.0, (m @ q) / safe))
+
+    return cos
 
 
 def knn_brute_force(
@@ -37,14 +62,16 @@ def knn_brute_force(
 ) -> DataFrame:
     """Exact top-k by cosine to a single query vector.
 
-    orderBy(...).limit(k) plans as TakeOrderedAndProject: each
-    partition keeps a k-heap, driver merges — no global sort, no
-    single-partition shuffle. Ties broken by id for determinism.
+    Scoring is the Arrow-vectorized UDF (see _cosine_to_query_udf for
+    why it beats the built-in HOF path); orderBy(...).limit(k) plans as
+    TakeOrderedAndProject: each partition keeps a k-heap, driver
+    merges — no global sort, no single-partition shuffle. Ties broken
+    by id for determinism.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = _cosine_to_query_udf(query_vec)
     scored = emb.select(
         F.col(id_col),
-        F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cos"),
+        F.round(cos(F.col(vec_col)), 6).alias("cos"),
     )
     return scored.orderBy(F.col("cos").desc(), F.col(id_col).asc()).limit(k)
 
