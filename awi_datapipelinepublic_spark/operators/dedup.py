@@ -19,6 +19,8 @@ scan + one hash-partition shuffle.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from awi_datapipelinepublic_spark.functions.text import (
@@ -273,13 +275,24 @@ def embedding_near_dup(
     by random-hyperplane LSH first (see operators/similarity.py
     lsh_bucket) so the self-join is per-bucket.
     """
-    from awi_datapipelinepublic_spark.functions.vectors import cosine_similarity
+    from pyspark.sql.types import DoubleType
+
+    # Pairwise cosine as an Arrow pandas_udf: HOF expressions are
+    # interpreted (no codegen) and lose ~3× to vectorized numpy on
+    # dense vectors (micro_bench.py / SCALING.md).
+    @F.pandas_udf(DoubleType())
+    def pair_cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.stack(a.values).astype(float)
+        mb = np.stack(b.values).astype(float)
+        d = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        safe = np.where(d == 0, 1.0, d)
+        return pd.Series(np.where(d == 0, 0.0, np.einsum("ij,ij->i", ma, mb) / safe))
 
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine_similarity("va", "vb"), 6))
+        .withColumn("cos", F.round(pair_cos("va", "vb"), 6))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
