@@ -36,6 +36,11 @@ _CONF = {
     # Partition sizing: 128 MB input splits; shuffle width set per
     # session below (cores-based locally, data-based on a cluster).
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # Runtime bloom-filter join pruning (off by default): builds a
+    # bloom filter from the small side of a selective join and pushes
+    # it into the big side's scan — a large shuffle-volume win for
+    # selective fact-fact joins at scale.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
 }
 

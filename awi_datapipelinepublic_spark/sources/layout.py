@@ -17,7 +17,7 @@ Policy summary (applied by the pipeline writer):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def write_bucketed(
@@ -33,6 +33,23 @@ def write_bucketed(
     w = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
     w = w.sortBy(sort_col or bucket_col)
     w.format("parquet").saveAsTable(table)
+
+
+def write_range_sorted(
+    df: DataFrame, path: str, sort_col: str, partitions: int | None = None
+) -> None:
+    """Range-partition + sort-within-partitions write: rows are
+    clustered by ``sort_col`` across files AND within parquet row
+    groups, so range predicates prune at two levels — Spark skips
+    whole files via footer min/max, and the reader skips row groups.
+    The cheap non-Delta rendition of clustering/Z-ordering for the
+    dominant (time-range) access path.
+    """
+    parts = [F.col(sort_col)]
+    out = (
+        df.repartitionByRange(partitions, *parts) if partitions else df.repartitionByRange(*parts)
+    )
+    out.sortWithinPartitions(sort_col).write.mode("overwrite").parquet(path)
 
 
 def colocated_join(

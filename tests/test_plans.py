@@ -85,6 +85,33 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
 
 
+def test_range_sorted_write_rowgroup_stats(spark, sf_dir, tmp_path):
+    """write_range_sorted must produce files whose parquet min/max
+    stats form (near-)disjoint ranges — the precondition for file- and
+    row-group-level skipping of range predicates."""
+    import pyarrow.parquet as pq
+
+    from awi_datapipelinepublic_spark.sources.layout import write_range_sorted
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    path = str(tmp_path / "sorted_orders")
+    write_range_sorted(o, path, "o_orderkey", partitions=8)
+    ranges = []
+    for f in Path(path).rglob("*.parquet"):
+        md = pq.ParquetFile(str(f)).metadata
+        col_idx = [md.schema.column(i).name for i in range(md.num_columns)].index("o_orderkey")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 4
+    for (a_min, a_max), (b_min, b_max) in zip(ranges, ranges[1:]):
+        assert a_max <= b_min, f"file key ranges overlap: {(a_min, a_max)} vs {(b_min, b_max)}"
+
+
 def test_merge_month_partition_prunes(spark, tmp_path):
     """After a month-partitioned merge write, a date filter must prune
     partitions at scan time (partition count < total)."""
