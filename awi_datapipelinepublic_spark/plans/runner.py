@@ -66,6 +66,33 @@ def run_file(spark: SparkSession, spec: PipelineSpec, file_path: str) -> None:
     Path(file_path).unlink(missing_ok=True)
 
 
+VIEW_BUILDERS = {
+    # view_name → (builder, required dim keys); builders in plans/views.py
+    "RETENTION": ("retention_view", ("geo", "channels", "agencies", "ttypes")),
+    "TRANSACTIONS": ("transactions_view", ("geo", "channels", "agencies", "ttypes")),
+}
+
+
+def refresh_view(
+    spark: SparkSession, spec: PipelineSpec, dims: dict[str, DataFrame]
+) -> DataFrame | None:
+    """View refresh stage (reference make_view, config.py:215-221):
+    rebuild the spec's analytical view over the merged base table and
+    register it as a temp view under its reference name. Returns the
+    view DataFrame (None when the spec declares no view)."""
+    if not spec.view_name:
+        return None
+    from awi_datapipelinepublic_spark.plans import views as V
+
+    builder_name, dim_keys = VIEW_BUILDERS[spec.view_name]
+    base = spark.read.parquet(spec.base_table_path)
+    if "_merge_month" in base.columns:
+        base = base.drop("_merge_month")
+    view = getattr(V, builder_name)(base, *[dims[k] for k in dim_keys])
+    view.createOrReplaceTempView(spec.view_name)
+    return view
+
+
 def register_base_tables(spark: SparkSession, specs: dict[str, PipelineSpec]) -> None:
     """Expose merged base tables as temp views for the spark.sql surface
     (the reference's BigQuery dataset analog)."""

@@ -103,6 +103,48 @@ excel_filename_marker: ProductionRpt
     assert specs["optiom"].is_excel
 
 
+def test_refresh_view_registers_temp_view(spark, tmp_path):
+    """run_file → refresh_view: the merged base becomes a queryable
+    RETENTION view under its reference name (make_view parity)."""
+    from awi_datapipelinepublic_spark.plans.runner import refresh_view
+
+    ren_fields = [
+        {"name": n, "type": t, "mode": "NULLABLE"}
+        for n, t in [
+            ("AgencyNumber", "STRING"), ("PolicyNumber", "STRING"),
+            ("PolicyEffectiveDate", "DATE"), ("PolicyExpiryDate", "DATE"),
+            ("TransactionType", "STRING"), ("LeaseIndicator", "BOOLEAN"),
+            ("DateRenewed", "DATE"), ("PolicyStatus", "STRING"),
+            ("ProducerCode1", "STRING"), ("ProducerCode2", "STRING"),
+            ("ProducerName1", "STRING"), ("ProducerName2", "STRING"),
+            ("RenewedByProducerCode2", "STRING"), ("City", "STRING"),
+            ("PostalCode", "STRING"), ("CommissionAmt", "NUMERIC"),
+            ("DateCancelled", "DATE"),
+        ]
+    ]
+    schema_file = tmp_path / "ren.json"
+    schema_file.write_text(json.dumps(ren_fields))
+    spec = PipelineSpec(
+        name="renewals", schema_file=str(schema_file), date_col="PolicyExpiryDate",
+        landing_dir=str(tmp_path / "l"), staging_dir=str(tmp_path / "s"),
+        base_table_path=str(tmp_path / "b"), view_name="RETENTION",
+    )
+    hdr = ",".join(f["name"] for f in ren_fields)
+    f1 = _drop(spec, "renewals.csv",
+               hdr + "\n1234,P-1,2023-01-01,2024-01-15,NB,true,,R,PC1,PC2,a,b,,Calgary,T2P,10.5,\n")
+    run_file(spark, spec, f1)
+    dims = {
+        "geo": spark.createDataFrame([("Calgary", "South")], ["meta_city", "meta_geo"]),
+        "channels": spark.createDataFrame([("PC2", "ONLINE")], ["P2", "CHANNEL"]),
+        "agencies": spark.createDataFrame([("1234", "Main")], ["metaAgencyNumber", "metaAgencyName"]),
+        "ttypes": spark.createDataFrame([("NB", "New Business")], ["ttno", "TType"]),
+    }
+    view = refresh_view(spark, spec, dims)
+    assert view is not None
+    got = spark.sql("SELECT PolicyNumber, Agency, Renewed FROM RETENTION").collect()
+    assert [(r["PolicyNumber"], r["Agency"], r["Renewed"]) for r in got] == [("P-1", "Main", 1)]
+
+
 def test_streaming_pipeline_available_now(spark, spec, tmp_path):
     from awi_datapipelinepublic_spark.streaming.file_pipeline import stream_pipeline
 
