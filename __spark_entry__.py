@@ -613,6 +613,19 @@ def q_agg_percentile(spark, sf_dir):
     )
 
 
+def q_agg_stats(spark, sf_dir):
+    """Statistical aggregates: sample stddev/variance, correlation,
+    covariance — rounded coarsely (2dp inputs; estimator arithmetic is
+    the same merge-formula shape in both engines)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+    )
+
+
 def q_agg_distinct(spark, sf_dir):
     """Distinct aggregation + multi-agg in one pass."""
     o = _t(spark, sf_dir, "orders")
@@ -1077,6 +1090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_range_frame": q_win_range_frame,
         "agg_approx": q_agg_approx,
         "agg_percentile": q_agg_percentile,
+        "agg_stats": q_agg_stats,
         "agg_distinct": q_agg_distinct,
         "rollup_agg": q_rollup_agg,
         "set_intersect": q_set_intersect,
@@ -1488,6 +1502,14 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
                    ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
             FROM orders GROUP BY o_orderstatus
+        """,
+        "agg_stats": """
+            SELECT l_linestatus,
+                   ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+                   ROUND(var_samp(l_quantity), 6) AS var_qty,
+                   ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+                   ROUND(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc
+            FROM lineitem GROUP BY l_linestatus
         """,
         "agg_distinct": """
             SELECT o_orderstatus,
