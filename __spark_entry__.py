@@ -818,6 +818,22 @@ def q_profile_columns(spark, sf_dir):
     )
 
 
+def q_array_functions(spark, sf_dir):
+    """Array vocabulary over tokenized text: element access, size,
+    membership, slicing — all codegen'd array primitives."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    staged = d.select("doc_id", toks.alias("t"))
+    return staged.select(
+        "doc_id",
+        F.element_at("t", 1).alias("first_tok"),
+        F.element_at("t", -1).alias("last_tok"),
+        F.size("t").cast("long").alias("n"),
+        F.array_contains("t", "the").cast("boolean").alias("has_the"),
+        F.array_join(F.slice("t", 1, 3), " ").alias("first3"),
+    )
+
+
 def q_string_functions(spark, sf_dir):
     """Scalar string vocabulary: upper/lower/substring/concat/replace/
     lpad/length/trim — one projection, all codegen."""
@@ -1063,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "view_transactions": q_view_transactions,
         "view_auto_optiom": q_view_auto_optiom,
         "profile_columns": q_profile_columns,
+        "array_functions": q_array_functions,
         "string_functions": q_string_functions,
         "date_functions": q_date_functions,
         "conditional_functions": q_conditional_functions,
@@ -1336,6 +1353,16 @@ def oracle_sql() -> dict[str, str]:
                    MIN(o_orderdate) AS min_date,
                    MAX(o_orderdate) AS max_date
             FROM orders
+        """,
+        "array_functions": f"""
+            WITH s AS (SELECT doc_id, {_TOKS} AS t FROM documents)
+            SELECT doc_id,
+                   t[1] AS first_tok,
+                   t[-1] AS last_tok,
+                   CAST(len(t) AS BIGINT) AS n,
+                   list_contains(t, 'the') AS has_the,
+                   array_to_string(t[1:3], ' ') AS first3
+            FROM s
         """,
         "string_functions": """
             SELECT c_custkey,

@@ -21,7 +21,6 @@ restriction; on a Delta-enabled cluster the exact primitive is
 
 from __future__ import annotations
 
-import datetime as _dt
 
 from pyspark.sql import DataFrame, functions as F
 

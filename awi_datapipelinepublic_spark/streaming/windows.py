@@ -15,7 +15,6 @@ per active key. Both are bounded — the prerequisite for running a
 from __future__ import annotations
 
 from collections.abc import Iterator
-from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F

@@ -54,8 +54,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
 
-    # Warm the JVM + parquet footers once with the cheapest query.
+    # Warm the JVM + parquet footers (cheapest JVM-only query) AND the
+    # Python worker pool (cheapest Arrow-UDF query) so measurements
+    # reflect steady state, not one-time startup.
     qs["grouped_agg"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    qs["knn_cosine"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
