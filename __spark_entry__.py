@@ -666,6 +666,24 @@ def q_set_except(spark, sf_dir):
     return n.subtract(s)
 
 
+def q_union_distinct(spark, sf_dir):
+    """UNION (distinct) vs UNION ALL semantics: overlapping slices
+    dedupe to one row each."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")).select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.union(b).distinct()
+
+
+def q_intersect_all(spark, sf_dir):
+    """INTERSECT ALL (bag semantics — multiplicity = min of the two
+    sides), vs the set-semantics set_intersect."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linenumber") <= 2).select(F.col("l_orderkey").alias("k"))
+    b = li.filter(F.col("l_returnflag") == "N").select(F.col("l_orderkey").alias("k"))
+    return a.intersectAll(b)
+
+
 def q_win_rank_lead_lag(spark, sf_dir):
     """rank / dense_rank / ntile / lead / lag with a deterministic
     unique-key ordering."""
@@ -1112,6 +1130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": q_rollup_agg,
         "set_intersect": q_set_intersect,
         "set_except": q_set_except,
+        "union_distinct": q_union_distinct,
+        "intersect_all": q_intersect_all,
         "win_rank_lead_lag": q_win_rank_lead_lag,
         "win_frame_rows": q_win_frame_rows,
         "join_semi": q_join_semi,
@@ -1561,6 +1581,16 @@ def oracle_sql() -> dict[str, str]:
         "set_except": """
             SELECT n_nationkey AS nk FROM nation
             EXCEPT SELECT s_nationkey FROM supplier
+        """,
+        "union_distinct": """
+            SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+            UNION
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        """,
+        "intersect_all": """
+            SELECT l_orderkey AS k FROM lineitem WHERE l_linenumber <= 2
+            INTERSECT ALL
+            SELECT l_orderkey AS k FROM lineitem WHERE l_returnflag = 'N'
         """,
         "win_rank_lead_lag": """
             SELECT o_orderkey, o_custkey,
