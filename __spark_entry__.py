@@ -189,6 +189,22 @@ def q_join_channels(spark, sf_dir):
     return out.select("o_orderkey", "segment", "customer_name")
 
 
+def q_join_null_safe(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other — the opposite of the reference's NULL-never-
+    matches left joins (§2.C), exposed as its own operator."""
+    o = _t(spark, sf_dir, "orders")
+    nullable_key = F.when(F.col("o_orderkey") % 50 == 0, None).otherwise(F.col("o_orderpriority"))
+    left = o.select("o_orderkey", nullable_key.alias("pk"))
+    dim = spark.createDataFrame(
+        [("1-URGENT", "urgent"), ("5-LOW", "low"), (None, "missing")], "pk2 string, label string"
+    )
+    return (
+        left.join(F.broadcast(dim), left["pk"].eqNullSafe(dim["pk2"]), "left")
+        .select("o_orderkey", "pk", "label")
+    )
+
+
 def q_join_fact_fact(spark, sf_dir):
     """join_fact_fact (settings.yaml:135-137): unbounded⟕unbounded left
     equi-join, AQE-managed sort-merge."""
@@ -1072,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_agencies": q_join_agencies,
         "join_ttypes": q_join_ttypes,
         "join_fact_fact": q_join_fact_fact,
+        "join_null_safe": q_join_null_safe,
         "agg_min_scalar": q_agg_min_scalar,
         "agg_min_windowed": q_agg_min_windowed,
         "win_min_partition": q_agg_min_windowed,  # §2.E id; same operator
@@ -1262,6 +1279,17 @@ def oracle_sql() -> dict[str, str]:
         "join_channels": """
             SELECT o_orderkey, c.c_mktsegment AS segment, c.c_name AS customer_name
             FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "join_null_safe": """
+            WITH l AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 50 = 0 THEN NULL ELSE o_orderpriority END AS pk
+              FROM orders),
+            d AS (
+              SELECT * FROM (VALUES ('1-URGENT', 'urgent'), ('5-LOW', 'low'),
+                                    (NULL, 'missing')) AS t(pk2, label))
+            SELECT l.o_orderkey, l.pk, d.label
+            FROM l LEFT JOIN d ON l.pk IS NOT DISTINCT FROM d.pk2
         """,
         "join_fact_fact": """
             SELECT l_orderkey, l_linenumber, l_extendedprice, o.o_orderdate, o.o_orderstatus
