@@ -31,7 +31,9 @@ DECODED_SCHEMA = (
 
 
 def _decode_stub(payload: bytes) -> dict:
-    """Deterministic stand-in for an image decode.
+    """Deterministic stand-in for an image decode (reference copy —
+    the executing copy is the nested ``stub`` inside decode_media, kept
+    self-contained for cloudpickle; keep the two in sync).
 
     A real deployment replaces this body with e.g.
     ``img = PIL.Image.open(io.BytesIO(payload))`` and returns real
@@ -68,11 +70,27 @@ def decode_media(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payl
     One output row per input row; Arrow batches in, Arrow batches out.
     The iterator form processes a partition as a stream of batches —
     constant memory regardless of partition size.
+
+    The worker closure must be SELF-CONTAINED: a reference to a
+    module-level helper is cloudpickled by module path, and executors'
+    Python workers cannot import this package unless it is shipped
+    (addPyFile / pip on the cluster) or on their PYTHONPATH — which a
+    host application's session won't have. Nested def → pickled by
+    value → runs anywhere.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def stub(payload: bytes) -> dict:
+            n = len(payload)
+            return {
+                "n_bytes": n,
+                "fake_width": (n % 640) + 1,
+                "fake_height": (n % 480) + 1,
+                "checksum": sum(payload[:64]) if n else 0,
+            }
+
         for pdf in batches:
-            feats = [_decode_stub(p) for p in pdf[payload_col]]
+            feats = [stub(p) for p in pdf[payload_col]]
             out = pd.DataFrame(feats)
             out.insert(0, id_col, pdf[id_col].values)
             yield out
