@@ -47,9 +47,10 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def _seeded_hash(col, seed: int):
     """Deterministic per-seed 64-bit hash of a string column. xxhash64
-    has no seed parameter in the Python API; prefixing the seed is the
-    standard workaround and keeps everything JVM-side."""
-    return F.xxhash64(F.concat(F.lit(f"s{seed}:"), col))
+    has no seed parameter in the Python API; hashing (seed, value) as a
+    two-argument call folds the seed into the running hash state —
+    cheaper than materializing a prefixed string per (row, seed)."""
+    return F.xxhash64(F.lit(seed), col)
 
 
 def minhash_signature(
