@@ -35,12 +35,24 @@ from awi_datapipelinepublic_spark.operators.events import (
     sliding_window_agg,
     tumbling_window_agg,
 )
-from awi_datapipelinepublic_spark.operators.joins import asof_join, dim_join, fact_fact_left
+from awi_datapipelinepublic_spark.operators.joins import (
+    asof_join,
+    dim_join,
+    fact_fact_left,
+    range_join_binned,
+    salted_join,
+)
+from awi_datapipelinepublic_spark.operators.timeseries import date_spine, gap_fill
 from awi_datapipelinepublic_spark.operators.multimodal import attach_binary_payload, decode_media
 from awi_datapipelinepublic_spark.operators.merge import merge_time_window
 from awi_datapipelinepublic_spark.operators.dedup import embedding_near_dup
 from awi_datapipelinepublic_spark.operators.similarity import knn_brute_force, knn_ivf, knn_lsh
-from awi_datapipelinepublic_spark.operators.windows import is_new_flag, min_over_partition
+from awi_datapipelinepublic_spark.operators.windows import (
+    is_new_flag,
+    keep_first,
+    min_over_partition,
+    top_k_per_group,
+)
 from awi_datapipelinepublic_spark.sources.readers import read_events
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
@@ -1062,6 +1074,223 @@ def q_events_session(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Extensions: multidimensional aggregates, rank/range operators,
+# time-series scaffolding, skew-safe joins
+# ---------------------------------------------------------------------------
+
+def q_cube_agg(spark, sf_dir):
+    """CUBE over (status, priority) with GROUPING_ID — all 4 grouping
+    combinations in one pass (Expand + single partial-agg shuffle, not
+    4 scans)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+def q_grouping_sets_agg(spark, sf_dir):
+    """Explicit GROUPING SETS ((r_name), (n_name), ()) — per-region,
+    per-nation, and grand totals without rescanning the join."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .createOrReplaceTempView("gs_customer_geo")
+    )
+    return spark.sql(
+        """
+        SELECT r_name, n_name, COUNT(*) AS n_customers,
+               ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+        FROM gs_customer_geo
+        GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        """
+    )
+
+
+def q_topk_per_group(spark, sf_dir):
+    """Top-3 orders by price per priority class — WindowGroupLimit
+    plan: bounded per-key heap before the shuffle (see
+    operators/windows.py:top_k_per_group)."""
+    o = _t(spark, sf_dir, "orders")
+    return top_k_per_group(
+        o,
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+    ).select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+
+
+def q_dedup_keep_first(spark, sf_dir):
+    """Snapshot dedup: earliest order per customer (CDC-compaction
+    shape; latest-wins is the same operator ordered DESC)."""
+    o = _t(spark, sf_dir, "orders")
+    return keep_first(
+        o, ["o_custkey"], [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    ).select("o_custkey", "o_orderkey", "o_orderdate")
+
+
+def q_range_join_binned(spark, sf_dir):
+    """Interval join events↔maintenance-windows via time-bin equi-join
+    + residual predicate (operators/joins.py:range_join_binned) — the
+    scale path for a join Spark would otherwise nested-loop."""
+    e = read_events(spark, sf_dir).select("ts", "value")
+    iv = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 997 == 0)
+        .selectExpr(
+            "o_orderkey AS iv_id",
+            "timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, "
+            "CAST(o_orderkey % 720 AS INT), 0, 0) AS lo",
+            "timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, "
+            "CAST(o_orderkey % 720 + o_orderkey % 13 + 1 AS INT), 0, 0) AS hi",
+        )
+    )
+    return (
+        range_join_binned(e, iv, "ts", "lo", "hi", bin_seconds=3600)
+        .groupBy("iv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def q_histogram_numeric(spark, sf_dir):
+    """Fixed-width numeric histogram — one partial-agg pass, the
+    profiling primitive for binned distributions at scale."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.floor(F.col("o_totalprice") / 25000).alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+def q_date_spine_gapfill(spark, sf_dir):
+    """Gap-free monthly series per order status: sequence/explode
+    calendar spine × status dims ⟕ observed monthly counts, COALESCE 0
+    (operators/timeseries.py)."""
+    o = _t(spark, sf_dir, "orders")
+    spine = date_spine(spark, "1995-01-01", "1996-12-01")
+    statuses = o.select("o_orderstatus").distinct()
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("period"),
+        "o_orderstatus",
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    return gap_fill(
+        spine.crossJoin(statuses), monthly, ["period", "o_orderstatus"], {"n_orders": 0}
+    )
+
+
+def q_tpch_q10_returns(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue, top 20 customers.
+    Fact-fact join + broadcast dim + agg + rounded-then-sorted top-k."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1993-10-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_returnflag") == "R")
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "n_name")
+    )
+
+
+def q_bool_bit_agg(spark, sf_dir):
+    """Boolean and bitwise aggregates (bool_and/bool_or,
+    bit_and/or/xor) — single-pass, map-side combinable."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 900.0).alias("all_above_900"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.bit_and(F.col("o_custkey")).alias("custkey_band"),
+        F.bit_or(F.col("o_custkey")).alias("custkey_bor"),
+        F.bit_xor(F.col("o_custkey")).alias("custkey_bxor"),
+    )
+
+
+def q_map_functions(spark, sf_dir):
+    """Map construction + lookup: per-customer status→count map built
+    with map_from_entries(collect_list(struct)), probed with
+    try_element_at (ANSI-safe on missing keys)."""
+    o = _t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_custkey", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = counts.groupBy("o_custkey").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("o_orderstatus", "n"))
+        ).alias("m")
+    )
+    return m.select(
+        "o_custkey",
+        F.try_element_at("m", F.lit("F")).alias("n_f"),
+        F.try_element_at("m", F.lit("O")).alias("n_o"),
+        F.size("m").cast("long").alias("n_statuses"),
+    )
+
+
+def q_regr_agg(spark, sf_dir):
+    """Linear-regression aggregates (slope/intercept/r2) of price on
+    quantity per line status — single-pass moment accumulation."""
+    li = _t(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).alias("n"),
+    )
+
+
+def q_win_percent_rank(spark, sf_dir):
+    """percent_rank + cume_dist over a unique ordering (deterministic
+    peer groups)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def q_skew_join_salted(spark, sf_dir):
+    """Salted skew join (operators/joins.py:salted_join): output must
+    equal the plain equi-join — the oracle proves salt-and-replicate
+    preserves semantics."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return salted_join(li, o, "l_orderkey", "o_orderkey", how="inner", salt=8).select(
+        "l_orderkey", "l_linenumber", "o_orderdate"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -1161,6 +1390,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "bpe_token_count": q_bpe_token_count,
         "embedding_near_dup": q_embedding_near_dup,
+        "cube_agg": q_cube_agg,
+        "grouping_sets_agg": q_grouping_sets_agg,
+        "topk_per_group": q_topk_per_group,
+        "dedup_keep_first": q_dedup_keep_first,
+        "range_join_binned": q_range_join_binned,
+        "histogram_numeric": q_histogram_numeric,
+        "date_spine_gapfill": q_date_spine_gapfill,
+        "tpch_q10_returns": q_tpch_q10_returns,
+        "bool_bit_agg": q_bool_bit_agg,
+        "map_functions": q_map_functions,
+        "regr_agg": q_regr_agg,
+        "win_percent_rank": q_win_percent_rank,
+        "skew_join_salted": q_skew_join_salted,
     }
 
 
@@ -1727,6 +1969,119 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
                    COUNT(*) AS n_events
             FROM s GROUP BY user_id, session_no
+        """,
+        "cube_agg": """
+            SELECT o_orderstatus, o_orderpriority,
+                   GROUPING(o_orderstatus, o_orderpriority) AS gid,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS sum_price
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "grouping_sets_agg": """
+            SELECT r_name, n_name, COUNT(*) AS n_customers,
+                   ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        """,
+        "topk_per_group": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER w AS rn
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice DESC, o_orderkey ASC)
+            QUALIFY rn <= 3
+        """,
+        "dedup_keep_first": """
+            SELECT o_custkey, o_orderkey, o_orderdate
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate ASC, o_orderkey ASC)
+            QUALIFY ROW_NUMBER() OVER w = 1
+        """,
+        "range_join_binned": """
+            WITH iv AS (
+              SELECT o_orderkey AS iv_id,
+                     TIMESTAMP '2024-01-01'
+                       + (o_orderkey % 720) * INTERVAL 1 HOUR AS lo,
+                     TIMESTAMP '2024-01-01'
+                       + (o_orderkey % 720 + o_orderkey % 13 + 1) * INTERVAL 1 HOUR AS hi
+              FROM orders WHERE o_orderkey % 997 = 0)
+            SELECT iv_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+            FROM iv JOIN events e ON e.ts >= iv.lo AND e.ts < iv.hi
+            GROUP BY iv_id
+        """,
+        "histogram_numeric": """
+            SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bin,
+                   COUNT(*) AS n_orders,
+                   ROUND(MIN(o_totalprice), 2) AS min_price,
+                   ROUND(MAX(o_totalprice), 2) AS max_price
+            FROM orders GROUP BY 1
+        """,
+        "date_spine_gapfill": """
+            WITH spine AS (
+              SELECT CAST(gs AS DATE) AS period
+              FROM generate_series(DATE '1995-01-01', DATE '1996-12-01',
+                                   INTERVAL 1 MONTH) t(gs)),
+            st AS (SELECT DISTINCT o_orderstatus FROM orders),
+            m AS (
+              SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS period,
+                     o_orderstatus, COUNT(*) AS n
+              FROM orders GROUP BY 1, 2)
+            SELECT s.period, st.o_orderstatus, COALESCE(m.n, 0) AS n_orders
+            FROM spine s CROSS JOIN st
+            LEFT JOIN m ON m.period = s.period AND m.o_orderstatus = st.o_orderstatus
+        """,
+        "tpch_q10_returns": """
+            SELECT c_custkey, c_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   n_name
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1993-10-01'
+              AND o_orderdate < TIMESTAMP '1994-01-01'
+              AND l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+        """,
+        "bool_bit_agg": """
+            SELECT o_orderstatus,
+                   bool_and(o_totalprice > 900.0) AS all_above_900,
+                   bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+                   bit_and(o_custkey) AS custkey_band,
+                   bit_or(o_custkey) AS custkey_bor,
+                   bit_xor(o_custkey) AS custkey_bxor
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "map_functions": """
+            SELECT o_custkey,
+                   NULLIF(COUNT(*) FILTER (WHERE o_orderstatus = 'F'), 0) AS n_f,
+                   NULLIF(COUNT(*) FILTER (WHERE o_orderstatus = 'O'), 0) AS n_o,
+                   COUNT(DISTINCT o_orderstatus) AS n_statuses
+            FROM orders GROUP BY o_custkey
+        """,
+        "regr_agg": """
+            SELECT l_linestatus,
+                   ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+                   ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+                   ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+                   regr_count(l_extendedprice, l_quantity) AS n
+            FROM lineitem GROUP BY l_linestatus
+        """,
+        "win_percent_rank": """
+            SELECT o_orderkey, o_orderstatus,
+                   ROUND(percent_rank() OVER w, 6) AS pct_rank,
+                   ROUND(cume_dist() OVER w, 6) AS cume
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderstatus
+                         ORDER BY o_totalprice ASC, o_orderkey ASC)
+        """,
+        "skew_join_salted": """
+            SELECT l_orderkey, l_linenumber, o_orderdate
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         """,
     }
     # §2 alias ids share their implementation's oracle.

@@ -50,6 +50,43 @@ def fact_fact_left(
     return left.join(right, left[left_key] == right[right_key], "left")
 
 
+def range_join_binned(
+    fact: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_seconds: int,
+) -> DataFrame:
+    """Interval (range) join: fact rows whose ``ts_col`` falls in
+    ``[lo_col, hi_col)`` of an intervals table — with no equi-key.
+
+    A naive theta join is a nested-loop (O(n·m) comparisons, and Spark
+    can only broadcast-nested-loop it). The scale path used here is
+    *binning*: explode each interval into the fixed-width time bins it
+    overlaps, bin the fact timestamps the same way, equi-join on the
+    bin id, then apply the exact range predicate as a residual filter.
+    Each fact row lands in exactly one bin and each interval lists each
+    bin once, so no post-join dedup is needed. Cost becomes
+    O(n + m·avg_bins) shuffled through a hash join, which survives a
+    100× scale-up where the nested loop does not. Pick ``bin_seconds``
+    near the typical interval length: shorter bins replicate intervals,
+    longer bins inflate the residual-filter candidate set.
+    """
+    w = int(bin_seconds)
+    lo_bin = F.floor(F.unix_timestamp(F.col(lo_col)) / w)
+    hi_bin = F.floor(F.unix_timestamp(F.col(hi_col)) / w)
+    binned_iv = intervals.withColumn("__bin", F.explode(F.sequence(lo_bin, hi_bin)))
+    binned_fact = fact.withColumn(
+        "__bin", F.floor(F.unix_timestamp(F.col(ts_col)) / w)
+    )
+    return (
+        binned_fact.join(binned_iv, "__bin")
+        .filter((F.col(ts_col) >= F.col(lo_col)) & (F.col(ts_col) < F.col(hi_col)))
+        .drop("__bin")
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -1,0 +1,55 @@
+"""Time-series scaffolding: date spines and gap filling.
+
+The reference's analytics are consumed by a BI tool over time-ordered
+views (settings.yaml:62,119-122,139); dashboards over sparse periods
+need gap-free series. These helpers generate a calendar spine with
+``sequence`` + ``explode`` (pure Catalyst, no driver loop) and left-join
+observed aggregates onto it — the canonical gap-fill shape.
+
+Scale notes: the spine is O(periods) rows — tiny — so the
+spine-side of the gap-fill join is always broadcast; the observed
+aggregate is a partial-agg groupBy of the fact. Nothing here shuffles
+the fact twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def date_spine(
+    spark: SparkSession, start: str, end: str, step: str = "interval 1 month",
+    out_col: str = "period",
+) -> DataFrame:
+    """Dense calendar: one row per ``step`` from start to end inclusive.
+
+    Generated with ``sequence(start, end, step)`` + ``explode`` — a
+    single literal row expanded JVM-side; no driver-side Python loop,
+    no parallelize of a materialized list.
+    """
+    return spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(start).cast("date"), F.lit(end).cast("date"), F.expr(step)
+            )
+        ).alias(out_col)
+    )
+
+
+def gap_fill(
+    spine: DataFrame,
+    observed: DataFrame,
+    on: list,
+    fill: dict[str, object],
+) -> DataFrame:
+    """spine ⟕ observed on the period (+ group) keys; missing periods
+    take the ``fill`` defaults (e.g. {"n": 0}) instead of NULL.
+
+    The spine (and any crossed group dimension) is small by
+    construction, so Spark broadcasts it; the observed side arrives
+    pre-aggregated (one row per period×group).
+    """
+    out = spine.join(observed, on, "left")
+    for name, dv in fill.items():
+        out = out.withColumn(name, F.coalesce(F.col(name), F.lit(dv)))
+    return out

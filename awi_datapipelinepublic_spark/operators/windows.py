@@ -51,6 +51,36 @@ def min_over_partition(df: DataFrame, part_col: str, val_col: str, out_col: str)
     return df.withColumn(out_col, F.min(val_col).over(Window.partitionBy(part_col)))
 
 
+def top_k_per_group(
+    df: DataFrame, part_cols: list, order_cols: list, k: int, out_col: str = "rn"
+) -> DataFrame:
+    """Top-k rows per group via a partitioned ROW_NUMBER filter.
+
+    Scale notes: the window shuffles once on the group key and sorts
+    within partitions — no global sort, no driver collection. Catalyst
+    plans the rank filter as a WindowGroupLimit (rank-limit pushdown,
+    Spark 3.5+): each task keeps a bounded heap of k rows per key
+    before the shuffle, so the exchanged data is O(k·groups), not the
+    full table. Callers must include a unique tie-break column in
+    ``order_cols`` for deterministic output.
+    """
+    w = Window.partitionBy(*part_cols).orderBy(*order_cols)
+    return df.withColumn(out_col, F.row_number().over(w)).filter(F.col(out_col) <= k)
+
+
+def keep_first(df: DataFrame, key_cols: list, order_cols: list) -> DataFrame:
+    """Snapshot dedup: keep exactly one row per key — the first under
+    ``order_cols`` (ascending business time for "earliest", descending
+    for "latest wins", the canonical CDC-compaction shape).
+
+    Same WindowGroupLimit bounded-buffer plan as top_k_per_group with
+    k=1: partial limit before the shuffle, so a 100 TB table with few
+    distinct keys exchanges only one candidate row per key per map
+    task. A unique tie-break in ``order_cols`` makes it deterministic.
+    """
+    return top_k_per_group(df, key_cols, order_cols, 1, out_col="__rn").drop("__rn")
+
+
 def is_new_flag(
     df: DataFrame, part_col: str, order_col: str, out_col: str = "IsNew"
 ) -> DataFrame:

@@ -115,3 +115,60 @@ def test_resize_stub_rewrites_payload_and_meta(spark, sf_dir):
     r = resized.first()
     assert len(r["payload"]) <= 100
     assert r["media_meta"]["mime"] == "image/fake-resized"
+
+
+def test_range_join_binned_matches_theta_join(spark):
+    """Binning + residual filter must reproduce the naive range join
+    exactly — boundary timestamps (ts == lo inclusive, ts == hi
+    exclusive) and intervals spanning multiple bins included."""
+    from awi_datapipelinepublic_spark.operators.joins import range_join_binned
+
+    fact = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(minutes=7 * i)) for i in range(200)],
+        "fid long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 1, 0), dt.datetime(2024, 1, 1, 2, 0)),
+            (2, dt.datetime(2024, 1, 1, 1, 30), dt.datetime(2024, 1, 1, 9, 30)),
+            (3, dt.datetime(2024, 1, 1, 5, 0), dt.datetime(2024, 1, 1, 5, 0)),  # empty
+            (4, dt.datetime(2024, 1, 2, 23, 0), dt.datetime(2024, 1, 3, 1, 0)),
+        ],
+        "iv_id long, lo timestamp, hi timestamp",
+    )
+    got = sorted(
+        (r["fid"], r["iv_id"])
+        for r in range_join_binned(fact, iv, "ts", "lo", "hi", 3600).collect()
+    )
+    want = sorted(
+        (r["fid"], r["iv_id"])
+        for r in fact.join(iv, (F.col("ts") >= F.col("lo")) & (F.col("ts") < F.col("hi"))).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_keep_first_exactly_one_row_per_key(spark):
+    from awi_datapipelinepublic_spark.operators.windows import keep_first
+
+    df = spark.createDataFrame(
+        [(1, 3, "c"), (1, 1, "a"), (1, 2, "b"), (2, 9, "z"), (3, 5, "m"), (3, 5, "n")],
+        "k long, seq long, v string",
+    )
+    out = keep_first(df, ["k"], [F.col("seq").asc(), F.col("v").asc()]).collect()
+    assert sorted((r["k"], r["v"]) for r in out) == [(1, "a"), (2, "z"), (3, "m")]
+
+
+def test_date_spine_is_dense_and_gapfill_zero_fills(spark):
+    from awi_datapipelinepublic_spark.operators.timeseries import date_spine, gap_fill
+
+    spine = date_spine(spark, "2024-01-01", "2024-06-01")
+    months = [r["period"].isoformat() for r in spine.orderBy("period").collect()]
+    assert months == ["2024-01-01", "2024-02-01", "2024-03-01", "2024-04-01", "2024-05-01", "2024-06-01"]
+
+    observed = spark.createDataFrame(
+        [(dt.date(2024, 2, 1), 5), (dt.date(2024, 5, 1), 2)], "period date, n long"
+    )
+    filled = gap_fill(spine, observed, ["period"], {"n": 0})
+    vals = {r["period"].isoformat(): r["n"] for r in filled.collect()}
+    assert vals["2024-02-01"] == 5 and vals["2024-05-01"] == 2
+    assert sum(v == 0 for v in vals.values()) == 4

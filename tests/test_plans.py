@@ -129,3 +129,41 @@ def test_merge_month_partition_prunes(spark, tmp_path):
     assert scan.count() == 100
     # partition filter must appear in the scan node, not a post-filter
     assert "PartitionFilters" in txt and "_merge_month" in txt.split("PartitionFilters")[1].splitlines()[0]
+
+
+def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
+    """Per-group top-k must plan the rank-limit pushdown
+    (WindowGroupLimit): bounded per-key buffers before the shuffle, not
+    a full sort of every group."""
+    plan = _plan(entry_mod.q_topk_per_group(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_keep_first_uses_window_group_limit(spark, sf_dir):
+    plan = _plan(entry_mod.q_dedup_keep_first(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_range_join_binned_is_equi_join_not_nested_loop(spark, sf_dir):
+    """The binned interval join must plan as an equi-join on the bin
+    key — never BroadcastNestedLoopJoin, which is the O(n·m) plan a raw
+    range predicate would get."""
+    plan = _plan(entry_mod.q_range_join_binned(spark, sf_dir))
+    assert "NestedLoop" not in plan, plan[:2000]
+    assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")), plan[:2000]
+
+
+def test_cube_is_single_scan_with_expand(spark, sf_dir):
+    """CUBE computes all 4 grouping combinations from ONE scan via
+    Expand — not one scan per grouping set."""
+    plan = _plan(entry_mod.q_cube_agg(spark, sf_dir))
+    assert "Expand" in plan, plan[:2000]
+    assert plan.count("FileScan parquet") + plan.count("Scan parquet") <= 2, plan[:2000]
+
+
+def test_gapfill_broadcasts_spine(spark, sf_dir):
+    """The calendar spine side of the gap-fill join is tiny by
+    construction and must broadcast — the fact aggregate is never
+    shuffled against it."""
+    plan = _plan(entry_mod.q_date_spine_gapfill(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
