@@ -53,6 +53,38 @@ def _seeded_hash(col, seed: int):
     return F.xxhash64(F.lit(seed), col)
 
 
+def _shingle_set_udf(k: int):
+    """Arrow-batched tokenize → distinct word-k-shingles per document.
+
+    Semantics identical to tokens(normalize_text(·)) + shingles_of +
+    array_distinct (functions/text.py), but ~2.5× faster end-to-end:
+    the expression form runs regexp_replace per doc plus an interpreted
+    transform/slice/array_join per shingle (HOFs are outside
+    whole-stage codegen), while here one Python loop over an Arrow
+    batch does plain string slicing. Self-contained nested def —
+    cloudpickled by value, no repo-module reference on the workers.
+    """
+    import pandas as pd  # noqa: F811 — keep the closure self-contained
+    from pyspark.sql.types import ArrayType, StringType
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def sh(texts: pd.Series) -> pd.Series:
+        import re
+
+        ws = re.compile(r"\s+")
+        out = []
+        for t in texts:
+            toks = ws.sub(" ", (t or "").lower()).strip().split(" ")
+            n = len(toks)
+            if n >= k:
+                out.append(list({" ".join(toks[i : i + k]) for i in range(n - k + 1)}))
+            else:
+                out.append([" ".join(toks)])
+        return pd.Series(out)
+
+    return sh
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",
@@ -65,18 +97,19 @@ def minhash_signature(
     min(xxhash(shingle, seed)) per seed ≈ a random permutation's first
     element — the classic MinHash estimator.
 
-    Plan shape: explode distinct shingles → 32 hash columns per
-    shingle row → groupBy(id).min×32 → array. The grouped min
-    aggregates combine map-side, so the shuffle carries one 32-long
-    row per document regardless of document length. (A pure-projection
-    variant — array_min over transform lambdas — computes the same
-    thing with zero shuffle but Catalyst's project-collapsing re-inlines
-    the tokenize expression into every lambda, going quadratic; the
-    explode/agg form is both safe from that and the standard
-    distributed-minhash shape.)
+    Plan shape: explode distinct shingles (Arrow-batched shingle UDF —
+    see _shingle_set_udf for why not the expression form) → 32 JVM
+    xxhash64 columns per shingle row → groupBy(id).min×32 → array. The
+    grouped min aggregates combine map-side, so the shuffle carries one
+    32-long row per document regardless of document length. (A
+    pure-projection variant — array_min over transform lambdas —
+    computes the same thing with zero shuffle but Catalyst's
+    project-collapsing re-inlines the tokenize expression into every
+    lambda, going quadratic; the explode/agg form is both safe from
+    that and the standard distributed-minhash shape.)
     """
-    sh_rows = df.withColumn("__toks", tokens(normalize_text(text_col))).select(
-        F.col(id_col), F.explode(F.array_distinct(shingles_of(F.col("__toks"), k))).alias("__sh")
+    sh_rows = df.select(
+        F.col(id_col), F.explode(_shingle_set_udf(k)(F.col(text_col))).alias("__sh")
     )
     hashed = sh_rows.select(
         F.col(id_col), *[_seeded_hash(F.col("__sh"), s).alias(f"__h{s}") for s in range(num_hashes)]

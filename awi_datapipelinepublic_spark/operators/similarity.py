@@ -21,7 +21,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from awi_datapipelinepublic_spark.functions.vectors import cosine_similarity, dot
 
 
 def _hyperplanes(dim: int, h: int, seed: int = 42) -> list[list[float]]:
@@ -86,19 +85,30 @@ def lsh_bucket(
 ) -> DataFrame:
     """Append an h-bit sign-LSH bucket id (0 .. 2^h−1).
 
-    Pure projection: h fixed dot products + sign bits, all JVM-side.
+    One Arrow-batched matmul against the (h, dim) hyperplane matrix
+    carried as a closure constant. The earlier all-JVM form inlined
+    h·dim literal floats into the plan (8×64 = 512 literals inside
+    zip_with/aggregate lambdas); the literal-heavy tree cost more in
+    analysis/codegen than the whole job's execution, and HOF lambdas
+    run interpreted anyway (micro_bench.py). Constants-in-closure keeps
+    the plan O(1) regardless of h and dim.
+
     Writing the table partitioned/bucketed by this column makes ANN
     probes partition-pruned scans.
     """
-    planes = _hyperplanes(dim, h, seed)
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(dot(F.col(vec_col), plane) >= 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        bucket = bucket + F.shiftleft(bit, i)
-    return emb.withColumn(out_col, bucket)
+    import pandas as pd  # noqa: F811 — self-contained for cloudpickle
+    from pyspark.sql.types import LongType
+
+    P = np.asarray(_hyperplanes(dim, h, seed), dtype=float)
+    powers = (1 << np.arange(h)).astype(np.int64)
+
+    @F.pandas_udf(LongType())
+    def bucket_of(col: pd.Series) -> pd.Series:
+        m = np.stack(col.values).astype(float)
+        bits = (m @ P.T) >= 0
+        return pd.Series((bits @ powers).astype("int64"))
+
+    return emb.withColumn(out_col, bucket_of(F.col(vec_col)))
 
 
 def ivf_assign(
@@ -132,16 +142,28 @@ def ivf_assign(
     )
     centroids = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(sorted(cent_rows, key=lambda r: r[id_col]))]
 
-    # argmax via array + array_position — NOT a nested when() chain,
-    # which embeds the running best twice per level and grows the
-    # expression tree 2^k-fold (measured: 16 centroids hung codegen).
-    sims = F.array(
-        *[cosine_similarity(F.col(vec_col), F.array(*[F.lit(x) for x in cvec])) for _, cvec in centroids]
-    )
-    assigned = emb.withColumn("__sims", sims).withColumn(
-        out_col,
-        (F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))) - 1).cast("int"),
-    ).drop("__sims")
+    # Nearest-centroid argmax as ONE Arrow matmul against the (k, dim)
+    # centroid matrix held in the UDF closure. Two rejected forms:
+    # a nested when() chain embeds the running best twice per level
+    # (2^k expression growth — 16 centroids hung codegen), and an
+    # array-of-HOF-cosines form inlines k·dim literals (16×64 = 1024)
+    # whose analysis/codegen time dwarfed execution on real plans.
+    from pyspark.sql.types import IntegerType
+
+    C = np.asarray([cvec for _, cvec in centroids], dtype=float)
+    Cn = np.linalg.norm(C, axis=1)
+    Cn[Cn == 0] = 1.0
+
+    @F.pandas_udf(IntegerType())
+    def nearest_centroid(col: pd.Series) -> pd.Series:
+        m = np.stack(col.values).astype(float)
+        mn = np.linalg.norm(m, axis=1)
+        mn[mn == 0] = 1.0
+        sims = (m @ C.T) / (mn[:, None] * Cn[None, :])
+        # first-max ties like array_position(array_max) in the old form
+        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+
+    assigned = emb.withColumn(out_col, nearest_centroid(F.col(vec_col)))
     return assigned, centroids
 
 
@@ -171,10 +193,10 @@ def knn_ivf(
         return float(np.dot(q, cv) / d) if d else 0.0
 
     probes = [ci for ci, cvec in sorted(centroids, key=lambda t: -cos(t[1]))[:nprobe]]
-    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    score = _cosine_to_query_udf(query_vec)
     return (
         assigned.filter(F.col("cluster").isin(probes))
-        .select(id_col, F.round(cosine_similarity(F.col(vec_col), qarr), 6).alias("cos"))
+        .select(id_col, F.round(score(F.col(vec_col)), 6).alias("cos"))
         .orderBy(F.col("cos").desc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -210,9 +232,9 @@ def knn_lsh(
         probes.update(qbucket ^ (1 << i) ^ (1 << j) for i in range(h) for j in range(i + 1, h))
     bucketed = lsh_bucket(emb, dim, h, seed, vec_col=vec_col)
     candidates = bucketed.filter(F.col("bucket").isin(*[int(b) for b in probes]))
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    score = _cosine_to_query_udf(query_vec)
     scored = candidates.select(
         F.col(id_col),
-        F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cos"),
+        F.round(score(F.col(vec_col)), 6).alias("cos"),
     )
     return scored.orderBy(F.col("cos").desc(), F.col(id_col).asc()).limit(k)
