@@ -1279,6 +1279,71 @@ def q_win_percent_rank(spark, sf_dir):
     )
 
 
+def q_scan_jsonl(spark, sf_dir):
+    """JSON-lines source (sources/readers.py:read_jsonl): schema-
+    declared scan, no inference pass; oracle reads the same rows from
+    the canonical parquet, so quoting/typing/date-parse bugs break the
+    hash."""
+    from awi_datapipelinepublic_spark.sources.readers import read_jsonl
+
+    stage = Path("/root/repo/.cache") / f"scan_jsonl_{Path(sf_dir).name}"
+    if not (stage / "_SUCCESS").exists():
+        (
+            _t(spark, sf_dir, "orders")
+            .select(
+                "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            )
+            .coalesce(4)
+            .write.mode("overwrite")
+            .json(str(stage))
+        )
+    return read_jsonl(spark, str(stage), _SCAN_CSV_FIELDS)
+
+
+def q_scan_orc(spark, sf_dir):
+    """ORC source/sink round-trip: columnar alternative to parquet,
+    native reader/writer, type-preserving (no string staging)."""
+    stage = Path("/root/repo/.cache") / f"scan_orc_{Path(sf_dir).name}"
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    if not (stage / "_SUCCESS").exists():
+        _t(spark, sf_dir, "orders").select(*cols).coalesce(4).write.mode(
+            "overwrite"
+        ).orc(str(stage))
+    return spark.read.orc(str(stage)).select(*cols)
+
+
+def q_train_test_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by md5(id) prefix
+    (operators/sampling.py): stable across runs, engines, and
+    incremental batches — the property randomSplit cannot give."""
+    from awi_datapipelinepublic_spark.operators.sampling import train_val_test_split
+
+    d = _t(spark, sf_dir, "documents")
+    return train_val_test_split(d, "doc_id").select("doc_id", "split")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: per-stratum md5 thresholds,
+    single filter, no RNG state (operators/sampling.py)."""
+    from awi_datapipelinepublic_spark.operators.sampling import stratified_sample_hash
+
+    c = _t(spark, sf_dir, "customer")
+    return stratified_sample_hash(
+        c, "c_mktsegment", "c_custkey",
+        {"BUILDING": 0.25, "AUTOMOBILE": 0.10}, default_fraction=0.05,
+    ).select("c_custkey", "c_mktsegment")
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Fixed-size token chunks with overlap (operators/chunking.py) —
+    the LLM-pipeline unit-of-work transform, pure
+    sequence/posexplode/slice, no UDF."""
+    from awi_datapipelinepublic_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"), size=50, overlap=10)
+
+
 def q_skew_join_salted(spark, sf_dir):
     """Salted skew join (operators/joins.py:salted_join): output must
     equal the plain equi-join — the oracle proves salt-and-replicate
@@ -1403,6 +1468,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regr_agg": q_regr_agg,
         "win_percent_rank": q_win_percent_rank,
         "skew_join_salted": q_skew_join_salted,
+        "scan_jsonl": q_scan_jsonl,
+        "scan_orc": q_scan_orc,
+        "train_test_split": q_train_test_split,
+        "stratified_sample": q_stratified_sample,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -2083,8 +2153,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber, o_orderdate
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         """,
+        "scan_orc": """
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+            FROM orders
+        """,
+        "train_test_split": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'val'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '34' THEN 'test'
+                        ELSE 'train' END AS split
+            FROM documents
+        """,
+        "stratified_sample": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 2) <
+                  CASE c_mktsegment WHEN 'BUILDING' THEN '40'
+                                    WHEN 'AUTOMOBILE' THEN '1a'
+                                    ELSE '0d' END
+        """,
+        "chunk_documents": """
+            WITH t AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+              FROM documents),
+            e AS (
+              SELECT doc_id, toks,
+                     unnest(range(0, CAST(greatest(len(toks), 1) AS BIGINT), 40)) AS start
+              FROM t)
+            SELECT doc_id,
+                   start // 40 AS chunk_no,
+                   array_to_string(list_slice(toks, start + 1, start + 50), ' ') AS chunk_text,
+                   CAST(len(list_slice(toks, start + 1, start + 50)) AS BIGINT) AS n_chunk_tokens
+            FROM e
+        """,
     }
     # §2 alias ids share their implementation's oracle.
+    sql["scan_jsonl"] = sql["scan_csv"]  # same staged rows, different format
     sql["join_geo"] = sql["join_dim_miss"]
     sql["win_min_partition"] = sql["agg_min_windowed"]
     sql["union_all"] = sql["align_union"]

@@ -1,0 +1,70 @@
+"""Deterministic sampling and dataset splitting.
+
+Training pipelines need splits and samples that are (a) stable across
+runs and engines — no seed-and-shuffle, (b) pure projections — no
+extra scan, no driver state, (c) assignable row-at-a-time so new data
+lands in the same split forever. The standard trick is hashing a
+stable id and thresholding the hash: md5 is used (not xxhash) so the
+assignment is reproducible in any engine that can hash a string.
+
+At 100 TB both operators are filter/projection only: no shuffle, full
+predicate pushdown upstream, and the md5 cost is scan-bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _hash_prefix(id_col: str) -> Column:
+    """First two lowercase-hex chars of md5(id) — a uniform 0..255
+    draw, comparable as a string in any SQL engine."""
+    return F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    val_hex: str = "1a",
+    test_hex: str = "34",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row to train/val/test by md5(id) prefix.
+
+    Defaults: hash < '1a' → val (26/256 ≈ 10.2%), < '34' → test
+    (another 26/256), rest → train (≈ 79.7%). Deterministic per id:
+    re-runs, incremental batches, and other engines agree on every
+    row's split — the property seeded ``randomSplit`` cannot give.
+    """
+    h = _hash_prefix(id_col)
+    return df.withColumn(
+        out_col,
+        F.when(h < val_hex, F.lit("val"))
+        .when(h < test_hex, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def stratified_sample_hash(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its md5(id)
+    prefix falls under the stratum's threshold.
+
+    ``fractions`` maps stratum value → sampling fraction (granularity
+    1/256 at the two-hex-digit prefix). Unlike ``df.sampleBy`` the
+    result is identical across runs/engines and needs no RNG state;
+    like it, the plan is a single filter, no shuffle.
+    """
+    def thresh(frac: float) -> str:
+        return format(max(0, min(256, round(frac * 256))), "02x")
+
+    h = _hash_prefix(id_col)
+    cond = h < thresh(default_fraction)
+    for value, frac in sorted(fractions.items()):
+        cond = F.when(F.col(strata_col) == value, h < thresh(frac)).otherwise(cond)
+    return df.filter(cond)

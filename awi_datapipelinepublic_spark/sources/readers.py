@@ -83,6 +83,21 @@ def read_csv(
     return cast_to_schema(df, to_struct_type(fields), lenient_dates=date_columns(fields))
 
 
+def read_jsonl(spark: SparkSession, path: str, fields: list[dict]) -> DataFrame:
+    """Schema-declared JSON-lines scan.
+
+    Same contract as read_csv: the declared schema is applied (no
+    inference pass — inference re-reads the whole input, a non-starter
+    at scale), columns pruned to the declaration, ISO date strings
+    parsed by the reader itself. Malformed lines go to NULL-rows in
+    PERMISSIVE mode rather than failing the scan; route them to a
+    quarantine with columnNameOfCorruptRecord if row-level capture is
+    needed (sink_error semantics, reference config.py:223-234).
+    """
+    st = to_struct_type(fields)
+    return spark.read.schema(st).json(path).select(*[f["name"] for f in fields])
+
+
 def read_excel_sheets(
     spark: SparkSession,
     path: str,

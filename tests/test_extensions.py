@@ -172,3 +172,60 @@ def test_date_spine_is_dense_and_gapfill_zero_fills(spark):
     vals = {r["period"].isoformat(): r["n"] for r in filled.collect()}
     assert vals["2024-02-01"] == 5 and vals["2024-05-01"] == 2
     assert sum(v == 0 for v in vals.values()) == 4
+
+
+def test_train_test_split_is_stable_and_reasonably_proportioned(spark, sf_dir):
+    """Same id → same split on re-run and under re-partitioning (no RNG
+    state); fractions land near the 10/10/80 design at corpus size."""
+    from awi_datapipelinepublic_spark.operators.sampling import train_val_test_split
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {r["doc_id"]: r["split"] for r in train_val_test_split(d, "doc_id").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(d.repartition(13), "doc_id").collect()
+    }
+    assert a == b
+    n = len(a)
+    frac = {s: sum(v == s for v in a.values()) / n for s in ("train", "val", "test")}
+    assert 0.70 <= frac["train"] <= 0.90
+    assert 0.05 <= frac["val"] <= 0.16 and 0.05 <= frac["test"] <= 0.16
+
+
+def test_chunk_documents_covers_every_token_with_overlap(spark):
+    """Chunks must tile the token sequence: chunk i starts at i·stride,
+    consecutive chunks share exactly `overlap` tokens, and no token is
+    dropped (tail chunks may be short but never missing)."""
+    from awi_datapipelinepublic_spark.operators.chunking import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(137))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, size=50, overlap=10).collect(), key=lambda r: r["chunk_no"]
+    )
+    assert [r["chunk_no"] for r in rows] == [0, 1, 2, 3]
+    toks = text.split(" ")
+    for r in rows:
+        start = r["chunk_no"] * 40
+        assert r["chunk_text"] == " ".join(toks[start : start + 50])
+    # union of chunks = the whole document
+    seen = set()
+    for r in rows:
+        seen.update(r["chunk_text"].split(" "))
+    assert seen == set(toks)
+    assert rows[-1]["n_chunk_tokens"] == 137 - 3 * 40
+
+
+def test_stratified_sample_rates_follow_fractions(spark, sf_dir):
+    from awi_datapipelinepublic_spark.operators.sampling import stratified_sample_hash
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = stratified_sample_hash(
+        c, "c_mktsegment", "c_custkey", {"BUILDING": 0.5}, default_fraction=0.05
+    )
+    base = {r["c_mktsegment"]: r["n"] for r in c.groupBy("c_mktsegment").agg(F.count("*").alias("n")).collect()}
+    got = {r["c_mktsegment"]: r["n"] for r in out.groupBy("c_mktsegment").agg(F.count("*").alias("n")).collect()}
+    assert 0.35 <= got["BUILDING"] / base["BUILDING"] <= 0.65
+    for seg, n in base.items():
+        if seg != "BUILDING":
+            assert got.get(seg, 0) / n <= 0.15
