@@ -1344,6 +1344,23 @@ def q_chunk_documents(spark, sf_dir):
     return chunk_documents(_t(spark, sf_dir, "documents"), size=50, overlap=10)
 
 
+def q_connected_components(spark, sf_dir):
+    """Iterative hash-min connected components (operators/graph.py) on
+    a deterministic chain graph over customer keys; the DuckDB oracle
+    computes the same closure with a recursive CTE — an iterative
+    Spark algorithm still oracle-gated."""
+    from awi_datapipelinepublic_spark.operators.graph import connected_components
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    edges = (
+        c.alias("a")
+        .join(c.alias("b"), F.col("a.c_custkey") + 1 == F.col("b.c_custkey"))
+        .filter(F.col("a.c_custkey") % 5 != 4)
+        .select(F.col("a.c_custkey").alias("src"), F.col("b.c_custkey").alias("dst"))
+    )
+    return connected_components(edges).select("node", "component")
+
+
 def q_skew_join_salted(spark, sf_dir):
     """Salted skew join (operators/joins.py:salted_join): output must
     equal the plain equi-join — the oracle proves salt-and-replicate
@@ -1473,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_test_split": q_train_test_split,
         "stratified_sample": q_stratified_sample,
         "chunk_documents": q_chunk_documents,
+        "connected_components": q_connected_components,
     }
 
 
@@ -2187,6 +2205,21 @@ def oracle_sql() -> dict[str, str]:
             FROM e
         """,
     }
+    sql["connected_components"] = """
+        WITH RECURSIVE
+        edges AS (
+          SELECT a.c_custkey AS src, b.c_custkey AS dst
+          FROM customer a JOIN customer b ON a.c_custkey + 1 = b.c_custkey
+          WHERE a.c_custkey % 5 <> 4),
+        sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        lbl AS (
+          SELECT DISTINCT src AS node, src AS label FROM sym
+          UNION
+          SELECT s.dst AS node, l.label
+          FROM lbl l JOIN sym s ON s.src = l.node
+        )
+        SELECT node, MIN(label) AS component FROM lbl GROUP BY node
+    """
     # §2 alias ids share their implementation's oracle.
     sql["scan_jsonl"] = sql["scan_csv"]  # same staged rows, different format
     sql["join_geo"] = sql["join_dim_miss"]

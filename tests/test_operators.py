@@ -131,3 +131,50 @@ def test_read_events_nanos(spark, sf_dir):
     df = read_events(spark, sf_dir)
     assert dict(df.dtypes)["ts"] == "timestamp"
     assert df.count() > 0
+
+
+def test_connected_components_matches_union_find(spark):
+    """Random graphs: Spark hash-min propagation must agree with a
+    driver-side union-find on every node's component representative."""
+    import numpy as np
+
+    from awi_datapipelinepublic_spark.operators.graph import connected_components
+
+    rng = np.random.default_rng(7)
+    n_nodes, n_edges = 300, 260
+    e = rng.integers(0, n_nodes, size=(n_edges, 2)).tolist()
+
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in e:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical rep = min node id in component
+    comp_of = {}
+    for x in range(n_nodes):
+        comp_of.setdefault(find(x), []).append(x)
+    want = {x: min(members) for members in comp_of.values() for x in members}
+
+    edges = spark.createDataFrame([(int(a), int(b)) for a, b in e], "src long, dst long")
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    touched = {int(a) for a, _ in e} | {int(b) for _, b in e}
+    assert got == {x: want[x] for x in touched}
+
+
+def test_dedup_clusters_are_transitive(spark):
+    """A≈B and B≈C must land A, B, C in one cluster with canonical
+    min-id — the property pairwise dedup alone cannot give."""
+    from awi_datapipelinepublic_spark.operators.graph import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (20, 21), (30, 30)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["canonical_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 5: 1, 9: 1, 20: 20, 21: 20, 30: 30}
