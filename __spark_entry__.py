@@ -1344,6 +1344,17 @@ def q_chunk_documents(spark, sf_dir):
     return chunk_documents(_t(spark, sf_dir, "documents"), size=50, overlap=10)
 
 
+def q_dedup_pipeline(spark, sf_dir):
+    """Flagship near-dedup pipeline: minhash → LSH banding →
+    connected-component clustering → keep each cluster's min-id doc
+    (operators/dedup.py:near_dedup_keep_canonical). Engine-specific
+    hashes → rows-only driver check; transitivity and survivor-set
+    properties are pinned in tests/test_operators.py."""
+    from awi_datapipelinepublic_spark.operators.dedup import near_dedup_keep_canonical
+
+    return near_dedup_keep_canonical(_t(spark, sf_dir, "documents"))
+
+
 def q_connected_components(spark, sf_dir):
     """Iterative hash-min connected components (operators/graph.py) on
     a deterministic chain graph over customer keys; the DuckDB oracle
@@ -1491,6 +1502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "chunk_documents": q_chunk_documents,
         "connected_components": q_connected_components,
+        "dedup_pipeline": q_dedup_pipeline,
     }
 
 

@@ -177,6 +177,39 @@ def minhash_lsh_candidates(
     return pairs
 
 
+def near_dedup_keep_canonical(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """End-to-end near-dedup: the full production pipeline in one call.
+
+    minhash signatures → LSH banding (candidate pairs) → connected
+    components (transitive duplicate clusters) → keep only each
+    cluster's minimum-id document. The component step is what makes
+    the result coherent: with pairwise logic alone, A≈B and B≈C keeps
+    both A and C even though they are near-dups through B.
+
+    Scale shape: signature + banding is scan + two shuffles bounded by
+    bucket sizes (see minhash_lsh_candidates); the component loop runs
+    on the *pair* graph — orders of magnitude smaller than the corpus,
+    with near-clique clusters so the diameter (iteration count) stays
+    small; the final anti-join streams the corpus once against the
+    broadcast-size victim list.
+    """
+    from awi_datapipelinepublic_spark.operators.graph import dedup_clusters
+
+    pairs = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, k)
+    clusters = dedup_clusters(pairs, "id_a", "id_b")
+    victims = clusters.filter(F.col("doc_id") != F.col("canonical_id")).select("doc_id")
+    return df.join(
+        victims, df[id_col] == victims["doc_id"], "left_anti"
+    ).select(id_col)
+
+
 def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
     """64-bit SimHash over token hashes, fully JVM-side.
 

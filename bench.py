@@ -44,6 +44,12 @@ BENCH_QUERIES = [
     "asof_join",
     "sliding_window",
     "multimodal_decode",
+    # round-1 close additions: training-pipeline headline ops
+    "dedup_pipeline",
+    "chunk_documents",
+    "topk_per_group",
+    "range_join_binned",
+    "train_test_split",
 ]
 
 

@@ -178,3 +178,28 @@ def test_dedup_clusters_are_transitive(spark):
     )
     got = {r["doc_id"]: r["canonical_id"] for r in dedup_clusters(pairs).collect()}
     assert got == {1: 1, 5: 1, 9: 1, 20: 20, 21: 20, 30: 30}
+
+
+def test_near_dedup_survivors_are_cluster_minima(spark, sf_dir):
+    """Pipeline invariant: survivors = corpus minus non-canonical
+    cluster members; every LSH cluster keeps exactly its min id."""
+    from awi_datapipelinepublic_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        near_dedup_keep_canonical,
+    )
+    from awi_datapipelinepublic_spark.operators.graph import dedup_clusters
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    all_ids = {r["doc_id"] for r in d.select("doc_id").collect()}
+    survivors = {r["doc_id"] for r in near_dedup_keep_canonical(d).collect()}
+    clusters = dedup_clusters(minhash_lsh_candidates(d), "id_a", "id_b").collect()
+    by_comp = {}
+    for r in clusters:
+        by_comp.setdefault(r["canonical_id"], set()).add(r["doc_id"])
+    victims = set()
+    for canon, members in by_comp.items():
+        assert canon == min(members)
+        assert canon in survivors
+        victims |= members - {canon}
+    assert survivors == all_ids - victims
+    assert victims, "corpus should contain planted near-dups"
