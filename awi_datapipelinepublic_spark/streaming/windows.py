@@ -113,3 +113,54 @@ def running_user_totals(events: DataFrame, timeout_minutes: int = 60) -> DataFra
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: list | None = None,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """At-most-once per key on an unbounded stream:
+    dropDuplicatesWithinWatermark keeps the first arrival of each key
+    and drops re-deliveries that arrive within the watermark horizon.
+
+    This is the streaming face of exact dedup: the state store holds
+    one entry per key seen in the last ``watermark`` of event time and
+    evicts below the watermark — bounded state, unlike a plain
+    dropDuplicates whose key set grows forever on a stream. The
+    standard guard in front of any at-least-once source (Kafka,
+    file redelivery, Pub/Sub semantics in the reference's trigger
+    path — SURVEY.md §2.I).
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys or ["event_id"])
+    )
+
+
+def streaming_click_view_join(
+    clicks: DataFrame,
+    views: DataFrame,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each click matched to the views of the
+    same user in the preceding ``lookback`` of event time.
+
+    Both sides are watermarked and the join condition is time-bounded —
+    the two requirements for Spark to know when buffered rows can be
+    evicted; an unbounded-condition stream-stream join would hold both
+    streams in state forever. Expected columns (pre-renamed by the
+    caller so the two sides stay unambiguous): clicks(clicks_user,
+    click_ts, event_id), views(views_user, view_ts, view_value).
+    """
+    c = clicks.withWatermark("click_ts", watermark)
+    v = views.withWatermark("view_ts", watermark)
+    return c.join(
+        v,
+        F.expr(
+            f"clicks_user = views_user AND "
+            f"view_ts BETWEEN click_ts - INTERVAL {lookback} AND click_ts"
+        ),
+        "inner",
+    ).select("clicks_user", "event_id", "click_ts", "view_ts", "view_value")

@@ -99,3 +99,56 @@ def test_running_user_totals_stateful(spark, events_stream_dir, tmp_path):
         for r in batch_events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert last == want
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, events_stream_dir, tmp_path):
+    """Re-delivered events (the stream unioned with itself) collapse to
+    exactly the batch-distinct set."""
+    from awi_datapipelinepublic_spark.streaming.windows import streaming_dedup
+
+    batch = spark.read.parquet(events_stream_dir)
+    doubled_dir = str(tmp_path / "doubled")
+    batch.union(batch).write.mode("overwrite").parquet(doubled_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(doubled_dir)
+    _drain(streaming_dedup(stream, ["event_id"]), tmp_path, "dedup_stream")
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_stream").first()
+    want = batch.select("event_id").distinct().count()
+    assert got["n"] == want and got["d"] == want
+
+
+def test_stream_stream_join_matches_batch_join(spark, events_stream_dir, tmp_path):
+    """Watermarked stream-stream interval join == the same join run in
+    batch over the bounded input."""
+    from awi_datapipelinepublic_spark.streaming.windows import streaming_click_view_join
+
+    batch = spark.read.parquet(events_stream_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+
+    def split(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("clicks_user"), F.col("ts").alias("click_ts"), "event_id"
+        )
+        views = df.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("views_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("value").alias("view_value"),
+        )
+        return clicks, views
+
+    _drain(streaming_click_view_join(*split(stream)), tmp_path, "ssjoin")
+    got = {
+        (r["event_id"], r["view_ts"])
+        for r in spark.sql("SELECT event_id, view_ts FROM ssjoin").collect()
+    }
+    bc, bv = split(batch)
+    want = {
+        (r["event_id"], r["view_ts"])
+        for r in bc.join(
+            bv,
+            F.expr(
+                "clicks_user = views_user AND "
+                "view_ts BETWEEN click_ts - INTERVAL 1 HOUR AND click_ts"
+            ),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
