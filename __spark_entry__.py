@@ -1344,6 +1344,24 @@ def q_chunk_documents(spark, sf_dir):
     return chunk_documents(_t(spark, sf_dir, "documents"), size=50, overlap=10)
 
 
+def q_lateral_topk(spark, sf_dir):
+    """Correlated LATERAL subquery (top-2 orders per customer) —
+    Catalyst decorrelates the per-row ORDER BY ... LIMIT into a ranked
+    window join, so it is the same WindowGroupLimit-friendly plan as
+    topk_per_group, not a nested loop per customer."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM lat_customer c JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM lat_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
+        """
+    )
+
+
 def q_dedup_pipeline(spark, sf_dir):
     """Flagship near-dedup pipeline: minhash → LSH banding →
     connected-component clustering → keep each cluster's min-id doc
@@ -1503,6 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "connected_components": q_connected_components,
         "dedup_pipeline": q_dedup_pipeline,
+        "lateral_topk": q_lateral_topk,
     }
 
 
@@ -2217,6 +2236,13 @@ def oracle_sql() -> dict[str, str]:
             FROM e
         """,
     }
+    sql["lateral_topk"] = """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t ON true
+    """
     sql["connected_components"] = """
         WITH RECURSIVE
         edges AS (

@@ -167,3 +167,12 @@ def test_gapfill_broadcasts_spine(spark, sf_dir):
     shuffled against it."""
     plan = _plan(entry_mod.q_date_spine_gapfill(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_lateral_topk_decorrelates_to_window_join(spark, sf_dir):
+    """The correlated LATERAL ORDER BY..LIMIT must decorrelate into a
+    ranked-window equi-join (WindowGroupLimit + hash join), never a
+    per-outer-row nested loop."""
+    plan = _plan(entry_mod.q_lateral_topk(spark, sf_dir))
+    assert "NestedLoop" not in plan, plan[:2000]
+    assert "WindowGroupLimit" in plan, plan[:2000]
