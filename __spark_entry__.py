@@ -1344,6 +1344,37 @@ def q_chunk_documents(spark, sf_dir):
     return chunk_documents(_t(spark, sf_dir, "documents"), size=50, overlap=10)
 
 
+def q_frame_sample(spark, sf_dir):
+    """Video-style frame sampling over opaque binary payloads
+    (operators/multimodal.py:frame_sample): mapInPandas fan-out, every
+    4th 1 KiB frame, md5 per frame so the oracle verifies the bytes."""
+    from awi_datapipelinepublic_spark.operators.multimodal import frame_sample
+
+    d = attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return frame_sample(d)
+
+
+def q_unpivot_melt(spark, sf_dir):
+    """Wide→long reshape (DataFrame.unpivot / melt): per-priority
+    status counts melted to (priority, status_col, n)."""
+    o = _t(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_f"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_o"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_p"),
+    )
+    return wide.unpivot(["o_orderpriority"], ["n_f", "n_o", "n_p"], "status_col", "n")
+
+
+def q_json_parse(spark, sf_dir):
+    """Schema-declared JSON parsing (from_json, not regex): extract a
+    typed field from the events props document."""
+    e = read_events(spark, sf_dir)
+    return e.select(
+        "event_id", F.from_json("props", "k bigint").getField("k").alias("k")
+    )
+
+
 def q_lateral_topk(spark, sf_dir):
     """Correlated LATERAL subquery (top-2 orders per customer) —
     Catalyst decorrelates the per-row ORDER BY ... LIMIT into a ranked
@@ -1522,6 +1553,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "dedup_pipeline": q_dedup_pipeline,
         "lateral_topk": q_lateral_topk,
+        "frame_sample": q_frame_sample,
+        "unpivot_melt": q_unpivot_melt,
+        "json_parse": q_json_parse,
     }
 
 
@@ -2236,6 +2270,37 @@ def oracle_sql() -> dict[str, str]:
             FROM e
         """,
     }
+    # DuckDB cannot slice BLOBs; the corpus is pure ASCII (verified:
+    # octet_length(encode(text)) == length(text) for every row at every
+    # sf), so char slices of the VARCHAR are byte-identical to the
+    # engine's payload slices and md5(VARCHAR) hashes the same bytes.
+    sql["frame_sample"] = """
+        WITH f AS (
+          SELECT doc_id, text,
+                 unnest(range(0, CAST((length(text) + 1023) // 1024 AS BIGINT), 4))
+                   AS frame_no
+          FROM documents)
+        SELECT doc_id, frame_no,
+               CAST(length(substring(text, CAST(frame_no * 1024 + 1 AS BIGINT), 1024)) AS BIGINT)
+                 AS n_bytes,
+               md5(substring(text, CAST(frame_no * 1024 + 1 AS BIGINT), 1024)) AS frame_md5
+        FROM f
+    """
+    sql["unpivot_melt"] = """
+        WITH w AS (
+          SELECT o_orderpriority,
+                 COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+                 COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+                 COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+          FROM orders GROUP BY o_orderpriority)
+        SELECT o_orderpriority, status_col, n
+        FROM w UNPIVOT (n FOR status_col IN (n_f, n_o, n_p))
+    """
+    sql["json_parse"] = """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    """
     sql["lateral_topk"] = """
         SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
         FROM customer c JOIN LATERAL (

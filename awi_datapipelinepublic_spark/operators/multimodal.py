@@ -115,3 +115,45 @@ def resize_stub(df: DataFrame, width: int, height: int, payload_col: str = "payl
             F.length(F.col(payload_col)).cast("long").alias("orig_size"),
         ),
     )
+
+
+FRAME_SCHEMA = "doc_id long, frame_no long, n_bytes long, frame_md5 string"
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_size: int = 1024,
+    every: int = 4,
+) -> DataFrame:
+    """Video-style frame sampling over an opaque binary payload: split
+    the byte stream into fixed-size frames and keep every k-th.
+
+    The codec is stubbed (frames are byte slices; a real deployment
+    replaces the slicer with a demuxer/decoder emitting image tensors)
+    but the distributed shape is the real one: mapInPandas fan-out of
+    0..n output rows per input row, Arrow batches both ways, frame
+    identity checksummed (md5) so the driver oracle can verify every
+    sampled frame byte-for-byte. Self-contained closure — see
+    decode_media.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def frames(payload: bytes):
+            n = len(payload)
+            n_frames = (n + frame_size - 1) // frame_size
+            for j in range(0, n_frames, every):
+                chunk = payload[j * frame_size : (j + 1) * frame_size]
+                yield j, len(chunk), hashlib.md5(chunk).hexdigest()
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                for j, nb, digest in frames(bytes(payload)):
+                    rows.append((int(did), j, nb, digest))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_no", "n_bytes", "frame_md5"])
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=FRAME_SCHEMA)
