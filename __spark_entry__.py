@@ -1344,6 +1344,67 @@ def q_chunk_documents(spark, sf_dir):
     return chunk_documents(_t(spark, sf_dir, "documents"), size=50, overlap=10)
 
 
+def q_forward_fill(spark, sf_dir):
+    """Last-observation-carried-forward over planted NULLs
+    (operators/timeseries.py:forward_fill): per-customer ordered
+    history, running last-non-null window."""
+    from awi_datapipelinepublic_spark.operators.timeseries import forward_fill
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "obs",
+        F.when(F.col("o_orderkey") % 7 == 0, None).otherwise(F.col("o_totalprice")),
+    )
+    return forward_fill(
+        o, "obs", ["o_custkey"], [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+        out_col="filled",
+    ).select("o_orderkey", "o_custkey", "filled")
+
+
+def q_win_distinct_count(spark, sf_dir):
+    """COUNT(DISTINCT) over a window — Spark has no distinct window
+    aggregate, so the engine form is size(collect_set() OVER w);
+    state is the per-key distinct set, fine for low-cardinality
+    payloads (statuses), swap to approx_count_distinct for high."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.size(F.collect_set("o_orderstatus").over(w)).cast("long").alias("n_statuses"),
+    )
+
+
+def q_having_groups(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING on a grouped aggregate, then join the
+    qualifying groups back to the facts — the agg filter runs before
+    the join, so only heavy groups are joined."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        .filter(F.col("total_qty") > 200)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "o_orderkey", "o_orderdate", "total_qty")
+    )
+
+
+def q_string_distance(spark, sf_dir):
+    """Edit-distance vocabulary (levenshtein) — the verify primitive
+    for fuzzy entity matching; paired here with a devowel normalizer."""
+    c = _t(spark, sf_dir, "customer")
+    devowel = F.regexp_replace(F.col("c_name"), "[aeiou]", "")
+    return c.select(
+        "c_custkey",
+        F.levenshtein(F.col("c_name"), devowel).cast("long").alias("dist"),
+        F.length(devowel).cast("long").alias("n_consonants"),
+    )
+
+
 def q_frame_sample(spark, sf_dir):
     """Video-style frame sampling over opaque binary payloads
     (operators/multimodal.py:frame_sample): mapInPandas fan-out, every
@@ -1556,6 +1617,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "unpivot_melt": q_unpivot_melt,
         "json_parse": q_json_parse,
+        "forward_fill": q_forward_fill,
+        "win_distinct_count": q_win_distinct_count,
+        "having_groups": q_having_groups,
+        "string_distance": q_string_distance,
     }
 
 
@@ -2285,6 +2350,38 @@ def oracle_sql() -> dict[str, str]:
                  AS n_bytes,
                md5(substring(text, CAST(frame_no * 1024 + 1 AS BIGINT), 1024)) AS frame_md5
         FROM f
+    """
+    sql["forward_fill"] = """
+        SELECT o_orderkey, o_custkey,
+               last_value(obs IGNORE NULLS) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS UNBOUNDED PRECEDING) AS filled
+        FROM (SELECT *, CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                             ELSE o_totalprice END AS obs
+              FROM orders)
+    """
+    sql["win_distinct_count"] = """
+        SELECT o_orderkey, o_custkey,
+               COUNT(DISTINCT o_orderstatus) OVER (PARTITION BY o_custkey)
+                 AS n_statuses
+        FROM orders
+    """
+    sql["having_groups"] = """
+        SELECT c_custkey, o_orderkey, o_orderdate, total_qty
+        FROM (SELECT l_orderkey, ROUND(SUM(l_quantity), 4) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING ROUND(SUM(l_quantity), 4) > 200) b
+        JOIN orders ON o_orderkey = b.l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+    """
+    sql["string_distance"] = """
+        SELECT c_custkey,
+               CAST(levenshtein(c_name, regexp_replace(c_name, '[aeiou]', '', 'g'))
+                    AS BIGINT) AS dist,
+               CAST(length(regexp_replace(c_name, '[aeiou]', '', 'g')) AS BIGINT)
+                 AS n_consonants
+        FROM customer
     """
     sql["unpivot_melt"] = """
         WITH w AS (

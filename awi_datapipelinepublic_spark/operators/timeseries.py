@@ -14,7 +14,7 @@ the fact twice.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 
 def date_spine(
@@ -33,6 +33,32 @@ def date_spine(
                 F.lit(start).cast("date"), F.lit(end).cast("date"), F.expr(step)
             )
         ).alias(out_col)
+    )
+
+
+def forward_fill(
+    df: DataFrame,
+    value_col: str,
+    part_cols: list,
+    order_cols: list,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Last-observation-carried-forward: NULLs take the most recent
+    non-NULL value within the key's ordered history.
+
+    ``last(..., ignorenulls) OVER (ROWS UNBOUNDED PRECEDING)`` — one
+    shuffle on the key, a single running value per partition in state
+    (Spark's running-frame window keeps the last non-null, not the
+    whole history). The standard sensor/price-series repair step
+    before resampling or joins.
+    """
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(
+        out_col or value_col, F.last(value_col, ignorenulls=True).over(w)
     )
 
 
