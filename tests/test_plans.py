@@ -176,3 +176,51 @@ def test_lateral_topk_decorrelates_to_window_join(spark, sf_dir):
     plan = _plan(entry_mod.q_lateral_topk(spark, sf_dir))
     assert "NestedLoop" not in plan, plan[:2000]
     assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_zorder_localizes_both_columns(spark, sf_dir, tmp_path):
+    """Z-order write must localize file-level min/max on BOTH cluster
+    columns; a single-column sort localizes one and leaves the other at
+    ~full spread."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from awi_datapipelinepublic_spark.sources.layout import (
+        write_range_sorted,
+        write_zordered,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cols = ["o_custkey", "o_totalprice"]
+    g = o.agg(*[F.min(c).alias(f"mn_{c}") for c in cols],
+              *[F.max(c).alias(f"mx_{c}") for c in cols]).first()
+
+    def avg_spread(path, col):
+        vals = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            idx = names.index(col)
+            mns, mxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mns.append(st.min)
+                mxs.append(st.max)
+            span = float(g[f"mx_{col}"]) - float(g[f"mn_{col}"])
+            vals.append((float(max(mxs)) - float(min(mns))) / span)
+        return sum(vals) / len(vals)
+
+    zpath = str(tmp_path / "zorder")
+    write_zordered(o, zpath, cols, partitions=8)
+    spath = str(tmp_path / "single")
+    write_range_sorted(o, spath, "o_custkey", partitions=8)
+
+    for c in cols:
+        assert avg_spread(zpath, c) < 0.8, c
+    # single-column sort: clustered col tight, other col ~full spread
+    assert avg_spread(spath, "o_custkey") < 0.3
+    assert avg_spread(spath, "o_totalprice") > 0.9
+    # and the z-ordered copy is byte-equivalent data
+    assert spark.read.parquet(zpath).count() == o.count()
