@@ -1344,6 +1344,31 @@ def q_chunk_documents(spark, sf_dir):
     return chunk_documents(_t(spark, sf_dir, "documents"), size=50, overlap=10)
 
 
+def q_except_all(spark, sf_dir):
+    """EXCEPT ALL — multiset difference (bag semantics preserve
+    duplicate counts, unlike EXCEPT's set semantics in set_except)."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linenumber") <= 3).select(F.col("l_orderkey").alias("k"))
+    b = li.filter(F.col("l_returnflag") == "R").select(F.col("l_orderkey").alias("k"))
+    return a.exceptAll(b)
+
+
+def q_agg_argmax(spark, sf_dir):
+    """max_by/min_by: the argmax aggregate. Tie-broken deterministically
+    by folding the unique key into the ordering value (exact integer
+    arithmetic on cents so both engines compare identical longs)."""
+    o = _t(spark, sf_dir, "orders")
+    # cents (exact 2-dp money → exact long) * 1e9 + orderkey: strictly
+    # unique, monotone in (price, orderkey); fits a long at any tested sf.
+    v = (F.round(F.col("o_totalprice") * 100).cast("long") * F.lit(1000000000).cast("long")
+         + F.col("o_orderkey"))
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by(F.col("o_orderkey"), v).alias("priciest_order"),
+        F.min_by(F.col("o_orderkey"), v).alias("cheapest_order"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
 def q_forward_fill(spark, sf_dir):
     """Last-observation-carried-forward over planted NULLs
     (operators/timeseries.py:forward_fill): per-customer ordered
@@ -1617,6 +1642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "unpivot_melt": q_unpivot_melt,
         "json_parse": q_json_parse,
+        "except_all": q_except_all,
+        "agg_argmax": q_agg_argmax,
         "forward_fill": q_forward_fill,
         "win_distinct_count": q_win_distinct_count,
         "having_groups": q_having_groups,
@@ -2350,6 +2377,22 @@ def oracle_sql() -> dict[str, str]:
                  AS n_bytes,
                md5(substring(text, CAST(frame_no * 1024 + 1 AS BIGINT), 1024)) AS frame_md5
         FROM f
+    """
+    sql["except_all"] = """
+        SELECT l_orderkey AS k FROM lineitem WHERE l_linenumber <= 3
+        EXCEPT ALL
+        SELECT l_orderkey AS k FROM lineitem WHERE l_returnflag = 'R'
+    """
+    sql["agg_argmax"] = """
+        SELECT o_orderstatus,
+               arg_max(o_orderkey,
+                       CAST(round(o_totalprice * 100) AS BIGINT) * 1000000000 + o_orderkey)
+                 AS priciest_order,
+               arg_min(o_orderkey,
+                       CAST(round(o_totalprice * 100) AS BIGINT) * 1000000000 + o_orderkey)
+                 AS cheapest_order,
+               ROUND(MAX(o_totalprice), 2) AS max_price
+        FROM orders GROUP BY o_orderstatus
     """
     sql["forward_fill"] = """
         SELECT o_orderkey, o_custkey,
