@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Executable demo: the training-data-prep pipeline end to end.
+
+Chains the engine's scale-path operators the way an LLM data pipeline
+would, over the synthetic documents table:
+
+    quality/language filter  (functions/text.py — pure expressions)
+  → exact dedup              (md5 fingerprint keep-lowest-id)
+  → near dedup               (minhash → LSH bands → connected
+                              components → keep canonical)
+  → train/val/test split     (deterministic md5-prefix assignment)
+  → token-window chunking    (50-token chunks, 10 overlap)
+  → write, partitioned by split
+
+Every stage is a DataFrame transform — one driver, no collects except
+the printed summary counts; the written tree is partitioned so
+downstream training jobs read their split via partition pruning.
+
+    python demo_training_prep.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F
+
+from awi_datapipelinepublic_spark import get_spark
+from awi_datapipelinepublic_spark.functions import text as X
+from awi_datapipelinepublic_spark.operators.chunking import chunk_documents
+from awi_datapipelinepublic_spark.operators.dedup import (
+    exact_dedup,
+    near_dedup_keep_canonical,
+)
+from awi_datapipelinepublic_spark.operators.sampling import train_val_test_split
+
+
+def prepare(spark, sf_dir: str, out_dir: str) -> dict:
+    docs = spark.read.parquet(str(Path(sf_dir) / "documents.parquet"))
+    n_raw = docs.count()
+
+    # 1. quality + language gate (pure Column expressions, one scan)
+    kept = docs.filter(
+        (X.quality_score("text") > 0.3) & (X.lang_id("text") == "en")
+    )
+    n_quality = kept.count()
+
+    # 2. exact dedup: keep the lowest id per normalized fingerprint
+    exact_keep = exact_dedup(kept).select("doc_id")
+    kept = kept.join(exact_keep, "doc_id", "left_semi")
+    n_exact = kept.count()
+
+    # 3. near dedup: minhash → LSH → components → canonical survivor
+    survivors = near_dedup_keep_canonical(kept)
+    kept = kept.join(survivors, "doc_id", "left_semi")
+    n_near = kept.count()
+
+    # 4. deterministic split, then chunk each split's documents
+    split = train_val_test_split(kept, "doc_id")
+    chunks = chunk_documents(split, size=50, overlap=10).join(
+        split.select("doc_id", "split"), "doc_id"
+    )
+
+    # 5. write partitioned by split — training readers prune to theirs
+    chunks.write.mode("overwrite").partitionBy("split").parquet(out_dir)
+    out = spark.read.parquet(out_dir)
+    per_split = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    return {
+        "raw_docs": n_raw,
+        "after_quality_lang": n_quality,
+        "after_exact_dedup": n_exact,
+        "after_near_dedup": n_near,
+        "chunks_per_split": per_split,
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="training_prep_")
+    spark = get_spark("training-prep-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+    summary = prepare(spark, sf_dir, out_dir)
+    for k, v in summary.items():
+        print(f"{k}: {v}")
+    print(f"written: {out_dir} (partitioned by split)")
+
+
+if __name__ == "__main__":
+    main()

@@ -154,3 +154,21 @@ def test_streaming_pipeline_available_now(spark, spec, tmp_path):
     assert not q.isActive
     rows = {r["PolicyNumber"] for r in spark.read.parquet(spec.base_table_path).collect()}
     assert rows == {"P-1"}
+
+
+def test_training_prep_demo_end_to_end(spark, sf_dir, tmp_path):
+    """The training-data-prep chain (filter → exact dedup → near dedup
+    → split → chunk → partitioned write) runs end to end, shrinks
+    monotonically, and the written tree partition-prunes by split."""
+    from pyspark.sql import functions as F
+
+    from demo_training_prep import prepare
+
+    out_dir = str(tmp_path / "prep")
+    s = prepare(spark, sf_dir, out_dir)
+    assert s["raw_docs"] >= s["after_quality_lang"] >= s["after_exact_dedup"] >= s["after_near_dedup"] > 0
+    assert set(s["chunks_per_split"]) <= {"train", "val", "test"}
+    assert sum(s["chunks_per_split"].values()) > 0
+    train = spark.read.parquet(out_dir).filter(F.col("split") == "train")
+    txt = train._jdf.queryExecution().executedPlan().toString()
+    assert train.count() == s["chunks_per_split"].get("train", 0)
