@@ -72,3 +72,76 @@ def test_merge_window_ownership_property(spark, data):
     got = sorted((r["pk"], str(r["d"]), r["v"]) for r in sp_state.collect())
     want = sorted((pk, str(d), v) for pk, d, v in py_state)
     assert got == want
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.data())
+def test_range_join_binned_equals_theta_join_property(spark, data):
+    """For random timestamps, intervals, and bin widths, the binned
+    equi-join + residual filter must equal the naive range join."""
+    from pyspark.sql import functions as F
+
+    from awi_datapipelinepublic_spark.operators.joins import range_join_binned
+
+    base = dt.datetime(2024, 1, 1)
+    n_fact = data.draw(st.integers(5, 60))
+    facts = [
+        (i, base + dt.timedelta(seconds=data.draw(st.integers(0, 200_000))))
+        for i in range(n_fact)
+    ]
+    ivs = []
+    for j in range(data.draw(st.integers(1, 8))):
+        lo = data.draw(st.integers(0, 200_000))
+        ln = data.draw(st.integers(0, 30_000))
+        ivs.append((j, base + dt.timedelta(seconds=lo), base + dt.timedelta(seconds=lo + ln)))
+    bin_s = data.draw(st.sampled_from([60, 3600, 7200]))
+
+    fact = spark.createDataFrame(facts, "fid long, ts timestamp")
+    iv = spark.createDataFrame(ivs, "iv_id long, lo timestamp, hi timestamp")
+    got = sorted(
+        (r["fid"], r["iv_id"])
+        for r in range_join_binned(fact, iv, "ts", "lo", "hi", bin_s).collect()
+    )
+    want = sorted(
+        (f, j)
+        for f, ts in facts
+        for j, lo, hi in ivs
+        if lo <= ts < hi
+    )
+    assert got == want
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.data())
+def test_chunking_tiles_tokens_property(spark, data):
+    """For random texts and (size, overlap), chunk i must equal tokens
+    [i*stride : i*stride+size] and chunks must cover every token."""
+    from awi_datapipelinepublic_spark.operators.chunking import chunk_documents
+
+    size = data.draw(st.integers(2, 20))
+    overlap = data.draw(st.integers(0, size - 1))
+    stride = size - overlap
+    texts = data.draw(
+        st.lists(
+            st.lists(st.sampled_from(["a", "bb", "ccc", "z9"]), min_size=0, max_size=60),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, size=size, overlap=overlap).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_no"]] = r["chunk_text"]
+    for i, toks in enumerate(texts):
+        # engine tokenization of "a b c" == toks; empty text → ['']
+        norm = " ".join(toks).split(" ") if rows[i][1] else [""]
+        chunks = by_doc[i]
+        assert sorted(chunks) == list(range(len(chunks)))
+        for cn, ctext in chunks.items():
+            assert ctext == " ".join(norm[cn * stride : cn * stride + size])
+        covered = set()
+        for cn in chunks:
+            covered.update(range(cn * stride, min(cn * stride + size, len(norm))))
+        assert covered == set(range(len(norm)))
