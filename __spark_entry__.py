@@ -1344,6 +1344,24 @@ def q_chunk_documents(spark, sf_dir):
     return chunk_documents(_t(spark, sf_dir, "documents"), size=50, overlap=10)
 
 
+def q_scan_pysource(spark, sf_dir):
+    """Custom Python DataSource (Spark 4 pyspark.sql.datasource):
+    partition-parallel synthetic corpus whose deterministic content the
+    DuckDB oracle regenerates independently — proves the source
+    extensibility path end to end (sources/pydatasource.py)."""
+    from awi_datapipelinepublic_spark.sources.pydatasource import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    return (
+        spark.read.format("synthetic_docs")
+        .option("rows", 1000)
+        .option("partitions", 8)
+        .load()
+    )
+
+
 def q_except_all(spark, sf_dir):
     """EXCEPT ALL — multiset difference (bag semantics preserve
     duplicate counts, unlike EXCEPT's set semantics in set_except)."""
@@ -1642,6 +1660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "unpivot_melt": q_unpivot_melt,
         "json_parse": q_json_parse,
+        "scan_pysource": q_scan_pysource,
         "except_all": q_except_all,
         "agg_argmax": q_agg_argmax,
         "forward_fill": q_forward_fill,
@@ -2377,6 +2396,10 @@ def oracle_sql() -> dict[str, str]:
                  AS n_bytes,
                md5(substring(text, CAST(frame_no * 1024 + 1 AS BIGINT), 1024)) AS frame_md5
         FROM f
+    """
+    sql["scan_pysource"] = """
+        SELECT i AS doc_id, substr(md5(CAST(i AS VARCHAR)), 1, 8) AS text
+        FROM range(1000) t(i)
     """
     sql["except_all"] = """
         SELECT l_orderkey AS k FROM lineitem WHERE l_linenumber <= 3

@@ -229,3 +229,27 @@ def test_stratified_sample_rates_follow_fractions(spark, sf_dir):
     for seg, n in base.items():
         if seg != "BUILDING":
             assert got.get(seg, 0) / n <= 0.15
+
+
+def test_python_datasource_partitioned_and_deterministic(spark):
+    """The custom Python DataSource must honor its partition option
+    (task-parallel read) and produce identical content across reads."""
+    import hashlib
+
+    from awi_datapipelinepublic_spark.sources.pydatasource import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("rows", 200)
+        .option("partitions", 5)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5
+    rows = {r["doc_id"]: r["text"] for r in df.collect()}
+    assert len(rows) == 200
+    assert rows[7] == hashlib.md5(b"7").hexdigest()[:8]
+    again = {r["doc_id"]: r["text"] for r in df.collect()}
+    assert rows == again
