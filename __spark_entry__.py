@@ -1522,7 +1522,9 @@ def q_connected_components(spark, sf_dir):
         .filter(F.col("a.c_custkey") % 5 != 4)
         .select(F.col("a.c_custkey").alias("src"), F.col("b.c_custkey").alias("dst"))
     )
-    return connected_components(edges).select("node", "component")
+    # driver_threshold=0: the gate pins the DISTRIBUTED loop; the
+    # adaptive small-graph fast path is covered in tests.
+    return connected_components(edges, driver_threshold=0).select("node", "component")
 
 
 def q_skew_join_salted(spark, sf_dir):

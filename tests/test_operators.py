@@ -163,9 +163,16 @@ def test_connected_components_matches_union_find(spark):
     want = {x: min(members) for members in comp_of.values() for x in members}
 
     edges = spark.createDataFrame([(int(a), int(b)) for a, b in e], "src long, dst long")
-    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
     touched = {int(a) for a, _ in e} | {int(b) for _, b in e}
-    assert got == {x: want[x] for x in touched}
+    expect = {x: want[x] for x in touched}
+    # both execution paths must agree with the reference union-find
+    fast = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    dist = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert fast == expect
+    assert dist == expect
 
 
 def test_dedup_clusters_are_transitive(spark):
