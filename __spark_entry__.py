@@ -1344,6 +1344,22 @@ def q_chunk_documents(spark, sf_dir):
     return chunk_documents(_t(spark, sf_dir, "documents"), size=50, overlap=10)
 
 
+def q_subquery_correlated(spark, sf_dir):
+    """Correlated scalar subquery (TPC-H Q2 core shape): rows matching
+    their group's aggregate. Catalyst decorrelates it into an
+    aggregate + join — never a per-row re-execution."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("corr_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM corr_orders o
+        WHERE o_totalprice = (SELECT MIN(o2.o_totalprice)
+                              FROM corr_orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
 def q_scan_pysource(spark, sf_dir):
     """Custom Python DataSource (Spark 4 pyspark.sql.datasource):
     partition-parallel synthetic corpus whose deterministic content the
@@ -1663,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_melt": q_unpivot_melt,
         "json_parse": q_json_parse,
         "scan_pysource": q_scan_pysource,
+        "subquery_correlated": q_subquery_correlated,
         "except_all": q_except_all,
         "agg_argmax": q_agg_argmax,
         "forward_fill": q_forward_fill,
@@ -2398,6 +2415,13 @@ def oracle_sql() -> dict[str, str]:
                  AS n_bytes,
                md5(substring(text, CAST(frame_no * 1024 + 1 AS BIGINT), 1024)) AS frame_md5
         FROM f
+    """
+    sql["subquery_correlated"] = """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice = (SELECT MIN(o2.o_totalprice)
+                              FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
     """
     sql["scan_pysource"] = """
         SELECT i AS doc_id, substr(md5(CAST(i AS VARCHAR)), 1, 8) AS text

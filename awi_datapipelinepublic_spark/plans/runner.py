@@ -26,16 +26,36 @@ from awi_datapipelinepublic_spark.sources.writers import quarantine, write_parqu
 from pyspark.sql import functions as F
 
 
-def run_clean(spark: SparkSession, spec: PipelineSpec, file_path: str) -> DataFrame:
+def run_clean(
+    spark: SparkSession,
+    spec: PipelineSpec,
+    file_path: str,
+    observation=None,
+) -> DataFrame:
     """Clean stage (reference clean_csv, main.py:18-44): scan + convert
     + prune + parse dates + drop NULL-date rows; write Parquet staging
     (the reference stages CSV — columnar is strictly better between
-    our own stages)."""
+    our own stages).
+
+    Pass a ``pyspark.sql.Observation`` to collect data-quality
+    counters (rows_in, null_date_rows) as a free rider on the staging
+    write — ``observe`` accumulates during the existing action, no
+    second scan, which is the only affordable way to count at 100 TB.
+    Read ``observation.get`` after this returns.
+    """
     fields = load_schema_json(spec.schema_file)
     if spec.is_excel:
         df = read_excel_sheets(spark, file_path, spec.excel_sheets, fields)
     else:
         df = read_csv(spark, file_path, fields, spec.converters)
+    if observation is not None:
+        df = df.observe(
+            observation,
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum(
+                F.when(F.col(spec.date_col).isNull(), 1).otherwise(0)
+            ).alias("null_date_rows"),
+        )
     # Rows with NULL merge-date can never participate in the time-window
     # merge — dropped exactly like the reference (config.py:138).
     df = df.filter(F.col(spec.date_col).isNotNull())

@@ -172,3 +172,25 @@ def test_training_prep_demo_end_to_end(spark, sf_dir, tmp_path):
     train = spark.read.parquet(out_dir).filter(F.col("split") == "train")
     txt = train._jdf.queryExecution().executedPlan().toString()
     assert train.count() == s["chunks_per_split"].get("train", 0)
+
+
+def test_run_clean_observation_metrics(spark, spec, tmp_path):
+    """observe() counters ride the staging write: rows_in counts the
+    raw scan, null_date_rows counts what the merge-date filter drops —
+    no second scan."""
+    from pyspark.sql import Observation
+
+    body = (
+        "AgencyNumber,PolicyNumber,PolicyExpiryDate,CommissionAmt\n"
+        '"=A1",P1,2024-01-05,10.5\n'
+        "A2,P2,,3.25\n"          # NULL date → dropped
+        "A3,P3,2024-02-10,7.00\n"
+        "A4,P4,,1.00\n"          # NULL date → dropped
+    )
+    f = _drop(spec, "renewals_obs.csv", body)
+    obs = Observation("clean_metrics")
+    staged = run_clean(spark, spec, str(f), observation=obs)
+    assert staged.count() == 2
+    m = obs.get
+    assert m["rows_in"] == 4
+    assert m["null_date_rows"] == 2
