@@ -1344,6 +1344,26 @@ def q_chunk_documents(spark, sf_dir):
     return chunk_documents(_t(spark, sf_dir, "documents"), size=50, overlap=10)
 
 
+def q_events_session_native(spark, sf_dir):
+    """Native F.session_window in BATCH mode, pinned against the same
+    independent gaps-and-islands oracle as the hand-built sessionize —
+    proves the built-in's merge semantics (end = last event + gap,
+    boundary events open a new session) match the specification."""
+    e = read_events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def q_subquery_correlated(spark, sf_dir):
     """Correlated scalar subquery (TPC-H Q2 core shape): rows matching
     their group's aggregate. Catalyst decorrelates it into an
@@ -1679,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_melt": q_unpivot_melt,
         "json_parse": q_json_parse,
         "scan_pysource": q_scan_pysource,
+        "events_session_native": q_events_session_native,
         "subquery_correlated": q_subquery_correlated,
         "except_all": q_except_all,
         "agg_argmax": q_agg_argmax,
@@ -2415,6 +2436,25 @@ def oracle_sql() -> dict[str, str]:
                  AS n_bytes,
                md5(substring(text, CAST(frame_no * 1024 + 1 AS BIGINT), 1024)) AS frame_md5
         FROM f
+    """
+    # Native session_window spec: a gap >= 30 min opens a new session
+    # (the window is half-open), session_end = last event + gap.
+    sql["events_session_native"] = """
+        WITH g AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
+        s AS (
+          SELECT user_id, ts,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                  ROWS UNBOUNDED PRECEDING) AS session_no
+          FROM g)
+        SELECT user_id, MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events
+        FROM s GROUP BY user_id, session_no
     """
     sql["subquery_correlated"] = """
         SELECT o_orderkey, o_custkey, o_totalprice
