@@ -1344,6 +1344,46 @@ def q_chunk_documents(spark, sf_dir):
     return chunk_documents(_t(spark, sf_dir, "documents"), size=50, overlap=10)
 
 
+def q_vector_norm(spark, sf_dir):
+    """functions/vectors.py HOF arithmetic (zip_with/aggregate) pinned
+    to an oracle: L2 norm and self-dot of each embedding."""
+    from awi_datapipelinepublic_spark.functions.vectors import dot, l2_norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.round(l2_norm("embedding"), 4).alias("norm"),
+        F.round(dot("embedding", "embedding"), 4).alias("self_dot"),
+    )
+
+
+def q_events_funnel(spark, sf_dir):
+    """Funnel conversion: per user, the first click within 1 hour of
+    their FIRST view. Equi-key + time-range join (user-partitioned, no
+    cross-user shuffle amplification) then a min aggregate — the
+    attribution-window shape of product analytics."""
+    e = read_events(spark, sf_dir)
+    first_view = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("click_ts")
+    )
+    joined = first_view.join(
+        clicks,
+        (F.col("user_id") == F.col("cu"))
+        & (F.col("click_ts") >= F.col("first_view"))
+        & (F.col("click_ts") <= F.col("first_view") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return joined.groupBy("user_id", "first_view").agg(
+        F.min("click_ts").alias("first_click"),
+        F.max(F.col("click_ts").isNotNull().cast("int")).cast("boolean").alias("converted"),
+    )
+
+
 def q_events_session_native(spark, sf_dir):
     """Native F.session_window in BATCH mode, pinned against the same
     independent gaps-and-islands oracle as the hand-built sessionize —
@@ -1700,6 +1740,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_parse": q_json_parse,
         "scan_pysource": q_scan_pysource,
         "events_session_native": q_events_session_native,
+        "vector_norm": q_vector_norm,
+        "events_funnel": q_events_funnel,
         "subquery_correlated": q_subquery_correlated,
         "except_all": q_except_all,
         "agg_argmax": q_agg_argmax,
@@ -2436,6 +2478,28 @@ def oracle_sql() -> dict[str, str]:
                  AS n_bytes,
                md5(substring(text, CAST(frame_no * 1024 + 1 AS BIGINT), 1024)) AS frame_md5
         FROM f
+    """
+    sql["vector_norm"] = """
+        SELECT vec_id,
+               ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                  x -> x * x))), 4) AS norm,
+               ROUND(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                             x -> x * x)), 4) AS self_dot
+        FROM embeddings
+    """
+    sql["events_funnel"] = """
+        WITH fv AS (
+          SELECT user_id, MIN(ts) AS first_view
+          FROM events WHERE event_type = 'view' GROUP BY user_id),
+        j AS (
+          SELECT fv.user_id, fv.first_view, c.ts AS click_ts
+          FROM fv LEFT JOIN events c
+            ON c.event_type = 'click' AND c.user_id = fv.user_id
+           AND c.ts >= fv.first_view
+           AND c.ts <= fv.first_view + INTERVAL 1 HOUR)
+        SELECT user_id, first_view, MIN(click_ts) AS first_click,
+               COUNT(click_ts) > 0 AS converted
+        FROM j GROUP BY user_id, first_view
     """
     # Native session_window spec: a gap >= 30 min opens a new session
     # (the window is half-open), session_end = last event + gap.
