@@ -50,8 +50,13 @@ def connected_components(
     Isolated nodes never appear in an edge list — union them into
     ``edges`` as self-loops if they must be labeled.
     """
+    # The edge list is often the output of an expensive upstream
+    # pipeline (minhash → LSH banding); persist before the routing
+    # count so the count and the subsequent read don't recompute it.
+    edges = edges.persist()
     if driver_threshold and edges.count() <= driver_threshold:
         pairs = edges.select(src, dst).collect()
+        edges.unpersist()
         parent: dict = {}
 
         def find(x):
@@ -85,6 +90,7 @@ def connected_components(
     )
     labels = labels.localCheckpoint(eager=True)
     sym = sym.localCheckpoint(eager=True)
+    edges.unpersist()
     for _ in range(max_iter):
         neighbor_labels = sym.join(
             labels, sym["s"] == labels["node"]
