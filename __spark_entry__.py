@@ -1344,6 +1344,17 @@ def q_chunk_documents(spark, sf_dir):
     return chunk_documents(_t(spark, sf_dir, "documents"), size=50, overlap=10)
 
 
+def q_json_serialize(spark, sf_dir):
+    """Struct → JSON document serialization (to_json): the export-edge
+    twin of json_parse; field order follows the struct, rendering
+    matches DuckDB's to_json byte-for-byte on string/long fields."""
+    e = read_events(spark, sf_dir)
+    return e.select(
+        "event_id",
+        F.to_json(F.struct("event_type", "user_id")).alias("doc"),
+    )
+
+
 def q_vector_norm(spark, sf_dir):
     """functions/vectors.py HOF arithmetic (zip_with/aggregate) pinned
     to an oracle: L2 norm and self-dot of each embedding."""
@@ -1742,6 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_native": q_events_session_native,
         "vector_norm": q_vector_norm,
         "events_funnel": q_events_funnel,
+        "json_serialize": q_json_serialize,
         "subquery_correlated": q_subquery_correlated,
         "except_all": q_except_all,
         "agg_argmax": q_agg_argmax,
@@ -2478,6 +2490,12 @@ def oracle_sql() -> dict[str, str]:
                  AS n_bytes,
                md5(substring(text, CAST(frame_no * 1024 + 1 AS BIGINT), 1024)) AS frame_md5
         FROM f
+    """
+    sql["json_serialize"] = """
+        SELECT event_id,
+               to_json(struct_pack(event_type := event_type,
+                                   user_id := user_id)) AS doc
+        FROM events
     """
     sql["vector_norm"] = """
         SELECT vec_id,
