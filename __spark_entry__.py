@@ -2466,7 +2466,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             e AS (
               SELECT doc_id, toks,
-                     unnest(range(0, CAST(greatest(len(toks), 1) AS BIGINT), 40)) AS start
+                     unnest(range(0, CAST(greatest(len(toks) - 10, 1) AS BIGINT), 40)) AS start
               FROM t)
             SELECT doc_id,
                    start // 40 AS chunk_no,

@@ -42,10 +42,16 @@ def chunk_documents(
         .select(
             id_col,
             "__toks",
+            # Last start is capped at n_tokens - overlap - 1: a chunk
+            # starting at or past n - overlap is a strict suffix of the
+            # previous chunk (every token already covered) — emitting it
+            # would duplicate training data for ~overlap/stride of
+            # document lengths. greatest(.., 0) keeps chunk 0 for short
+            # docs (n <= overlap), so no document is ever dropped.
             F.posexplode(
                 F.sequence(
                     F.lit(0),
-                    F.greatest(F.size("__toks") - 1, F.lit(0)),
+                    F.greatest(F.size("__toks") - F.lit(overlap) - 1, F.lit(0)),
                     F.lit(stride),
                 )
             ).alias("chunk_no", "__start"),

@@ -198,7 +198,10 @@ def near_dedup_keep_canonical(
     on the *pair* graph — orders of magnitude smaller than the corpus,
     with near-clique clusters so the diameter (iteration count) stays
     small; the final anti-join streams the corpus once against the
-    broadcast-size victim list.
+    victim list. NOTE: victims scale with the duplicate count — on a
+    high-duplication corpus they can be a large fraction of the input,
+    so the anti-join must NOT be force-broadcast; leave the strategy
+    to AQE (shuffled hash / sort-merge when victims are big).
     """
     from awi_datapipelinepublic_spark.operators.graph import dedup_clusters
 

@@ -60,11 +60,20 @@ def stratified_sample_hash(
     result is identical across runs/engines and needs no RNG state;
     like it, the plan is a single filter, no shuffle.
     """
-    def thresh(frac: float) -> str:
-        return format(max(0, min(256, round(frac * 256))), "02x")
-
     h = _hash_prefix(id_col)
-    cond = h < thresh(default_fraction)
+
+    def keep(frac: float) -> Column:
+        # 256/256 has no 2-hex-digit upper bound ('100' is a 3-char
+        # string that compares lexicographically BELOW '11'..'ff'), so
+        # keep-everything must be a literal true, not a threshold.
+        n = round(frac * 256)
+        if n >= 256:
+            return F.lit(True)
+        if n <= 0:
+            return F.lit(False)
+        return h < format(n, "02x")
+
+    cond = keep(default_fraction)
     for value, frac in sorted(fractions.items()):
-        cond = F.when(F.col(strata_col) == value, h < thresh(frac)).otherwise(cond)
+        cond = F.when(F.col(strata_col) == value, keep(frac)).otherwise(cond)
     return df.filter(cond)

@@ -42,7 +42,9 @@ def retention_view(
     out = (
         joined.withColumn("Geography", F.coalesce(F.col("meta_geo"), F.lit("NA_OR_OUT")))
         .withColumn("TType", F.coalesce(F.col("TType"), F.lit("CHANGE")))
-        .withColumn("CHANNEL", F.coalesce(F.col("CHANNEL"), F.lit("DEALERS")))
+        # Output name is 'Channel' exactly (settings.yaml:29 ... AS Channel)
+        # for case-sensitive downstream consumers.
+        .withColumn("Channel", F.coalesce(F.col("CHANNEL"), F.lit("DEALERS")))
         .withColumn("Renewed", F.when(F.col("PolicyStatus") == "R", 1).otherwise(0))
         .withColumn("Cancelled", F.when(F.col("PolicyStatus") == "C", 1).otherwise(0))
         .withColumn("Expired", F.when(F.col("PolicyStatus") == "E", 1).otherwise(0))
@@ -85,7 +87,8 @@ def transactions_view(
     w = Window.partitionBy("PolicyNumber").orderBy(F.col("EntryDateTime").asc())
     out = (
         joined.withColumn("TType", F.coalesce(F.col("TType"), F.lit("CHANGE")))
-        .withColumn("CHANNEL", F.coalesce(F.col("CHANNEL"), F.lit("DEALERS")))
+        # 'Channel' exact-case, matching settings.yaml:104 AS Channel.
+        .withColumn("Channel", F.coalesce(F.col("CHANNEL"), F.lit("DEALERS")))
         .withColumn("Geo", F.coalesce(F.col("Geo"), F.lit("NA_OR_OUT")))
         .withColumn("PolicyType", F.coalesce(F.col("PolicyType"), F.lit("A")))
         .withColumn("IsNew", F.when(F.row_number().over(w) == 1, F.lit("N")).otherwise(F.lit("E")))

@@ -42,6 +42,11 @@ _CONF = {
     # selective fact-fact joins at scale.
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    # Spark 4 rejects TIMESTAMP(NANOS) parquet outright; surface nanos
+    # as int64 instead (sources/readers.read_events converts to
+    # timestamp_micros). Session-wide and intentional: every nanos
+    # column in this engine is int64-then-convert, never an error.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

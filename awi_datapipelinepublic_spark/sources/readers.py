@@ -38,15 +38,17 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated, matching every downstream engine that is µs-native.
     """
     path = str(Path(sf_dir) / "events.parquet")
-    try:
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    except Exception:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Set the escape hatch BEFORE the first read: probing with a
+    # try/except costs one aborted Spark job per session and leaves an
+    # ERROR stack in the logs. The conf is session-wide by design
+    # (session.py pins it too): it only changes how TIMESTAMP(NANOS)
+    # columns surface (int64 instead of a hard error), and every nanos
+    # consumer in this engine converts explicitly right here.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def read_csv(

@@ -111,7 +111,7 @@ def main() -> None:
     base = spark.read.parquet(specs["renewals"].base_table_path).drop("_merge_month")
     view = retention_view(base, dims["geo"], dims["channels"], dims["agencies"], dims["ttypes"])
     print("\nRETENTION view:")
-    view.select("PolicyNumber", "Agency", "Geography", "CHANNEL", "TType",
+    view.select("PolicyNumber", "Agency", "Geography", "Channel", "TType",
                 "Renewed", "Cancelled", "Active", "PolicyExpiryDate").show(truncate=False)
     rows = {r["PolicyNumber"]: r for r in view.collect()}
     # P-003 (expiry 2024-04-10) is inside batch 2's owned window
@@ -121,7 +121,7 @@ def main() -> None:
     assert set(rows) == {"P-001", "P-002", "P-005"}, rows.keys()
     assert rows["P-002"]["Renewed"] == 1, "batch-2 correction must win"
     assert rows["P-001"]["AgencyNumber"] == "1234", "Excel quoting must strip"
-    assert rows["P-005"]["CHANNEL"] == "DEALERS", "channel miss must take the COALESCE default"
+    assert rows["P-005"]["Channel"] == "DEALERS", "channel miss must take the COALESCE default"
     print("demo assertions passed: window ownership (P-003 correctly dropped), "
           "batch-2 correction won, Excel strip, COALESCE defaults")
 

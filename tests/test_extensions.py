@@ -216,6 +216,21 @@ def test_chunk_documents_covers_every_token_with_overlap(spark):
     assert rows[-1]["n_chunk_tokens"] == 137 - 3 * 40
 
 
+def test_stratified_sample_boundary_fractions(spark, sf_dir):
+    """frac=1.0 must keep EVERY row of the stratum (regression: a
+    256→'100' string threshold kept ~6.6%), frac=0.0 must keep none."""
+    from awi_datapipelinepublic_spark.operators.sampling import stratified_sample_hash
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = stratified_sample_hash(
+        c, "c_mktsegment", "c_custkey", {"BUILDING": 1.0}, default_fraction=0.0
+    )
+    n_building = c.filter(F.col("c_mktsegment") == "BUILDING").count()
+    got = out.collect()
+    assert len(got) == n_building
+    assert all(r["c_mktsegment"] == "BUILDING" for r in got)
+
+
 def test_stratified_sample_rates_follow_fractions(spark, sf_dir):
     from awi_datapipelinepublic_spark.operators.sampling import stratified_sample_hash
 

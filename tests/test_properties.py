@@ -145,3 +145,9 @@ def test_chunking_tiles_tokens_property(spark, data):
         for cn in chunks:
             covered.update(range(cn * stride, min(cn * stride + size, len(norm))))
         assert covered == set(range(len(norm)))
+        # No redundant suffix chunks: every chunk after the first must
+        # contribute at least one token not covered by its predecessor
+        # (a start at or past n - overlap is a strict suffix — dup data).
+        for cn in chunks:
+            if cn > 0:
+                assert cn * stride < len(norm) - overlap

@@ -63,11 +63,11 @@ def test_retention_view_semantics(spark):
     assert None not in by_policy                      # IS NOT NULL filter
     assert len(by_policy["P-3"]) == 2                 # left-join fan-out preserved
     hit = by_policy["P-1"][0]
-    assert (hit["Geography"], hit["CHANNEL"], hit["Agency"], hit["TType"]) == (
+    assert (hit["Geography"], hit["Channel"], hit["Agency"], hit["TType"]) == (
         "South", "ONLINE", "Main St Agency", "New Business")
     assert (hit["Renewed"], hit["Cancelled"], hit["Expired"], hit["Active"]) == (1, 0, 0, 0)
     miss = by_policy["P-2"][0]
-    assert (miss["Geography"], miss["CHANNEL"], miss["TType"]) == ("NA_OR_OUT", "DEALERS", "CHANGE")
+    assert (miss["Geography"], miss["Channel"], miss["TType"]) == ("NA_OR_OUT", "DEALERS", "CHANGE")
     assert miss["Agency"] is None                     # no COALESCE on Agency (settings.yaml:31)
     assert miss["Cancelled"] == 1
 
