@@ -1625,6 +1625,91 @@ def q_skew_join_salted(spark, sf_dir):
     )
 
 
+def q_scan_excel(spark, sf_dir):
+    """scan_excel (§2.A; reference config.py:109-128): write a real
+    two-sheet xlsx from the nation table with the stdlib writer
+    (sources/xlsx.py), read it back through read_excel_sheets — the
+    prime/plus align-union with SOURCE tag, every cell string-or-NULL.
+    nation is a fixed 25 rows at every SF, so the driver-edge collect
+    is bounded by construction (report files are small by nature)."""
+    import tempfile
+    from pathlib import Path as _P
+
+    from awi_datapipelinepublic_spark.sources.readers import read_excel_sheets
+    from awi_datapipelinepublic_spark.sources.xlsx import write_xlsx
+
+    rows = (
+        _t(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect()
+    )
+    prime = [[str(r["n_nationkey"]), r["n_name"]] for r in rows if r["n_nationkey"] < 13]
+    plus = [
+        [str(r["n_nationkey"]), r["n_name"], str(r["n_regionkey"])]
+        for r in rows
+        if r["n_nationkey"] >= 13
+    ]
+    path = str(_P(tempfile.mkdtemp(prefix="awi_xlsx_gate_")) / "ProductionRpt_gate.xlsx")
+    write_xlsx(
+        path,
+        {
+            "Prime Production Report": (["n_nationkey", "n_name"], prime),
+            "Plus Production Report": (["n_nationkey", "n_name", "n_regionkey"], plus),
+        },
+    )
+    return read_excel_sheets(
+        spark,
+        path,
+        ["Prime Production Report", "Plus Production Report"],
+        [],
+        source_col="SOURCE",
+    )
+
+
+def q_streaming_pipeline(spark, sf_dir):
+    """§2.I as a driver-gate row: the availableNow streaming pipeline
+    (file source → foreachBatch clean + time-window merge,
+    streaming/file_pipeline.py) produces the result, which is read
+    back as a batch DataFrame. The oracle is the same clean stage in
+    SQL — streaming == batch on a drained source."""
+    import json as _json
+    import tempfile
+    from pathlib import Path as _P
+
+    from awi_datapipelinepublic_spark.plans.spec import PipelineSpec
+    from awi_datapipelinepublic_spark.streaming.file_pipeline import stream_pipeline
+
+    tmp = _P(tempfile.mkdtemp(prefix="awi_stream_gate_"))
+    fields = [
+        {"name": "o_orderkey", "type": "INTEGER", "mode": "NULLABLE"},
+        {"name": "o_custkey", "type": "INTEGER", "mode": "NULLABLE"},
+        {"name": "o_orderdate", "type": "DATE", "mode": "NULLABLE"},
+        {"name": "o_totalprice", "type": "NUMERIC", "mode": "NULLABLE"},
+    ]
+    (tmp / "schema.json").write_text(_json.dumps(fields))
+    landing = tmp / "landing"
+    (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .coalesce(1)
+        .write.option("header", True)
+        .csv(str(landing))
+    )
+    spec = PipelineSpec(
+        name="orders_stream",
+        schema_file=str(tmp / "schema.json"),
+        date_col="o_orderdate",
+        landing_dir=str(landing / "*.csv"),
+        staging_dir=str(tmp / "staging"),
+        base_table_path=str(tmp / "base"),
+    )
+    q = stream_pipeline(spark, spec, str(tmp / "ckpt"))
+    q.awaitTermination(300)
+    out = spark.read.parquet(spec.base_table_path)
+    return out.drop("_merge_month")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1637,7 +1722,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- Driver check window: the first 50 entries are the ids the
+        # --- driver oracle-verifies each round (CORRECTNESS_r*). They are
+        # --- the SURVEY.md §2 operator ids plus the LLM-pipeline
+        # --- flagships; alias ids and vocabulary variants come after.
         "scan_csv": q_scan_csv,
+        "scan_excel": q_scan_excel,
+        "streaming_pipeline": q_streaming_pipeline,
         "project_prune": q_project_prune,
         "fn_strip_excel": q_fn_strip_excel,
         "filter_notnull_date": q_filter_notnull_date,
@@ -1646,25 +1737,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cast_schema": q_cast_schema,
         "with_literal": q_with_literal,
         "align_union": q_align_union,
-        "join_dim_miss": q_join_dim_miss,
-        "join_geo": q_join_dim_miss,          # §2.C id; same partial-dim shape
+        "join_geo": q_join_dim_miss,
         "join_channels": q_join_channels,
         "join_agencies": q_join_agencies,
         "join_ttypes": q_join_ttypes,
         "join_fact_fact": q_join_fact_fact,
-        "join_null_safe": q_join_null_safe,
         "agg_min_scalar": q_agg_min_scalar,
         "agg_min_windowed": q_agg_min_windowed,
-        "win_min_partition": q_agg_min_windowed,  # §2.E id; same operator
         "win_row_number": q_win_row_number,
         "derive_is_new": q_derive_is_new,
-        "grouped_agg": q_grouped_agg,
         "sort_asc": q_sort_asc,
         "sort_desc": q_sort_desc,
         "limit_topk": q_limit_topk,
-        "union_all": q_align_union,            # §2.F id; same union shape
-        "concat_rows": q_align_union,          # §2.F id; same union shape
-        "fn_expressions": q_fn_expressions,
+        "union_all": q_align_union,
         "fn_coalesce": q_fn_coalesce,
         "fn_case_eq": q_fn_case_eq,
         "fn_alias": q_fn_alias,
@@ -1677,6 +1762,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "view_retention": q_view_retention,
         "view_transactions": q_view_transactions,
         "view_auto_optiom": q_view_auto_optiom,
+        "dedup_pipeline": q_dedup_pipeline,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "connected_components": q_connected_components,
+        "knn_cosine": q_knn_cosine,
+        "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
+        "chunk_documents": q_chunk_documents,
+        "train_test_split": q_train_test_split,
+        "multimodal_decode": q_multimodal_decode,
+        "text_stats": q_text_stats,
+        "events_session": q_events_session,
+        "events_funnel": q_events_funnel,
+        "asof_join": q_asof_join,
+        "range_join_binned": q_range_join_binned,
+        # --- End of driver window; order below is not significant. ---
+        "join_dim_miss": q_join_dim_miss,
+        "join_null_safe": q_join_null_safe,
+        "win_min_partition": q_agg_min_windowed,  # §2.E id; same operator as agg_min_windowed
+        "grouped_agg": q_grouped_agg,
+        "concat_rows": q_align_union,          # §2.F id; same union shape as align_union
+        "fn_expressions": q_fn_expressions,
         "profile_columns": q_profile_columns,
         "array_functions": q_array_functions,
         "string_functions": q_string_functions,
@@ -1687,17 +1793,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_map_zscore": q_grouped_map_zscore,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "knn_cosine": q_knn_cosine,
-        "knn_lsh": q_knn_lsh,
-        "knn_ivf": q_knn_ivf,
-        "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "events_tumbling": q_events_tumbling,
-        "events_session": q_events_session,
         "agg_string_list": q_agg_string_list,
         "subquery_in": q_subquery_in,
         "subquery_scalar": q_subquery_scalar,
@@ -1717,19 +1817,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_frame_rows": q_win_frame_rows,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
-        "asof_join": q_asof_join,
         "sliding_window": q_sliding_window,
         "events_json": q_events_json,
         "tpch_q3_topk": q_tpch_q3_topk,
         "tpch_q5_revenue": q_tpch_q5_revenue,
-        "multimodal_decode": q_multimodal_decode,
         "bpe_token_count": q_bpe_token_count,
         "embedding_near_dup": q_embedding_near_dup,
         "cube_agg": q_cube_agg,
         "grouping_sets_agg": q_grouping_sets_agg,
         "topk_per_group": q_topk_per_group,
         "dedup_keep_first": q_dedup_keep_first,
-        "range_join_binned": q_range_join_binned,
         "histogram_numeric": q_histogram_numeric,
         "date_spine_gapfill": q_date_spine_gapfill,
         "tpch_q10_returns": q_tpch_q10_returns,
@@ -1740,11 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_join_salted": q_skew_join_salted,
         "scan_jsonl": q_scan_jsonl,
         "scan_orc": q_scan_orc,
-        "train_test_split": q_train_test_split,
         "stratified_sample": q_stratified_sample,
-        "chunk_documents": q_chunk_documents,
-        "connected_components": q_connected_components,
-        "dedup_pipeline": q_dedup_pipeline,
         "lateral_topk": q_lateral_topk,
         "frame_sample": q_frame_sample,
         "unpivot_melt": q_unpivot_melt,
@@ -1752,7 +1845,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_pysource": q_scan_pysource,
         "events_session_native": q_events_session_native,
         "vector_norm": q_vector_norm,
-        "events_funnel": q_events_funnel,
         "json_serialize": q_json_serialize,
         "subquery_correlated": q_subquery_correlated,
         "except_all": q_except_all,
@@ -2444,6 +2536,22 @@ def oracle_sql() -> dict[str, str]:
         "scan_orc": """
             SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
             FROM orders
+        """,
+        "scan_excel": """
+            SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name,
+                   CAST(NULL AS VARCHAR) AS n_regionkey, 'prime' AS SOURCE
+            FROM nation WHERE n_nationkey < 13
+            UNION ALL
+            SELECT CAST(n_nationkey AS VARCHAR), n_name,
+                   CAST(n_regionkey AS VARCHAR), 'plus'
+            FROM nation WHERE n_nationkey >= 13
+        """,
+        "streaming_pipeline": """
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   CAST(o_custkey AS BIGINT) AS o_custkey,
+                   o_orderdate,
+                   CAST(o_totalprice AS DOUBLE) AS o_totalprice
+            FROM orders WHERE o_orderdate IS NOT NULL
         """,
         "train_test_split": """
             SELECT doc_id,

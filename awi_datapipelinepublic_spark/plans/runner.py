@@ -45,7 +45,11 @@ def run_clean(
     """
     fields = load_schema_json(spec.schema_file)
     if spec.is_excel:
-        df = read_excel_sheets(spark, file_path, spec.excel_sheets, fields)
+        # SOURCE tags each sheet's rows (config.py:119-120 assigns
+        # 'prime'/'plus' before concat).
+        df = read_excel_sheets(
+            spark, file_path, spec.excel_sheets, fields, source_col="SOURCE"
+        )
     else:
         df = read_csv(spark, file_path, fields, spec.converters)
     if observation is not None:
@@ -86,15 +90,46 @@ def run_file(spark: SparkSession, spec: PipelineSpec, file_path: str) -> None:
     Path(file_path).unlink(missing_ok=True)
 
 
+def _build_retention(spark, base, dims):
+    from awi_datapipelinepublic_spark.plans import views as V
+
+    return V.retention_view(base, dims["geo"], dims["channels"], dims["agencies"], dims["ttypes"])
+
+
+def _build_transactions(spark, base, dims):
+    from awi_datapipelinepublic_spark.plans import views as V
+
+    return V.transactions_view(base, dims["geo"], dims["channels"], dims["agencies"], dims["ttypes"])
+
+
+def _build_auto_optiom(spark, base, dims):
+    """View-on-view (settings.yaml:132-140): AUTO_OPTIOM joins the
+    TRANSACTIONS *view* with the optiom base table — the reference
+    reads TRANSACTIONS from the warehouse, so here it must already be
+    registered (by the transactions spec's refresh_view); ``base`` is
+    this spec's own merged optiom table."""
+    from awi_datapipelinepublic_spark.plans import views as V
+
+    try:
+        transactions_v = spark.table("TRANSACTIONS")
+    except Exception as e:
+        raise RuntimeError(
+            "AUTO_OPTIOM requires the TRANSACTIONS view to be registered first "
+            "(run the transactions spec's refresh_view)"
+        ) from e
+    return V.auto_optiom_view(transactions_v, base)
+
+
 VIEW_BUILDERS = {
-    # view_name → (builder, required dim keys); builders in plans/views.py
-    "RETENTION": ("retention_view", ("geo", "channels", "agencies", "ttypes")),
-    "TRANSACTIONS": ("transactions_view", ("geo", "channels", "agencies", "ttypes")),
+    # view_name → builder(spark, merged_base_df, dims) → view DataFrame
+    "RETENTION": _build_retention,
+    "TRANSACTIONS": _build_transactions,
+    "AUTO_OPTIOM": _build_auto_optiom,
 }
 
 
 def refresh_view(
-    spark: SparkSession, spec: PipelineSpec, dims: dict[str, DataFrame]
+    spark: SparkSession, spec: PipelineSpec, dims: dict[str, DataFrame] | None = None
 ) -> DataFrame | None:
     """View refresh stage (reference make_view, config.py:215-221):
     rebuild the spec's analytical view over the merged base table and
@@ -102,13 +137,10 @@ def refresh_view(
     view DataFrame (None when the spec declares no view)."""
     if not spec.view_name:
         return None
-    from awi_datapipelinepublic_spark.plans import views as V
-
-    builder_name, dim_keys = VIEW_BUILDERS[spec.view_name]
     base = spark.read.parquet(spec.base_table_path)
     if "_merge_month" in base.columns:
         base = base.drop("_merge_month")
-    view = getattr(V, builder_name)(base, *[dims[k] for k in dim_keys])
+    view = VIEW_BUILDERS[spec.view_name](spark, base, dims or {})
     view.createOrReplaceTempView(spec.view_name)
     return view
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from awi_datapipelinepublic_spark.functions.cleaning import apply_converters, cast_to_schema
 from awi_datapipelinepublic_spark.sources.schema import (
@@ -105,28 +105,34 @@ def read_excel_sheets(
     path: str,
     sheets: list[str],
     fields: list[dict],
+    source_col: str | None = None,
 ) -> DataFrame:
-    """Driver-side Excel adapter (reference config.py:109-118).
+    """Driver-side Excel adapter (reference config.py:109-128).
 
-    Core Spark has no xlsx reader; the reference uses openpyxl via
-    pandas. We do the same at the driver edge (report files are small
-    by nature — one per period), then immediately hand off to a
-    distributed DataFrame. Fenced behind an import-try because
-    openpyxl is not guaranteed in this container.
+    Core Spark has no xlsx reader; the reference reads each sheet via
+    pandas/openpyxl, tags a SOURCE column, aligns the narrower sheet's
+    missing columns with NULLs, and concatenates. Same semantics here,
+    but the parse is the stdlib zipfile+XML reader (sources/xlsx.py) —
+    no optional dependency, and report files are small by nature (one
+    per period), so a driver-edge parse is the right cost model: the
+    result is immediately a distributed DataFrame.
+
+    All cells surface as string-or-NULL (the reference's dtype=str);
+    ``source_col`` (e.g. "SOURCE") adds the per-sheet tag
+    ('Prime Production Report' → 'prime', config.py:119-120). The
+    union is by NAME with missing columns NULL-filled — the Spark
+    rendition of the reference's positional ``insert`` alignment.
     """
-    try:
-        import pandas as pd  # noqa: F401
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError("pandas required for the Excel edge adapter") from e
-    try:
-        frames = [
-            __import__("pandas").read_excel(path, sheet_name=s, dtype=str) for s in sheets
-        ]
-    except ImportError as e:
-        raise NotImplementedError(
-            "openpyxl not installed; convert the sheet to CSV and use read_csv"
-        ) from e
-    sdfs = [spark.createDataFrame(f.where(f.notna(), None)) for f in frames]
+    from awi_datapipelinepublic_spark.sources.xlsx import read_xlsx, sheet_source_label
+
+    sdfs = []
+    for s in sheets:
+        header, rows = read_xlsx(path, s)
+        schema = T.StructType([T.StructField(h, T.StringType()) for h in header])
+        sdf = spark.createDataFrame(rows, schema)
+        if source_col:
+            sdf = sdf.withColumn(source_col, F.lit(sheet_source_label(s)))
+        sdfs.append(sdf)
     out = sdfs[0]
     for sdf in sdfs[1:]:
         out = out.unionByName(sdf, allowMissingColumns=True)

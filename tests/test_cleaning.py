@@ -124,3 +124,70 @@ def test_align_columns_union(spark):
     assert len(out) == 2
     assert out[0]["CommissionAmt"] is None and out[1]["CommissionAmt"] == 5.0
     assert [f.name for f in a.schema.fields] == [f["name"] for f in FIELDS]
+
+
+def test_xlsx_roundtrip_two_sheets_align_union(spark, tmp_path):
+    """Real file → DataFrame: the stdlib xlsx reader must reproduce the
+    reference's prime/plus flow (config.py:109-128) — per-sheet read,
+    SOURCE tag, name-aligned union with NULL fill for missing cols."""
+    from awi_datapipelinepublic_spark.sources.readers import read_excel_sheets
+    from awi_datapipelinepublic_spark.sources.xlsx import write_xlsx
+
+    path = str(tmp_path / "ProductionRpt_Jan.xlsx")
+    write_xlsx(
+        path,
+        {
+            "Prime Production Report": (
+                ["POLICY", "TRANS_DATE", "PREMIUM"],
+                [["PP-1", "2024-01-05", "100.5"], ["PP-2", "2024-01-06", None]],
+            ),
+            "Plus Production Report": (
+                ["POLICY", "TRANS_DATE", "PREMIUM", "DEALER"],
+                [["PL-1", "2024-01-07", "55", "D & Sons <auto>"]],
+            ),
+        },
+    )
+    out = read_excel_sheets(
+        spark, path, ["Prime Production Report", "Plus Production Report"], [], source_col="SOURCE"
+    )
+    rows = {r["POLICY"]: r for r in out.collect()}
+    assert set(rows) == {"PP-1", "PP-2", "PL-1"}
+    assert rows["PP-1"]["SOURCE"] == "prime" and rows["PL-1"]["SOURCE"] == "plus"
+    assert rows["PP-1"]["DEALER"] is None          # align: prime lacks DEALER
+    assert rows["PP-2"]["PREMIUM"] is None         # blank cell → NULL
+    assert rows["PL-1"]["DEALER"] == "D & Sons <auto>"  # XML escaping survives
+    assert all(isinstance(v, (str, type(None))) for r in out.collect() for v in r)
+
+
+def test_xlsx_reader_shared_strings_and_numbers(tmp_path):
+    """The reader must also consume files other writers produce:
+    sharedStrings-table cells, raw numeric cells, boolean cells."""
+    import zipfile
+
+    from awi_datapipelinepublic_spark.sources.xlsx import read_xlsx
+
+    path = str(tmp_path / "shared.xlsx")
+    ct = """<?xml version="1.0"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/><Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/></Types>"""
+    wb = """<?xml version="1.0"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="S1" sheetId="1" r:id="rId1"/></sheets></workbook>"""
+    rels = """<?xml version="1.0"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>"""
+    ss = """<?xml version="1.0"?>
+<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3"><si><t>name</t></si><si><t>qty</t></si><si><r><t>multi </t></r><r><t>run</t></r></si></sst>"""
+    sheet = """<?xml version="1.0"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>3.25</v></c></row>
+<row r="3"><c r="A3" t="b"><v>1</v></c><c r="B3"><v>42</v></c></row>
+</sheetData></worksheet>"""
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("[Content_Types].xml", ct)
+        zf.writestr("_rels/.rels", "<Relationships xmlns='http://schemas.openxmlformats.org/package/2006/relationships'/>")
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/sharedStrings.xml", ss)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    header, rows = read_xlsx(path, "S1")
+    assert header == ["name", "qty"]
+    assert rows == [["multi run", "3.25"], ["TRUE", "42"]]

@@ -194,3 +194,85 @@ def test_run_clean_observation_metrics(spark, spec, tmp_path):
     m = obs.get
     assert m["rows_in"] == 4
     assert m["null_date_rows"] == 2
+
+
+def test_excel_spec_end_to_end(spark, tmp_path):
+    """ProductionRpt.xlsx drop → sheet union → staging → merged base:
+    the reference's Excel entry point (config.py:109-128) as one
+    run_file call, on a real file parsed by the stdlib reader."""
+    from awi_datapipelinepublic_spark.sources.xlsx import write_xlsx
+
+    schema_file = tmp_path / "optiom.json"
+    schema_file.write_text(json.dumps([
+        {"name": "POLICY", "type": "STRING", "mode": "NULLABLE"},
+        {"name": "TRANS_DATE", "type": "STRING", "mode": "NULLABLE"},
+        {"name": "PREMIUM", "type": "STRING", "mode": "NULLABLE"},
+    ]))
+    spec = PipelineSpec(
+        name="optiom", schema_file=str(schema_file), date_col="TRANS_DATE",
+        landing_dir=str(tmp_path / "landing"), staging_dir=str(tmp_path / "staging"),
+        base_table_path=str(tmp_path / "base"),
+        excel_sheets=["Prime Production Report", "Plus Production Report"],
+        excel_filename_marker="ProductionRpt",
+    )
+    Path(spec.landing_dir).mkdir(parents=True, exist_ok=True)
+    xlsx = str(Path(spec.landing_dir) / "ProductionRpt_Jan.xlsx")
+    write_xlsx(xlsx, {
+        "Prime Production Report": (
+            ["POLICY", "TRANS_DATE", "PREMIUM"],
+            [["PP-1", "2024-01-05", "100.5"], ["PP-B", None, "9"]],
+        ),
+        "Plus Production Report": (
+            ["POLICY", "TRANS_DATE", "PREMIUM", "DEALER"],
+            [["PL-1", "2024-01-07", "55", "D1"]],
+        ),
+    })
+    run_file(spark, spec, xlsx)
+    base = spark.read.parquet(spec.base_table_path)
+    rows = {r["POLICY"]: r for r in base.collect()}
+    assert set(rows) == {"PP-1", "PL-1"}          # NULL-date row dropped
+    assert rows["PP-1"]["SOURCE"] == "prime" and rows["PL-1"]["SOURCE"] == "plus"
+    assert rows["PP-1"]["DEALER"] is None and rows["PL-1"]["DEALER"] == "D1"
+    assert not Path(xlsx).exists()                 # consumed input removed
+
+
+def test_refresh_view_auto_optiom_view_on_view(spark, tmp_path):
+    """AUTO_OPTIOM (settings.yaml:132-140) through the runner: needs the
+    TRANSACTIONS view registered plus this spec's own optiom base."""
+    import datetime
+
+    from awi_datapipelinepublic_spark.plans.runner import refresh_view
+
+    spark.createDataFrame(
+        [("V1", datetime.date(2023, 5, 1), "P-1"), ("V9", datetime.date(2018, 1, 1), "P-old")],
+        ["VIN_A", "EntryDateTime", "PolicyNumber"],
+    ).createOrReplaceTempView("TRANSACTIONS")
+    optiom_base = str(tmp_path / "optiom_base")
+    spark.createDataFrame(
+        [("V1", "2023-04-30", "150")], ["VIN", "TRANS_DATE", "PREMIUM"]
+    ).write.parquet(optiom_base)
+    spec = PipelineSpec(
+        name="optiom", schema_file="/dev/null", date_col="TRANS_DATE",
+        landing_dir="/l", staging_dir="/s", base_table_path=optiom_base,
+        view_name="AUTO_OPTIOM",
+    )
+    view = refresh_view(spark, spec)
+    assert view is not None
+    got = spark.sql("SELECT VIN_A, PolicyNumber, PREMIUM FROM AUTO_OPTIOM").collect()
+    # pre-2019 row filtered; V1 joined to its optiom premium
+    assert [(r["VIN_A"], r["PolicyNumber"], r["PREMIUM"]) for r in got] == [("V1", "P-1", "150")]
+
+
+def test_refresh_view_auto_optiom_requires_transactions(spark, tmp_path):
+    from awi_datapipelinepublic_spark.plans.runner import refresh_view
+
+    spark.catalog.dropTempView("TRANSACTIONS")
+    optiom_base = str(tmp_path / "ob2")
+    spark.createDataFrame([("V1", "2023-01-01")], ["VIN", "TRANS_DATE"]).write.parquet(optiom_base)
+    spec = PipelineSpec(
+        name="optiom", schema_file="/dev/null", date_col="TRANS_DATE",
+        landing_dir="/l", staging_dir="/s", base_table_path=optiom_base,
+        view_name="AUTO_OPTIOM",
+    )
+    with pytest.raises(RuntimeError, match="TRANSACTIONS"):
+        refresh_view(spark, spec)
