@@ -226,6 +226,32 @@ def q_join_fact_fact(spark, sf_dir):
     return out.select("l_orderkey", "l_linenumber", "l_extendedprice", "o_orderdate", "o_orderstatus")
 
 
+def q_colocated_join(spark, sf_dir):
+    """Bucketed fact-fact join — the SCALING.md layout policy as a
+    measured artifact. Both sides are written ONCE as managed tables
+    bucketed+sorted on the join key; every subsequent join is then
+    shuffle-free (zero Exchange on either side — plan-asserted in
+    tests/test_plans.py::test_bucketed_join_has_no_exchange). At
+    100 TB this converts the dominant per-query cost of repeated
+    fact-fact joins into a one-time write-side cost. The first call
+    per (session, sf) pays the bucketed write; steady state (what
+    bench.py's min-of-2 reports) is the join alone."""
+    from awi_datapipelinepublic_spark.operators.merge import _clear_orphan_location
+    from awi_datapipelinepublic_spark.sources.layout import colocated_join, write_bucketed
+
+    tag = Path(sf_dir).name.replace(".", "_")
+    lt, rt = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
+    if not spark.catalog.tableExists(lt) or not spark.catalog.tableExists(rt):
+        _clear_orphan_location(spark, lt)
+        _clear_orphan_location(spark, rt)
+        li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        write_bucketed(li, lt, "l_orderkey", 16)
+        write_bucketed(o, rt, "o_orderkey", 16)
+    out = colocated_join(spark, lt, rt, "l_orderkey", "o_orderkey")
+    return out.select("l_orderkey", "l_linenumber", "l_quantity", "o_totalprice")
+
+
 def q_join_agencies(spark, sf_dir):
     """join_agencies (settings.yaml:59): supplier ⟕ broadcast nation
     with renamed payload (the metaAgencyName → Agency idiom)."""
@@ -1777,6 +1803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join_binned": q_range_join_binned,
         # --- End of driver window; order below is not significant. ---
+        "colocated_join": q_colocated_join,
         "join_dim_miss": q_join_dim_miss,
         "join_null_safe": q_join_null_safe,
         "win_min_partition": q_agg_min_windowed,  # §2.E id; same operator as agg_min_windowed
@@ -1986,6 +2013,10 @@ def oracle_sql() -> dict[str, str]:
         "join_fact_fact": """
             SELECT l_orderkey, l_linenumber, l_extendedprice, o.o_orderdate, o.o_orderstatus
             FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        """,
+        "colocated_join": """
+            SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_totalprice
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         """,
         "agg_min_scalar": "SELECT MIN(o_orderdate) AS mindate FROM orders",
         "agg_min_windowed": """

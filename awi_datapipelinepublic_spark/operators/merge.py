@@ -75,3 +75,82 @@ def merge_into_path(
     else:
         merged = new_batch
     overwrite_table(merged, base_path, partition_by=part_cols)
+
+
+def _clear_orphan_location(spark, table: str) -> None:
+    """Remove a managed-table location that has no catalog entry (see
+    merge_into_table — only possible with a non-persistent catalog)."""
+    if spark.catalog.tableExists(table):
+        return
+    import shutil
+    from pathlib import Path
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = Path(warehouse.removeprefix("file:")) / table.lower()
+    if loc.exists():
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+def merge_into_table(
+    spark,
+    table: str,
+    new_batch: DataFrame,
+    date_col: str,
+    partition_by_month: bool = True,
+) -> None:
+    """Catalog-backed twin of :func:`merge_into_path` — the production
+    shape. The reference loads into a *warehouse dataset*, not a path
+    (config.py:161-172: ``WRITE_TRUNCATE`` load + ``CREATE OR REPLACE
+    TABLE`` into a BigQuery dataset); here the merged base lands as a
+    managed table via ``saveAsTable`` and is read back with
+    ``spark.table(name)`` — so downstream view builders and the
+    ``spark.sql`` surface address tables by *name*, with the metastore
+    (not a path convention) carrying schema + partition spec.
+
+    Same read-then-overwrite hazard as the path variant: the merged
+    plan reads the table it replaces, so the result is staged through a
+    temp table and swapped with a metastore rename (both sub-second
+    metadata ops at any scale; the data files move with the managed
+    table). On a Delta/Iceberg cluster the swap collapses to
+    ``INSERT OVERWRITE ... replaceWhere date_col >= cutoff`` — only the
+    affected partitions rewrite; the monthly partitioning below is what
+    makes that cheap.
+    """
+    if partition_by_month:
+        new_batch = new_batch.withColumn(
+            "_merge_month", F.date_format(F.col(date_col), "yyyy-MM")
+        )
+    # In-memory catalogs (tests, ad-hoc sessions) forget table entries
+    # across sessions while their warehouse dirs persist; Spark then
+    # refuses the managed-table create (LOCATION_ALREADY_EXISTS). The
+    # catalog is the source of truth: a location with no entry is a dead
+    # session's garbage — clear it. A Hive/Glue metastore never hits
+    # this path (entries persist, DROP removes data).
+    _clear_orphan_location(spark, table)
+    _clear_orphan_location(spark, f"{table}__staging")
+    if spark.catalog.tableExists(table):
+        base = spark.table(table)
+        if partition_by_month and "_merge_month" not in base.columns:
+            base = base.withColumn(
+                "_merge_month", F.date_format(F.col(date_col), "yyyy-MM")
+            )
+        merged = merge_time_window(base, new_batch, date_col)
+        # Stage: fully materialize under a temp name before touching the
+        # target (Spark cannot overwrite a table the plan reads).
+        staging = f"{table}__staging"
+        w = merged.write.mode("overwrite")
+        if partition_by_month:
+            w = w.partitionBy("_merge_month")
+        w.format("parquet").saveAsTable(staging)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+        if partition_by_month:
+            # The rename moves the managed directory but catalog
+            # partition entries keep their pre-rename locations;
+            # re-discover them from the moved directory layout.
+            spark.sql(f"MSCK REPAIR TABLE {table}")
+    else:
+        w = new_batch.write.mode("overwrite")
+        if partition_by_month:
+            w = w.partitionBy("_merge_month")
+        w.format("parquet").saveAsTable(table)

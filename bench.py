@@ -50,6 +50,9 @@ BENCH_QUERIES = [
     "topk_per_group",
     "range_join_binned",
     "train_test_split",
+    # bucketed-layout fact-fact join: first (warm) run pays the one-time
+    # bucketed table write; min-of-2 reports the shuffle-free join.
+    "colocated_join",
 ]
 
 

@@ -276,3 +276,47 @@ def test_refresh_view_auto_optiom_requires_transactions(spark, tmp_path):
     )
     with pytest.raises(RuntimeError, match="TRANSACTIONS"):
         refresh_view(spark, spec)
+
+
+def test_merge_into_catalog_table_roundtrip(spark):
+    """Verdict item: merge → managed catalog table → view. The merged
+    base is addressed by NAME via spark.table (the reference's BigQuery
+    dataset analog, config.py:161-172), incl. the staged-rename
+    restatement path and a view built over the catalog table."""
+    import datetime as dt
+
+    from awi_datapipelinepublic_spark.operators.merge import merge_into_table
+
+    d = dt.date
+    spark.sql("DROP TABLE IF EXISTS cat_renewals")
+    spark.sql("DROP TABLE IF EXISTS cat_renewals__staging")
+    b1 = spark.createDataFrame(
+        [("P-1", d(2024, 1, 15), 10.0), ("P-2", d(2024, 3, 10), 20.0)],
+        ["PolicyNumber", "PolicyExpiryDate", "CommissionAmt"],
+    )
+    merge_into_table(spark, "cat_renewals", b1, "PolicyExpiryDate")
+    assert spark.catalog.tableExists("cat_renewals")
+    got = {r["PolicyNumber"] for r in spark.table("cat_renewals").collect()}
+    assert got == {"P-1", "P-2"}
+    # partition spec carried by the metastore
+    assert "_merge_month" in spark.table("cat_renewals").columns
+
+    # batch 2 restates everything from 2024-02-01 on (time-window merge:
+    # P-2 falls inside the new batch's window -> discarded)
+    b2 = spark.createDataFrame(
+        [("P-3", d(2024, 2, 1), 30.0)],
+        ["PolicyNumber", "PolicyExpiryDate", "CommissionAmt"],
+    )
+    merge_into_table(spark, "cat_renewals", b2, "PolicyExpiryDate")
+    got = {r["PolicyNumber"] for r in spark.table("cat_renewals").collect()}
+    assert got == {"P-1", "P-3"}
+    assert not spark.catalog.tableExists("cat_renewals__staging")
+
+    # view over the catalog table, queryable through spark.sql
+    spark.table("cat_renewals").filter("CommissionAmt >= 20").createOrReplaceTempView(
+        "CAT_RENEWALS_BIG"
+    )
+    assert [r["PolicyNumber"] for r in spark.sql(
+        "SELECT PolicyNumber FROM CAT_RENEWALS_BIG"
+    ).collect()] == ["P-3"]
+    spark.sql("DROP TABLE IF EXISTS cat_renewals")

@@ -224,3 +224,21 @@ def test_zorder_localizes_both_columns(spark, sf_dir, tmp_path):
     assert avg_spread(spath, "o_totalprice") > 0.9
     # and the z-ordered copy is byte-equivalent data
     assert spark.read.parquet(zpath).count() == o.count()
+
+
+def test_colocated_join_gate_no_exchange(spark, sf_dir):
+    """The colocated_join driver-gate query itself (not just the layout
+    helper) must plan with zero Exchange once its bucketed tables
+    exist."""
+    import __spark_entry__ as em
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        em.q_colocated_join(spark, sf_dir).count()  # first call builds tables
+        plan = _plan(em.q_colocated_join(spark, sf_dir))
+        assert "Exchange" not in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+        spark.sql(f"DROP TABLE IF EXISTS bkt_lineitem_{tag}")
+        spark.sql(f"DROP TABLE IF EXISTS bkt_orders_{tag}")
