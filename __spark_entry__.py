@@ -22,6 +22,12 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from awi_datapipelinepublic_spark.functions import text as X
+from awi_datapipelinepublic_spark.functions.privacy import (
+    EMAIL_RE,
+    IPV4_RE,
+    PHONE_RE,
+    SSN_RE,
+)
 from awi_datapipelinepublic_spark.functions.cleaning import strip_excel
 from awi_datapipelinepublic_spark.operators.dedup import (
     exact_dedup,
@@ -1085,6 +1091,67 @@ def q_quality_score(spark, sf_dir):
     return d.select("doc_id", X.quality_score("text").alias("quality"))
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII redaction (functions/privacy.py): email/IP/SSN/phone →
+    typed placeholders, one chained-regexp projection. The synthetic
+    corpus carries no PII, so deterministic per-doc PII is injected
+    first — the redaction then has real work to undo, and the oracle
+    replays both steps."""
+    from awi_datapipelinepublic_spark.functions.privacy import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 (415) 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit(" ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 ssn 123-45-6789 end"),
+    )
+    return d.select("doc_id", redact_pii(dirty).alias("clean"))
+
+
+def q_pii_counts(spark, sf_dir):
+    """Audit twin of pii_redact: per-category PII match counts."""
+    from awi_datapipelinepublic_spark.functions.privacy import pii_counts
+
+    d = _t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ssn 123-45-6789 end"),
+    )
+    c = pii_counts(dirty)
+    return d.select(
+        "doc_id",
+        c["emails"].alias("emails"),
+        c["ips"].alias("ips"),
+        c["ssns"].alias("ssns"),
+        c["phones"].alias("phones"),
+    )
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style bigram repetition metrics per document."""
+    from awi_datapipelinepublic_spark.operators.quality import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"), n=2)
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id % 97 == 0 act as
+    the eval set; surviving corpus ids share no 7-gram with it."""
+    from awi_datapipelinepublic_spark.operators.quality import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, bench, n=7).select("doc_id", "n_chars")
+
+
 # ---------------------------------------------------------------------------
 # Extensions: event-stream analytics
 # ---------------------------------------------------------------------------
@@ -1824,6 +1891,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
+        "pii_redact": q_pii_redact,
+        "pii_counts": q_pii_counts,
+        "repetition_stats": q_repetition_stats,
+        "decontaminate": q_decontaminate,
         "events_tumbling": q_events_tumbling,
         "agg_string_list": q_agg_string_list,
         "subquery_in": q_subquery_in,
@@ -2252,6 +2323,73 @@ def oracle_sql() -> dict[str, str]:
                        + 0.4 * LEAST((n_stop * 1.0 / n_tokens) / 0.2, 1.0)
                        + 0.2 * (1.0 - (n_chars_all - n_nonpunct) * 1.0 / n_chars_all), 6) AS quality
             FROM base
+        """,
+        "pii_redact": f"""
+            WITH dirty AS (
+              SELECT doc_id,
+                     substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@example.com or +1 (415) 555-01'
+                     || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                     || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                     || '.7 ssn 123-45-6789 end' AS s
+              FROM documents)
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(s,
+                       '{EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{IPV4_RE}', '<IP>', 'g'),
+                       '{SSN_RE}', '<SSN>', 'g'),
+                       '{PHONE_RE}', '<PHONE>', 'g') AS clean
+            FROM dirty
+        """,
+        "pii_counts": f"""
+            WITH dirty AS (
+              SELECT doc_id,
+                     substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@example.com ssn 123-45-6789 end' AS s
+              FROM documents),
+            s1 AS (SELECT doc_id,
+                          len(regexp_extract_all(s, '{EMAIL_RE}')) AS emails,
+                          regexp_replace(s, '{EMAIL_RE}', '<EMAIL>', 'g') AS s FROM dirty),
+            s2 AS (SELECT doc_id, emails,
+                          len(regexp_extract_all(s, '{IPV4_RE}')) AS ips,
+                          regexp_replace(s, '{IPV4_RE}', '<IP>', 'g') AS s FROM s1),
+            s3 AS (SELECT doc_id, emails, ips,
+                          len(regexp_extract_all(s, '{SSN_RE}')) AS ssns,
+                          regexp_replace(s, '{SSN_RE}', '<SSN>', 'g') AS s FROM s2)
+            SELECT doc_id, emails, ips, ssns,
+                   len(regexp_extract_all(s, '{PHONE_RE}')) AS phones
+            FROM s3
+        """,
+        "repetition_stats": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            grams AS (
+              SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+                  THEN list_transform(range(1, len(t)),
+                       i -> array_to_string(t[i:i+1], ' '))
+                  ELSE [array_to_string(t, ' ')] END) AS gram
+              FROM toks),
+            counts AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM grams GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(SUM(cnt) AS BIGINT) AS n_grams,
+                   COUNT(*) AS n_distinct_grams,
+                   ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_gram_frac,
+                   ROUND(CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / SUM(cnt), 6) AS dup_gram_frac
+            FROM counts GROUP BY doc_id
+        """,
+        "decontaminate": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            g AS (
+              SELECT doc_id, unnest(CASE WHEN len(t) >= 7
+                  THEN array_distinct(list_transform(range(1, len(t) - 5),
+                       i -> array_to_string(t[i:i+6], ' ')))
+                  ELSE [array_to_string(t, ' ')] END) AS gram
+              FROM toks),
+            bad AS (
+              SELECT DISTINCT doc_id FROM g
+              WHERE doc_id % 97 <> 0
+                AND gram IN (SELECT gram FROM g WHERE doc_id % 97 = 0))
+            SELECT doc_id, n_chars FROM documents
+            WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
         """,
         "events_tumbling": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,

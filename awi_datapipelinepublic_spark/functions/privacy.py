@@ -1,0 +1,69 @@
+"""PII redaction expressions for training-data preparation.
+
+A corpus destined for model training must have obvious personal
+identifiers scrubbed before anything else touches it. These are pure
+Column regexp expressions (JVM-side, codegen-resident, no shuffle, no
+Python) — redaction at 100 TB is a projection over the scan, exactly
+as cheap as any other clean-stage transform (extends the reference's
+clean stage, config.py:127-146, to the document domain).
+
+Pattern notes:
+- Patterns are kept RE2-compatible (no lookaround, no backreferences)
+  so the same literal pattern runs on Spark (java.util.regex), the
+  DuckDB oracle (RE2), and any downstream engine.
+- Order matters and is fixed: EMAIL first (an email contains dot-runs
+  an IP pattern could nibble), then IP, then SSN (a dashed SSN would
+  otherwise half-match the phone pattern), then PHONE.
+- This is the heuristic regex tier. A production stack layers an NER
+  model behind the same column contract (mapInPandas, Arrow-batched)
+  for names/addresses; the plumbing is operators/multimodal.py's
+  decode pattern with a text payload.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+# Optional country code, optional parens on the area code, common
+# separators. Anchored at a word boundary on the right only — the left
+# edge may be '+' which is not a word character.
+PHONE_RE = r"(\+\d{1,2}[ .-]?)?(\(\d{3}\)|\b\d{3})[ .-]?\d{3}[ .-]?\d{4}\b"
+
+REDACTIONS = (
+    (EMAIL_RE, "<EMAIL>"),
+    (IPV4_RE, "<IP>"),
+    (SSN_RE, "<SSN>"),
+    (PHONE_RE, "<PHONE>"),
+)
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def redact_pii(c: Column | str) -> Column:
+    """Replace every email / IPv4 / SSN / phone occurrence with a typed
+    placeholder token. One chained regexp_replace projection."""
+    out = _col(c)
+    for pattern, token in REDACTIONS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_counts(c: Column | str) -> Column:
+    """Struct of per-category match counts (emails, ips, ssns, phones)
+    — the audit-side twin of redact_pii, for corpus-level PII
+    prevalence stats without materializing redacted text. Counted on
+    the progressively-redacted text with the same pattern order, so a
+    span is attributed to exactly one category (an SSN is never also
+    counted as a phone)."""
+    out = _col(c)
+    counts = []
+    names = ("emails", "ips", "ssns", "phones")
+    for (pattern, token), name in zip(REDACTIONS, names):
+        counts.append(F.regexp_count(out, F.lit(pattern)).cast("long").alias(name))
+        out = F.regexp_replace(out, pattern, token)
+    return F.struct(*counts)

@@ -1,0 +1,105 @@
+"""Corpus-hygiene operators: repetition heuristics and benchmark
+decontamination.
+
+Two training-data-prep stages that sit between the clean stage and
+dedup in a real corpus pipeline:
+
+- :func:`repetition_stats` — Gopher-style per-document repetition
+  metrics (top n-gram fraction, duplicate n-gram fraction). Documents
+  dominated by one repeated phrase are boilerplate/spam; filtering on
+  these fractions is the standard quality gate.
+- :func:`decontaminate` — remove corpus documents that share any word
+  n-gram with a benchmark/eval set, so evaluation data never leaks
+  into training data.
+
+Scale design: repetition counting is explode → two chained groupBys on
+the same key prefix — ONE shuffle on (doc, gram), then a partial-agg
+shuffle on doc; deliberately NOT a per-element higher-order-function
+count (counting each distinct gram's occurrences via filter() inside a
+lambda re-evaluates per element — quadratic per doc, the measured
+blowup documented in operators/dedup.py). Decontamination broadcasts
+the benchmark gram set (eval suites are MB-scale against a 100 TB
+corpus) so the corpus side is never shuffled for the probe; only the
+bounded contaminated-id set joins back anti-wise, with AQE free to
+broadcast it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from awi_datapipelinepublic_spark.functions import text as X
+
+
+def _grams(df: DataFrame, id_col: str, text_col: str, n: int, distinct: bool) -> DataFrame:
+    """(id, gram) rows: tokenize, shingle, explode. Token array is
+    materialized before shingling (shingles_of's O(n²) warning)."""
+    toks = df.select(id_col, X.tokens(X.normalize_text(text_col)).alias("__toks"))
+    g = toks.select(id_col, X.shingles_of(F.col("__toks"), n).alias("__grams"))
+    if distinct:
+        g = g.select(id_col, F.array_distinct("__grams").alias("__grams"))
+    return g.select(id_col, F.explode("__grams").alias("gram"))
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Per-document n-gram repetition metrics:
+
+    - ``n_grams`` / ``n_distinct_grams`` — total and distinct counts;
+    - ``top_gram_frac`` — share of the most frequent n-gram (a doc
+      that is one phrase repeated scores → 1.0);
+    - ``dup_gram_frac`` — share of occurrences beyond each gram's
+      first (Gopher's duplicate-n-gram fraction).
+
+    Shorter-than-n docs contribute their whole text as one gram (so
+    every doc gets a row); callers filter on e.g.
+    ``top_gram_frac > 0.2`` per the Gopher thresholds.
+    """
+    counts = _grams(df, id_col, text_col, n, distinct=False).groupBy(id_col, "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return counts.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct_grams"),
+        F.round(F.max("cnt").cast("double") / F.sum("cnt"), 6).alias("top_gram_frac"),
+        F.round(
+            (F.sum("cnt") - F.count(F.lit(1))).cast("double") / F.sum("cnt"), 6
+        ).alias("dup_gram_frac"),
+    )
+
+
+def contaminated_ids(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 7,
+) -> DataFrame:
+    """Distinct ids of corpus documents sharing ≥1 word n-gram with the
+    benchmark set. The benchmark's distinct gram set is broadcast — the
+    corpus scan probes it map-side, no corpus shuffle. Gram strings are
+    kept as-is for cross-engine verifiability; a production run would
+    xxhash64 them to shrink the broadcast (same plan shape)."""
+    bench_grams = (
+        _grams(benchmark, id_col, text_col, n, distinct=True).select("gram").distinct()
+    )
+    probe = _grams(corpus, id_col, text_col, n, distinct=True)
+    hits = probe.join(F.broadcast(bench_grams), "gram", "inner")
+    return hits.select(id_col).distinct()
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 7,
+) -> DataFrame:
+    """Corpus minus every document that shares an n-gram with the
+    benchmark (n=7 ≈ the 8-to-13-token overlap windows used for eval
+    decontamination in published LM data work; lower n = stricter).
+    Anti-join on the bounded contaminated-id set; AQE broadcasts it
+    when small."""
+    bad = contaminated_ids(corpus, benchmark, id_col, text_col, n)
+    return corpus.join(bad, id_col, "left_anti")

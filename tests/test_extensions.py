@@ -268,3 +268,73 @@ def test_python_datasource_partitioned_and_deterministic(spark):
     assert rows[7] == hashlib.md5(b"7").hexdigest()[:8]
     again = {r["doc_id"]: r["text"] for r in df.collect()}
     assert rows == again
+
+
+def test_redact_pii_categories_and_order(spark):
+    """Each PII category gets its typed token; an SSN is never
+    half-eaten by the phone pattern; clean text passes through."""
+    from pyspark.sql import functions as F
+
+    from awi_datapipelinepublic_spark.functions.privacy import pii_counts, redact_pii
+
+    rows = [
+        ("a", "mail me at jane.doe+x@sub.example.co.uk today"),
+        ("b", "server at 192.168.001.12 port 80"),
+        ("c", "ssn 123-45-6789 on file"),
+        ("d", "call (415) 555-0134 or +1 415.555.0134 x9"),
+        ("e", "no pii here, just 42 and 3.14"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "s"])
+    got = {
+        r["k"]: (r["clean"], r["c"])
+        for r in df.select(
+            "k", redact_pii("s").alias("clean"), pii_counts("s").alias("c")
+        ).collect()
+    }
+    assert got["a"][0] == "mail me at <EMAIL> today"
+    assert got["a"][1]["emails"] == 1 and got["a"][1]["phones"] == 0
+    assert got["b"][0] == "server at <IP> port 80"
+    assert got["c"][0] == "ssn <SSN> on file"
+    assert got["c"][1]["ssns"] == 1 and got["c"][1]["phones"] == 0
+    assert got["d"][0] == "call <PHONE> or <PHONE> x9"
+    assert got["d"][1]["phones"] == 2
+    assert got["e"][0] == rows[4][1]
+    assert all(v == 0 for v in got["e"][1].asDict().values())
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    """A one-phrase doc scores ~1.0 dup fraction; diverse text stays
+    low; short docs still get a row."""
+    from awi_datapipelinepublic_spark.operators.quality import repetition_stats
+
+    rows = [
+        (1, "buy now " * 20),                  # pure boilerplate
+        (2, "the quick brown fox jumps over a lazy dog near banks"),
+        (3, "hi"),                              # shorter than n
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in repetition_stats(df, n=2).collect()}
+    assert got[1]["top_gram_frac"] > 0.4 and got[1]["dup_gram_frac"] > 0.9
+    assert got[2]["dup_gram_frac"] == 0.0
+    assert got[3]["n_grams"] == 1 and got[3]["top_gram_frac"] == 1.0
+
+
+def test_decontaminate_removes_overlapping_docs(spark):
+    """A corpus doc sharing a 7-gram with the benchmark is dropped;
+    a disjoint doc survives; benchmark-internal overlap is ignored."""
+    from awi_datapipelinepublic_spark.operators.quality import (
+        contaminated_ids,
+        decontaminate,
+    )
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta iota"
+    bench = spark.createDataFrame([(100, leak)], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix words " + leak + " suffix words"),   # contains the 7-gram
+            (2, "completely different content with no overlap at all here ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    assert [r["doc_id"] for r in contaminated_ids(corpus, bench, n=7).collect()] == [1]
+    assert [r["doc_id"] for r in decontaminate(corpus, bench, n=7).collect()] == [2]
