@@ -834,6 +834,96 @@ def q_tpch_q3_topk(spark, sf_dir):
     )
 
 
+def q_merge_upsert(spark, sf_dir):
+    """Keyed latest-wins upsert (MERGE INTO relational form): a
+    synthetic update batch (every 7th order restated at +10% price,
+    30 days later) merges into orders; one groupBy-max(struct)
+    shuffle, no join."""
+    from awi_datapipelinepublic_spark.operators.merge import merge_upsert
+
+    base = _t(spark, sf_dir, "orders")
+    updates = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("R").alias("o_orderstatus"),
+        # no ROUND: a 2dp price × 1.1 lands on exact half-boundaries
+        # where Spark (HALF_UP) and DuckDB (half-even) disagree; the
+        # raw IEEE product is bit-identical in both engines.
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    return merge_upsert(base, updates, keys=["o_orderkey"], version_col="o_orderdate").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"
+    )
+
+
+def q_scd2_merge(spark, sf_dir):
+    """SCD type-2: collapse each user's event_type change log into
+    effective-dated validity intervals (valid_from/valid_to/
+    is_current). Gaps-and-islands over ONE key-partitioned sort."""
+    from awi_datapipelinepublic_spark.operators.merge import scd2_merge
+
+    h = read_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    return scd2_merge(h, keys=["user_id"], change_col="event_type", effective_col="ts").select(
+        "user_id", "event_type", "valid_from", "valid_to", "is_current"
+    )
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Segment-level exact dedup (C4 paragraph rule, word-span form
+    for this corpus): every repeated 20-word segment is dropped
+    corpus-wide except its first (doc_id, pos) occurrence, and
+    documents are reassembled from their surviving segments."""
+    from awi_datapipelinepublic_spark.operators.dedup import segment_exact_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return segment_exact_dedup(docs, span_words=20).select("doc_id", "text")
+
+
+def q_tpch_q1_pricing(spark, sf_dir):
+    """TPC-H Q1 shape: full-scan grouped multi-aggregate over the fact
+    table. Two grouping keys with tiny cardinality → map-side partial
+    aggregation collapses nearly all rows before the single shuffle;
+    every aggregate is a codegen-resident built-in. The canonical
+    "pricing summary report" scan-throughput benchmark."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-08-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_tpch_q6_forecast(spark, sf_dir):
+    """TPC-H Q6 shape: tight range predicates → single scalar sum.
+    All three predicates push into the parquet scan (PushedFilters);
+    no shuffle at all — partial sums combine in a single-partition
+    final agg. The canonical predicate-pushdown benchmark."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue")
+    )
+
+
 def q_tpch_q5_revenue(spark, sf_dir):
     """TPC-H Q5 shape: multi-way star join → revenue per nation."""
     c = _t(spark, sf_dir, "customer")
@@ -1919,6 +2009,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "tpch_q3_topk": q_tpch_q3_topk,
         "tpch_q5_revenue": q_tpch_q5_revenue,
+        "paragraph_dedup": q_paragraph_dedup,
+        "merge_upsert": q_merge_upsert,
+        "scd2_merge": q_scd2_merge,
+        "tpch_q1_pricing": q_tpch_q1_pricing,
+        "tpch_q6_forecast": q_tpch_q6_forecast,
         "bpe_token_count": q_bpe_token_count,
         "embedding_near_dup": q_embedding_near_dup,
         "cube_agg": q_cube_agg,
@@ -2537,6 +2632,98 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > TIMESTAMP '1995-03-15'
             GROUP BY l_orderkey, o_orderdate
             ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+        """,
+        "merge_upsert": """
+            WITH updates AS (
+                SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+                       o_totalprice * 1.1 AS o_totalprice,
+                       o_orderdate + INTERVAL 30 DAY AS o_orderdate,
+                       o_orderpriority
+                FROM orders WHERE o_orderkey % 7 = 0
+            ),
+            tagged AS (
+                SELECT *, 0 AS src FROM orders
+                UNION ALL
+                SELECT *, 1 AS src FROM updates
+            ),
+            ranked AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                          ORDER BY o_orderdate DESC, src DESC) AS rn
+                FROM tagged
+            )
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM ranked WHERE rn = 1
+        """,
+        "scd2_merge": """
+            WITH d AS (
+                SELECT user_id, event_type, ts,
+                       CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+                                 IS NOT DISTINCT FROM event_type
+                            THEN 0 ELSE 1 END AS chg
+                FROM events
+            ),
+            i AS (
+                SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts) AS island
+                FROM d
+            ),
+            g AS (
+                SELECT user_id, island, event_type, MIN(ts) AS valid_from
+                FROM i GROUP BY 1, 2, 3
+            )
+            SELECT user_id, event_type, valid_from,
+                   LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+                   LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL AS is_current
+            FROM g
+        """,
+        "paragraph_dedup": """
+            WITH w AS (
+                SELECT doc_id, string_split_regex(text, '\\s+') AS ws
+                FROM documents
+            ),
+            seg_structs AS (
+                SELECT doc_id, UNNEST(list_transform(
+                         range(0, greatest(len(ws), 1), 20),
+                         s -> struct_pack(pos := s,
+                                          seg := array_to_string(ws[s + 1 : s + 20], ' ')))) AS u
+                FROM w
+            ),
+            segs AS (
+                SELECT doc_id, u.pos AS pos, u.seg AS seg
+                FROM seg_structs WHERE u.seg <> ''
+            ),
+            ranked AS (
+                SELECT doc_id, pos, seg,
+                       ROW_NUMBER() OVER (PARTITION BY md5(seg)
+                                          ORDER BY doc_id, pos) AS rn
+                FROM segs
+            )
+            SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text
+            FROM ranked WHERE rn = 1
+            GROUP BY doc_id
+        """,
+        "tpch_q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 4) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   ROUND(AVG(l_quantity), 4) AS avg_qty,
+                   ROUND(AVG(l_extendedprice), 4) AS avg_price,
+                   ROUND(AVG(l_discount), 4) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2001-08-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "tpch_q6_forecast": """
+            SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
         """,
         "tpch_q5_revenue": """
             SELECT n_name,

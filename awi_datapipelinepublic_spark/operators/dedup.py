@@ -366,3 +366,54 @@ def embedding_near_dup(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def segment_exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 20,
+    sep_pattern: str | None = None,
+    join_sep: str = " ",
+) -> DataFrame:
+    """C4-style segment-level exact dedup: drop every repeated segment
+    corpus-wide (keeping its first occurrence) and reassemble each
+    document from its surviving segments.
+
+    A *segment* is either a separator-delimited paragraph
+    (``sep_pattern``, e.g. ``r"\\n{2,}"`` — the C4 "three-sentence
+    span"/paragraph rule) or, for corpora without structural
+    separators, a fixed non-overlapping ``span_words``-word window.
+    First occurrence = lowest ``(doc_id, position)``.
+
+    Scale design: segments explode to (id, pos, seg) rows; the winner
+    per content hash is ``groupBy(md5).agg(min(struct(id, pos)))`` —
+    map-side partial min, ONE skew-proof shuffle even when a
+    boilerplate segment repeats 10⁹ times (a row_number window over
+    the hash would put all replicas in one partition). Survivors are
+    a left-semi join on the (id, pos) winner set, then one
+    groupBy(id) reassembly; collect_list holds only one document's
+    segments — bounded by max doc length, not corpus size.
+    """
+    words = F.split(F.col(text_col), r"\s+")
+    if sep_pattern is not None:
+        segs = F.split(F.col(text_col), sep_pattern)
+    else:
+        starts = F.sequence(F.lit(0), F.greatest(F.size(words) - 1, F.lit(0)), F.lit(span_words))
+        segs = F.transform(starts, lambda s: F.concat_ws(" ", F.slice(words, s + 1, span_words)))
+    ex = (
+        df.select(F.col(id_col), F.posexplode(segs).alias("pos", "seg"))
+        .filter(F.col("seg") != "")
+    )
+    winners = (
+        ex.groupBy(F.md5("seg").alias("__h"))
+        .agg(F.min(F.struct(id_col, "pos")).alias("__w"))
+        .select(F.col(f"__w.{id_col}").alias(id_col), F.col("__w.pos").alias("pos"))
+    )
+    kept = ex.join(winners, [id_col, "pos"], "left_semi")
+    return kept.groupBy(id_col).agg(
+        F.concat_ws(
+            join_sep,
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "seg"))), lambda x: x.seg),
+        ).alias(text_col)
+    )

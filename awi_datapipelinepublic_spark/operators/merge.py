@@ -154,3 +154,71 @@ def merge_into_table(
         if partition_by_month:
             w = w.partitionBy("_merge_month")
         w.format("parquet").saveAsTable(table)
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    version_col: str,
+) -> DataFrame:
+    """Keyed latest-wins upsert (warehouse MERGE INTO ... WHEN MATCHED
+    UPDATE / WHEN NOT MATCHED INSERT, collapsed to its relational
+    form): union both sides, keep the single highest-``version_col``
+    row per key, updates winning ties.
+
+    Scale design: ONE shuffle on the key via groupBy + max_by-style
+    min(struct) — no join, no window over a skewed key (a repeated key
+    with 10⁹ update rows still partial-aggregates map-side). On a
+    Delta/Iceberg cluster the same semantics are `MERGE INTO`; this is
+    the engine-neutral plan.
+    """
+    tagged = base.withColumn("__src", F.lit(0)).unionByName(
+        updates.withColumn("__src", F.lit(1))
+    )
+    payload = [c for c in tagged.columns if c not in keys]
+    # max(struct(version, src, payload...)) picks the winner row per
+    # key: highest version, then updates-side on version ties.
+    win = F.max(F.struct(version_col, "__src", *[p for p in payload if p not in (version_col, "__src")])).alias("__w")
+    out = tagged.groupBy(*keys).agg(win)
+    cols = [F.col(k) for k in keys] + [
+        F.col(f"__w.{c}").alias(c) for c in payload if c != "__src"
+    ]
+    return out.select(*cols)
+
+
+def scd2_merge(
+    history: DataFrame,
+    keys: list[str],
+    change_col: str,
+    effective_col: str,
+) -> DataFrame:
+    """Slowly-Changing-Dimension type 2: collapse a change log into
+    effective-dated rows. Consecutive rows per key where
+    ``change_col`` is unchanged merge into one validity interval;
+    each output row carries ``valid_from`` / ``valid_to`` (open
+    interval = NULL) and ``is_current``.
+
+    Scale design: one window partitioned by key ordered by
+    ``effective_col`` (lag to detect change points), then a second
+    cumulative-sum window over the same partitioning — Spark reuses
+    the single hash-partition exchange for both (one shuffle), and the
+    final groupBy on (key, island) re-uses it again.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(effective_col)
+    changed = F.when(
+        F.lag(change_col).over(w).eqNullSafe(F.col(change_col)), F.lit(0)
+    ).otherwise(F.lit(1))
+    islands = history.withColumn("__island", F.sum(changed).over(w))
+    grp = islands.groupBy(*keys, "__island", change_col).agg(
+        F.min(effective_col).alias("valid_from"),
+        F.max(effective_col).alias("__last_seen"),
+    )
+    w2 = Window.partitionBy(*keys).orderBy("valid_from")
+    return (
+        grp.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("__island", "__last_seen")
+    )

@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "events_session",
     "tpch_q3_topk",
     "tpch_q5_revenue",
+    "tpch_q1_pricing",
+    "tpch_q6_forecast",
     "asof_join",
     "sliding_window",
     "multimodal_decode",

@@ -73,3 +73,57 @@ def test_merge_into_path_staged_overwrite(spark, tmp_path):
     assert out == {1: "a", 3: "b"}
     # partition layout exists (month dirs)
     assert any(p.name.startswith("_merge_month=") for p in Path(base_path).iterdir() if p.is_dir())
+
+
+def test_merge_upsert_latest_wins_and_insert(spark):
+    from awi_datapipelinepublic_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, 10, "old"), (2, 10, "keep"), (3, 30, "newer-than-update")],
+        ["k", "ver", "val"],
+    )
+    updates = spark.createDataFrame(
+        [(1, 20, "updated"), (3, 20, "stale"), (4, 5, "inserted")],
+        ["k", "ver", "val"],
+    )
+    out = {r["k"]: (r["ver"], r["val"]) for r in merge_upsert(base, updates, ["k"], "ver").collect()}
+    assert out[1] == (20, "updated")      # matched, update newer
+    assert out[2] == (10, "keep")         # unmatched base row survives
+    assert out[3] == (30, "newer-than-update")  # stale update loses
+    assert out[4] == (5, "inserted")      # not-matched insert
+
+
+def test_merge_upsert_tie_prefers_update_side(spark):
+    from awi_datapipelinepublic_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame([(1, 10, "base")], ["k", "ver", "val"])
+    updates = spark.createDataFrame([(1, 10, "update")], ["k", "ver", "val"])
+    [row] = merge_upsert(base, updates, ["k"], "ver").collect()
+    assert row["val"] == "update"
+
+
+def test_scd2_merge_islands_and_validity(spark):
+    from awi_datapipelinepublic_spark.operators.merge import scd2_merge
+
+    d = dt.datetime
+    h = spark.createDataFrame(
+        [
+            (1, "A", d(2024, 1, 1)),
+            (1, "A", d(2024, 1, 2)),   # same value → same island
+            (1, "B", d(2024, 1, 3)),   # change
+            (1, "A", d(2024, 1, 4)),   # back to A → NEW island, not merged
+            (2, "X", d(2024, 1, 1)),
+        ],
+        ["k", "state", "eff"],
+    )
+    rows = sorted(
+        scd2_merge(h, ["k"], "state", "eff").collect(),
+        key=lambda r: (r["k"], r["valid_from"]),
+    )
+    k1 = [r for r in rows if r["k"] == 1]
+    assert [(r["state"], r["valid_from"].day) for r in k1] == [("A", 1), ("B", 3), ("A", 4)]
+    assert k1[0]["valid_to"] == d(2024, 1, 3) and not k1[0]["is_current"]
+    assert k1[1]["valid_to"] == d(2024, 1, 4)
+    assert k1[2]["valid_to"] is None and k1[2]["is_current"]
+    [k2] = [r for r in rows if r["k"] == 2]
+    assert k2["is_current"] and k2["valid_to"] is None

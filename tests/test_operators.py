@@ -210,3 +210,38 @@ def test_near_dedup_survivors_are_cluster_minima(spark, sf_dir):
         victims |= members - {canon}
     assert survivors == all_ids - victims
     assert victims, "corpus should contain planted near-dups"
+
+
+def test_segment_exact_dedup_first_occurrence_and_reassembly(spark):
+    from awi_datapipelinepublic_spark.operators.dedup import segment_exact_dedup
+
+    # span_words=2 → doc 1: [a b][c d][a b] (3rd segment repeats 1st);
+    # doc 2 starts with the same [a b] and has one unique segment.
+    df = spark.createDataFrame(
+        [(1, "a b c d a b"), (2, "a b x y"), (3, "x y")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["text"] for r in segment_exact_dedup(df, span_words=2).collect()}
+    # doc 1 keeps its first [a b] and [c d]; its own repeat is dropped.
+    assert out[1] == "a b c d"
+    # doc 2 loses [a b] (doc 1 owns it) and [x y] survives.
+    assert out[2] == "x y"
+    # doc 3's [x y] was first claimed by doc 2 → zero survivors → row absent.
+    assert 3 not in out
+
+
+def test_segment_exact_dedup_paragraph_mode(spark):
+    from awi_datapipelinepublic_spark.operators.dedup import segment_exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "intro\n\nbody text\n\nintro"), (2, "body text\n\nunique tail")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in segment_exact_dedup(
+            df, sep_pattern=r"\n\n", join_sep="\n\n"
+        ).collect()
+    }
+    assert out[1] == "intro\n\nbody text"
+    assert out[2] == "unique tail"
