@@ -834,6 +834,93 @@ def q_tpch_q3_topk(spark, sf_dir):
     )
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Exact corpus top-100 terms: explode → count (Zipf head
+    collapses map-side) → TakeOrderedAndProject."""
+    from awi_datapipelinepublic_spark.operators.corpus import heavy_hitters
+
+    return heavy_hitters(_t(spark, sf_dir, "documents"), k=100)
+
+
+def q_inverted_index(spark, sf_dir):
+    """term → (doc_freq, sorted posting list) over per-doc distinct
+    terms; postings serialized to a comma string for the cross-engine
+    hash."""
+    from awi_datapipelinepublic_spark.operators.corpus import inverted_index
+
+    idx = inverted_index(_t(spark, sf_dir, "documents"))
+    return idx.select(
+        "term",
+        "doc_freq",
+        F.concat_ws(",", F.col("postings")).alias("postings_csv"),
+    )
+
+
+def q_sequence_pack(spark, sf_dir):
+    """Greedy scan-order packing of documents into 2048-token
+    pretraining blocks; block text verified by md5."""
+    from awi_datapipelinepublic_spark.operators.corpus import sequence_pack
+
+    packed = sequence_pack(_t(spark, sf_dir, "documents"), block_tokens=2048)
+    return packed.select(
+        "block_id",
+        "n_docs",
+        "n_tokens",
+        F.concat_ws(",", F.col("doc_ids")).alias("doc_ids_csv"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
+def q_balanced_sample(spark, sf_dir):
+    """Deterministic class-balanced subset: 50 lowest-md5(doc_id)
+    documents per language."""
+    from awi_datapipelinepublic_spark.operators.sampling import balanced_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return balanced_sample(docs, group_col="lang", id_col="doc_id", k=50)
+
+
+def q_key_skew_profile(spark, sf_dir):
+    """Join-key skew diagnostic: 20 heaviest user_ids in events with
+    corpus share."""
+    from awi_datapipelinepublic_spark.operators.quality import key_skew_profile
+
+    # read_events, not _t: a vanilla driver session rejects the
+    # TIMESTAMP(NANOS) column at schema inference even for a
+    # user_id-only projection.
+    ev = read_events(spark, sf_dir).select("user_id")
+    return key_skew_profile(ev, key_col="user_id", top_n=20)
+
+
+def q_scan_binaryfile(spark, sf_dir):
+    """binaryFile source: multimodal blob ingest. 50 per-document
+    .bin files staged once per sf; the query reads them back through
+    the binaryFile source and fingerprints each blob. The oracle
+    recomputes (name, byte length, md5) from the documents table the
+    files were staged from, so a reader bug (truncation, encoding,
+    partial listing) breaks the hash."""
+    from awi_datapipelinepublic_spark.sources.readers import read_binary_files
+
+    stage = Path("/root/repo/.cache") / f"scan_binary_{Path(sf_dir).name}"
+    if not (stage / "_STAGED").exists():
+        rows = (
+            _t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 50)
+            .select("doc_id", "text")
+            .collect()
+        )
+        stage.mkdir(parents=True, exist_ok=True)
+        for r in rows:
+            (stage / f"doc_{r['doc_id']:05d}.bin").write_bytes(r["text"].encode())
+        (stage / "_STAGED").touch()
+    bf = read_binary_files(spark, str(stage), glob="*.bin")
+    return bf.select(
+        F.element_at(F.split("path", "/"), -1).alias("fname"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
 def q_merge_upsert(spark, sf_dir):
     """Keyed latest-wins upsert (MERGE INTO relational form): a
     synthetic update batch (every 7th order restated at +10% price,
@@ -2012,6 +2099,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "merge_upsert": q_merge_upsert,
         "scd2_merge": q_scd2_merge,
+        "scan_binaryfile": q_scan_binaryfile,
+        "heavy_hitters": q_heavy_hitters,
+        "inverted_index": q_inverted_index,
+        "sequence_pack": q_sequence_pack,
+        "balanced_sample": q_balanced_sample,
+        "key_skew_profile": q_key_skew_profile,
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "tpch_q6_forecast": q_tpch_q6_forecast,
         "bpe_token_count": q_bpe_token_count,
@@ -2632,6 +2725,60 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > TIMESTAMP '1995-03-15'
             GROUP BY l_orderkey, o_orderdate
             ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+        """,
+        "scan_binaryfile": """
+            SELECT 'doc_' || lpad(CAST(doc_id AS VARCHAR), 5, '0') || '.bin' AS fname,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   md5(text) AS content_md5
+            FROM documents WHERE doc_id < 50
+        """,
+        "heavy_hitters": f"""
+            SELECT term, COUNT(*) AS freq
+            FROM (SELECT unnest({_TOKS}) AS term FROM documents)
+            GROUP BY term
+            ORDER BY freq DESC, term ASC
+            LIMIT 100
+        """,
+        "inverted_index": f"""
+            WITH pairs AS (
+                SELECT doc_id, unnest(array_distinct({_TOKS})) AS term
+                FROM documents
+            )
+            SELECT term, COUNT(*) AS doc_freq,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings_csv
+            FROM pairs GROUP BY term
+        """,
+        "sequence_pack": f"""
+            WITH toks AS (
+                SELECT doc_id, text, CAST(len({_TOKS}) AS BIGINT) AS n_tok
+                FROM documents
+            ),
+            blocks AS (
+                SELECT *, CAST(floor((SUM(n_tok) OVER (ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - 1) / 2048.0) AS BIGINT) AS block_id
+                FROM toks
+            )
+            SELECT block_id, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids_csv,
+                   md5(string_agg(text, ' ' ORDER BY doc_id)) AS text_md5
+            FROM blocks GROUP BY block_id
+        """,
+        "balanced_sample": """
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       ROW_NUMBER() OVER (PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                FROM documents
+            ) WHERE rn <= 50
+        """,
+        "key_skew_profile": """
+            SELECT user_id, COUNT(*) AS key_count,
+                   ROUND(COUNT(*) / (SELECT COUNT(*) * 1.0 FROM events), 6) AS share
+            FROM events
+            GROUP BY user_id
+            ORDER BY key_count DESC, user_id ASC
+            LIMIT 20
         """,
         "merge_upsert": """
             WITH updates AS (

@@ -1,0 +1,118 @@
+"""Corpus-level analytics for training-data prep: vocabulary heavy
+hitters, inverted index construction, and sequence packing.
+
+All three are beyond-reference scale ops (the reference pipeline
+stops at warehouse views); they are the standard stages between a
+cleaned/deduped corpus and a tokenized training set:
+
+- :func:`heavy_hitters` — exact corpus-wide top-k terms. The shape a
+  stopword-list builder / vocab-truncation pass takes.
+- :func:`inverted_index` — term → sorted posting list. Powering both
+  decontamination lookups and lexical retrieval over the corpus.
+- :func:`sequence_pack` — greedy scan-order packing of documents into
+  fixed-token-budget blocks, the step that turns documents into
+  pretraining sequences.
+
+Scale design notes per function; everything is built-in expressions —
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from awi_datapipelinepublic_spark.functions import text as X
+
+
+def heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 100,
+) -> DataFrame:
+    """Exact top-k terms by corpus frequency.
+
+    explode → groupBy(term) count (map-side partial agg collapses the
+    Zipf head before the shuffle — the heavy hitters are exactly the
+    terms that compress best) → TakeOrderedAndProject for the top-k.
+    One shuffle; the final ordered limit never materializes the full
+    vocabulary on one node.
+    """
+    return (
+        df.select(F.explode(X.tokens(X.normalize_text(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int | None = None,
+) -> DataFrame:
+    """term → sorted posting list (+ document frequency).
+
+    Per-doc DISTINCT terms explode to (term, id) pairs; one shuffle on
+    term builds each posting list via collect_list (map-side partial).
+    Posting lists for stopword-grade terms scale with the corpus —
+    ``max_postings`` caps the stored list (slice after sort), keeping
+    df exact while bounding state, the standard impact-ordered-index
+    compromise; leave None only when a quality gate upstream has
+    already dropped stopwords.
+    """
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(X.tokens(X.normalize_text(text_col)))).alias("term"),
+    )
+    idx = pairs.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sort_array(F.collect_list(id_col)).alias("postings"),
+    )
+    if max_postings is not None:
+        idx = idx.withColumn("postings", F.slice("postings", 1, max_postings))
+    return idx
+
+
+def sequence_pack(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_tokens: int = 2048,
+) -> DataFrame:
+    """Pack documents into fixed-token-budget training blocks by
+    greedy scan order: running token total over ``id_col`` order,
+    block = which budget multiple the document's span ends in. A
+    document longer than the budget still lands in exactly one block
+    (real pipelines chunk first — operators/chunking.py).
+
+    Scale design: ONE global ordering is required by the semantics
+    (same as any deterministic packer); it is a single range-partition
+    sort (Spark samples split points, no single-node bottleneck), then
+    a cumulative-sum window over that same range partitioning and one
+    groupBy(block) with bounded per-block collect_lists (≤ budget
+    tokens of text per block).
+    """
+    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
+    toks = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        X.token_count(text_col).alias("__n_tok"),
+    )
+    packed = toks.withColumn(
+        "block_id",
+        ((F.sum("__n_tok").over(w) - 1) / F.lit(block_tokens)).cast("bigint"),
+    )
+    return packed.groupBy("block_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__n_tok").alias("n_tokens"),
+        F.sort_array(F.collect_list(id_col)).alias(f"{id_col}s"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(id_col, text_col))),
+                lambda s: s[text_col],
+            ),
+        ).alias(text_col),
+    )

@@ -103,3 +103,30 @@ def decontaminate(
     when small."""
     bad = contaminated_ids(corpus, benchmark, id_col, text_col, n)
     return corpus.join(bad, id_col, "left_anti")
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 20,
+) -> DataFrame:
+    """Join-key skew diagnostic: the ``top_n`` heaviest keys with
+    absolute count and corpus share. The pre-flight check before
+    choosing salting / AQE-skew-join for a fact-fact join.
+
+    One groupBy(key) with map-side partials, a broadcast of the single
+    scalar total, TakeOrderedAndProject for the head — nothing
+    driver-side, works unchanged on a 10¹² row table.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("key_count"))
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            key_col,
+            "key_count",
+            F.round(F.col("key_count") / F.col("__total"), 6).alias("share"),
+        )
+        .orderBy(F.col("key_count").desc(), F.col(key_col).asc())
+        .limit(top_n)
+    )

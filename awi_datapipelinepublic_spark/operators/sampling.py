@@ -77,3 +77,29 @@ def stratified_sample_hash(
     for value, frac in sorted(fractions.items()):
         cond = F.when(F.col(strata_col) == value, keep(frac)).otherwise(cond)
     return df.filter(cond)
+
+
+def balanced_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic per-group k-sample (class-balanced subset): the k
+    rows with the smallest md5(id) per group. No RNG — the same rows
+    are chosen on any engine/cluster/run, the property that makes a
+    training subset reproducible and auditable.
+
+    One shuffle on ``group_col``; the per-group window sorts only
+    within a group. For pathologically heavy groups the md5 order is
+    uniform, so a pre-filter on a hash prefix (stratified_sample_hash)
+    can shrink the sort input before ranking.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

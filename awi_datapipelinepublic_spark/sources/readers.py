@@ -137,3 +137,26 @@ def read_excel_sheets(
     for sdf in sdfs[1:]:
         out = out.unionByName(sdf, allowMissingColumns=True)
     return out
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+) -> DataFrame:
+    """Opaque-blob ingest via Spark's built-in ``binaryFile`` source —
+    the entry point for multimodal corpora (images/audio/video land as
+    one row per file: path, modificationTime, length, content).
+
+    Scale notes: the source parallelizes over files (one partition per
+    file up to maxPartitionBytes); content is only materialized for
+    rows that survive pushed path/length predicates. Pair with
+    ``pathGlobFilter`` (the ``glob`` arg) instead of a post-filter on
+    ``path`` so pruning happens at file-listing time, and keep blob
+    payloads in their own column so downstream column pruning skips
+    the bytes entirely (operators/multimodal.py).
+    """
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)

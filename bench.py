@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     # bucketed-layout fact-fact join: first (warm) run pays the one-time
     # bucketed table write; min-of-2 reports the shuffle-free join.
     "colocated_join",
+    # corpus-prep additions: vocabulary head, global-sort packing
+    "heavy_hitters",
+    "sequence_pack",
 ]
 
 

@@ -245,3 +245,65 @@ def test_segment_exact_dedup_paragraph_mode(spark):
     }
     assert out[1] == "intro\n\nbody text"
     assert out[2] == "unique tail"
+
+
+def test_sequence_pack_block_budget_and_reassembly(spark):
+    from awi_datapipelinepublic_spark.operators.corpus import sequence_pack
+
+    # 5 docs × 3 tokens, budget 6 → blocks of exactly 2 docs (last block 1).
+    df = spark.createDataFrame(
+        [(i, f"w{i}a w{i}b w{i}c") for i in range(5)], ["doc_id", "text"]
+    )
+    rows = sorted(sequence_pack(df, block_tokens=6).collect(), key=lambda r: r["block_id"])
+    assert [r["block_id"] for r in rows] == [0, 1, 2]
+    assert [r["n_docs"] for r in rows] == [2, 2, 1]
+    assert rows[0]["text"] == "w0a w0b w0c w1a w1b w1c"
+    assert rows[0]["doc_ids"] == [0, 1]
+    # every block within budget
+    assert all(r["n_tokens"] <= 6 for r in rows)
+
+
+def test_sequence_pack_oversized_doc_lands_in_one_block(spark):
+    from awi_datapipelinepublic_spark.operators.corpus import sequence_pack
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b")], ["doc_id", "text"]
+    )
+    rows = {r["block_id"]: r for r in sequence_pack(df, block_tokens=4).collect()}
+    # doc 1 (10 tokens > budget 4) is emitted whole in the block its
+    # span ends in (block 2); doc 2's span also ends inside block 2's
+    # budget window, so it packs alongside — exactly one block.
+    assert list(rows) == [2]
+    assert rows[2]["doc_ids"] == [1, 2]
+    assert rows[2]["n_tokens"] == 12
+
+
+def test_balanced_sample_sizes_and_determinism(spark):
+    from awi_datapipelinepublic_spark.operators.sampling import balanced_sample
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)], ["id", "grp"]
+    )
+    out1 = balanced_sample(df, "grp", "id", 25).collect()
+    out2 = balanced_sample(df, "grp", "id", 25).collect()
+    assert sorted(r["id"] for r in out1) == sorted(r["id"] for r in out2)
+    by_grp = {}
+    for r in out1:
+        by_grp.setdefault(r["grp"], []).append(r["id"])
+    assert len(by_grp["big"]) == 25
+    assert len(by_grp["small"]) == 25
+
+
+def test_inverted_index_postings_and_cap(spark):
+    from awi_datapipelinepublic_spark.operators.corpus import inverted_index
+
+    df = spark.createDataFrame(
+        [(3, "x y"), (1, "x x z"), (2, "x")], ["doc_id", "text"]
+    )
+    idx = {r["term"]: r for r in inverted_index(df).collect()}
+    assert idx["x"]["postings"] == [1, 2, 3]        # sorted, distinct-per-doc
+    assert idx["x"]["doc_freq"] == 3                 # doc freq, not term freq
+    assert idx["z"]["postings"] == [1]
+    capped = {r["term"]: r for r in inverted_index(df, max_postings=2).collect()}
+    assert capped["x"]["postings"] == [1, 2]         # capped list
+    assert capped["x"]["doc_freq"] == 3              # df stays exact
