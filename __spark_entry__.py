@@ -834,6 +834,50 @@ def q_tpch_q3_topk(spark, sf_dir):
     )
 
 
+def q_bm25_topk(spark, sf_dir):
+    """BM25 lexical retrieval: top-20 documents for a 3-term query.
+    Corpus explodes once, filtered to query-term hits; df + (N, avgdl)
+    broadcast back; ranking on the rounded score is engine-stable."""
+    from awi_datapipelinepublic_spark.operators.corpus import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), ["spark", "merge", "window"], k=20
+    )
+
+
+def q_streaming_totals(spark, sf_dir):
+    """§2.I custom stateful operator as a driver-gate row: events
+    drained availableNow through applyInPandasWithState
+    (streaming/windows.py running_user_totals), final per-user state
+    read back as batch. Oracle: plain batch groupBy — a drained
+    stateful stream must equal its batch twin."""
+    import tempfile
+    from pathlib import Path as _P
+
+    from awi_datapipelinepublic_spark.sources.readers import read_events
+    from awi_datapipelinepublic_spark.streaming.windows import running_user_totals
+
+    tmp = _P(tempfile.mkdtemp(prefix="awi_stateful_gate_"))
+    staged = str(tmp / "events")
+    read_events(spark, sf_dir).select("user_id", "value").write.parquet(staged)
+    stream = spark.readStream.schema("user_id long, value double").parquet(staged)
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("parquet")
+        .option("path", str(tmp / "out"))
+        .option("checkpointLocation", str(tmp / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(str(tmp / "out"))
+    return out.groupBy("user_id").agg(
+        F.max("running_events").alias("n_events"),
+        F.round(F.max("running_value"), 4).alias("total_value"),
+    )
+
+
 def q_heavy_hitters(spark, sf_dir):
     """Exact corpus top-100 terms: explode → count (Zipf head
     collapses map-side) → TakeOrderedAndProject."""
@@ -2100,6 +2144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "scd2_merge": q_scd2_merge,
         "scan_binaryfile": q_scan_binaryfile,
+        "streaming_totals": q_streaming_totals,
+        "bm25_topk": q_bm25_topk,
         "heavy_hitters": q_heavy_hitters,
         "inverted_index": q_inverted_index,
         "sequence_pack": q_sequence_pack,
@@ -2731,6 +2777,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    md5(text) AS content_md5
             FROM documents WHERE doc_id < 50
+        """,
+        "bm25_topk": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            stats AS (SELECT COUNT(*) AS N, AVG(len(t)) AS avgdl FROM toks),
+            hits AS (
+                SELECT doc_id, len(t) AS dl, term, COUNT(*) AS tf
+                FROM (SELECT doc_id, t, unnest(t) AS term FROM toks)
+                WHERE term IN ('spark', 'merge', 'window')
+                GROUP BY doc_id, dl, term
+            ),
+            dfreq AS (SELECT term, COUNT(*) AS df FROM hits GROUP BY term)
+            SELECT doc_id,
+                   ROUND(SUM(ln((N - df + 0.5) / (df + 0.5) + 1.0)
+                             * tf * 2.2
+                             / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
+            FROM hits JOIN dfreq USING (term), stats
+            GROUP BY doc_id
+            ORDER BY bm25 DESC, doc_id ASC
+            LIMIT 20
+        """,
+        "streaming_totals": """
+            SELECT user_id, COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS total_value
+            FROM events GROUP BY user_id
         """,
         "heavy_hitters": f"""
             SELECT term, COUNT(*) AS freq

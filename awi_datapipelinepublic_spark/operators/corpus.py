@@ -116,3 +116,50 @@ def sequence_pack(
             ),
         ).alias(text_col),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lucene-form BM25 lexical retrieval: score every document
+    against ``query_terms``, return the top-k.
+
+    idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1);
+    score = Σ idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+
+    Scale design: the corpus explodes once but is immediately filtered
+    to query-term hits (the only rows that shuffle — query terms are a
+    handful, so this is a sliver of the corpus); document frequencies
+    and the (N, avgdl) scalars broadcast back; one final groupBy(doc)
+    sums partial scores and TakeOrderedAndProject keeps the top-k.
+    Ordering is on the ROUNDED score (+ id tiebreak) so ranking is
+    reproducible across engines/runs at ulp level.
+    """
+    toks = df.select(F.col(id_col), X.tokens(X.normalize_text(text_col)).alias("__t"))
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("__N"), F.avg(F.size("__t")).alias("__avgdl")
+    )
+    hits = (
+        toks.select(F.col(id_col), F.size("__t").alias("__dl"), F.explode("__t").alias("term"))
+        .filter(F.col("term").isin(list(query_terms)))
+        .groupBy(id_col, "__dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("__N") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    norm = F.col("tf") + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))
+    return (
+        hits.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__s", idf * F.col("tf") * (k1 + 1) / norm)
+        .groupBy(id_col)
+        .agg(F.round(F.sum("__s"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -307,3 +307,25 @@ def test_inverted_index_postings_and_cap(spark):
     capped = {r["term"]: r for r in inverted_index(df, max_postings=2).collect()}
     assert capped["x"]["postings"] == [1, 2]         # capped list
     assert capped["x"]["doc_freq"] == 3              # df stays exact
+
+
+def test_bm25_ranks_matching_docs(spark):
+    from awi_datapipelinepublic_spark.operators.corpus import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "cat dog cat dog cat"),     # many common-term hits
+            (2, "cat penguin"),             # one common + one rare term
+            (3, "dog"),                     # single hit, short doc
+            (4, "fish fish fish"),          # no query terms → excluded
+        ],
+        ["doc_id", "text"],
+    )
+    rows = bm25_topk(df, ["cat", "penguin"], k=10).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert 4 not in ids and 3 not in ids
+    # 'penguin' appears in 1/3 docs with tokens → higher idf than 'cat'
+    # (2/3 docs); doc 2 matching the rare term outranks tf-heavy doc 1.
+    assert ids[0] == 2
+    assert set(ids) == {1, 2}
+    assert all(rows[i]["bm25"] >= rows[i + 1]["bm25"] for i in range(len(rows) - 1))
