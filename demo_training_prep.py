@@ -72,12 +72,28 @@ def prepare(spark, sf_dir: str, out_dir: str) -> dict:
         r["split"]: r["n"]
         for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
     }
+
+    # 6. pack the train split's chunks into fixed-token pretraining
+    # blocks (greedy scan order — operators/corpus.sequence_pack)
+    from awi_datapipelinepublic_spark.operators.corpus import sequence_pack
+
+    train_chunks = (
+        out.filter(F.col("split") == "train")
+        .select(
+            (F.col("doc_id") * 10000 + F.col("chunk_no")).alias("doc_id"),
+            F.col("chunk_text").alias("text"),
+        )
+    )
+    blocks = sequence_pack(train_chunks, block_tokens=512)
+    n_blocks = blocks.count()
+
     return {
         "raw_docs": n_raw,
         "after_quality_lang": n_quality,
         "after_exact_dedup": n_exact,
         "after_near_dedup": n_near,
         "chunks_per_split": per_split,
+        "train_blocks_512tok": n_blocks,
     }
 
 
