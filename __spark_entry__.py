@@ -834,6 +834,51 @@ def q_tpch_q3_topk(spark, sf_dir):
     )
 
 
+def q_resample_ohlc(spark, sf_dir):
+    """Per-(user, hour) OHLC bars: open/close via min_by/max_by argmin
+    aggregates — one shuffle, no sort, no window."""
+    from awi_datapipelinepublic_spark.operators.timeseries import resample_ohlc
+
+    ev = read_events(spark, sf_dir)
+    out = resample_ohlc(ev, granularity="hour")
+    return out.select(
+        "user_id",
+        "bucket",
+        F.round("open", 6).alias("open"),
+        F.round("high", 6).alias("high"),
+        F.round("low", 6).alias("low"),
+        F.round("close", 6).alias("close"),
+        "n_ticks",
+    )
+
+
+def q_quantile_bins(spark, sf_dir):
+    """Exact NTILE(10) equal-frequency binning of order prices via the
+    scalable two-pass global rank (no single-partition window); per-bin
+    count/min/max verified against DuckDB's native NTILE."""
+    from awi_datapipelinepublic_spark.operators.windows import quantile_bins
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    binned = quantile_bins(o, "o_totalprice", n_bins=10, tiebreak_col="o_orderkey")
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+        )
+        .orderBy("bin")
+    )
+
+
+def q_tfidf_keywords(spark, sf_dir):
+    """Top-3 tf-idf keywords per document; per-doc top-m is a
+    WindowGroupLimit, df and N broadcast back to the tf rows."""
+    from awi_datapipelinepublic_spark.operators.corpus import tfidf_keywords
+
+    return tfidf_keywords(_t(spark, sf_dir, "documents"), top_m=3)
+
+
 def q_bm25_topk(spark, sf_dir):
     """BM25 lexical retrieval: top-20 documents for a 3-term query.
     Corpus explodes once, filtered to query-term hits; df + (N, avgdl)
@@ -2146,6 +2191,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_binaryfile": q_scan_binaryfile,
         "streaming_totals": q_streaming_totals,
         "bm25_topk": q_bm25_topk,
+        "resample_ohlc": q_resample_ohlc,
+        "quantile_bins": q_quantile_bins,
+        "tfidf_keywords": q_tfidf_keywords,
         "heavy_hitters": q_heavy_hitters,
         "inverted_index": q_inverted_index,
         "sequence_pack": q_sequence_pack,
@@ -2777,6 +2825,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    md5(text) AS content_md5
             FROM documents WHERE doc_id < 50
+        """,
+        "resample_ohlc": """
+            SELECT user_id, date_trunc('hour', ts) AS bucket,
+                   ROUND(arg_min(value, ts), 6) AS open,
+                   ROUND(MAX(value), 6) AS high,
+                   ROUND(MIN(value), 6) AS low,
+                   ROUND(arg_max(value, ts), 6) AS close,
+                   COUNT(*) AS n_ticks
+            FROM events
+            GROUP BY user_id, date_trunc('hour', ts)
+        """,
+        "quantile_bins": """
+            WITH binned AS (
+                SELECT o_totalprice,
+                       NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+                FROM orders
+            )
+            SELECT bin, COUNT(*) AS n,
+                   ROUND(MIN(o_totalprice), 4) AS lo,
+                   ROUND(MAX(o_totalprice), 4) AS hi
+            FROM binned GROUP BY bin ORDER BY bin
+        """,
+        "tfidf_keywords": f"""
+            WITH pairs AS (
+                SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM pairs GROUP BY 1, 2),
+            dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT COUNT(*) AS N FROM documents),
+            scored AS (
+                SELECT doc_id, term,
+                       ROUND(tf * ln(N * 1.0 / df), 6) AS tfidf
+                FROM tf JOIN dfreq USING (term), n
+            ),
+            ranked AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                          ORDER BY tfidf DESC, term ASC) AS rank
+                FROM scored
+            )
+            SELECT doc_id, term, tfidf, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 3
         """,
         "bm25_topk": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

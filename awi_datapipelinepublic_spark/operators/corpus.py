@@ -163,3 +163,42 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    top_m: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document keyword extraction: the ``top_m`` terms by
+    tf·idf (idf = ln(N/df), the classic unsmoothed form).
+
+    One explode → groupBy(doc, term) for tf; term document
+    frequencies aggregate once and broadcast back; the per-doc top-m
+    is a WindowGroupLimit (bounded per-key buffers, no full per-doc
+    sort materialization). Ranking orders on the ROUNDED score + term
+    tiebreak for cross-engine reproducibility.
+    """
+    from pyspark.sql import Window
+
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(X.tokens(X.normalize_text(text_col))).alias("term"),
+    )
+    tf = pairs.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.count(F.lit(1)).alias("__N"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf", F.round(F.col("tf") * F.log(F.col("__N") / F.col("df")), 6)
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= top_m)
+        .select(id_col, "term", "tfidf", F.col("__rn").alias("rank"))
+    )

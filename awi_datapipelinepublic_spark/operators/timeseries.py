@@ -79,3 +79,33 @@ def gap_fill(
     for name, dv in fill.items():
         out = out.withColumn(name, F.coalesce(F.col(name), F.lit(dv)))
     return out
+
+
+def resample_ohlc(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    granularity: str = "hour",
+) -> DataFrame:
+    """Downsample a (key, ts, value) series to per-bucket OHLC bars
+    (open/high/low/close + count) — the canonical time-series
+    aggregation for dashboards and feature windows.
+
+    ONE shuffle on (key, bucket); open/close are min_by/max_by
+    argmin/argmax aggregates (map-side partials), never a sort or a
+    window — a bucket with 10⁹ ticks still combines in O(1) state per
+    partition. Requires ts unique per key (true of an event log with
+    per-key sequencing); ties would make open/close nondeterministic.
+    """
+    bucket = F.date_trunc(granularity, F.col(ts_col)).alias("bucket")
+    return (
+        events.groupBy(F.col(key_col), bucket)
+        .agg(
+            F.min_by(value_col, ts_col).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(value_col, ts_col).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )

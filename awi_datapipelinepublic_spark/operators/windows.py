@@ -95,3 +95,38 @@ def is_new_flag(
     return df.withColumn(
         out_col, F.when(F.row_number().over(w) == 1, F.lit("N")).otherwise(F.lit("E"))
     )
+
+
+def quantile_bins(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    tiebreak_col: str | None = None,
+    out_col: str = "bin",
+) -> DataFrame:
+    """Exact equal-frequency binning (feature discretization) with
+    NTILE semantics — but built on the scalable two-pass global row
+    number instead of a single-partition window.
+
+    NTILE(n) is pure arithmetic on the global rank: with q = ⌊N/n⌋,
+    r = N mod n, the first r bins hold q+1 rows. Computing rank via
+    global_row_number (range-partition sort + broadcast offsets) and
+    deriving the bin keeps the plan fully parallel where a bare
+    ``ntile().over(Window.orderBy(...))`` would drag every row into
+    one partition.
+    """
+    order = [F.col(value_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    ranked = global_row_number(df, order, out_col="__grn")
+    total = ranked.groupBy().agg(F.count(F.lit(1)).alias("__N"))
+    q = F.floor(F.col("__N") / n_bins)
+    r = F.col("__N") % n_bins
+    rn = F.col("__grn")
+    big = (q + 1) * r  # rows living in the first r (larger) bins
+    bin_expr = F.when(
+        rn <= big, F.ceil(rn / (q + 1))
+    ).otherwise(r + F.ceil((rn - big) / q))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(out_col, bin_expr.cast("int"))
+        .drop("__grn", "__N")
+    )

@@ -329,3 +329,63 @@ def test_bm25_ranks_matching_docs(spark):
     assert ids[0] == 2
     assert set(ids) == {1, 2}
     assert all(rows[i]["bm25"] >= rows[i + 1]["bm25"] for i in range(len(rows) - 1))
+
+
+def test_quantile_bins_matches_native_ntile(spark):
+    from awi_datapipelinepublic_spark.operators.windows import quantile_bins
+    from pyspark.sql import Window
+
+    df = spark.range(0, 997).select((F.col("id") * 31 % 1009).alias("v"), F.col("id").alias("k"))
+    ours = {(r["v"], r["k"]): r["bin"] for r in quantile_bins(df, "v", 7, "k").collect()}
+    native = {
+        (r["v"], r["k"]): r["nb"]
+        for r in df.withColumn(
+            "nb", F.ntile(7).over(Window.orderBy("v", "k"))
+        ).collect()
+    }
+    assert ours == native
+
+
+def test_quantile_bins_fewer_rows_than_bins(spark):
+    from awi_datapipelinepublic_spark.operators.windows import quantile_bins
+
+    df = spark.createDataFrame([(5, 1), (3, 2), (9, 3)], ["v", "k"])
+    out = sorted((r["v"], r["bin"]) for r in quantile_bins(df, "v", 10, "k").collect())
+    # N < n_bins → ntile semantics: one row per bin, in value order
+    assert out == [(3, 1), (5, 2), (9, 3)]
+
+
+def test_resample_ohlc_bar_semantics(spark):
+    import datetime as dt
+
+    from awi_datapipelinepublic_spark.operators.timeseries import resample_ohlc
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 5), 10.0),
+        (1, dt.datetime(2024, 1, 1, 10, 20), 50.0),   # high
+        (1, dt.datetime(2024, 1, 1, 10, 55), 20.0),   # close
+        (1, dt.datetime(2024, 1, 1, 11, 0), 7.0),     # next bar
+        (2, dt.datetime(2024, 1, 1, 10, 30), 3.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    bars = {(r["user_id"], r["bucket"].hour): r for r in resample_ohlc(df).collect()}
+    b = bars[(1, 10)]
+    assert (b["open"], b["high"], b["low"], b["close"], b["n_ticks"]) == (10.0, 50.0, 10.0, 20.0, 3)
+    assert bars[(1, 11)]["open"] == 7.0 and bars[(1, 11)]["n_ticks"] == 1
+    assert bars[(2, 10)]["open"] == bars[(2, 10)]["close"] == 3.0
+
+
+def test_tfidf_keywords_rare_term_wins(spark):
+    from awi_datapipelinepublic_spark.operators.corpus import tfidf_keywords
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common common rare"),
+            (2, "common filler words here"),
+            (3, "common other stuff again"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {(r["doc_id"], r["rank"]): r["term"] for r in tfidf_keywords(df, top_m=2).collect()}
+    # 'common' appears in every doc → idf = ln(1) = 0; rare term wins.
+    assert out[(1, 1)] == "rare"
