@@ -834,6 +834,27 @@ def q_tpch_q3_topk(spark, sf_dir):
     )
 
 
+def q_fuzzy_join_blocked(spark, sf_dir):
+    """Blocked entity-resolution self-join on customer names: pairs
+    form only inside a 15-char prefix block, levenshtein ≤ 1 within
+    the block — equi-join cost, never O(n²)."""
+    from awi_datapipelinepublic_spark.operators.joins import fuzzy_join_blocked
+
+    c = _t(spark, sf_dir, "customer")
+    return fuzzy_join_blocked(c, c, "c_name", "c_custkey", block_chars=15, max_dist=1)
+
+
+def q_winsorize(spark, sf_dir):
+    """Winsorized order prices: exact p01/p99 clip (Spark percentile
+    == DuckDB quantile_cont), scalars broadcast to the clip scan."""
+    from awi_datapipelinepublic_spark.operators.quality import winsorize
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return winsorize(o, "o_totalprice", out_col="price_w").select(
+        "o_orderkey", F.round("price_w", 4).alias("price_w")
+    )
+
+
 def q_resample_ohlc(spark, sf_dir):
     """Per-(user, hour) OHLC bars: open/close via min_by/max_by argmin
     aggregates — one shuffle, no sort, no window."""
@@ -2192,6 +2213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_totals": q_streaming_totals,
         "bm25_topk": q_bm25_topk,
         "resample_ohlc": q_resample_ohlc,
+        "fuzzy_join_blocked": q_fuzzy_join_blocked,
+        "winsorize": q_winsorize,
         "quantile_bins": q_quantile_bins,
         "tfidf_keywords": q_tfidf_keywords,
         "heavy_hitters": q_heavy_hitters,
@@ -2825,6 +2848,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    md5(text) AS content_md5
             FROM documents WHERE doc_id < 50
+        """,
+        "fuzzy_join_blocked": """
+            WITH b AS (
+                SELECT c_custkey, c_name, substr(c_name, 1, 15) AS blk
+                FROM customer
+            )
+            SELECT a.c_custkey AS id_a, b2.c_custkey AS id_b,
+                   CAST(levenshtein(a.c_name, b2.c_name) AS BIGINT) AS dist
+            FROM b a JOIN b b2
+              ON a.blk = b2.blk AND a.c_custkey < b2.c_custkey
+            WHERE levenshtein(a.c_name, b2.c_name) <= 1
+        """,
+        "winsorize": """
+            WITH p AS (
+                SELECT quantile_cont(o_totalprice, 0.01) AS lo,
+                       quantile_cont(o_totalprice, 0.99) AS hi
+                FROM orders
+            )
+            SELECT o_orderkey,
+                   ROUND(LEAST(GREATEST(o_totalprice, lo), hi), 4) AS price_w
+            FROM orders, p
         """,
         "resample_ohlc": """
             SELECT user_id, date_trunc('hour', ts) AS bucket,

@@ -169,3 +169,39 @@ def asof_join(
         ],
     )
     return carried.filter(F.col("__side") == 1).select(*lcols, *right_payload)
+
+
+def fuzzy_join_blocked(
+    left: DataFrame,
+    right: DataFrame,
+    name_col: str,
+    id_col: str,
+    block_chars: int,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Entity-resolution join: candidate pairs form ONLY inside a
+    blocking key (here a name prefix), then exact edit distance
+    filters within the block — the standard blocked record-linkage
+    plan. Without blocking a fuzzy join is an O(n²) cross product; a
+    block key turns it into an equi-join whose cost is bounded by the
+    largest block (pick/combine keys so blocks stay small; run
+    multiple passes with different keys to recover cross-block
+    matches — each pass is this same operator).
+
+    levenshtein() runs JVM-side post-join on block-bounded pairs
+    only. Output: (id_a, id_b, dist), id_a < id_b.
+    """
+    blk = lambda side: side.select(  # noqa: E731
+        F.col(id_col), F.col(name_col), F.substring(F.col(name_col), 1, block_chars).alias("__blk")
+    )
+    a, b = blk(left).alias("a"), blk(right).alias("b")
+    return (
+        a.join(b, (F.col("a.__blk") == F.col("b.__blk")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .withColumn("dist", F.levenshtein(F.col(f"a.{name_col}"), F.col(f"b.{name_col}")).cast("long"))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "dist",
+        )
+    )

@@ -130,3 +130,34 @@ def key_skew_profile(
         .orderBy(F.col("key_count").desc(), F.col(key_col).asc())
         .limit(top_n)
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Percentile clipping (winsorization): cap a numeric feature at
+    its exact [lower, upper] quantiles — the outlier guard before any
+    scale-sensitive downstream (z-scores, embeddings, loss weights).
+
+    Exact linear-interpolation percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`) aggregate the full column into one
+    aggregation buffer — verifiable, but at true corpus scale swap in
+    `approx_percentile` (t-digest, mergeable, bounded memory); the
+    clip itself is a broadcast of two scalars either way.
+    """
+    pcts = df.agg(
+        F.percentile(value_col, F.lit(lower)).alias("__lo"),
+        F.percentile(value_col, F.lit(upper)).alias("__hi"),
+    )
+    return (
+        df.crossJoin(F.broadcast(pcts))
+        .withColumn(
+            out_col or value_col,
+            F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
+        )
+        .drop("__lo", "__hi")
+    )

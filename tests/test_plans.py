@@ -242,3 +242,53 @@ def test_colocated_join_gate_no_exchange(spark, sf_dir):
         tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
         spark.sql(f"DROP TABLE IF EXISTS bkt_lineitem_{tag}")
         spark.sql(f"DROP TABLE IF EXISTS bkt_orders_{tag}")
+
+
+def test_quantile_bins_avoids_single_partition_window(spark, sf_dir):
+    """The scalable NTILE derivation must not plan a SinglePartition
+    exchange for the ranking (the hazard of a bare global ntile)."""
+    from awi_datapipelinepublic_spark.operators.windows import quantile_bins
+    import __spark_entry__ as em
+
+    o = em._t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    plan = _plan(quantile_bins(o, "o_totalprice", 10, "o_orderkey"))
+    # rank rides rangepartitioning; the only SinglePartition allowed is
+    # the tiny per-partition-count offset table (one row per partition)
+    import re
+    range_parts = plan.count("rangepartitioning")
+    assert range_parts >= 1, plan[:2000]
+
+    native_plan = _plan(
+        o.withColumn(
+            "b",
+            __import__("pyspark.sql.functions", fromlist=["ntile"]).ntile(10).over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy(
+                    "o_totalprice"
+                )
+            ),
+        )
+    )
+    assert "SinglePartition" in native_plan  # the hazard we're avoiding
+
+
+def test_tfidf_topm_uses_window_group_limit(spark, sf_dir):
+    """Per-doc top-m must plan as WindowGroupLimit (bounded per-key
+    buffers), not a full per-doc sort materialization."""
+    from awi_datapipelinepublic_spark.operators.corpus import tfidf_keywords
+    import __spark_entry__ as em
+
+    plan = _plan(tfidf_keywords(em._t(spark, sf_dir, "documents"), top_m=3))
+    assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_bm25_broadcasts_stats_not_corpus(spark, sf_dir):
+    """BM25's df/(N, avgdl) joins must be broadcast; the only shuffles
+    key the tf and final per-doc aggregations."""
+    from awi_datapipelinepublic_spark.operators.corpus import bm25_topk
+    import __spark_entry__ as em
+
+    plan = _plan(
+        bm25_topk(em._t(spark, sf_dir, "documents"), ["spark", "merge"], k=10)
+    )
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
