@@ -2127,16 +2127,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_row_number": q_win_row_number,
         "derive_is_new": q_derive_is_new,
         "sort_asc": q_sort_asc,
-        "sort_desc": q_sort_desc,
         "limit_topk": q_limit_topk,
-        "union_all": q_align_union,
         "fn_coalesce": q_fn_coalesce,
         "fn_case_eq": q_fn_case_eq,
-        "fn_alias": q_fn_alias,
         "fn_isnotnull": q_fn_isnotnull,
         "fn_date_cmp": q_fn_date_cmp,
         "fn_date_lt_param": q_fn_date_lt_param,
-        "fn_select_star": q_fn_select_star,
         "make_view": q_make_view,
         "merge_time_window": q_merge_time_window,
         "view_retention": q_view_retention,
@@ -2156,7 +2152,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "asof_join": q_asof_join,
         "range_join_binned": q_range_join_binned,
+        # round-2 flagships promoted into the 50-id driver window;
+        # union_all/concat_rows (align_union aliases), sort_desc
+        # (sort_asc's family twin) and the trivial fn_alias/
+        # fn_select_star projections demoted below — their §2 evidence
+        # rides on the shared implementations that stay above.
+        "paragraph_dedup": q_paragraph_dedup,
+        "merge_upsert": q_merge_upsert,
+        "scd2_merge": q_scd2_merge,
+        "sequence_pack": q_sequence_pack,
         # --- End of driver window; order below is not significant. ---
+        "union_all": q_align_union,
+        "sort_desc": q_sort_desc,
+        "fn_alias": q_fn_alias,
+        "fn_select_star": q_fn_select_star,
         "colocated_join": q_colocated_join,
         "join_dim_miss": q_join_dim_miss,
         "join_null_safe": q_join_null_safe,
@@ -2206,9 +2215,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "tpch_q3_topk": q_tpch_q3_topk,
         "tpch_q5_revenue": q_tpch_q5_revenue,
-        "paragraph_dedup": q_paragraph_dedup,
-        "merge_upsert": q_merge_upsert,
-        "scd2_merge": q_scd2_merge,
         "scan_binaryfile": q_scan_binaryfile,
         "streaming_totals": q_streaming_totals,
         "bm25_topk": q_bm25_topk,
@@ -2219,7 +2225,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": q_tfidf_keywords,
         "heavy_hitters": q_heavy_hitters,
         "inverted_index": q_inverted_index,
-        "sequence_pack": q_sequence_pack,
         "balanced_sample": q_balanced_sample,
         "key_skew_profile": q_key_skew_profile,
         "tpch_q1_pricing": q_tpch_q1_pricing,
