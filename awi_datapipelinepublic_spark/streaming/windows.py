@@ -164,3 +164,65 @@ def streaming_click_view_join(
         ),
         "inner",
     ).select("clicks_user", "event_id", "click_ts", "view_ts", "view_value")
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Spark 4 ``transformWithStateInPandas`` twin of
+    :func:`running_user_totals` — same per-user running totals, on the
+    modern arbitrary-state API (typed ValueState in the state store,
+    RocksDB-backed on a real cluster, instead of the single
+    GroupState tuple).
+
+    Kept alongside the applyInPandasWithState form deliberately: the
+    old API is what most deployed pipelines run; this is the
+    forward-compatible shape (per-state-variable storage, timers,
+    initial-state bootstrap). The equivalence test pins both to the
+    same batch oracle.
+
+    Environment note: the transformWithState protocol needs
+    ``google.protobuf`` in the Python workers (its state-server wire
+    format); clusters without it fail at stream start with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE — the equivalence
+    test skips in that case (this container lacks protobuf).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "total double, n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            total, n = self._totals.get() if self._totals.exists() else (0.0, 0)
+            batch_n = 0
+            for pdf in rows:
+                batch_n += len(pdf)
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((total, n))
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": key[0],
+                        "batch_events": batch_n,
+                        "running_events": n,
+                        "running_value": total,
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType=RUNNING_OUT_SCHEMA,
+            outputMode="append",
+            timeMode="None",
+        )
+    )

@@ -151,3 +151,100 @@ def test_chunking_tiles_tokens_property(spark, data):
         for cn in chunks:
             if cn > 0:
                 assert cn * stride < len(norm) - overlap
+
+
+@settings(max_examples=2, deadline=None)
+@given(st.data())
+def test_merge_upsert_idempotent_and_complete(spark, data):
+    """Upsert laws on random key/version batches: (1) applying the
+    same updates twice equals applying them once (idempotence);
+    (2) every key from either side appears exactly once; (3) a key's
+    surviving version is the max version seen for it."""
+    from awi_datapipelinepublic_spark.operators.merge import merge_upsert
+
+    kv = st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 50)), min_size=1, max_size=60
+    )
+    base_rows = [(k, v, f"b{k}_{v}") for k, v in data.draw(kv)]
+    upd_rows = [(k, v, f"u{k}_{v}") for k, v in data.draw(kv)]
+    # one row per (side, key): keep max version per key within a side
+    dedupe = lambda rows: list({k: (k, v, p) for k, v, p in sorted(rows)}.values())  # noqa: E731
+    base_rows, upd_rows = dedupe(base_rows), dedupe(upd_rows)
+    base = spark.createDataFrame(base_rows, ["k", "ver", "val"])
+    upd = spark.createDataFrame(upd_rows, ["k", "ver", "val"])
+
+    once = merge_upsert(base, upd, ["k"], "ver")
+    twice = merge_upsert(once, upd, ["k"], "ver")
+    got_once = {r["k"]: (r["ver"], r["val"]) for r in once.collect()}
+    got_twice = {r["k"]: (r["ver"], r["val"]) for r in twice.collect()}
+    assert got_once == got_twice
+
+    b = {k: (v, p) for k, v, p in base_rows}
+    u = {k: (v, p) for k, v, p in upd_rows}
+    assert set(got_once) == set(b) | set(u)
+    for k, (ver, _val) in got_once.items():
+        want_ver = max(x[0] for x in [b.get(k), u.get(k)] if x is not None)
+        assert ver == want_ver
+
+
+@settings(max_examples=2, deadline=None)
+@given(st.data())
+def test_segment_dedup_no_repeated_segments_property(spark, data):
+    """Post-condition on random word soups: after segment dedup no
+    segment (span_words window re-derived from the OUTPUT) occurs
+    twice corpus-wide, and every output segment existed in the
+    input."""
+    from awi_datapipelinepublic_spark.operators.dedup import segment_exact_dedup
+
+    words = st.sampled_from(["a", "b", "c", "d", "e"])
+    doc = st.lists(words, min_size=1, max_size=12).map(" ".join)
+    docs = data.draw(st.lists(doc, min_size=1, max_size=12))
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    out = segment_exact_dedup(df, span_words=3).collect()
+
+    seen = []
+    for r in out:
+        toks = r["text"].split()
+        segs = [" ".join(toks[i : i + 3]) for i in range(0, len(toks), 3)]
+        seen.extend(segs)
+    assert len(seen) == len(set(seen)), f"repeated segment in {seen}"
+    in_segs = set()
+    for d in docs:
+        toks = d.split()
+        in_segs.update(" ".join(toks[i : i + 3]) for i in range(0, len(toks), 3))
+    assert set(seen) <= in_segs
+
+
+@settings(max_examples=2, deadline=None)
+@given(st.data())
+def test_scd2_intervals_partition_history_property(spark, data):
+    """On a random change log: intervals per key are contiguous
+    (valid_to == next valid_from), exactly one open interval per key,
+    and consecutive intervals never carry the same value."""
+    import datetime as _dt
+
+    from awi_datapipelinepublic_spark.operators.merge import scd2_merge
+
+    ev = st.lists(
+        st.tuples(st.integers(0, 3), st.sampled_from(["A", "B", "C"])),
+        min_size=1,
+        max_size=40,
+    )
+    rows = [
+        (k, v, _dt.datetime(2024, 1, 1) + _dt.timedelta(hours=i))
+        for i, (k, v) in enumerate(data.draw(ev))
+    ]
+    df = spark.createDataFrame(rows, ["k", "state", "eff"])
+    out = sorted(
+        scd2_merge(df, ["k"], "state", "eff").collect(),
+        key=lambda r: (r["k"], r["valid_from"]),
+    )
+    from itertools import groupby
+
+    for k, grp in groupby(out, key=lambda r: r["k"]):
+        grp = list(grp)
+        assert sum(1 for r in grp if r["is_current"]) == 1
+        assert grp[-1]["is_current"] and grp[-1]["valid_to"] is None
+        for a, nxt in zip(grp, grp[1:]):
+            assert a["valid_to"] == nxt["valid_from"]
+            assert a["state"] != nxt["state"]

