@@ -292,3 +292,28 @@ def test_bm25_broadcasts_stats_not_corpus(spark, sf_dir):
     )
     assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2, plan[:2000]
     assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_tpch_q6_predicates_reach_the_scan(spark, sf_dir):
+    """All three Q6 predicates must appear as PushedFilters on the
+    parquet scan, and the plan must contain no Exchange besides the
+    final single-partition agg gather."""
+    import __spark_entry__ as em
+
+    plan = _explain_formatted(em.q_tpch_q6_forecast(spark, sf_dir))
+    assert "PushedFilters:" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+
+
+def test_paragraph_dedup_winner_has_no_window(spark, sf_dir):
+    """Winner selection must be the skew-proof groupBy-min(struct) —
+    no Window operator anywhere in the plan (a row_number over the
+    content hash would drag every replica of a hot segment into one
+    partition)."""
+    import __spark_entry__ as em
+
+    plan = _plan(em.q_paragraph_dedup(spark, sf_dir))
+    assert "Window" not in plan, plan[:2000]
+    assert "partial_min" in plan or "min(" in plan, plan[:2000]
