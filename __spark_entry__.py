@@ -834,6 +834,28 @@ def q_tpch_q3_topk(spark, sf_dir):
     )
 
 
+def q_hll_incremental(spark, sf_dir):
+    """Mergeable HLL distinct sketches per day (the incremental
+    'distinct users to date' primitive): the gate hashes the exact
+    per-day distinct plus a sketch-accuracy boolean, so correctness
+    covers the sketch without depending on HLL binary internals."""
+    from awi_datapipelinepublic_spark.operators.quality import (
+        incremental_distinct_sketch,
+    )
+
+    ev = read_events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    s = incremental_distinct_sketch(ev, "user_id", "day")
+    return s.select(
+        "day",
+        "exact_distinct",
+        (
+            F.abs(F.col("estimate") - F.col("exact_distinct"))
+            / F.greatest(F.col("exact_distinct"), F.lit(1))
+            <= 0.02
+        ).alias("within_2pct"),
+    )
+
+
 def q_fuzzy_join_blocked(spark, sf_dir):
     """Blocked entity-resolution self-join on customer names: pairs
     form only inside a 15-char prefix block, levenshtein ≤ 1 within
@@ -2220,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "resample_ohlc": q_resample_ohlc,
         "fuzzy_join_blocked": q_fuzzy_join_blocked,
+        "hll_incremental": q_hll_incremental,
         "winsorize": q_winsorize,
         "quantile_bins": q_quantile_bins,
         "tfidf_keywords": q_tfidf_keywords,
@@ -2853,6 +2876,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    md5(text) AS content_md5
             FROM documents WHERE doc_id < 50
+        """,
+        "hll_incremental": """
+            SELECT CAST(ts AS DATE) AS day,
+                   COUNT(DISTINCT user_id) AS exact_distinct,
+                   TRUE AS within_2pct
+            FROM events GROUP BY 1
         """,
         "fuzzy_join_blocked": """
             WITH b AS (

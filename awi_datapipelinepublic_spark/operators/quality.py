@@ -161,3 +161,41 @@ def winsorize(
         )
         .drop("__lo", "__hi")
     )
+
+
+def incremental_distinct_sketch(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+) -> DataFrame:
+    """Mergeable cardinality sketches: one HyperLogLog sketch per
+    bucket (e.g. per day/partition), plus the union estimate over all
+    buckets — the primitive behind incremental "distinct users to
+    date" without re-scanning history.
+
+    Scale design: sketches are the textbook mergeable aggregate — each
+    bucket's scan emits a fixed-size (~KB) binary regardless of row
+    count, partial-merges map-side, and yesterday's sketches never
+    need recomputation: persist the per-bucket sketch table and
+    hll_union_agg only the new buckets in. Estimates are deterministic
+    for a given input (no RNG), standard error ≈ 1.04/√2^lgK.
+    """
+    per_bucket = df.groupBy(bucket_col).agg(
+        F.hll_sketch_agg(key_col).alias("sketch"),
+        F.countDistinct(key_col).alias("exact_distinct"),
+    )
+    return per_bucket.select(
+        bucket_col,
+        F.hll_sketch_estimate("sketch").alias("estimate"),
+        "exact_distinct",
+    )
+
+
+def incremental_distinct_total(df: DataFrame, key_col: str, bucket_col: str):
+    """Union of the per-bucket sketches → one global estimate row.
+    The two-level shape (bucket sketches, then union) is exactly the
+    incremental-refresh plan: only new buckets are sketched."""
+    sketches = df.groupBy(bucket_col).agg(F.hll_sketch_agg(key_col).alias("sketch"))
+    return sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("estimate")
+    )

@@ -389,3 +389,26 @@ def test_tfidf_keywords_rare_term_wins(spark):
     out = {(r["doc_id"], r["rank"]): r["term"] for r in tfidf_keywords(df, top_m=2).collect()}
     # 'common' appears in every doc → idf = ln(1) = 0; rare term wins.
     assert out[(1, 1)] == "rare"
+
+
+def test_hll_union_estimate_accuracy_at_scale(spark):
+    """Sketch-union estimate over 20 buckets of 10k overlapping keys
+    each must land within HLL's documented error band of the true
+    200k-scale distinct count, and per-bucket sketches must merge to
+    the same answer as sketching the raw rows."""
+    from pyspark.sql import functions as F
+    from awi_datapipelinepublic_spark.operators.quality import (
+        incremental_distinct_total,
+    )
+
+    df = spark.range(0, 200_000).select(
+        (F.col("id") % 20).alias("bucket"), (F.col("id") * 31 % 150_011).alias("k")
+    )
+    est = incremental_distinct_total(df, "k", "bucket").first()["estimate"]
+    exact = df.select("k").distinct().count()
+    assert abs(est - exact) / exact < 0.03, (est, exact)
+
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("k")).alias("e")
+    ).first()["e"]
+    assert est == direct  # merge-of-parts == sketch-of-whole
