@@ -834,6 +834,25 @@ def q_tpch_q3_topk(spark, sf_dir):
     )
 
 
+def q_hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 top-50 (lexical) ⊕ brute-force cosine
+    top-50 (dense, vec_id==doc_id) fused by reciprocal rank, top-10.
+    The fuse is rank-only — no score calibration across modalities."""
+    from awi_datapipelinepublic_spark.operators.corpus import bm25_topk, rrf_fuse
+
+    W = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    lex = bm25_topk(
+        _t(spark, sf_dir, "documents"), ["spark", "merge", "window"], k=50
+    ).withColumn("rank", F.row_number().over(W))
+    Wd = Window.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+    dense = (
+        knn_brute_force(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=50)
+        .withColumnRenamed("vec_id", "doc_id")
+        .withColumn("rank", F.row_number().over(Wd))
+    )
+    return rrf_fuse(lex, dense, top=10)
+
+
 def q_hll_incremental(spark, sf_dir):
     """Mergeable HLL distinct sketches per day (the incremental
     'distinct users to date' primitive): the gate hashes the exact
@@ -2243,6 +2262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_ohlc": q_resample_ohlc,
         "fuzzy_join_blocked": q_fuzzy_join_blocked,
         "hll_incremental": q_hll_incremental,
+        "hybrid_search_rrf": q_hybrid_search_rrf,
         "winsorize": q_winsorize,
         "quantile_bins": q_quantile_bins,
         "tfidf_keywords": q_tfidf_keywords,
@@ -2876,6 +2896,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    md5(text) AS content_md5
             FROM documents WHERE doc_id < 50
+        """,
+        "hybrid_search_rrf": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            stats AS (SELECT COUNT(*) AS N, AVG(len(t)) AS avgdl FROM toks),
+            hits AS (
+                SELECT doc_id, len(t) AS dl, term, COUNT(*) AS tf
+                FROM (SELECT doc_id, t, unnest(t) AS term FROM toks)
+                WHERE term IN ('spark', 'merge', 'window')
+                GROUP BY doc_id, dl, term
+            ),
+            dfreq AS (SELECT term, COUNT(*) AS df FROM hits GROUP BY term),
+            bm AS (
+                SELECT doc_id,
+                       ROUND(SUM(ln((N - df + 0.5) / (df + 0.5) + 1.0)
+                                 * tf * 2.2
+                                 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
+                FROM hits JOIN dfreq USING (term), stats
+                GROUP BY doc_id
+                ORDER BY bm25 DESC, doc_id ASC LIMIT 50
+            ),
+            bmr AS (
+                SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r
+                FROM bm
+            ),
+            kn AS (
+                SELECT vec_id AS doc_id,
+                       ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
+                FROM embeddings
+                ORDER BY cos DESC, vec_id ASC LIMIT 50
+            ),
+            knr AS (
+                SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id ASC) AS r
+                FROM kn
+            )
+            SELECT COALESCE(bmr.doc_id, knr.doc_id) AS doc_id,
+                   ROUND(COALESCE(1.0 / (60 + bmr.r), 0) + COALESCE(1.0 / (60 + knr.r), 0), 6) AS rrf
+            FROM bmr FULL OUTER JOIN knr ON bmr.doc_id = knr.doc_id
+            ORDER BY rrf DESC, doc_id ASC LIMIT 10
         """,
         "hll_incremental": """
             SELECT CAST(ts AS DATE) AS day,

@@ -202,3 +202,38 @@ def tfidf_keywords(
         .filter(F.col("__rn") <= top_m)
         .select(id_col, "term", "tfidf", F.col("__rn").alias("rank"))
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 60,
+    top: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two rankings (hybrid search: lexical
+    BM25 list ⊕ dense ANN list): score = Σ_lists 1/(k + rank), a
+    score-scale-free combiner — no calibration between BM25 scores
+    and cosine similarities is needed, only ranks.
+
+    Inputs carry a ``rank`` column (1-based). The fuse is a full outer
+    join of two already-top-n lists — hundreds of rows regardless of
+    corpus size; candidate generation upstream (bm25_topk, knn_*) is
+    where scale lives. Rounded score + id tiebreak keeps the fused
+    order engine-stable.
+    """
+    a = ranked_a.select(F.col(id_col), F.col("rank").alias("__ra"))
+    b = ranked_b.select(F.col(id_col), F.col("rank").alias("__rb"))
+    return (
+        a.join(b, id_col, "full_outer")
+        .select(
+            id_col,
+            F.round(
+                F.coalesce(1.0 / (k + F.col("__ra")), F.lit(0.0))
+                + F.coalesce(1.0 / (k + F.col("__rb")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+        .limit(top)
+    )

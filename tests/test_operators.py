@@ -412,3 +412,19 @@ def test_hll_union_estimate_accuracy_at_scale(spark):
         F.hll_sketch_estimate(F.hll_sketch_agg("k")).alias("e")
     ).first()["e"]
     assert est == direct  # merge-of-parts == sketch-of-whole
+
+
+def test_rrf_fuse_semantics(spark):
+    from awi_datapipelinepublic_spark.operators.corpus import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["doc_id", "rank"])
+    b = spark.createDataFrame([(2, 1), (4, 2)], ["doc_id", "rank"])
+    rows = rrf_fuse(a, b, k=60, top=10).collect()
+    scores = {r["doc_id"]: r["rrf"] for r in rows}
+    # doc 2 is in both lists → sum of both reciprocal ranks, ranks first
+    assert rows[0]["doc_id"] == 2
+    assert abs(scores[2] - (1 / 62 + 1 / 61)) < 1e-6
+    # single-list docs score only their own side
+    assert abs(scores[1] - 1 / 61) < 1e-6
+    assert abs(scores[4] - 1 / 62) < 1e-6
+    assert set(scores) == {1, 2, 3, 4}
