@@ -46,8 +46,16 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumer in this engine converts explicitly right here.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) surfaces as
+        # TIMESTAMP_NTZ, which Spark 4 refuses to cast to numeric (the
+        # RANGE frames and gap arithmetic downstream need epoch
+        # seconds). Session tz is pinned to UTC (session.py), so the
+        # NTZ -> LTZ cast is value-preserving here.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
