@@ -2141,6 +2141,92 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_view_retention(spark, DEFAULT_SF_DIR)
 
 
+def q_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (operators/graph.py:pagerank) over the
+    customer→supplier order graph — the second iterative-algorithm
+    gate besides connected_components, again oracle-checked: the
+    DuckDB twin unrolls the same 5 power iterations as chained CTEs.
+    Node ids are prefixed ('c'/'s') so the two key spaces can't
+    collide."""
+    from awi_datapipelinepublic_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = pagerank(edges, iterations=5, damping=0.85)
+    return pr.select("node", F.round("pagerank", 6).alias("pagerank"))
+
+
+def q_knn_join(spark, sf_dir):
+    """Exact all-pairs kNN join (operators/similarity.py:
+    knn_join_brute): every vector's top-5 cosine neighbors, ranked on
+    the 6dp-rounded score so the (cos, b_id) tiebreak is cross-engine
+    deterministic. Oracle: DuckDB list_cosine_similarity on DOUBLE[]
+    + QUALIFY row_number."""
+    from awi_datapipelinepublic_spark.operators.similarity import knn_join_brute
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_join_brute(emb, k=5)
+
+
+def q_knn_join_lsh(spark, sf_dir):
+    """LSH-bucketed approximate kNN join — the scale path (equi-join
+    on bucket ids, pair count Σ|bucket|² not n²). Rows-only driver
+    check (bucket membership is seed/engine-specific); recall vs the
+    brute-force join is bounded in tests/test_extensions.py."""
+    from awi_datapipelinepublic_spark.operators.similarity import knn_join_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_join_lsh(emb, dim=64, k=5, h=6, multiprobe_bits=1)
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style embedding-cluster dedup (operators/dedup.py:
+    semantic_dedup): IVF-cluster-bounded pairwise cosine → threshold
+    graph → keep min-id per component. Rows-only driver check
+    (cluster assignment is approximate by design); recall vs the
+    brute-force pair graph is bounded in tests."""
+    from awi_datapipelinepublic_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.2, n_clusters=8)
+
+
+_EXPECTATION_RULES = [
+    {"name": "orderkey_not_null", "kind": "not_null", "column": "o_orderkey"},
+    {"name": "orderkey_unique", "kind": "unique", "column": "o_orderkey"},
+    {"name": "status_in_set", "kind": "in_set", "column": "o_orderstatus",
+     "values": ["F", "O", "P"]},
+    {"name": "price_in_range", "kind": "range", "column": "o_totalprice",
+     "lo": 0.0, "hi": 1_000_000.0},
+    {"name": "priority_format", "kind": "regex", "column": "o_orderpriority",
+     "pattern": "^[1-5]-[A-Z ]+$"},
+    {"name": "date_before_2000", "kind": "expr",
+     "sql": "o_orderdate < DATE'2000-01-01'"},
+]
+
+
+def q_validate_expectations(spark, sf_dir):
+    """Declarative data-quality suite (operators/expectations.py): six
+    rule kinds over orders compiled into ONE aggregation scan; output
+    is the long-form (rule, violations, total, passed) report. The
+    proactive twin of the reference's quarantine-on-exception path
+    (plans/runner.py sink_error)."""
+    from awi_datapipelinepublic_spark.operators.expectations import (
+        validate_expectations,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return validate_expectations(o, _EXPECTATION_RULES)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- Driver check window: the first 50 entries are the ids the
@@ -2304,6 +2390,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_distinct_count": q_win_distinct_count,
         "having_groups": q_having_groups,
         "string_distance": q_string_distance,
+        "pagerank": q_pagerank,
+        "knn_join": q_knn_join,
+        "knn_join_lsh": q_knn_join_lsh,
+        "semantic_dedup": q_semantic_dedup,
+        "validate_expectations": q_validate_expectations,
     }
 
 
@@ -3540,6 +3631,76 @@ def oracle_sql() -> dict[str, str]:
           FROM lbl l JOIN sym s ON s.src = l.node
         )
         SELECT node, MIN(label) AS component FROM lbl GROUP BY node
+    """
+    # Fixed-iteration PageRank: the same 5 power iterations the Spark
+    # loop runs, unrolled as chained CTEs (recursive CTEs can't
+    # aggregate in the recursive term). All constants cast to DOUBLE so
+    # DuckDB's decimal literals don't diverge from Python float math.
+    _pr_steps = "".join(
+        f""",
+        p{i} AS (
+          SELECT n.node,
+                 (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM cnt)
+                 + 0.85::DOUBLE * COALESCE(c.s, 0.0::DOUBLE) AS rank
+          FROM nodes n
+          LEFT JOIN (
+            SELECT e.dst AS node, SUM(p.rank / d.outdeg) AS s
+            FROM edges e
+            JOIN deg d ON d.src = e.src
+            JOIN p{i - 1} p ON p.node = e.src
+            GROUP BY e.dst) c ON c.node = n.node)"""
+        for i in range(1, 6)
+    )
+    sql["pagerank"] = f"""
+        WITH edges AS (
+          SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        cnt AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+        deg AS (SELECT src, COUNT(*)::DOUBLE AS outdeg FROM edges GROUP BY src),
+        p0 AS (SELECT node, 1.0::DOUBLE / (SELECT n FROM cnt) AS rank FROM nodes){_pr_steps}
+        SELECT node, ROUND(rank, 6) AS pagerank FROM p5
+    """
+    sql["knn_join"] = """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT a_id, b_id, cos FROM (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                 ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 6) DESC,
+                            b.vec_id ASC) AS rk
+          FROM e a JOIN e b ON a.vec_id <> b.vec_id) t
+        WHERE rk <= 5
+    """
+    sql["validate_expectations"] = """
+        WITH t AS (
+          SELECT COUNT(*) AS total,
+                 SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS orderkey_not_null,
+                 COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS orderkey_unique,
+                 SUM(CASE WHEN o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS status_in_set,
+                 SUM(CASE WHEN o_totalprice IS NOT NULL
+                          AND (o_totalprice < 0.0 OR o_totalprice > 1000000.0) THEN 1 ELSE 0 END) AS price_in_range,
+                 SUM(CASE WHEN o_orderpriority IS NOT NULL
+                          AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$') THEN 1 ELSE 0 END) AS priority_format,
+                 SUM(CASE WHEN NOT (o_orderdate < DATE '2000-01-01')
+                          THEN 1 ELSE 0 END) AS date_before_2000
+          FROM orders)
+        SELECT r.rule,
+               CASE r.rule
+                 WHEN 'orderkey_not_null' THEN t.orderkey_not_null
+                 WHEN 'orderkey_unique' THEN t.orderkey_unique
+                 WHEN 'status_in_set' THEN t.status_in_set
+                 WHEN 'price_in_range' THEN t.price_in_range
+                 WHEN 'priority_format' THEN t.priority_format
+                 WHEN 'date_before_2000' THEN t.date_before_2000
+               END AS violations,
+               t.total,
+               violations = 0 AS passed
+        FROM t, (VALUES ('orderkey_not_null'), ('orderkey_unique'),
+                        ('status_in_set'), ('price_in_range'),
+                        ('priority_format'), ('date_before_2000')) r(rule)
     """
     # §2 alias ids share their implementation's oracle.
     sql["scan_jsonl"] = sql["scan_csv"]  # same staged rows, different format

@@ -417,3 +417,57 @@ def segment_exact_dedup(
             F.transform(F.array_sort(F.collect_list(F.struct("pos", "seg"))), lambda x: x.seg),
         ).alias(text_col)
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: keep one representative
+    per group of embedding-near-duplicates (pairwise cosine >=
+    ``threshold``). Returns the surviving ids.
+
+    Candidate generation is CLUSTER-bounded, the published SemDeDup
+    recipe (Abbas et al. 2023): assign every vector to its nearest IVF
+    centroid (one Arrow matmul per batch, no shuffle), then compare
+    pairs only WITHIN a cluster — an equi-join on the cluster id, so
+    pair count is Σ|cluster|² instead of n². Pairs above threshold form
+    a graph; connected components pick the min-id canonical per group
+    (transitive closure, same machinery as the text dedup pipeline).
+    Approximation is exactly SemDeDup's: cross-cluster near-dups are
+    missed by design; recall against the brute-force pair set is
+    bounded in tests.
+
+    At 100 TB: write the corpus partitioned by ``cluster`` and each
+    within-cluster join is partition-local; the pair graph and victim
+    set follow the same bounded shapes as near_dedup_keep_canonical.
+    """
+    from awi_datapipelinepublic_spark.operators.graph import dedup_clusters
+    from awi_datapipelinepublic_spark.operators.similarity import (
+        _pair_cosine_udf,
+        ivf_assign,
+    )
+
+    assigned, _ = ivf_assign(emb, n_clusters, id_col, vec_col, out_col="__cluster")
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("a_vec"), "__cluster"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("b_vec"), "__cluster"
+    )
+    cos = _pair_cosine_udf()
+    pairs = (
+        a.join(b, "__cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos(F.col("a_vec"), F.col("b_vec")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+    clusters = dedup_clusters(pairs, "id_a", "id_b")
+    victims = clusters.filter(F.col("doc_id") != F.col("canonical_id")).select("doc_id")
+    return emb.join(
+        victims, emb[id_col] == victims["doc_id"], "left_anti"
+    ).select(id_col)

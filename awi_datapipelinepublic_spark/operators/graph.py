@@ -114,6 +114,63 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list:
+    ``rank'(v) = (1-d)/N + d · Σ_{u→v} rank(u)/outdeg(u)``, uniform
+    ``1/N`` start. Returns (node, pagerank).
+
+    Fixed iteration count (power iteration, not convergence-tested)
+    keeps the result deterministic and cross-engine verifiable — the
+    DuckDB oracle unrolls the same ``iterations`` as chained CTEs.
+    Dangling nodes (no out-edges) simply leak their damped mass, the
+    common simplification; both engines compute the identical sum.
+
+    Scale shape mirrors :func:`connected_components`: per iteration one
+    join of the edge list against the current rank vector (both hashed
+    on ``src`` — AQE reuses the partitioning) and one groupBy(dst)
+    partial-agg shuffle; ``localCheckpoint`` truncates lineage so plan
+    analysis stays O(1) per round instead of doubling. Nothing
+    unbounded ever reaches the driver — only the scalar node count.
+    """
+    out_edges = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        out_edges.select(F.col("src").alias("node"))
+        .union(out_edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    deg = out_edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # edge list + out-degree is loop-invariant: materialize once.
+    contrib_edges = out_edges.join(deg, "src").localCheckpoint(eager=True)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        inbound = (
+            contrib_edges.join(ranks, contrib_edges["src"] == ranks["node"])
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(inbound, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("rank").alias("pagerank"))
+
+
 def dedup_clusters(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
 ) -> DataFrame:

@@ -111,6 +111,116 @@ def lsh_bucket(
     return emb.withColumn(out_col, bucket_of(F.col(vec_col)))
 
 
+def _pair_cosine_udf():
+    """Arrow-vectorized cosine between two array columns (row-paired).
+    One einsum + two norms per Arrow batch — the pairwise analog of
+    _cosine_to_query_udf, same measured rationale (HOF lambdas run
+    interpreted per element; numpy over Arrow batches does not)."""
+    import pandas as pd  # noqa: F811 — self-contained for cloudpickle
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def pair_cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.stack(a.values).astype(float)
+        mb = np.stack(b.values).astype(float)
+        num = np.einsum("ij,ij->i", ma, mb)
+        d = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        safe = np.where(d == 0, 1.0, d)
+        return pd.Series(np.where(d == 0, 0.0, num / safe))
+
+    return pair_cos
+
+
+def _topk_per_left(pairs: DataFrame, k: int) -> DataFrame:
+    """Rank candidate pairs per left id on the ROUNDED score (both
+    engines rank identical 6dp values, so the (cos, b_id) tiebreak is
+    cross-engine deterministic); rank<=k filter plans as
+    WindowGroupLimit — a per-group k-heap pushed below the final
+    shuffle, never a global sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a_id").orderBy(F.col("cos").desc(), F.col("b_id").asc())
+    return (
+        pairs.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("a_id", "b_id", "cos")
+    )
+
+
+def knn_join_brute(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs kNN join: for EVERY vector, its top-k cosine
+    neighbors (a_id, b_id, cos). The O(n²) baseline and the oracle for
+    the LSH-bucketed path — at corpus scale use :func:`knn_join_lsh`;
+    this form is for eval sets / per-cluster refinement where n is
+    bounded.
+
+    The self-join is a crossJoin (no equi-key exists by construction);
+    scoring is one Arrow einsum per batch, then WindowGroupLimit keeps
+    k per left id — the full n² pair set is never materialized past
+    each task's heap.
+    """
+    cos = _pair_cosine_udf()
+    a = emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
+    b = emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id", F.round(cos(F.col("a_vec"), F.col("b_vec")), 6).alias("cos"))
+    )
+    return _topk_per_left(pairs, k)
+
+
+def knn_join_lsh(
+    emb: DataFrame,
+    dim: int,
+    k: int = 5,
+    h: int = 6,
+    seed: int = 42,
+    multiprobe_bits: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate all-pairs kNN join — the 100 TB path. Both sides get
+    the same h-bit sign-LSH bucket; candidates are generated by an
+    EQUI-join on the bucket id (shuffle hash-partitioned by bucket, no
+    cross join anywhere), so pair count is bucket-bounded: Σ|bucket|²
+    instead of n². Multiprobe explodes the LEFT side to its own bucket
+    plus every 1-bit-flip neighbor (h+1 probes) to recover neighbors
+    split by a hyperplane; duplicate (a,b) candidates from overlapping
+    probes collapse with a groupBy-max before ranking.
+
+    Recall vs :func:`knn_join_brute` is bounded in tests; the driver
+    row is rows-only by design (bucket membership is seed-specific).
+    """
+    bucketed = lsh_bucket(emb, dim, h, seed, vec_col=vec_col).select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), "bucket"
+    )
+    if multiprobe_bits >= 1:
+        probes = F.array(
+            F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(h)]
+        )
+        left = bucketed.select("a_id", "a_vec", F.explode(probes).alias("bucket"))
+    else:
+        left = bucketed
+    right = lsh_bucket(emb, dim, h, seed, vec_col=vec_col).select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"), "bucket"
+    )
+    cos = _pair_cosine_udf()
+    pairs = (
+        left.join(right, "bucket")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id", F.round(cos(F.col("a_vec"), F.col("b_vec")), 6).alias("cos"))
+        .groupBy("a_id", "b_id")
+        .agg(F.max("cos").alias("cos"))
+    )
+    return _topk_per_left(pairs, k)
+
+
 def ivf_assign(
     emb: DataFrame,
     n_clusters: int = 16,

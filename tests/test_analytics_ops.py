@@ -1,0 +1,221 @@
+"""Tests for the graph/ANN-join/validation operators: PageRank vs a
+numpy power iteration, kNN self-join exactness + LSH recall on
+clustered vectors, semantic dedup's cluster-approximation properties,
+and the expectations validator."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from awi_datapipelinepublic_spark.operators.dedup import semantic_dedup
+from awi_datapipelinepublic_spark.operators.expectations import (
+    validate_expectations,
+    violating_rows,
+)
+from awi_datapipelinepublic_spark.operators.graph import pagerank
+from awi_datapipelinepublic_spark.operators.similarity import (
+    knn_join_brute,
+    knn_join_lsh,
+)
+
+
+# ---------------------------------------------------------------- pagerank
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    # 4-node graph: 0->1, 0->2, 1->2, 2->0, 3->2 (3 is dangling-free,
+    # 1 receives from 0 only, 2 is the hub).
+    edge_list = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {
+        r.node: r.pagerank
+        for r in pagerank(edges, iterations=5, damping=0.85).collect()
+    }
+
+    n, d = 4, 0.85
+    ranks = {v: 1.0 / n for v in range(4)}
+    outdeg = {0: 2, 1: 1, 2: 1, 3: 1}
+    for _ in range(5):
+        nxt = {}
+        for v in range(4):
+            s = sum(
+                ranks[u] / outdeg[u] for (u, w) in edge_list if w == v
+            )
+            nxt[v] = (1 - d) / n + d * s
+        ranks = nxt
+    for v in range(4):
+        assert abs(got[v] - ranks[v]) < 1e-12, (v, got[v], ranks[v])
+
+
+def test_pagerank_hub_outranks_leaves(spark, sf_dir):
+    from __spark_entry__ import q_pagerank
+
+    pr = q_pagerank(spark, sf_dir).collect()
+    assert len(pr) > 0
+    # every rank positive and the minimum equals the no-inbound floor
+    # (1-d)/N for some leaf (customers have no inbound edges).
+    n = len(pr)
+    floor = 0.15 / n
+    # compare with tolerance: Spark F.round is HALF_UP, Python round is
+    # half-even, and 0.15/160 lands exactly on the .5 boundary.
+    assert abs(min(r.pagerank for r in pr) - floor) < 1e-6
+    assert max(r.pagerank for r in pr) > floor + 1e-6
+
+
+# ------------------------------------------------------------ knn self-join
+
+def _clustered_emb(spark, n_clusters=20, per_cluster=10, dim=64, seed=7):
+    """Tight clusters: base direction per cluster + tiny jitter, so
+    every vector's true top-(per_cluster-1) neighbors are in-cluster."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim))
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(per_cluster):
+            v = centers[c] + 0.01 * rng.standard_normal(dim)
+            rows.append((vid, c, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, cluster long, embedding array<float>"
+    )
+
+
+def test_knn_join_brute_finds_cluster_neighbors(spark):
+    emb = _clustered_emb(spark)
+    nn = knn_join_brute(emb, k=5).alias("n")
+    truth = emb.select("vec_id", "cluster")
+    joined = (
+        nn.join(truth.alias("ta"), F.col("n.a_id") == F.col("ta.vec_id"))
+        .join(
+            truth.alias("tb").withColumnRenamed("cluster", "cluster_b"),
+            F.col("n.b_id") == F.col("tb.vec_id"),
+        )
+    )
+    mismatch = joined.filter(F.col("cluster") != F.col("cluster_b")).count()
+    assert mismatch == 0
+    # exactly k rows per left id
+    per_left = nn.groupBy("a_id").count().agg(F.min("count"), F.max("count")).first()
+    assert per_left[0] == 5 and per_left[1] == 5
+
+
+def test_knn_join_lsh_recall_on_clustered_vectors(spark):
+    emb = _clustered_emb(spark)
+    bf = knn_join_brute(emb, k=5).select("a_id", "b_id")
+    ap = knn_join_lsh(emb, dim=64, k=5, h=6, multiprobe_bits=1).select("a_id", "b_id")
+    n_true = bf.count()
+    hits = bf.intersect(ap).count()
+    recall = hits / n_true
+    # near-identical vectors share sign-LSH buckets; 0.8 leaves margin
+    # for cluster centers that straddle a hyperplane.
+    assert recall >= 0.8, recall
+
+
+# ---------------------------------------------------------- semantic dedup
+
+def test_semantic_dedup_single_cluster_is_exact(spark):
+    """n_clusters=1 degenerates to the full pair graph — survivors must
+    equal an independently computed brute-force closure."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(120)
+    got = {r.vec_id for r in semantic_dedup(emb, threshold=0.2, n_clusters=1).collect()}
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r.vec_id for r in rows]
+    m = np.stack([np.asarray(r.embedding, dtype=float) for r in rows])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if sims[i, j] >= 0.2:
+                a, b = find(ids[i]), find(ids[j])
+                if a != b:
+                    lo, hi = min(a, b), max(a, b)
+                    parent[hi] = lo
+    expected = {i for i in ids if find(i) == i}
+    assert got == expected
+
+
+def test_semantic_dedup_clustered_keeps_superset_of_exact(spark):
+    """Cluster-bounded pair generation splits components, never merges
+    them — so every exact survivor also survives the approximation."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    exact = {r.vec_id for r in semantic_dedup(emb, threshold=0.2, n_clusters=1).collect()}
+    approx = {r.vec_id for r in semantic_dedup(emb, threshold=0.2, n_clusters=8).collect()}
+    assert exact <= approx
+
+
+# ------------------------------------------------------------- expectations
+
+_RULES = [
+    {"name": "id_not_null", "kind": "not_null", "column": "id"},
+    {"name": "id_unique", "kind": "unique", "column": "id"},
+    {"name": "status_in_set", "kind": "in_set", "column": "status", "values": ["A", "B"]},
+    {"name": "score_in_range", "kind": "range", "column": "score", "lo": 0.0, "hi": 1.0},
+    {"name": "code_format", "kind": "regex", "column": "code", "pattern": "^X[0-9]+$"},
+    {"name": "score_below_two", "kind": "expr", "sql": "score < 2.0"},
+]
+
+
+def _toy(spark):
+    return spark.createDataFrame(
+        [
+            (1, "A", 0.5, "X1"),      # clean
+            (1, "B", 1.5, "X2"),      # dup id; score > hi; expr ok
+            (None, "C", -0.5, "Y3"),  # null id; bad status; below lo; bad code
+            (2, None, None, None),    # nulls are not in_set/range/regex violations
+            (3, "A", 2.5, "X9"),      # expr violation (score >= 2)
+        ],
+        "id long, status string, score double, code string",
+    )
+
+
+def test_validate_expectations_counts(spark):
+    out = {r.rule: (r.violations, r.total, r.passed)
+           for r in validate_expectations(_toy(spark), _RULES).collect()}
+    assert out == {
+        "id_not_null": (1, 5, False),
+        "id_unique": (1, 5, False),        # two id=1 rows -> 1 beyond first
+        "status_in_set": (1, 5, False),
+        "score_in_range": (3, 5, False),   # 1.5 > hi, -0.5 < lo, 2.5 > hi
+        "code_format": (1, 5, False),
+        "score_below_two": (1, 5, False),  # NULL score is not a violation
+    }
+
+
+def test_validate_expectations_all_pass(spark):
+    clean = spark.createDataFrame(
+        [(1, "A", 0.5, "X1"), (2, "B", 0.9, "X22")],
+        "id long, status string, score double, code string",
+    )
+    out = validate_expectations(clean, _RULES)
+    assert out.filter(~F.col("passed")).count() == 0
+    assert out.count() == len(_RULES)
+
+
+def test_validate_expectations_single_scan_plan(spark):
+    """The whole suite must compile to one aggregation over one scan —
+    no per-rule jobs, no joins."""
+    plan = validate_expectations(_toy(spark), _RULES)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_violating_rows_names_each_miss(spark):
+    rows = violating_rows(_toy(spark), _RULES, ["id"]).collect()
+    got = {(r.rule, r.id) for r in rows}
+    assert ("score_in_range", 1) in got          # the 1.5 row
+    assert ("id_not_null", None) in got
+    assert ("score_below_two", 3) in got
+    # the all-NULL row only violates id-independent nothing: no entry
+    assert not any(r.rule in {"status_in_set", "score_in_range", "code_format"} and r.id == 2
+                   for r in rows)
