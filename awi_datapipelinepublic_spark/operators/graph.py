@@ -166,7 +166,14 @@ def pagerank(
                     + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint: still truncates lineage (each round's
+            # RDD is stored on first computation, so analysis stays
+            # O(1) per round) but — unlike the convergence-tested
+            # components loop, which must materialize to decide
+            # whether to stop — a fixed-iteration loop has no
+            # per-round decision, so the whole chain runs as one
+            # pipelined action instead of `iterations` blocking jobs.
+            .localCheckpoint(eager=False)
         )
     return ranks.select("node", F.col("rank").alias("pagerank"))
 

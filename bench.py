@@ -58,6 +58,14 @@ BENCH_QUERIES = [
     # corpus-prep additions: vocabulary head, global-sort packing
     "heavy_hitters",
     "sequence_pack",
+    # graph / ANN-join / validation additions: iterative PageRank,
+    # broadcast-matmul exact kNN join, LSH-bucketed approximate join,
+    # cluster-bounded semantic dedup, one-scan expectations suite.
+    "pagerank",
+    "knn_join",
+    "knn_join_lsh",
+    "semantic_dedup",
+    "validate_expectations",
 ]
 
 
