@@ -317,3 +317,29 @@ def test_paragraph_dedup_winner_has_no_window(spark, sf_dir):
     plan = _plan(em.q_paragraph_dedup(spark, sf_dir))
     assert "Window" not in plan, plan[:2000]
     assert "partial_min" in plan or "min(" in plan, plan[:2000]
+
+
+def test_knn_join_has_no_join_operator(spark, sf_dir):
+    """Exact kNN join must be scan → mapInPandas: the right matrix
+    travels as a broadcast variable inside the closure, so no join —
+    and no n² pair rows — may appear in the plan."""
+    plan = _plan(entry_mod.q_knn_join(spark, sf_dir))
+    assert "Join" not in plan, plan[:2000]
+    assert "MapInPandas" in plan
+
+
+def test_knn_join_lsh_is_bucket_equi_join(spark, sf_dir):
+    """The ANN join's candidate generation must be an equi-join on the
+    bucket id — never a nested-loop/cartesian pair expansion."""
+    plan = _plan(entry_mod.q_knn_join_lsh(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan  # top-k never buffers whole groups
+
+
+def test_validate_expectations_single_aggregate_pass(spark, sf_dir):
+    """Six rules must compile to ONE scan and one partial/final
+    aggregate pair — rule count must not add passes or joins."""
+    plan = _plan(entry_mod.q_validate_expectations(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan
