@@ -2227,6 +2227,62 @@ def q_validate_expectations(spark, sf_dir):
     return validate_expectations(o, _EXPECTATION_RULES)
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling (operators/sampling.py:
+    weighted_sample): Efraimidis–Spirakis keys from md5-derived
+    uniforms — top-100 orders by price-weighted draw, identical on
+    every engine; the oracle recomputes the same keys in DuckDB."""
+    from awi_datapipelinepublic_spark.operators.sampling import weighted_sample
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return weighted_sample(o, "o_totalprice", "o_orderkey", k=100)
+
+
+def q_tpch_q14_promo(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): conditional revenue share inside
+    one aggregate over a broadcast part join, shipdate window pushed
+    to the fact scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-09-01"))
+            & (F.col("l_shipdate") < F.lit("1995-10-01"))
+        )
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def q_tpch_q22_prospects(spark, sf_dir):
+    """TPC-H Q22 shape: scalar subquery (global positive-balance
+    average) + null-aware NOT IN anti-join (customers with no
+    large order) + final aggregation, per market segment."""
+    for t in ("orders", "customer"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"awi_{t}")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               COUNT(*) AS numcust,
+               ROUND(SUM(c_acctbal), 2) AS totacctbal
+        FROM awi_customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM awi_customer
+                           WHERE c_acctbal > 0.0)
+          AND c_custkey NOT IN (SELECT o_custkey FROM awi_orders
+                                WHERE o_totalprice > 300000.0)
+        GROUP BY c_mktsegment
+        """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- Driver check window: the first 50 entries are the ids the
@@ -2395,6 +2451,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_lsh": q_knn_join_lsh,
         "semantic_dedup": q_semantic_dedup,
         "validate_expectations": q_validate_expectations,
+        "weighted_sample": q_weighted_sample,
+        "tpch_q14_promo": q_tpch_q14_promo,
+        "tpch_q22_prospects": q_tpch_q22_prospects,
     }
 
 
@@ -3701,6 +3760,33 @@ def oracle_sql() -> dict[str, str]:
         FROM t, (VALUES ('orderkey_not_null'), ('orderkey_unique'),
                         ('status_in_set'), ('price_in_range'),
                         ('priority_format'), ('date_before_2000')) r(rule)
+    """
+    sql["weighted_sample"] = """
+        SELECT o_orderkey, o_totalprice FROM (
+          SELECT o_orderkey, o_totalprice,
+                 ROUND(POW((('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::UBIGINT)::DOUBLE
+                           / 4294967296.0,
+                           1.0 / o_totalprice), 9) AS wkey
+          FROM orders
+          WHERE o_totalprice IS NOT NULL AND o_totalprice > 0)
+        ORDER BY wkey DESC, o_orderkey ASC LIMIT 100
+    """
+    sql["tpch_q14_promo"] = """
+        SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0.0 END)
+                     / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= DATE '1995-09-01' AND l_shipdate < DATE '1995-10-01'
+    """
+    sql["tpch_q22_prospects"] = """
+        SELECT c_mktsegment,
+               COUNT(*) AS numcust,
+               ROUND(SUM(c_acctbal), 2) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+          AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+        GROUP BY c_mktsegment
     """
     # §2 alias ids share their implementation's oracle.
     sql["scan_jsonl"] = sql["scan_csv"]  # same staged rows, different format

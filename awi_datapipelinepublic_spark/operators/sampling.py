@@ -103,3 +103,45 @@ def balanced_sample(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement: the
+    Efraimidis–Spirakis A-Res scheme, with the uniform draw derived
+    from md5(id) instead of an RNG. Each row gets
+    ``key = u^(1/w)`` for ``u = md5_32(id)/2^32``; the k largest keys
+    are the sample. Inclusion probability is proportional to weight,
+    and — because u is a pure function of the id — the chosen set is
+    identical on every run and every engine (the DuckDB oracle
+    recomputes the same keys from the same md5).
+
+    Rows with non-positive or NULL weight are excluded (they can never
+    be drawn). The key is rounded to 9dp before ranking (ties broken
+    by id) so cross-engine libm `pow` differences in the last ulp
+    cannot flip an ordering.
+
+    Scale shape: one projection (md5 + pow) and a
+    TakeOrderedAndProject top-k — per-partition k-heaps, no shuffle of
+    row data, no global sort, no RNG state to coordinate across 1000
+    executors (the property seeded `sample()` cannot give).
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 32))
+    )
+    key = F.round(
+        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 9
+    )
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__wkey", key)
+        .orderBy(F.col("__wkey").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__wkey")
+    )

@@ -219,3 +219,27 @@ def test_violating_rows_names_each_miss(spark):
     # the all-NULL row only violates id-independent nothing: no entry
     assert not any(r.rule in {"status_in_set", "score_in_range", "code_format"} and r.id == 2
                    for r in rows)
+
+
+# ---------------------------------------------------------- weighted sample
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    from awi_datapipelinepublic_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 100.0 if i < 500 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = weighted_sample(df, "w", "id", k=100).collect()
+    assert len(got) == 100
+    heavy = sum(1 for r in got if r.id < 500)
+    # weight ratio 100:1 -> heavy rows dominate the top keys.
+    assert heavy >= 90, heavy
+
+
+def test_weighted_sample_deterministic_and_excludes_nonpositive(spark):
+    from awi_datapipelinepublic_spark.operators.sampling import weighted_sample
+
+    rows = [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0), (6, 9.0)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    a = sorted(r.id for r in weighted_sample(df, "w", "id", k=10).collect())
+    b = sorted(r.id for r in weighted_sample(df, "w", "id", k=10).collect())
+    assert a == b == [1, 5, 6]  # zero/negative/NULL weights can never draw

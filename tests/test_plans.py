@@ -343,3 +343,18 @@ def test_validate_expectations_single_aggregate_pass(spark, sf_dir):
     plan = _plan(entry_mod.q_validate_expectations(spark, sf_dir))
     assert plan.count("Scan parquet") == 1, plan
     assert "Join" not in plan
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    """Top-k by sampling key must be per-partition heaps, not a global
+    sort of the corpus."""
+    plan = _plan(entry_mod.q_weighted_sample(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_q22_not_in_is_null_aware_anti_join(spark, sf_dir):
+    """NOT IN must plan as a single null-aware anti join (the trailing
+    'true' flag on BroadcastHashJoin LeftAnti), never a per-row
+    nested-loop re-scan of the subquery."""
+    plan = _plan(entry_mod.q_tpch_q22_prospects(spark, sf_dir))
+    assert "LeftAnti, BuildRight, true" in plan, plan[:2000]
