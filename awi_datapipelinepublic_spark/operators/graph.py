@@ -147,8 +147,16 @@ def pagerank(
     )
     n = nodes.count()
     deg = out_edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # edge list + out-degree is loop-invariant: materialize once.
-    contrib_edges = out_edges.join(deg, "src").localCheckpoint(eager=True)
+    # Edge list + out-degree is loop-invariant: materialize once, and
+    # hash-partition it by src BEFORE the checkpoint — localCheckpoint
+    # preserves the physical partitioning, so every iteration's
+    # edge⋈rank join re-shuffles only the rank vector (|V| rows), never
+    # the edge list (|E| rows, the big side at web scale). Locally the
+    # rank side broadcasts and this is moot; at 10⁹ nodes it is one
+    # |E| shuffle total instead of one per iteration.
+    contrib_edges = (
+        out_edges.join(deg, "src").repartition(F.col("src")).localCheckpoint(eager=True)
+    )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
         inbound = (
