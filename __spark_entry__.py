@@ -2283,6 +2283,39 @@ def q_tpch_q22_prospects(spark, sf_dir):
     )
 
 
+def q_ewma_smooth(spark, sf_dir):
+    """Per-user EWMA of event values (operators/timeseries.py:ewma) —
+    the canonical applyInPandas recursion (depends on previous OUTPUT,
+    inexpressible as a SQL window). Oracle: the closed form
+    α·Σ r^(t-i)·x_i + r^t·x_0 as a DuckDB window sum — stable at the
+    bounded per-key histories of the test data."""
+    from awi_datapipelinepublic_spark.operators.timeseries import ewma
+
+    e = (
+        read_events(spark, sf_dir)
+        .select("user_id", "event_id", "value")
+        .filter(F.col("value").isNotNull())
+    )
+    out = ewma(e, "user_id", "event_id", "value", alpha=0.3)
+    return out.select(
+        "user_id", "event_id", F.round(F.col("ewma"), 6).alias("ewma")
+    )
+
+
+def q_feature_hash(spark, sf_dir):
+    """Hashing-trick categorical encoding (functions/features.py):
+    md5-based bucket indices, reproducible cross-engine — the oracle
+    recomputes the identical indices in DuckDB."""
+    from awi_datapipelinepublic_spark.functions.features import hash_features
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    return hash_features(
+        o, ["o_orderstatus", "o_orderpriority"], dim=1024
+    ).select("o_orderkey", "feature_indices")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- Driver check window: the first 50 entries are the ids the
@@ -2454,6 +2487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "tpch_q14_promo": q_tpch_q14_promo,
         "tpch_q22_prospects": q_tpch_q22_prospects,
+        "ewma_smooth": q_ewma_smooth,
+        "feature_hash": q_feature_hash,
     }
 
 
@@ -3787,6 +3822,33 @@ def oracle_sql() -> dict[str, str]:
         WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
           AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
         GROUP BY c_mktsegment
+    """
+    # EWMA oracle runs the IDENTICAL fp recursion as pandas ewm
+    # (y_t = (1-α)·y_{t-1} + α·x_t, with (1.0-0.3) COMPUTED — one ulp
+    # off the literal 0.7, exactly like pandas' `1. - alpha`): a closed
+    # form y_t = r^t·x_0 + α·r^t·Σ x_i·r^(-i) was measured to diverge
+    # by ~1 ulp and flip 4 in 10⁴ rows across the round(6) boundary.
+    sql["ewma_smooth"] = """
+        WITH RECURSIVE e AS (
+          SELECT user_id, event_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS t
+          FROM events WHERE value IS NOT NULL),
+        r AS (
+          SELECT user_id, event_id, t, CAST(value AS DOUBLE) AS ewma
+          FROM e WHERE t = 0
+          UNION ALL
+          SELECT e.user_id, e.event_id, e.t,
+                 (1.0::DOUBLE - 0.3::DOUBLE) * r.ewma + 0.3::DOUBLE * e.value
+          FROM e JOIN r ON e.user_id = r.user_id AND e.t = r.t + 1)
+        SELECT user_id, event_id, ROUND(ewma, 6) AS ewma FROM r
+    """
+    sql["feature_hash"] = """
+        SELECT o_orderkey,
+               list_sort([
+                 CAST(('0x' || substr(md5('o_orderstatus=' || coalesce(o_orderstatus, 'NULL')), 1, 8))::UBIGINT % 1024 AS BIGINT),
+                 CAST(('0x' || substr(md5('o_orderpriority=' || coalesce(o_orderpriority, 'NULL')), 1, 8))::UBIGINT % 1024 AS BIGINT)
+               ]) AS feature_indices
+        FROM orders
     """
     # §2 alias ids share their implementation's oracle.
     sql["scan_jsonl"] = sql["scan_csv"]  # same staged rows, different format

@@ -14,7 +14,7 @@ the fact twice.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
 
 
 def date_spine(
@@ -109,3 +109,46 @@ def resample_ohlc(
             F.count(F.lit(1)).alias("n_ticks"),
         )
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average (recursive form
+    ``y_t = α·x_t + (1-α)·y_{t-1}``, y_0 = x_0 — pandas
+    ``ewm(alpha).mean(adjust=False)`` semantics), ordered by
+    ``order_col`` within each key.
+
+    A recursion cannot be a SQL window (each value depends on the
+    previous OUTPUT, not the previous input), so this is the canonical
+    applyInPandas shape: one shuffle on the key, each group smoothed by
+    a single vectorized pandas ewm call inside an Arrow batch. State
+    never crosses a key boundary, so 10⁹ keys scale linearly; the
+    per-key history must fit one task (same bound as any per-entity
+    sequence model input — chunk upstream if an entity's history is
+    unbounded). NULL values propagate the previous smoothed value
+    (ewm's ignore-NaN behavior) rather than poisoning the tail.
+
+    The driver-gate oracle cross-checks the closed form
+    ``y_t = α·Σ r^(t-i)·x_i + r^t·x_0`` (r = 1-α) in DuckDB on bounded
+    per-key histories — the recursion and the closed form agree to fp
+    precision there, while the recursion is the numerically safe one
+    at unbounded length.
+    """
+    import pandas as pd
+
+    out_fields = df.schema.fields + [T.StructField(out_col, T.DoubleType())]
+    schema = T.StructType(out_fields)
+    a = float(alpha)
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        pdf[out_col] = pdf[value_col].ewm(alpha=a, adjust=False, ignore_na=True).mean()
+        return pdf
+
+    return df.groupBy(key_col).applyInPandas(smooth, schema=schema)

@@ -243,3 +243,58 @@ def test_weighted_sample_deterministic_and_excludes_nonpositive(spark):
     a = sorted(r.id for r in weighted_sample(df, "w", "id", k=10).collect())
     b = sorted(r.id for r in weighted_sample(df, "w", "id", k=10).collect())
     assert a == b == [1, 5, 6]  # zero/negative/NULL weights can never draw
+
+
+# ---------------------------------------------------------------- ewma
+
+def test_ewma_matches_pandas_per_group(spark):
+    import pandas as pd
+    from awi_datapipelinepublic_spark.operators.timeseries import ewma
+
+    rows = [(k, i, float((i * 37 + k * 11) % 100)) for k in range(3) for i in range(50)]
+    df = spark.createDataFrame(rows, "k long, t long, x double")
+    got = ewma(df, "k", "t", "x", alpha=0.4, out_col="y").toPandas()
+    got = got.sort_values(["k", "t"]).reset_index(drop=True)
+    pdf = pd.DataFrame(rows, columns=["k", "t", "x"]).sort_values(["k", "t"])
+    expected = pdf.groupby("k")["x"].transform(
+        lambda s: s.ewm(alpha=0.4, adjust=False).mean()
+    ).reset_index(drop=True)
+    assert (got["y"] - expected).abs().max() < 1e-12
+
+
+def test_ewma_nulls_carry_previous_smoothed_value(spark):
+    from awi_datapipelinepublic_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [(1, 0, 10.0), (1, 1, None), (1, 2, 20.0)], "k long, t long, x double"
+    )
+    out = {r.t: r.y for r in ewma(df, "k", "t", "x", alpha=0.5, out_col="y").collect()}
+    assert out[0] == 10.0
+    assert out[1] == 10.0          # NULL holds the previous smoothed value
+    assert abs(out[2] - 15.0) < 1e-12  # 0.5*20 + 0.5*10
+
+
+# ---------------------------------------------------------- feature hashing
+
+def test_feature_hash_deterministic_in_range_and_salted(spark):
+    from awi_datapipelinepublic_spark.functions.features import (
+        feature_hash_index,
+        hash_features,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("F",), ("O",), ("P",), (None,)], "status string"
+    )
+    a = df.select(feature_hash_index("status", 64).alias("i")).collect()
+    b = df.select(feature_hash_index("status", 64).alias("i")).collect()
+    assert [r.i for r in a] == [r.i for r in b]
+    assert all(0 <= r.i < 64 for r in a)
+    # same value under different salts must land independently
+    s1 = df.select(feature_hash_index("status", 1024, salt="a=").alias("i")).collect()
+    s2 = df.select(feature_hash_index("status", 1024, salt="b=").alias("i")).collect()
+    assert [r.i for r in s1] != [r.i for r in s2]
+    # multi-column form: sorted arrays, stable
+    wide = spark.createDataFrame([("F", "1-URGENT")], "s string, p string")
+    arr = hash_features(wide, ["s", "p"], dim=256).first().feature_indices
+    assert arr == sorted(arr) and len(arr) == 2
