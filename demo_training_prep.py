@@ -8,6 +8,8 @@ would, over the synthetic documents table:
   → exact dedup              (md5 fingerprint keep-lowest-id)
   → near dedup               (minhash → LSH bands → connected
                               components → keep canonical)
+  → semantic dedup           (SemDeDup: IVF-cluster-bounded embedding
+                              pair graph → keep canonical)
   → train/val/test split     (deterministic md5-prefix assignment)
   → token-window chunking    (50-token chunks, 10 overlap)
   → write, partitioned by split
@@ -59,6 +61,20 @@ def prepare(spark, sf_dir: str, out_dir: str) -> dict:
     kept = kept.join(survivors, "doc_id", "left_semi")
     n_near = kept.count()
 
+    # 3b. semantic dedup (SemDeDup): embedding-space near-duplicates
+    # the text-level stages can't see — IVF-cluster-bounded pair graph
+    # over the surviving docs' embeddings (vec_id == doc_id).
+    from awi_datapipelinepublic_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet(str(Path(sf_dir) / "embeddings.parquet")).join(
+        kept.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    sem_keep = semantic_dedup(emb, threshold=0.95, n_clusters=8).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    kept = kept.join(sem_keep, "doc_id", "left_semi")
+    n_sem = kept.count()
+
     # 4. deterministic split, then chunk each split's documents
     split = train_val_test_split(kept, "doc_id")
     chunks = chunk_documents(split, size=50, overlap=10).join(
@@ -92,6 +108,7 @@ def prepare(spark, sf_dir: str, out_dir: str) -> dict:
         "after_quality_lang": n_quality,
         "after_exact_dedup": n_exact,
         "after_near_dedup": n_near,
+        "after_semantic_dedup": n_sem,
         "chunks_per_split": per_split,
         "train_blocks_512tok": n_blocks,
     }
