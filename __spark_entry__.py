@@ -2316,6 +2316,15 @@ def q_feature_hash(spark, sf_dir):
     ).select("o_orderkey", "feature_indices")
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """Corpus-self-trained unigram LM quality proxy
+    (operators/quality.py:unigram_logprob) — mean token log-prob per
+    document; the cheap stand-in for the CCNet perplexity filter."""
+    from awi_datapipelinepublic_spark.operators.quality import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- Driver check window: the first 50 entries are the ids the
@@ -2489,6 +2498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22_prospects": q_tpch_q22_prospects,
         "ewma_smooth": q_ewma_smooth,
         "feature_hash": q_feature_hash,
+        "unigram_logprob": q_unigram_logprob,
     }
 
 
@@ -3849,6 +3859,17 @@ def oracle_sql() -> dict[str, str]:
                  CAST(('0x' || substr(md5('o_orderpriority=' || coalesce(o_orderpriority, 'NULL')), 1, 8))::UBIGINT % 1024 AS BIGINT)
                ]) AS feature_indices
         FROM orders
+    """
+    sql["unigram_logprob"] = f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+        counts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+        total AS (SELECT COUNT(*)::DOUBLE AS n FROM toks)
+        SELECT t.doc_id,
+               ROUND(AVG(LN(c.cnt / total.n)), 6) AS mean_logprob,
+               COUNT(*) AS n_tokens
+        FROM toks t JOIN counts c USING (tok), total
+        GROUP BY t.doc_id
     """
     # §2 alias ids share their implementation's oracle.
     sql["scan_jsonl"] = sql["scan_csv"]  # same staged rows, different format

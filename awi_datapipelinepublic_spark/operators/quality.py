@@ -199,3 +199,39 @@ def incremental_distinct_total(df: DataFrame, key_col: str, bucket_col: str):
     return sketches.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("estimate")
     )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style LM quality proxy: each document's mean unigram
+    log-probability under the corpus's own unigram distribution
+    (p(w) = count(w)/total). Low scores flag rare-token noise
+    (gibberish, encoding damage); suspiciously high scores flag
+    boilerplate. The cheap stand-in for the LM-perplexity filter in
+    published corpus pipelines — same two-pass shape as training a
+    real 5-gram KenLM filter, at unigram cost.
+
+    Scale shape: pass 1 is one (token) groupBy with map-side partials
+    (Zipf head compresses best); pass 2 re-joins the per-token counts
+    to the exploded corpus on the token key — one hash-partitioned
+    equi-join (the vocabulary is NOT broadcast: at web scale it does
+    not fit, and AQE will broadcast small vocabularies on its own) —
+    then one groupBy(doc) mean. Every token is its own row; no
+    per-element HOF lambdas (the measured quadratic trap documented in
+    operators/dedup.py).
+    """
+    toks = df.select(
+        id_col, F.explode(X.tokens(X.normalize_text(text_col))).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("__total"))
+    scored = (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(id_col, F.log(F.col("cnt") / F.col("__total")).alias("lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg("lp"), 6).alias("mean_logprob"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )

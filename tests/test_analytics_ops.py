@@ -298,3 +298,24 @@ def test_feature_hash_deterministic_in_range_and_salted(spark):
     wide = spark.createDataFrame([("F", "1-URGENT")], "s string, p string")
     arr = hash_features(wide, ["s", "p"], dim=256).first().feature_indices
     assert arr == sorted(arr) and len(arr) == 2
+
+
+# ------------------------------------------------------- unigram LM scoring
+
+def test_unigram_logprob_ranks_common_above_rare(spark):
+    from awi_datapipelinepublic_spark.operators.quality import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the the the"),          # all corpus-frequent tokens
+            (2, "the quetzalcoatlus vibraphone"),  # mostly singletons
+            (3, "the the zzyzx"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in unigram_logprob(docs).collect()}
+    assert out[1].n_tokens == 5
+    # doc of frequent tokens must outscore the rare-token doc
+    assert out[1].mean_logprob > out[2].mean_logprob
+    # and every logprob is negative (probabilities < 1)
+    assert all(r.mean_logprob < 0 for r in out.values())
