@@ -226,3 +226,65 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+EWMA_STATE_SCHEMA = T.StructType([T.StructField("ewma", T.DoubleType())])
+EWMA_OUT_SCHEMA = "user_id long, batch_events long, ewma double"
+
+
+def running_user_ewma(
+    events: DataFrame,
+    alpha: float = 0.3,
+    order_col: str = "event_id",
+    timeout_minutes: int = 60,
+) -> DataFrame:
+    """Streaming twin of operators/timeseries.ewma: per-user EWMA
+    carried across micro-batches in one double of state — the minimal
+    recursive feature an online scorer keeps per entity.
+
+    Within a micro-batch rows are sorted by ``order_col``; across
+    batches the recursion consumes batches in arrival order, so
+    equality with the batch operator holds when the source delivers
+    per-key data in order (file sources with ordered ids; for true
+    out-of-order streams, wrap upstream with a watermarked
+    sort-per-window first). State per key is ONE double regardless of
+    history length — idle keys evicted by processing-time timeout.
+    """
+    a = float(alpha)
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        prev = state.get[0] if state.exists else None
+        n = 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values("__ord", kind="mergesort")
+            for x in pdf["value"].tolist():
+                n += 1
+                if x != x or x is None:   # NaN/None: hold previous
+                    continue
+                prev = x if prev is None else (1.0 - a) * prev + a * x
+        if prev is not None:
+            state.update((float(prev),))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            [{"user_id": user_id, "batch_events": n, "ewma": prev}]
+        )
+
+    return (
+        events.select(
+            "user_id", F.col(order_col).alias("__ord"), "value"
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=EWMA_OUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -178,3 +178,41 @@ def test_transform_with_state_matches_legacy_stateful(spark, events_stream_dir, 
         for r in batch_events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert last == want
+
+
+def test_streaming_ewma_matches_batch_ewma(spark, events_stream_dir, tmp_path):
+    """Final per-user streaming EWMA (applyInPandasWithState, one
+    double of state) must equal the last value of the batch
+    applyInPandas recursion over the same ordered input."""
+    from awi_datapipelinepublic_spark.operators.timeseries import ewma
+    from awi_datapipelinepublic_spark.streaming.windows import running_user_ewma
+
+    batch = spark.read.parquet(events_stream_dir).filter(F.col("value").isNotNull())
+    stream = spark.readStream.schema(
+        spark.read.parquet(events_stream_dir).schema
+    ).parquet(events_stream_dir)
+    _drain(running_user_ewma(stream, alpha=0.3), tmp_path, "ewma_stream")
+    # last emitted row per user = the final state
+    got = {
+        r["user_id"]: round(r["ewma"], 9)
+        for r in spark.sql(
+            """SELECT user_id, ewma FROM (
+                 SELECT user_id, ewma,
+                        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY batch_events DESC) rn
+                 FROM ewma_stream) WHERE rn = 1"""
+        ).collect()
+    }
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    want = {
+        r["user_id"]: round(r["y"], 9)
+        for r in ewma(
+            batch.select("user_id", "event_id", "value"),
+            "user_id", "event_id", "value", alpha=0.3, out_col="y",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == want and len(want) > 0
