@@ -2325,6 +2325,71 @@ def q_unigram_logprob(spark, sf_dir):
     return unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def q_tpch_q19_brackets(spark, sf_dir):
+    """TPC-H Q19 shape: revenue from an OR of bracketed (brand, size,
+    quantity) conditions — the disjunctive-predicate join. Catalyst
+    extracts the common conjuncts (quantity/size bounds) below the
+    join and keeps the per-bracket disjunction as the join residual,
+    so the fact scan is pruned even though the predicate is an OR."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(1, 25))
+            & (F.col("l_quantity").between(10, 30))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(1, 35))
+            & (F.col("l_quantity").between(20, 40))
+        )
+    )
+    return j.filter(bracket).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q_tpch_q2_min_cost(spark, sf_dir):
+    """TPC-H Q2 shape: for each part, the supplier(s) achieving the
+    minimum supply cost — a correlated-min rewritten as one grouped
+    min + join-back (the decorrelated plan Catalyst itself produces
+    for the subquery form). Supply cost is derived deterministically
+    from (partkey, suppkey) since the synthetic data has no partsupp
+    table — price*(1-discount), whose 4 decimal places are exact
+    (2dp * 2dp), so round(4) cannot hit the HALF_UP-vs-binary
+    rounding divergence a division-derived cost measured (BASELINE.md
+    gotcha)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    cost = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    supply = (
+        li.select("l_partkey", "l_suppkey", cost.alias("unit_cost"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("unit_cost").alias("unit_cost"))
+    )
+    min_cost = supply.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    return (
+        supply.join(min_cost, "l_partkey")
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select(
+            "l_partkey",
+            "s_name",
+            F.col("unit_cost").alias("min_unit_cost"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- Driver check window: the first 50 entries are the ids the
@@ -2499,6 +2564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_smooth": q_ewma_smooth,
         "feature_hash": q_feature_hash,
         "unigram_logprob": q_unigram_logprob,
+        "tpch_q19_brackets": q_tpch_q19_brackets,
+        "tpch_q2_min_cost": q_tpch_q2_min_cost,
     }
 
 
@@ -3870,6 +3937,29 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_tokens
         FROM toks t JOIN counts c USING (tok), total
         GROUP BY t.doc_id
+    """
+    sql["tpch_q19_brackets"] = """
+        SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 40)
+    """
+    sql["tpch_q2_min_cost"] = """
+        WITH supply AS (
+          SELECT l_partkey, l_suppkey,
+                 MIN(ROUND(l_extendedprice * (1 - l_discount), 4)) AS unit_cost
+          FROM lineitem GROUP BY l_partkey, l_suppkey),
+        mc AS (SELECT l_partkey, MIN(unit_cost) AS min_cost
+               FROM supply GROUP BY l_partkey)
+        SELECT s.l_partkey, sup.s_name, s.unit_cost AS min_unit_cost
+        FROM supply s
+        JOIN mc ON s.l_partkey = mc.l_partkey AND s.unit_cost = mc.min_cost
+        JOIN supplier sup ON s.l_suppkey = sup.s_suppkey
     """
     # §2 alias ids share their implementation's oracle.
     sql["scan_jsonl"] = sql["scan_csv"]  # same staged rows, different format
