@@ -358,3 +358,31 @@ def test_q22_not_in_is_null_aware_anti_join(spark, sf_dir):
     nested-loop re-scan of the subquery."""
     plan = _plan(entry_mod.q_tpch_q22_prospects(spark, sf_dir))
     assert "LeftAnti, BuildRight, true" in plan, plan[:2000]
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """A selective filter on one join side must inject a runtime bloom
+    filter into the other side's scan (row-level semi-join pushdown) —
+    the mechanism that turns a selective fact-fact join into a pruned
+    scan at 100 TB. Locally the application-side threshold is lowered
+    (sf0.1 scans are below the 10 MB production default); creation-side
+    logic is untouched."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_totalprice") > 450000
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).agg(F.count(F.lit(1)))
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
