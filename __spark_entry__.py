@@ -1345,8 +1345,10 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH candidate pairs (no SQL oracle: xxhash64 is
-    engine-specific; recall vs exact jaccard is asserted in tests/)."""
+    """MinHash+LSH candidate pairs. Hash-verified: the signature hash
+    family is md5-derived (operators/dedup.py:_md5_hash_pair), so the
+    DuckDB oracle replays the exact same signatures, bands, and
+    pairs."""
     return minhash_lsh_candidates(_t(spark, sf_dir, "documents"), num_hashes=32, bands=8, k=3)
 
 
@@ -1381,8 +1383,11 @@ def q_knn_cosine(spark, sf_dir):
 
 
 def q_knn_ivf(spark, sf_dir):
-    """IVF-bucketed ANN top-10 (rows-only; recall vs brute force
-    asserted in tests/)."""
+    """IVF-bucketed ANN top-10. Hash-verified: the centroid pick is
+    deterministic-by-id and the 9dp-rounded assignment argmax
+    (operators/similarity.py:ivf_assign) replays exactly in the DuckDB
+    list_cosine_similarity oracle; recall vs brute force additionally
+    asserted in tests/."""
     return knn_ivf(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10)
 
 
@@ -2008,9 +2013,11 @@ def q_lateral_topk(spark, sf_dir):
 def q_dedup_pipeline(spark, sf_dir):
     """Flagship near-dedup pipeline: minhash → LSH banding →
     connected-component clustering → keep each cluster's min-id doc
-    (operators/dedup.py:near_dedup_keep_canonical). Engine-specific
-    hashes → rows-only driver check; transitivity and survivor-set
-    properties are pinned in tests/test_operators.py."""
+    (operators/dedup.py:near_dedup_keep_canonical). Hash-verified: the
+    md5-portable signature replays in DuckDB, and the oracle closes
+    the same pair graph with a recursive CTE; transitivity and
+    survivor-set properties are additionally pinned in
+    tests/test_operators.py."""
     from awi_datapipelinepublic_spark.operators.dedup import near_dedup_keep_canonical
 
     return near_dedup_keep_canonical(_t(spark, sf_dir, "documents"))
@@ -2432,7 +2439,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "connected_components": q_connected_components,
         "knn_cosine": q_knn_cosine,
-        "knn_lsh": q_knn_lsh,
+        # pagerank promoted into the driver window (oracle-checkable:
+        # 5 unrolled power iterations vs chained DuckDB CTEs); knn_lsh
+        # demoted below — its numpy-hyperplane buckets are genuinely
+        # engine-specific, so it stays rows-only by design and should
+        # not burn a hard-verification slot.
+        "pagerank": q_pagerank,
         "knn_ivf": q_knn_ivf,
         "chunk_documents": q_chunk_documents,
         "train_test_split": q_train_test_split,
@@ -2553,7 +2565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_distinct_count": q_win_distinct_count,
         "having_groups": q_having_groups,
         "string_distance": q_string_distance,
-        "pagerank": q_pagerank,
+        "knn_lsh": q_knn_lsh,
         "knn_join": q_knn_join,
         "knn_join_lsh": q_knn_join_lsh,
         "semantic_dedup": q_semantic_dedup,
@@ -2576,6 +2588,44 @@ _STOPWORDS_SQL = "(" + ",".join(f"'{w}'" for w in X.EN_STOPWORDS) + ")"
 # spaces — identical to functions/text.py.
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKS = f"string_split({_NORM}, ' ')"
+
+
+def _minhash_pairs_ctes(k: int, max_bucket: int = 2000) -> str:
+    """DuckDB CTE chain replaying operators/dedup.py's portable MinHash
+    → LSH banding exactly: distinct word-k-shingles; seeds 2j / 2j+1
+    are the two independent 60-bit halves (digest hex 1-15 / 17-31) of
+    ``md5('j:' || shingle)`` (dedup.py:_md5_hash_pair); per-seed min;
+    8 bands × 4 rows keyed by the comma-joined slice; buckets of
+    2..max_bucket members expanded to distinct (id_a < id_b) pairs.
+    Yields CTEs ending in ``pairs``; embed inside WITH [RECURSIVE]."""
+    return f"""
+        toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        sh AS (SELECT doc_id,
+                 CASE WHEN len(t) >= {k}
+                      THEN array_distinct(list_transform(range(1, len(t) - {k - 2}),
+                           i -> array_to_string(t[i:i+{k - 1}], ' ')))
+                      ELSE [array_to_string(t, ' ')] END AS shs
+               FROM toks),
+        ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+        hh AS (SELECT doc_id, r.j,
+                 md5(CAST(r.j AS VARCHAR) || ':' || s) AS md
+               FROM ex CROSS JOIN (SELECT unnest(range(16)) AS j) r),
+        mh AS (SELECT doc_id, 2 * j AS seed,
+                      MIN(('0x' || substr(md, 1, 15))::UBIGINT::BIGINT) AS mh
+               FROM hh GROUP BY 1, 2
+               UNION ALL
+               SELECT doc_id, 2 * j + 1,
+                      MIN(('0x' || substr(md, 17, 15))::UBIGINT::BIGINT)
+               FROM hh GROUP BY doc_id, j),
+        bands AS (SELECT doc_id, seed // 4 AS band_no,
+                         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bkey
+                  FROM mh GROUP BY 1, 2),
+        ok AS (SELECT band_no, bkey FROM bands GROUP BY 1, 2
+               HAVING COUNT(*) > 1 AND COUNT(*) <= {max_bucket}),
+        pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bands a JOIN bands b USING (band_no, bkey)
+                  JOIN ok USING (band_no, bkey)
+                  WHERE a.doc_id < b.doc_id)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2905,6 +2955,56 @@ def oracle_sql() -> dict[str, str]:
                          (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
             FROM embeddings
             ORDER BY cos DESC, vec_id ASC LIMIT 10
+        """,
+        # Replays knn_ivf exactly: modulo-step centroid pick ordered by
+        # id, 9dp-rounded nearest-centroid argmax with lowest-index
+        # ties (both engines), top-4 probe clusters, cosine top-10 on
+        # the probed subset (operators/similarity.py:ivf_assign/knn_ivf).
+        "knn_ivf": """
+            WITH step AS (
+              SELECT GREATEST(1, COUNT(*) // 16) AS s FROM embeddings),
+            cents AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c,
+                     ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ci
+              FROM embeddings, step WHERE vec_id % s = 0
+              ORDER BY vec_id LIMIT 16),
+            q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+            probes AS (
+              SELECT ci FROM cents, q
+              ORDER BY ROUND(list_cosine_similarity(c, qv), 9) DESC, ci ASC
+              LIMIT 4),
+            assigned AS (
+              SELECT e.vec_id, e.embedding,
+                     (SELECT c2.ci FROM cents c2
+                      ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c2.c), 9) DESC,
+                               c2.ci ASC LIMIT 1) AS cluster
+              FROM embeddings e)
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6) AS cos
+            FROM assigned
+            WHERE cluster IN (SELECT ci FROM probes)
+            ORDER BY cos DESC, vec_id ASC LIMIT 10
+        """,
+        # Bit-exact replay of the md5-portable MinHash banding
+        # (operators/dedup.py:minhash_lsh_candidates, k=3 shingles).
+        "dedup_minhash_lsh": f"""
+            WITH {_minhash_pairs_ctes(k=3)}
+            SELECT id_a, id_b FROM pairs
+        """,
+        # Full pipeline: same pairs (k=5 default) closed transitively
+        # by a recursive min-label CTE; survivors = ids that are their
+        # component's minimum (dedup.py:near_dedup_keep_canonical).
+        "dedup_pipeline": f"""
+            WITH RECURSIVE {_minhash_pairs_ctes(k=5)},
+            sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+            lbl AS (
+              SELECT DISTINCT src AS node, src AS label FROM sym
+              UNION
+              SELECT s.dst AS node, l.label FROM lbl l JOIN sym s ON s.src = l.node),
+            comp AS (SELECT node, MIN(label) AS component FROM lbl GROUP BY node)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
         """,
         "text_stats": f"""
             SELECT doc_id,

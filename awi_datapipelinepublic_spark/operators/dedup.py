@@ -45,6 +45,28 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _md5_hash_pair(col, tag: int):
+    """TWO independent 60-bit hashes of a string column from ONE
+    tagged md5: digest hex digits 1-15 and 17-31 (disjoint bit ranges
+    of a cryptographic hash are independent uniform draws). md5 is
+    bit-identical in every engine (unlike xxhash64, whose seeds cannot
+    be replayed in DuckDB), so hash families built on it are
+    cross-engine deterministic — the same portability trick
+    weighted_sample / feature_hash / train_test_split already use.
+
+    NOT a Kirsch–Mitzenmacher linear combination (h1 + i·h2): that
+    form makes the per-seed argmins correlated — one differing shingle
+    with a tiny h1 dominates MANY seeds at once, and a measured
+    jaccard-0.988 pair missed all 8 bands (P ≈ 6e-11 under the
+    independence the s-curve assumes). One md5 per seed-pair keeps
+    full independence at half the hash calls of one-md5-per-seed.
+    """
+    md = F.md5(F.concat(F.lit(f"{tag}:"), col))
+    ha = F.conv(F.substring(md, 1, 15), 16, 10).cast("long")
+    hb = F.conv(F.substring(md, 17, 15), 16, 10).cast("long")
+    return ha, hb
+
+
 def _seeded_hash(col, seed: int):
     """Deterministic per-seed 64-bit hash of a string column. xxhash64
     has no seed parameter in the Python API; hashing (seed, value) as a
@@ -94,26 +116,37 @@ def minhash_signature(
 ) -> DataFrame:
     """(id, signature array<bigint>): per-seed min over shingle hashes.
 
-    min(xxhash(shingle, seed)) per seed ≈ a random permutation's first
-    element — the classic MinHash estimator.
+    min(h_i(shingle)) per seed i ≈ a random permutation's first
+    element — the classic MinHash estimator. The hash family is
+    md5-derived (see _md5_hash_pair): seeds 2j and 2j+1 come from the
+    two independent 60-bit halves of ``md5("j:" + shingle)`` — fully
+    independent across seeds (the s-curve's assumption), half the
+    hash calls of one-md5-per-seed, and — because md5 is
+    engine-universal — the whole signature replays bit-for-bit in the
+    DuckDB oracle, turning the driver's former rows-only check into a
+    hash-verified one.
 
     Plan shape: explode distinct shingles (Arrow-batched shingle UDF —
-    see _shingle_set_udf for why not the expression form) → 32 JVM
-    xxhash64 columns per shingle row → groupBy(id).min×32 → array. The
-    grouped min aggregates combine map-side, so the shuffle carries one
-    32-long row per document regardless of document length. (A
-    pure-projection variant — array_min over transform lambdas —
-    computes the same thing with zero shuffle but Catalyst's
-    project-collapsing re-inlines the tokenize expression into every
-    lambda, going quadratic; the explode/agg form is both safe from
-    that and the standard distributed-minhash shape.)
+    see _shingle_set_udf for why not the expression form) →
+    num_hashes/2 JVM md5 columns per shingle row → groupBy(id).min×32
+    → array. The grouped min aggregates combine map-side, so the
+    shuffle carries one 32-long row per document regardless of
+    document length. (A pure-projection variant — array_min over
+    transform lambdas — computes the same thing with zero shuffle but
+    Catalyst's project-collapsing re-inlines the tokenize expression
+    into every lambda, going quadratic; the explode/agg form is both
+    safe from that and the standard distributed-minhash shape.)
     """
     sh_rows = df.select(
         F.col(id_col), F.explode(_shingle_set_udf(k)(F.col(text_col))).alias("__sh")
     )
-    hashed = sh_rows.select(
-        F.col(id_col), *[_seeded_hash(F.col("__sh"), s).alias(f"__h{s}") for s in range(num_hashes)]
-    )
+    seed_cols = []
+    for j in range((num_hashes + 1) // 2):
+        ha, hb = _md5_hash_pair(F.col("__sh"), j)
+        seed_cols.append(ha.alias(f"__h{2 * j}"))
+        if 2 * j + 1 < num_hashes:
+            seed_cols.append(hb.alias(f"__h{2 * j + 1}"))
+    hashed = sh_rows.select(F.col(id_col), *seed_cols)
     sig = hashed.groupBy(id_col).agg(
         *[F.min(f"__h{s}").alias(f"__h{s}") for s in range(num_hashes)]
     )
@@ -129,6 +162,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     k: int = 5,
+    max_bucket: int = 2000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding.
 
@@ -137,12 +171,28 @@ def minhash_lsh_candidates(
     projection → explode(bands) (×b row growth on ids only, not text)
     → shuffle on band bucket → within-bucket pairing. Pair output is
     deduplicated across bands. Returns (id_a, id_b) with id_a < id_b.
+
+    The band key is the band's signature slice itself (comma-joined),
+    not a hash of it: exact (no collision-induced phantom pairs) and —
+    with the md5-portable signature — byte-identical in the DuckDB
+    oracle.
+
+    ``max_bucket`` drops buckets larger than the cap (production
+    web-dedup practice): an over-full bucket means the band carries no
+    discriminating information for those documents — degenerate
+    content (empty docs, boilerplate) collapsing to one signature
+    would otherwise put an n² pair expansion and the whole id list in
+    a single task. Exact duplicates that a dropped bucket would have
+    paired are the cheap case: run :func:`exact_dedup` first (the full
+    pipeline's documented contract).
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signature(df.select(id_col, text_col), text_col, id_col, num_hashes, k)
     band_cols = F.array(
         *[
-            F.hash(F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band).cast("array<string>").cast("string"), F.lit(b))
+            F.concat_ws(
+                ",", F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band).cast("array<string>")
+            )
             for b in range(bands)
         ]
     )
@@ -156,11 +206,26 @@ def minhash_lsh_candidates(
     # and expands pairs inside each bucket. Bucket sizes are the LSH
     # design parameter — a bucket of n yields n·(n−1)/2 pairs either
     # way, so the expansion is not a new quadratic risk, just the same
-    # output without the duplicated upstream work.
-    buckets = (
+    # output without the duplicated upstream work; max_bucket bounds
+    # the degenerate-content case where one bucket swallows the corpus.
+    #
+    # The cap is enforced BEFORE collect_list, not by filtering the
+    # collected array: a count-only aggregation (map-side combinable,
+    # bytes per bucket) finds the surviving buckets, and the semi-join
+    # means no aggregation buffer ever holds an over-cap id list — a
+    # 10⁹-member boilerplate bucket costs one counter, not 8 GB in one
+    # task. Both aggregations and the join key on (band_no, band_key),
+    # so the exchange of `banded` is reused, not recomputed.
+    ok_buckets = (
         banded.groupBy("band_no", "band_key")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter((F.col("__n") > 1) & (F.col("__n") <= max_bucket))
+        .drop("__n")
+    )
+    buckets = (
+        banded.join(ok_buckets, ["band_no", "band_key"], "left_semi")
+        .groupBy("band_no", "band_key")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids") > 1)
     )
     pairs = (
         buckets.select(
@@ -184,6 +249,7 @@ def near_dedup_keep_canonical(
     num_hashes: int = 32,
     bands: int = 8,
     k: int = 5,
+    max_bucket: int = 2000,
 ) -> DataFrame:
     """End-to-end near-dedup: the full production pipeline in one call.
 
@@ -205,7 +271,7 @@ def near_dedup_keep_canonical(
     """
     from awi_datapipelinepublic_spark.operators.graph import dedup_clusters
 
-    pairs = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, k)
+    pairs = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, k, max_bucket)
     clusters = dedup_clusters(pairs, "id_a", "id_b")
     victims = clusters.filter(F.col("doc_id") != F.col("canonical_id")).select("doc_id")
     return df.join(
@@ -246,6 +312,7 @@ def simhash_near_dup_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket: int = 2000,
 ) -> DataFrame:
     """Near-duplicate candidate pairs by SimHash Hamming distance.
 
@@ -255,6 +322,12 @@ def simhash_near_dup_candidates(
     inside (chunk_no, chunk_value) buckets. Same single-shuffle
     groupBy + in-bucket expansion shape as MinHash-LSH; the exact
     Hamming filter runs on the bounded candidate set via bit_count.
+
+    ``max_bucket`` drops over-full buckets before any member list is
+    collected (count-agg + semi-join, same rationale as
+    :func:`minhash_lsh_candidates`): a chunk value shared by a huge
+    slice of the corpus carries no discriminating signal, and its n²
+    expansion would otherwise land in one task.
     """
     n_chunks = max_hamming + 1
     bits = 64 // n_chunks
@@ -268,10 +341,16 @@ def simhash_near_dup_candidates(
     banded = fp.withColumn("chunks", chunks).select(
         id_col, "simhash", F.posexplode("chunks").alias("chunk_no", "chunk_val")
     )
-    buckets = (
+    ok_buckets = (
         banded.groupBy("chunk_no", "chunk_val")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter((F.col("__n") > 1) & (F.col("__n") <= max_bucket))
+        .drop("__n")
+    )
+    buckets = (
+        banded.join(ok_buckets, ["chunk_no", "chunk_val"], "left_semi")
+        .groupBy("chunk_no", "chunk_val")
         .agg(F.sort_array(F.collect_list(F.struct(id_col, "simhash"))).alias("members"))
-        .filter(F.size("members") > 1)
     )
     pairs = (
         buckets.select(

@@ -111,6 +111,21 @@ def lsh_bucket(
     return emb.withColumn(out_col, bucket_of(F.col(vec_col)))
 
 
+def _probe_masks(h: int, multiprobe_bits: int) -> list[int]:
+    """All XOR masks of popcount ≤ multiprobe_bits over h bits,
+    ascending popcount then value: [0] (the own bucket), every 1-bit
+    flip, every 2-bit flip, ... Distinct masks guarantee distinct probe
+    buckets, so multiprobe never duplicates a candidate pair."""
+    from itertools import combinations
+
+    masks = [0]
+    for nbits in range(1, max(0, multiprobe_bits) + 1):
+        masks.extend(
+            sum(1 << i for i in c) for c in combinations(range(h), nbits)
+        )
+    return masks
+
+
 def _pair_cosine_udf():
     """Arrow-vectorized cosine between two array columns (row-paired).
     One einsum + two norms per Arrow batch — the pairwise analog of
@@ -152,15 +167,27 @@ def knn_join_brute(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int = 200_000,
 ) -> DataFrame:
     """Exact all-pairs kNN join: for EVERY vector, its top-k cosine
     neighbors (a_id, b_id, cos). Exact — so the comparison side must be
-    bounded: the whole right matrix is collected and broadcast, and one
+    bounded: the whole right matrix is collected at CONSTRUCTION time
+    (this function triggers a count + collect job eagerly, before the
+    returned DataFrame is ever executed) and shipped to executors; one
     blocked matmul per Arrow batch scores it against the streamed left
     side. That is the right plan for eval sets and per-cluster
     refinement (thousands-to-millions of vectors); n² pair ROWS never
     exist anywhere — each batch keeps only its k-heap. For an unbounded
     corpus use :func:`knn_join_lsh`.
+
+    ``max_rows`` guards the collect: a count runs first and anything
+    over the bound raises instead of silently pulling an unbounded
+    corpus through the driver (200k × 64-dim float64 ≈ 100 MB — the
+    practical ceiling for a matrix every executor must hold). The
+    matrix rides in the UDF closure (torrent-broadcast with the task
+    binary and garbage-collected with it), not an explicit
+    SparkContext broadcast — repeated calls in a long session leave no
+    accumulating broadcast blocks behind.
 
     (A crossJoin + WindowGroupLimit form was measured 16× slower at
     2k×2k: 4M pair rows × two 64-float arrays through the shuffle and
@@ -173,15 +200,21 @@ def knn_join_brute(
     """
     import pandas as pd  # noqa: F811 — self-contained for cloudpickle
 
+    n = emb.count()
+    if n > max_rows:
+        raise ValueError(
+            f"knn_join_brute: input has {n} rows, over the max_rows={max_rows} "
+            "bound for the collected exact path — use knn_join_lsh for "
+            "unbounded corpora (or raise max_rows deliberately)."
+        )
     rows = emb.select(id_col, vec_col).collect()
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     M = np.stack([np.asarray(r[vec_col], dtype=float) for r in rows])
     Mn = np.linalg.norm(M, axis=1)
     Mn[Mn == 0] = 1.0
-    bc = emb.sparkSession.sparkContext.broadcast((ids, M, Mn))
 
     def topk(batches):
-        b_ids, bM, bMn = bc.value
+        b_ids, bM, bMn = ids, M, Mn
         for pdf in batches:
             A = np.stack(pdf[vec_col].values).astype(float)
             An = np.linalg.norm(A, axis=1)
@@ -221,10 +254,11 @@ def knn_join_lsh(
     EQUI-join on the bucket id (shuffle hash-partitioned by bucket, no
     cross join anywhere), so pair count is bucket-bounded: Σ|bucket|²
     instead of n². Multiprobe explodes ONLY the left side to its own
-    bucket plus every 1-bit-flip neighbor (h+1 probes, all distinct);
-    the right side keeps one bucket per row, so a given (a, b) pair can
-    match in at most one probe bucket — no pair-dedup pass is needed
-    between the join and the ranking.
+    bucket XORed with every mask of popcount ≤ ``multiprobe_bits``
+    (Σ_{j≤m} C(h,j) probes, all distinct masks → all distinct
+    buckets); the right side keeps one bucket per row, so a given
+    (a, b) pair can match in at most one probe bucket — no pair-dedup
+    pass is needed between the join and the ranking.
 
     Recall vs :func:`knn_join_brute` is bounded in tests; the driver
     row is rows-only by design (bucket membership is seed-specific).
@@ -232,9 +266,10 @@ def knn_join_lsh(
     bucketed = lsh_bucket(emb, dim, h, seed, vec_col=vec_col).select(
         F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), "bucket"
     )
-    if multiprobe_bits >= 1:
+    masks = _probe_masks(h, multiprobe_bits)
+    if len(masks) > 1:
         probes = F.array(
-            F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(h)]
+            *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks]
         )
         left = bucketed.select("a_id", "a_vec", F.explode(probes).alias("bucket"))
     else:
@@ -299,8 +334,14 @@ def ivf_assign(
         m = np.stack(col.values).astype(float)
         mn = np.linalg.norm(m, axis=1)
         mn[mn == 0] = 1.0
-        sims = (m @ C.T) / (mn[:, None] * Cn[None, :])
-        # first-max ties like array_position(array_max) in the old form
+        # 9dp rounding before the argmax: numpy and the DuckDB oracle
+        # (list_cosine_similarity) sum the dot product in different
+        # orders, so raw doubles can differ in the last ulp; rounding
+        # collapses near-ties to equal values, and equal values break
+        # first-max (lowest centroid index) in BOTH engines — the
+        # assignment, hence the whole IVF probe result, is
+        # cross-engine deterministic.
+        sims = np.round((m @ C.T) / (mn[:, None] * Cn[None, :]), 9)
         return pd.Series(np.argmax(sims, axis=1).astype("int32"))
 
     assigned = emb.withColumn(out_col, nearest_centroid(F.col(vec_col)))
@@ -330,8 +371,12 @@ def knn_ivf(
     def cos(c):
         cv = np.asarray(c, dtype=float)
         d = qn * np.linalg.norm(cv)
-        return float(np.dot(q, cv) / d) if d else 0.0
+        # 9dp for the same cross-engine tie-break stability as
+        # ivf_assign's nearest_centroid.
+        return round(float(np.dot(q, cv) / d), 9) if d else 0.0
 
+    # stable sort: ties keep centroid-index order, like the oracle's
+    # ORDER BY cos DESC, ci ASC.
     probes = [ci for ci, cvec in sorted(centroids, key=lambda t: -cos(t[1]))[:nprobe]]
     score = _cosine_to_query_udf(query_vec)
     return (
@@ -365,11 +410,7 @@ def knn_lsh(
     for i, p in enumerate(planes):
         if float(np.dot(qv, np.asarray(p))) >= 0:
             qbucket |= 1 << i
-    probes = {qbucket}
-    if multiprobe_bits >= 1:
-        probes.update(qbucket ^ (1 << i) for i in range(h))
-    if multiprobe_bits >= 2:
-        probes.update(qbucket ^ (1 << i) ^ (1 << j) for i in range(h) for j in range(i + 1, h))
+    probes = {qbucket ^ m for m in _probe_masks(h, multiprobe_bits)}
     bucketed = lsh_bucket(emb, dim, h, seed, vec_col=vec_col)
     candidates = bucketed.filter(F.col("bucket").isin(*[int(b) for b in probes]))
     score = _cosine_to_query_udf(query_vec)

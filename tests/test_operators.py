@@ -428,3 +428,87 @@ def test_rrf_fuse_semantics(spark):
     assert abs(scores[1] - 1 / 61) < 1e-6
     assert abs(scores[4] - 1 / 62) < 1e-6
     assert set(scores) == {1, 2, 3, 4}
+
+
+def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
+    """10k identical docs share every band bucket: without a cap that
+    is a single task holding a 10k-id list and a 4×10⁸ pair expansion.
+    With the cap the over-full buckets are dropped BEFORE any member
+    list is collected, the job completes instantly, and an under-cap
+    duplicate group elsewhere in the corpus still pairs."""
+    base = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated on every single page").alias("text"),
+    )
+    twins = spark.createDataFrame(
+        [
+            (20_001, "a genuinely unique pair of documents about spark shuffles"),
+            (20_002, "a genuinely unique pair of documents about spark shuffles"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = minhash_lsh_candidates(
+        base.unionByName(twins), num_hashes=32, bands=8, k=3, max_bucket=100
+    ).collect()
+    assert (20_001, 20_002) in {(r["id_a"], r["id_b"]) for r in pairs}
+    # no pair involves the boilerplate mega-group
+    assert all(r["id_a"] > 10_000 for r in pairs), pairs[:5]
+
+
+def test_simhash_bucket_cap_drops_degenerate_buckets(spark):
+    from awi_datapipelinepublic_spark.operators.dedup import simhash_near_dup_candidates
+
+    base = spark.range(5_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical boilerplate body shared by every page").alias("text"),
+    )
+    twins = spark.createDataFrame(
+        [
+            (20_001, "one of two nearly identical rare documents about join skew"),
+            (20_002, "one of two nearly identical rare documents about join skew"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = simhash_near_dup_candidates(
+        base.unionByName(twins), max_hamming=3, max_bucket=100
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (20_001, 20_002) in got
+    assert all(a > 10_000 for a, _ in got)
+
+
+def test_near_dedup_degenerate_corpus_completes_all_survive(spark):
+    """Contract: over-cap buckets carry no signal, so an all-identical
+    corpus yields no LSH pairs — exact duplicates are exact_dedup's
+    job (run it first in a real pipeline). The point of the test is
+    that the pipeline COMPLETES without a mega-task."""
+    from awi_datapipelinepublic_spark.operators.dedup import near_dedup_keep_canonical
+
+    docs = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical page body for the degenerate corpus case").alias("text"),
+    )
+    assert near_dedup_keep_canonical(docs, max_bucket=100).count() == 10_000
+
+
+def test_knn_join_brute_guard_raises_over_bound(spark, sf_dir):
+    import pytest as _pytest
+
+    from awi_datapipelinepublic_spark.operators.similarity import knn_join_brute
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    with _pytest.raises(ValueError, match="knn_join_lsh"):
+        knn_join_brute(emb, k=3, max_rows=5)
+
+
+def test_probe_masks_popcount_family(spark):
+    from math import comb
+
+    from awi_datapipelinepublic_spark.operators.similarity import _probe_masks
+
+    for h, bits in [(6, 0), (6, 1), (6, 2), (8, 3)]:
+        masks = _probe_masks(h, bits)
+        assert len(masks) == len(set(masks))  # distinct buckets, no pair dedup needed
+        assert len(masks) == sum(comb(h, j) for j in range(bits + 1))
+        assert all(bin(m).count("1") <= bits for m in masks)
+        assert all(m < (1 << h) for m in masks)

@@ -33,14 +33,15 @@ def test_every_query_has_callable_signature():
 def test_oracle_coverage():
     """Non-SQL-expressible ops are the only ones allowed to skip the oracle."""
     allowed_rows_only = {
-        "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
-        "knn_lsh", "knn_ivf", "agg_approx",
-        # full minhash→LSH→components chain: engine-specific hashes;
-        # survivor-set invariants pinned in tests/test_operators.py
-        "dedup_pipeline",
+        # engine-specific xxhash64 fingerprints (simhash) / numpy
+        # hyperplane buckets (sign-LSH): genuinely not SQL-replayable
+        "dedup_simhash", "dedup_simhash_pairs", "knn_lsh", "agg_approx",
         # seed-specific LSH buckets / approximate IVF clustering;
         # recall + exactness properties pinned in tests/test_analytics_ops.py
         "knn_join_lsh", "semantic_dedup",
+        # dedup_minhash_lsh / dedup_pipeline / knn_ivf graduated to
+        # hard oracles in round 3 (md5-portable minhash, deterministic
+        # IVF) and are no longer in this list.
     }
     missing = set(QUERIES) - set(ORACLES) - allowed_rows_only
     assert not missing, f"queries without oracle: {missing}"
