@@ -30,6 +30,9 @@ from awi_datapipelinepublic_spark.functions.privacy import (
 )
 from awi_datapipelinepublic_spark.functions.cleaning import strip_excel
 from awi_datapipelinepublic_spark.operators.dedup import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
     exact_dedup,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
@@ -313,6 +316,33 @@ def q_derive_is_new(spark, sf_dir):
     return o.select(
         "o_orderkey", "o_custkey",
         F.when(F.row_number().over(w) == 1, F.lit("N")).otherwise(F.lit("E")).alias("IsNew"),
+    )
+
+
+def q_decimal_sum_exact(spark, sf_dir):
+    """BQ NUMERIC fidelity mode: sources/schema.to_struct_type(...,
+    numeric_as_decimal=True) maps NUMERIC → DecimalType(38,9) —
+    BigQuery NUMERIC's exact parameters (reference
+    Schemas/renewals_bq.json:69) — instead of the default DoubleType
+    that mirrors the reference's own float64 coercion (config.py:86).
+    Decimal sums are exact and associative, so the result is invariant
+    to Spark's partial-aggregation/shuffle order at any scale; the
+    oracle matches the string form to all 9 decimal places (no
+    rounding tolerance anywhere)."""
+    from awi_datapipelinepublic_spark.functions.cleaning import cast_to_schema
+    from awi_datapipelinepublic_spark.sources.schema import to_struct_type
+
+    fields = [
+        {"name": "l_returnflag", "type": "STRING"},
+        {"name": "l_extendedprice", "type": "NUMERIC"},
+    ]
+    st = to_struct_type(fields, numeric_as_decimal=True)
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    return (
+        cast_to_schema(li, st)
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_extendedprice").alias("d"))
+        .select("l_returnflag", F.col("d").cast("string").alias("sum_price_dec"))
     )
 
 
@@ -1346,7 +1376,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH candidate pairs. Hash-verified: the signature hash
-    family is md5-derived (operators/dedup.py:_md5_hash_pair), so the
+    family is md5-derived (operators/dedup.py hash-family block), so the
     DuckDB oracle replays the exact same signatures, bands, and
     pairs."""
     return minhash_lsh_candidates(_t(spark, sf_dir, "documents"), num_hashes=32, bands=8, k=3)
@@ -2473,6 +2503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_null_safe": q_join_null_safe,
         "win_min_partition": q_agg_min_windowed,  # §2.E id; same operator as agg_min_windowed
         "grouped_agg": q_grouped_agg,
+        "decimal_sum_exact": q_decimal_sum_exact,
         "concat_rows": q_align_union,          # §2.F id; same union shape as align_union
         "fn_expressions": q_fn_expressions,
         "profile_columns": q_profile_columns,
@@ -2592,12 +2623,15 @@ _TOKS = f"string_split({_NORM}, ' ')"
 
 def _minhash_pairs_ctes(k: int, max_bucket: int = 2000) -> str:
     """DuckDB CTE chain replaying operators/dedup.py's portable MinHash
-    → LSH banding exactly: distinct word-k-shingles; seeds 2j / 2j+1
-    are the two independent 60-bit halves (digest hex 1-15 / 17-31) of
-    ``md5('j:' || shingle)`` (dedup.py:_md5_hash_pair); per-seed min;
+    → LSH banding exactly: distinct word-k-shingles; ONE md5-derived
+    32-bit base hash per shingle (digest hex 1-8); per-seed affine
+    transforms (a_i·h mod p + b_i) mod p over the Mersenne prime with
+    the engine's own constants (dedup.py MINHASH_A/B/P); per-seed min;
     8 bands × 4 rows keyed by the comma-joined slice; buckets of
     2..max_bucket members expanded to distinct (id_a < id_b) pairs.
     Yields CTEs ending in ``pairs``; embed inside WITH [RECURSIVE]."""
+    a_list = ", ".join(str(a) for a in MINHASH_A[:32])
+    b_list = ", ".join(str(b) for b in MINHASH_B[:32])
     return f"""
         toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
         sh AS (SELECT doc_id,
@@ -2607,16 +2641,16 @@ def _minhash_pairs_ctes(k: int, max_bucket: int = 2000) -> str:
                       ELSE [array_to_string(t, ' ')] END AS shs
                FROM toks),
         ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
-        hh AS (SELECT doc_id, r.j,
-                 md5(CAST(r.j AS VARCHAR) || ':' || s) AS md
-               FROM ex CROSS JOIN (SELECT unnest(range(16)) AS j) r),
-        mh AS (SELECT doc_id, 2 * j AS seed,
-                      MIN(('0x' || substr(md, 1, 15))::UBIGINT::BIGINT) AS mh
-               FROM hh GROUP BY 1, 2
-               UNION ALL
-               SELECT doc_id, 2 * j + 1,
-                      MIN(('0x' || substr(md, 17, 15))::UBIGINT::BIGINT)
-               FROM hh GROUP BY doc_id, j),
+        hh AS (SELECT doc_id,
+                 ('0x' || substr(md5(s), 1, 8))::UBIGINT::BIGINT AS h
+               FROM ex),
+        consts AS (SELECT i,
+                     ([{a_list}])[i + 1] AS a,
+                     ([{b_list}])[i + 1] AS b
+                   FROM (SELECT unnest(range(32)) AS i)),
+        mh AS (SELECT doc_id, c.i AS seed,
+                      MIN(((c.a * h) % {MINHASH_P} + c.b) % {MINHASH_P}) AS mh
+               FROM hh CROSS JOIN consts c GROUP BY 1, 2),
         bands AS (SELECT doc_id, seed // 4 AS band_no,
                          string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bkey
                   FROM mh GROUP BY 1, 2),
@@ -3932,6 +3966,11 @@ def oracle_sql() -> dict[str, str]:
         p0 AS (SELECT node, 1.0::DOUBLE / (SELECT n FROM cnt) AS rank FROM nodes){_pr_steps}
         SELECT node, ROUND(rank, 6) AS pagerank FROM p5
     """
+    sql["decimal_sum_exact"] = """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,9))) AS VARCHAR) AS sum_price_dec
+        FROM lineitem GROUP BY l_returnflag
+    """
     sql["knn_join"] = """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         SELECT a_id, b_id, cos FROM (
@@ -3976,9 +4015,10 @@ def oracle_sql() -> dict[str, str]:
     sql["weighted_sample"] = """
         SELECT o_orderkey, o_totalprice FROM (
           SELECT o_orderkey, o_totalprice,
-                 ROUND(POW((('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::UBIGINT)::DOUBLE
-                           / 4294967296.0,
-                           1.0 / o_totalprice), 9) AS wkey
+                 ROUND(LN(((('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::UBIGINT)::DOUBLE
+                           + 0.5)
+                          / 4294967296.0)
+                       / o_totalprice, 9) AS wkey
           FROM orders
           WHERE o_totalprice IS NOT NULL AND o_totalprice > 0)
         ORDER BY wkey DESC, o_orderkey ASC LIMIT 100

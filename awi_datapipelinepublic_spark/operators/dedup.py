@@ -45,26 +45,66 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def _md5_hash_pair(col, tag: int):
-    """TWO independent 60-bit hashes of a string column from ONE
-    tagged md5: digest hex digits 1-15 and 17-31 (disjoint bit ranges
-    of a cryptographic hash are independent uniform draws). md5 is
-    bit-identical in every engine (unlike xxhash64, whose seeds cannot
-    be replayed in DuckDB), so hash families built on it are
-    cross-engine deterministic — the same portability trick
-    weighted_sample / feature_hash / train_test_split already use.
+# --- Portable MinHash hash family -----------------------------------
+# ONE md5 per shingle → 32-bit base hash h, then per-seed universal
+# hashing ``(a_i·h + b_i) mod p`` over the Mersenne prime p = 2^61-1 —
+# the standard MinHash permutation family (Spark MLlib's MinHashLSH
+# and datasketch use exactly this form). md5 is bit-identical in every
+# engine (unlike xxhash64, whose seeds cannot be replayed in DuckDB),
+# so the whole signature replays exactly in the oracle; the affine
+# transforms are plain codegen-resident long arithmetic, so the
+# per-shingle cost is ONE digest + 32 multiply-mods instead of the 16
+# digests + 32 hex conversions of the previous one-md5-per-seed-pair
+# form (measured 4× slower end-to-end at sf0.1).
+#
+# NOT a Kirsch–Mitzenmacher combination (h1 + i·h2 with sequential i):
+# that form makes per-seed argmins correlated — one differing shingle
+# with a tiny h1 dominates MANY seeds at once, and a measured
+# jaccard-0.988 pair missed all 8 bands (P ≈ 6e-11 under the s-curve's
+# independence assumption). Here each seed has its own ~31-bit random
+# multiplier, so a_i·h mod p is an independent-looking permutation per
+# seed (2-universal family); the recall tests pin the s-curve behavior.
+#
+# Overflow safety under ANSI mode (driver sessions): a_i < 2^31 and
+# h < 2^32 keep a_i·h < 2^63; the mod is applied before adding
+# b_i < p, so every intermediate fits a signed 64-bit long in both
+# engines. Constants derive from md5 of fixed tags — no RNG, no
+# cross-version reproducibility concerns.
+MINHASH_P = (1 << 61) - 1
 
-    NOT a Kirsch–Mitzenmacher linear combination (h1 + i·h2): that
-    form makes the per-seed argmins correlated — one differing shingle
-    with a tiny h1 dominates MANY seeds at once, and a measured
-    jaccard-0.988 pair missed all 8 bands (P ≈ 6e-11 under the
-    independence the s-curve assumes). One md5 per seed-pair keeps
-    full independence at half the hash calls of one-md5-per-seed.
-    """
-    md = F.md5(F.concat(F.lit(f"{tag}:"), col))
-    ha = F.conv(F.substring(md, 1, 15), 16, 10).cast("long")
-    hb = F.conv(F.substring(md, 17, 15), 16, 10).cast("long")
-    return ha, hb
+
+def _hash_const(tag: str, lo: int, span: int) -> int:
+    import hashlib
+
+    v = int.from_bytes(hashlib.md5(tag.encode()).digest()[:8], "big")
+    return lo + (v % span)
+
+
+MINHASH_A = [_hash_const(f"minhash-a{i}", 1 << 30, (1 << 31) - (1 << 30)) for i in range(64)]
+MINHASH_B = [_hash_const(f"minhash-b{i}", 0, MINHASH_P) for i in range(64)]
+
+
+def _base_hash32(col):
+    """First 8 hex digits of md5 → uniform 32-bit base hash. The
+    2^32 universe is ample for per-document argmin estimation (a
+    cross-shingle collision needs ~2^16 distinct shingles in ONE
+    comparison to matter; documents carry a few hundred)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _affine_hash(h, seed: int):
+    """(a_seed·h mod p + b_seed) mod p — per-seed permutation."""
+    return ((h * F.lit(MINHASH_A[seed])) % F.lit(MINHASH_P) + F.lit(MINHASH_B[seed])) % F.lit(
+        MINHASH_P
+    )
+
+
+def _seeded_hash(col, seed: int):
+    """Deterministic per-seed 64-bit hash of a string column. xxhash64
+    has no seed parameter in the Python API; hashing (seed, value) as a
+    two-argument call folds the seed into the running hash state —
+    cheaper than materializing a prefixed string per (row, seed)."""
+    return F.xxhash64(F.lit(seed), col)
 
 
 def _seeded_hash(col, seed: int):
@@ -117,18 +157,17 @@ def minhash_signature(
     """(id, signature array<bigint>): per-seed min over shingle hashes.
 
     min(h_i(shingle)) per seed i ≈ a random permutation's first
-    element — the classic MinHash estimator. The hash family is
-    md5-derived (see _md5_hash_pair): seeds 2j and 2j+1 come from the
-    two independent 60-bit halves of ``md5("j:" + shingle)`` — fully
-    independent across seeds (the s-curve's assumption), half the
-    hash calls of one-md5-per-seed, and — because md5 is
-    engine-universal — the whole signature replays bit-for-bit in the
-    DuckDB oracle, turning the driver's former rows-only check into a
-    hash-verified one.
+    element — the classic MinHash estimator. The hash family is ONE
+    md5-derived 32-bit base hash per shingle + per-seed affine
+    transforms over the Mersenne prime (see the family block above):
+    fully portable, so the whole signature replays bit-for-bit in the
+    DuckDB oracle — the driver's former rows-only check is
+    hash-verified — while the per-shingle cost stays one digest + 32
+    codegen multiply-mods.
 
     Plan shape: explode distinct shingles (Arrow-batched shingle UDF —
-    see _shingle_set_udf for why not the expression form) →
-    num_hashes/2 JVM md5 columns per shingle row → groupBy(id).min×32
+    see _shingle_set_udf for why not the expression form) → one JVM
+    md5 + 32 affine columns per shingle row → groupBy(id).min×32
     → array. The grouped min aggregates combine map-side, so the
     shuffle carries one 32-long row per document regardless of
     document length. (A pure-projection variant — array_min over
@@ -140,13 +179,12 @@ def minhash_signature(
     sh_rows = df.select(
         F.col(id_col), F.explode(_shingle_set_udf(k)(F.col(text_col))).alias("__sh")
     )
-    seed_cols = []
-    for j in range((num_hashes + 1) // 2):
-        ha, hb = _md5_hash_pair(F.col("__sh"), j)
-        seed_cols.append(ha.alias(f"__h{2 * j}"))
-        if 2 * j + 1 < num_hashes:
-            seed_cols.append(hb.alias(f"__h{2 * j + 1}"))
-    hashed = sh_rows.select(F.col(id_col), *seed_cols)
+    hashed = sh_rows.select(
+        F.col(id_col), _base_hash32(F.col("__sh")).alias("__bh")
+    ).select(
+        F.col(id_col),
+        *[_affine_hash(F.col("__bh"), s).alias(f"__h{s}") for s in range(num_hashes)],
+    )
     sig = hashed.groupBy(id_col).agg(
         *[F.min(f"__h{s}").alias(f"__h{s}") for s in range(num_hashes)]
     )

@@ -22,7 +22,31 @@ row materialization.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, functions as F
+
+# Rule names are interpolated into a stack() SQL expression and used as
+# aggregate aliases — restrict them to plain identifiers up front so a
+# quote/backtick in a name fails with a clear error instead of a
+# mangled query, and so the reserved __total alias can't be shadowed.
+_RULE_NAME = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _check_rules(rules: list[dict]) -> None:
+    if not rules:
+        raise ValueError("expectations: rules must be a non-empty list")
+    seen: set[str] = set()
+    for r in rules:
+        name = r.get("name")
+        if not isinstance(name, str) or not _RULE_NAME.match(name) or name == "__total":
+            raise ValueError(
+                f"expectations: invalid rule name {name!r} — names must match "
+                "[A-Za-z_][A-Za-z0-9_]* (they become SQL identifiers) and not be '__total'"
+            )
+        if name in seen:
+            raise ValueError(f"expectations: duplicate rule name {name!r}")
+        seen.add(name)
 
 
 def _violation_predicate(rule: dict) -> Column:
@@ -65,6 +89,7 @@ def validate_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
     params; ``kind='unique'`` takes ``column`` and counts rows beyond
     the first per value (NULLs ignored, like a SQL UNIQUE constraint).
     """
+    _check_rules(rules)
     aggs = [F.count(F.lit(1)).alias("__total")]
     for r in rules:
         if r["kind"] == "unique":

@@ -114,30 +114,37 @@ def weighted_sample(
     """Deterministic weighted sampling without replacement: the
     Efraimidis–Spirakis A-Res scheme, with the uniform draw derived
     from md5(id) instead of an RNG. Each row gets
-    ``key = u^(1/w)`` for ``u = md5_32(id)/2^32``; the k largest keys
-    are the sample. Inclusion probability is proportional to weight,
-    and — because u is a pure function of the id — the chosen set is
-    identical on every run and every engine (the DuckDB oracle
-    recomputes the same keys from the same md5).
+    ``key = ln(u)/w`` for ``u = (md5_32(id)+0.5)/2^32``; the k largest
+    keys are the sample — the same ordering as the textbook
+    ``u^(1/w)`` (ln is monotone), but with far better numeric spread:
+    ``u^(1/w)`` compresses toward 1.0 as w grows, so heavy weights
+    collide after rounding and selection degenerates to id order,
+    while the log form keeps weight-proportional resolution. Inclusion
+    probability is proportional to weight, and — because u is a pure
+    function of the id — the chosen set is identical on every run and
+    every engine (the DuckDB oracle recomputes the same keys from the
+    same md5). The +0.5 offset keeps u strictly inside (0,1), so
+    ln(u) is always finite.
 
     Rows with non-positive or NULL weight are excluded (they can never
     be drawn). The key is rounded to 9dp before ranking (ties broken
-    by id) so cross-engine libm `pow` differences in the last ulp
+    by id) so cross-engine libm `log` differences in the last ulp
     cannot flip an ordering.
 
-    Scale shape: one projection (md5 + pow) and a
+    Scale shape: one projection (md5 + log) and a
     TakeOrderedAndProject top-k — per-partition k-heaps, no shuffle of
     row data, no global sort, no RNG state to coordinate across 1000
     executors (the property seeded `sample()` cannot give).
     """
     u = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
-        .cast("double")
+        (
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+            .cast("double")
+            + F.lit(0.5)
+        )
         / F.lit(float(1 << 32))
     )
-    key = F.round(
-        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 9
-    )
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
     return (
         df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
         .withColumn("__wkey", key)

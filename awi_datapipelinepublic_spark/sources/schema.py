@@ -47,15 +47,30 @@ def load_schema_json(path: str | Path) -> list[dict]:
     return fields
 
 
-def to_struct_type(fields: list[dict]) -> T.StructType:
-    """Map BQ field dicts to a StructType. REQUIRED mode → nullable=False."""
+def to_struct_type(fields: list[dict], numeric_as_decimal: bool = False) -> T.StructType:
+    """Map BQ field dicts to a StructType. REQUIRED mode → nullable=False.
+
+    ``numeric_as_decimal=True`` maps BQ NUMERIC to DecimalType(38, 9)
+    — BigQuery NUMERIC's exact scale (reference Schemas/renewals_bq.json:69
+    declares NUMERIC) — instead of the default DoubleType, which
+    matches the reference's own float64 coercion (config.py:86). Use
+    the decimal mode when currency aggregates must be exact at scale:
+    a SUM over doubles accumulates ulp error with row count, while
+    decimal sums are exact and associative — safe under any partial-
+    aggregation/shuffle order Spark picks at 100 TB.
+    """
     out = []
     for fld in fields:
         bq_type = fld["type"].upper()
-        try:
-            spark_type = _BQ_TO_SPARK[bq_type]
-        except KeyError:
-            raise ValueError(f"unsupported schema type {bq_type!r} for column {fld['name']!r}")
+        if numeric_as_decimal and bq_type == "NUMERIC":
+            spark_type: T.DataType = T.DecimalType(38, 9)
+        else:
+            try:
+                spark_type = _BQ_TO_SPARK[bq_type]
+            except KeyError:
+                raise ValueError(
+                    f"unsupported schema type {bq_type!r} for column {fld['name']!r}"
+                )
         nullable = fld.get("mode", "NULLABLE").upper() != "REQUIRED"
         out.append(T.StructField(fld["name"], spark_type, nullable))
     return T.StructType(out)

@@ -12,9 +12,13 @@ walk: xlsx IS a zip of XML parts, and the subset a report file uses
 Everything surfaces as ``str`` (or None for blank cells), matching
 the reference's ``dtype=str`` read; downstream cleaning/casting is
 the same path CSV takes (sources/readers.read_csv). Date-STYLED
-numeric cells are NOT converted to dates (that needs styles.xml
-number-format heuristics); report fixtures carry ISO date strings,
-which the schema-cast stage parses leniently like any other string.
+numeric cells (what openpyxl hands the reference as real datetimes,
+config.py:109-118) are detected via styles.xml number formats —
+built-in date numFmtIds plus the y/m/d/h/s token heuristic on custom
+format codes, the same rule openpyxl applies — and their Excel
+serial numbers are converted to ISO strings (date-only when the
+serial has no time fraction), which the schema-cast stage then
+parses leniently like any other string.
 
 ``write_xlsx`` emits the same subset (inline strings only) so tests
 and demos can round-trip real files without optional dependencies.
@@ -24,6 +28,7 @@ from __future__ import annotations
 
 import re
 import zipfile
+from datetime import datetime, timedelta
 from xml.etree import ElementTree as ET
 from xml.sax.saxutils import escape
 
@@ -42,7 +47,80 @@ def _col_index(cell_ref: str) -> int:
     return n - 1
 
 
-def _cell_value(c: ET.Element, shared: list[str]) -> str | None:
+# Built-in number formats Excel reserves for dates/times (ECMA-376
+# §18.8.30): 14-22 date/datetime, 27-36 locale date variants, 45-47
+# time/duration, 50-58 more locale dates. 45-47 are sub-day (mm:ss);
+# serials under those still convert — a fraction-only serial yields a
+# bare time string.
+_BUILTIN_DATE_FMT_IDS = frozenset(range(14, 23)) | frozenset(range(27, 37)) | frozenset(
+    range(45, 48)
+) | frozenset(range(50, 59))
+
+# Strip quoted literals, [bracketed] sections (colors, conditions,
+# elapsed-time tokens), and backslash-escaped chars before probing for
+# date tokens — '"y"0.0' is numeric, 'yyyy-mm-dd' is a date. Same
+# heuristic openpyxl's is_date_format applies.
+_FMT_NOISE = re.compile(r'"[^"]*"|\[[^\]]*\]|\\.')
+_DATE_TOKEN = re.compile(r"[ymdhs]", re.IGNORECASE)
+
+
+def _is_date_format(fmt_id: int, code: str | None) -> bool:
+    if fmt_id in _BUILTIN_DATE_FMT_IDS:
+        return True
+    if code is None:
+        return False
+    return bool(_DATE_TOKEN.search(_FMT_NOISE.sub("", code)))
+
+
+def _date_style_indices(zf: zipfile.ZipFile) -> frozenset[int]:
+    """Positions in styles.xml's <cellXfs> whose number format is a
+    date/time format — the set a cell's s= attribute indexes into."""
+    if "xl/styles.xml" not in zf.namelist():
+        return frozenset()
+    styles = ET.fromstring(zf.read("xl/styles.xml"))
+    custom = {
+        int(nf.get("numFmtId")): nf.get("formatCode")
+        for nf in styles.iter(f"{{{_NS['m']}}}numFmt")
+    }
+    cell_xfs = styles.find("m:cellXfs", _NS)
+    if cell_xfs is None:
+        return frozenset()
+    out = set()
+    for i, xf in enumerate(cell_xfs.findall("m:xf", _NS)):
+        fmt_id = int(xf.get("numFmtId", "0"))
+        if _is_date_format(fmt_id, custom.get(fmt_id)):
+            out.add(i)
+    return frozenset(out)
+
+
+_EXCEL_EPOCH = datetime(1899, 12, 30)
+
+
+def _serial_to_iso(serial: float) -> str:
+    """Excel serial number → ISO string.
+
+    Epoch 1899-12-30 with the +1 adjustment for serials under 60
+    (Excel's phantom 1900-02-29 — the same correction openpyxl's
+    from_excel makes, so parity with the reference's read is exact).
+    Whole-day serials yield 'YYYY-MM-DD' (what a DATE column wants);
+    fractional serials yield 'YYYY-MM-DD HH:MM:SS'; sub-day serials
+    (pure time formats) yield 'HH:MM:SS'.
+    """
+    days = int(serial)
+    secs = round((serial - days) * 86400)
+    if secs >= 86400:
+        days, secs = days + 1, 0
+    if 0 < days < 60:
+        days += 1
+    if days == 0:
+        return f"{timedelta(seconds=secs)}".zfill(8) if secs else "00:00:00"
+    dt = _EXCEL_EPOCH + timedelta(days=days, seconds=secs)
+    return dt.strftime("%Y-%m-%d") if secs == 0 else dt.strftime("%Y-%m-%d %H:%M:%S")
+
+
+def _cell_value(
+    c: ET.Element, shared: list[str], date_styles: frozenset[int] = frozenset()
+) -> str | None:
     t = c.get("t", "n")
     if t == "inlineStr":
         is_el = c.find("m:is", _NS)
@@ -56,6 +134,13 @@ def _cell_value(c: ET.Element, shared: list[str]) -> str | None:
         return shared[int(v.text)]
     if t == "b":
         return "TRUE" if v.text.strip() == "1" else "FALSE"
+    if t == "n":
+        s = c.get("s")
+        if s is not None and int(s) in date_styles:
+            try:
+                return _serial_to_iso(float(v.text))
+            except ValueError:
+                return v.text
     # 'n' (number), 'str' (formula result), 'e' (error) — raw stored text.
     return v.text
 
@@ -88,6 +173,7 @@ def read_xlsx(path: str, sheet_name: str) -> tuple[list[str], list[list[str | No
             ss = ET.fromstring(zf.read("xl/sharedStrings.xml"))
             for si in ss.findall("m:si", _NS):
                 shared.append("".join(t.text or "" for t in si.iter(f"{{{_NS['m']}}}t")))
+        date_styles = _date_style_indices(zf)
         sheet = ET.fromstring(zf.read(_sheet_part(zf, sheet_name)))
         raw_rows: list[list[str | None]] = []
         for row in sheet.iter(f"{{{_NS['m']}}}row"):
@@ -97,7 +183,7 @@ def read_xlsx(path: str, sheet_name: str) -> tuple[list[str], list[list[str | No
                 idx = _col_index(ref) if ref else len(cells)
                 while len(cells) < idx:
                     cells.append(None)
-                cells.append(_cell_value(c, shared))
+                cells.append(_cell_value(c, shared, date_styles))
             raw_rows.append(cells)
     if not raw_rows:
         return [], []
@@ -137,12 +223,28 @@ def _col_letters(idx: int) -> str:
     return s
 
 
+class DateSerial(float):
+    """Marker for write_xlsx: emit this value as a date-STYLED numeric
+    cell (numFmtId 14, Excel's built-in short date) instead of an
+    inline string — i.e. exactly what a real report file stores for a
+    date-formatted cell. Exists so fixtures can exercise the
+    styles.xml → serial → ISO conversion path end to end."""
+
+
+_STYLES_XML = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><fonts count="1"><font/></fonts><fills count="1"><fill><patternFill patternType="none"/></fill></fills><borders count="1"><border/></borders><cellStyleXfs count="1"><xf/></cellStyleXfs><cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="14" applyNumberFormat="1"/></cellXfs></styleSheet>"""
+
+
 def write_xlsx(path: str, sheets: dict[str, tuple[list[str], list[list]]]) -> None:
     """Write a minimal valid xlsx: {sheet name: (header, rows)}.
 
-    Every cell is an inline string (None → omitted cell) — the exact
-    subset read_xlsx consumes, so fixture round-trips are lossless.
+    Cells are inline strings (None → omitted cell) — the exact subset
+    read_xlsx consumes, so fixture round-trips are lossless. A
+    ``DateSerial`` value is written instead as a numeric cell carrying
+    style index 1 (numFmtId 14), producing a genuinely date-formatted
+    cell for fixtures that test the serial→ISO read path.
     """
+    any_serials = False
     sheet_xmls = []
     for name, (header, rows) in sheets.items():
         row_parts = []
@@ -152,6 +254,12 @@ def write_xlsx(path: str, sheets: dict[str, tuple[list[str], list[list]]]) -> No
                 if val is None:
                     continue
                 ref = f"{_col_letters(cno)}{rno}"
+                if isinstance(val, DateSerial):
+                    any_serials = True
+                    num = float(val)
+                    text = repr(int(num)) if num == int(num) else repr(num)
+                    cell_parts.append(f'<c r="{ref}" s="1"><v>{text}</v></c>')
+                    continue
                 cell_parts.append(
                     f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
                     f"{escape(str(val))}</t></is></c>"
@@ -170,11 +278,22 @@ def write_xlsx(path: str, sheets: dict[str, tuple[list[str], list[list]]]) -> No
             f'<Override PartName="/xl/worksheets/sheet{i}.xml" ContentType='
             '"application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
         )
+    if any_serials:
+        rel_decls.append(
+            f'<Relationship Id="rId{len(sheets) + 1}" Type="http://schemas.openxml'
+            'formats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>'
+        )
+        overrides.append(
+            '<Override PartName="/xl/styles.xml" ContentType="application/vnd.'
+            'openxmlformats-officedocument.spreadsheetml.styles+xml"/>'
+        )
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
         zf.writestr("[Content_Types].xml", _CONTENT_TYPES.format(overrides="".join(overrides)))
         zf.writestr("_rels/.rels", _ROOT_RELS)
         zf.writestr("xl/workbook.xml", _WORKBOOK_XML.format(sheets="".join(sheet_decls)))
         zf.writestr("xl/_rels/workbook.xml.rels", _WORKBOOK_RELS.format(rels="".join(rel_decls)))
+        if any_serials:
+            zf.writestr("xl/styles.xml", _STYLES_XML)
         for i, xml in enumerate(sheet_xmls, start=1):
             zf.writestr(f"xl/worksheets/sheet{i}.xml", xml)
 

@@ -228,8 +228,10 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
     )
 
 
-EWMA_STATE_SCHEMA = T.StructType([T.StructField("ewma", T.DoubleType())])
-EWMA_OUT_SCHEMA = "user_id long, batch_events long, ewma double"
+EWMA_STATE_SCHEMA = T.StructType(
+    [T.StructField("ewma", T.DoubleType()), T.StructField("seen", T.LongType())]
+)
+EWMA_OUT_SCHEMA = "user_id long, batch_events long, seen_events long, ewma double"
 
 
 def running_user_ewma(
@@ -247,8 +249,13 @@ def running_user_ewma(
     equality with the batch operator holds when the source delivers
     per-key data in order (file sources with ordered ids; for true
     out-of-order streams, wrap upstream with a watermarked
-    sort-per-window first). State per key is ONE double regardless of
-    history length — idle keys evicted by processing-time timeout.
+    sort-per-window first). State per key is one double plus one
+    counter regardless of history length — idle keys evicted by
+    processing-time timeout. ``seen_events`` is the CUMULATIVE event
+    count carried in state: a monotone per-key sequence, so "latest
+    emitted row per key" is ``max(seen_events)`` no matter how the
+    source splits files into micro-batches (``batch_events`` is only
+    the per-batch row count and is NOT ordered across batches).
     """
     a = float(alpha)
 
@@ -259,7 +266,7 @@ def running_user_ewma(
         if state.hasTimedOut:
             state.remove()
             return
-        prev = state.get[0] if state.exists else None
+        prev, seen = (state.get[0], state.get[1]) if state.exists else (None, 0)
         n = 0
         for pdf in pdfs:
             pdf = pdf.sort_values("__ord", kind="mergesort")
@@ -268,11 +275,12 @@ def running_user_ewma(
                 if x != x or x is None:   # NaN/None: hold previous
                     continue
                 prev = x if prev is None else (1.0 - a) * prev + a * x
+        seen += n
         if prev is not None:
-            state.update((float(prev),))
+            state.update((float(prev), seen))
         state.setTimeoutDuration(timeout_minutes * 60 * 1000)
         yield pd.DataFrame(
-            [{"user_id": user_id, "batch_events": n, "ewma": prev}]
+            [{"user_id": user_id, "batch_events": n, "seen_events": seen, "ewma": prev}]
         )
 
     return (

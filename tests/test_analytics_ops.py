@@ -319,3 +319,24 @@ def test_unigram_logprob_ranks_common_above_rare(spark):
     assert out[1].mean_logprob > out[2].mean_logprob
     # and every logprob is negative (probabilities < 1)
     assert all(r.mean_logprob < 0 for r in out.values())
+
+def test_validate_expectations_rejects_bad_rule_names(spark):
+    """Rule names land in a stack() SQL expression — non-identifier
+    names, duplicates, the reserved __total alias, and empty rule
+    lists must fail fast with a clear error, not a mangled query."""
+    import pytest
+
+    df = _toy(spark)
+    for bad in ["has'quote", "back`tick", "", "1starts_digit", "__total", None]:
+        with pytest.raises(ValueError, match="rule name"):
+            validate_expectations(df, [{"name": bad, "kind": "not_null", "column": "id"}])
+    with pytest.raises(ValueError, match="duplicate"):
+        validate_expectations(
+            df,
+            [
+                {"name": "r1", "kind": "not_null", "column": "id"},
+                {"name": "r1", "kind": "not_null", "column": "status"},
+            ],
+        )
+    with pytest.raises(ValueError, match="non-empty"):
+        validate_expectations(df, [])

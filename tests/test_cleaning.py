@@ -191,3 +191,98 @@ def test_xlsx_reader_shared_strings_and_numbers(tmp_path):
     header, rows = read_xlsx(path, "S1")
     assert header == ["name", "qty"]
     assert rows == [["multi run", "3.25"], ["TRUE", "42"]]
+
+def test_xlsx_date_styled_cells_convert_to_iso(spark, tmp_path):
+    """Date-STYLED numeric cells must surface as ISO strings that the
+    lenient date cast turns into real dates — the behavior openpyxl
+    gives the reference (config.py:109-118), where date-formatted
+    cells arrive as datetimes, not Excel serial numbers."""
+    from pyspark.sql import types as T
+
+    from awi_datapipelinepublic_spark.functions.cleaning import cast_to_schema
+    from awi_datapipelinepublic_spark.sources.readers import read_excel_sheets
+    from awi_datapipelinepublic_spark.sources.xlsx import DateSerial, write_xlsx
+
+    path = str(tmp_path / "ProductionRpt_dates.xlsx")
+    write_xlsx(
+        path,
+        {
+            "Prime Production Report": (
+                ["POLICY", "TRANS_DATE", "PREMIUM"],
+                [
+                    ["PP-1", DateSerial(45261), "100.5"],     # 2023-12-01
+                    ["PP-2", DateSerial(45261.5), "7"],       # noon → datetime string
+                    ["PP-3", "2024-01-02", "9"],              # ISO string passes through
+                    ["PP-4", None, "1"],
+                ],
+            )
+        },
+    )
+    out = read_excel_sheets(spark, path, ["Prime Production Report"], [])
+    rows = {r["POLICY"]: r for r in out.collect()}
+    assert rows["PP-1"]["TRANS_DATE"] == "2023-12-01"
+    assert rows["PP-2"]["TRANS_DATE"] == "2023-12-01 12:00:00"
+    assert rows["PP-3"]["TRANS_DATE"] == "2024-01-02"
+    assert rows["PP-4"]["TRANS_DATE"] is None
+    # Premium column is untouched (numeric but not date-styled).
+    assert rows["PP-1"]["PREMIUM"] == "100.5"
+
+    # And the standard clean stage parses those strings to real DATEs.
+    st = T.StructType(
+        [
+            T.StructField("POLICY", T.StringType()),
+            T.StructField("TRANS_DATE", T.DateType()),
+            T.StructField("PREMIUM", T.DoubleType()),
+        ]
+    )
+    casted = cast_to_schema(out, st, lenient_dates=["TRANS_DATE"])
+    vals = {r["POLICY"]: r["TRANS_DATE"] for r in casted.collect()}
+    import datetime
+
+    assert vals["PP-1"] == datetime.date(2023, 12, 1)
+    assert vals["PP-2"] == datetime.date(2023, 12, 1)
+    assert vals["PP-3"] == datetime.date(2024, 1, 2)
+    assert vals["PP-4"] is None
+
+
+def test_xlsx_date_format_heuristic(tmp_path):
+    """styles.xml number-format classification: built-in date ids,
+    custom codes with y/m/d tokens, and quoted-literal false
+    positives — the openpyxl is_date_format rule."""
+    import zipfile
+
+    from awi_datapipelinepublic_spark.sources.xlsx import (
+        _date_style_indices,
+        _is_date_format,
+        _serial_to_iso,
+    )
+
+    assert _is_date_format(14, None) and _is_date_format(22, None)
+    assert not _is_date_format(0, None) and not _is_date_format(2, None)
+    assert _is_date_format(164, "yyyy\\-mm\\-dd")
+    assert _is_date_format(165, "[$-409]d-mmm-yy")
+    assert not _is_date_format(166, '"yes";"no"')      # quoted literals stripped
+    assert not _is_date_format(167, "#,##0.00")
+    # 1900 leap-bug boundary (openpyxl-compatible epoch handling)
+    assert _serial_to_iso(1) == "1900-01-01"
+    assert _serial_to_iso(59) == "1900-02-28"
+    assert _serial_to_iso(61) == "1900-03-01"
+
+    styles = """<?xml version="1.0"?>
+<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><numFmts count="2"><numFmt numFmtId="164" formatCode="yyyy/mm/dd"/><numFmt numFmtId="165" formatCode="&quot;d&quot;0.0"/></numFmts><cellXfs count="4"><xf numFmtId="0"/><xf numFmtId="164"/><xf numFmtId="165"/><xf numFmtId="14"/></cellXfs></styleSheet>"""
+    path = str(tmp_path / "s.xlsx")
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("xl/styles.xml", styles)
+    with zipfile.ZipFile(path) as zf:
+        assert _date_style_indices(zf) == frozenset({1, 3})
+
+def test_numeric_as_decimal_schema_mode():
+    from pyspark.sql import types as T
+
+    from awi_datapipelinepublic_spark.sources.schema import to_struct_type
+
+    fields = [{"name": "a", "type": "NUMERIC"}, {"name": "b", "type": "FLOAT"}]
+    st = to_struct_type(fields, numeric_as_decimal=True)
+    assert st["a"].dataType == T.DecimalType(38, 9)
+    assert st["b"].dataType == T.DoubleType()     # only NUMERIC switches
+    assert to_struct_type(fields)["a"].dataType == T.DoubleType()

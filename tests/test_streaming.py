@@ -192,13 +192,15 @@ def test_streaming_ewma_matches_batch_ewma(spark, events_stream_dir, tmp_path):
         spark.read.parquet(events_stream_dir).schema
     ).parquet(events_stream_dir)
     _drain(running_user_ewma(stream, alpha=0.3), tmp_path, "ewma_stream")
-    # last emitted row per user = the final state
+    # last emitted row per user = the final state; seen_events is the
+    # state-carried cumulative count, monotone per key across
+    # micro-batches (batch_events is per-batch and NOT ordered).
     got = {
         r["user_id"]: round(r["ewma"], 9)
         for r in spark.sql(
             """SELECT user_id, ewma FROM (
                  SELECT user_id, ewma,
-                        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY batch_events DESC) rn
+                        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY seen_events DESC) rn
                  FROM ewma_stream) WHERE rn = 1"""
         ).collect()
     }
