@@ -2427,6 +2427,143 @@ def q_tpch_q2_min_cost(spark, sf_dir):
     )
 
 
+def q_tpch_q13_custdist(spark, sf_dir):
+    """TPC-H Q13 shape: customer order-count distribution — a LEFT
+    outer join with a join-side predicate (customers with zero
+    qualifying orders must survive with count 0), then a groupBy OF a
+    groupBy. The inner agg shuffles on c_custkey; the outer one on the
+    tiny c_count domain — AQE coalesces it to a handful of partitions.
+    Predicate stand-in: the synthetic orders table has no o_comment,
+    so 'not special-requests' becomes o_orderpriority <> '1-URGENT'."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q_tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: quarterly revenue per supplier, then the
+    supplier(s) achieving the global maximum — the classic
+    view + scalar-max-subquery, decorrelated as agg → 1-row max →
+    broadcast join back (no second scan of lineitem, no window over
+    an unpartitioned frame). Revenue is rounded to 2dp BEFORE the max
+    compare so both engines threshold the identical double."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_revenue"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__max_rev"))
+    return (
+        rev.join(F.broadcast(mx), rev["total_revenue"] == mx["__max_rev"])
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q17_small_qty(spark, sf_dir):
+    """TPC-H Q17 shape: average yearly revenue lost to small-quantity
+    orders of one brand. The correlated per-part AVG subquery is
+    decorrelated Spark-first: restrict parts by brand FIRST (brand is
+    functionally determined by partkey, so the per-part average over
+    the restricted lineitems equals the average over all of them),
+    broadcast the filtered part keys into the fact scan, compute the
+    per-part quantity limit with one grouped agg, and let AQE
+    broadcast that bounded (≤|part|) limit table back. lineitem is
+    scanned once and never shuffled at full width."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4").select("p_partkey")
+    branded = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    qlim = branded.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("__qlim")
+    )
+    return (
+        branded.join(qlim, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("__qlim"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def q_tpch_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: large-volume orders — HAVING on a grouped fact
+    aggregate, then join the surviving (rare) order keys back to
+    orders and customer. The heavy groupBy(l_orderkey) happens once;
+    its >250 survivors are a tiny set AQE broadcasts into both
+    dimension joins; TakeOrderedAndProject caps the result at 100.
+    Quantities are integer-valued doubles, so the HAVING threshold is
+    exact in any summation order."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250.0)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderdate").asc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+def q_dup_span_stats(spark, sf_dir):
+    """Cross-document duplicated-span profile
+    (operators/quality.py:cross_doc_duplicate_spans): per-doc fraction
+    of word 4-gram positions whose gram also occurs in another
+    document — the substring-dedup signal, computed with grouped aggs
+    + one gram-partition window, never a corpus self-join."""
+    from awi_datapipelinepublic_spark.operators.quality import cross_doc_duplicate_spans
+
+    return cross_doc_duplicate_spans(_t(spark, sf_dir, "documents"), n=4)
+
+
+# Mixture targets shared by the Spark gate and its DuckDB oracle so the
+# fp weight-sum normalizer is bit-identical on both sides.
+_MIXTURE_WEIGHTS = {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1}
+_MIXTURE_TOTAL = 300
+
+
+def q_mixture_resample(spark, sf_dir):
+    """Deterministic domain-mixture resampling
+    (operators/sampling.py:mixture_resample): keep-fractions derived
+    from per-language counts vs target mixture weights; md5-uniform
+    acceptance so the kept set replays identically in any engine."""
+    from awi_datapipelinepublic_spark.operators.sampling import mixture_resample
+
+    d = _t(spark, sf_dir, "documents")
+    out = mixture_resample(d, "lang", "doc_id", _MIXTURE_WEIGHTS, _MIXTURE_TOTAL)
+    return out.select("doc_id", "lang", "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- Driver check window: the first 50 entries are the ids the
@@ -2609,6 +2746,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "tpch_q19_brackets": q_tpch_q19_brackets,
         "tpch_q2_min_cost": q_tpch_q2_min_cost,
+        # round-3 additions: more TPC-H plan shapes (outer-join
+        # double-agg, scalar-max view, decorrelated per-part avg,
+        # HAVING join-back) + substring-span dedup + mixture sampling.
+        "tpch_q13_custdist": q_tpch_q13_custdist,
+        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+        "tpch_q17_small_qty": q_tpch_q17_small_qty,
+        "tpch_q18_large_orders": q_tpch_q18_large_orders,
+        "dup_span_stats": q_dup_span_stats,
+        "mixture_resample": q_mixture_resample,
     }
 
 
@@ -4100,6 +4246,84 @@ def oracle_sql() -> dict[str, str]:
         FROM supply s
         JOIN mc ON s.l_partkey = mc.l_partkey AND s.unit_cost = mc.min_cost
         JOIN supplier sup ON s.l_suppkey = sup.s_suppkey
+    """
+    sql["tpch_q13_custdist"] = """
+        SELECT c_count, COUNT(*) AS custdist FROM (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey)
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """
+    sql["tpch_q15_top_supplier"] = """
+        WITH rev AS (
+          SELECT l_suppkey,
+                 ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        ORDER BY s_suppkey
+    """
+    sql["tpch_q17_small_qty"] = """
+        WITH branded AS (
+          SELECT l_partkey, l_quantity, l_extendedprice
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#4'),
+        qlim AS (SELECT l_partkey, 0.2 * AVG(l_quantity) AS ql
+                 FROM branded GROUP BY l_partkey)
+        SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM branded JOIN qlim USING (l_partkey)
+        WHERE l_quantity < ql
+    """
+    sql["tpch_q18_large_orders"] = """
+        WITH big AS (
+          SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250.0)
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               ROUND(sum_qty, 2) AS sum_qty
+        FROM big JOIN orders ON l_orderkey = o_orderkey
+                 JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey
+        LIMIT 100
+    """
+    sql["dup_span_stats"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        grams AS (
+          SELECT doc_id, unnest(CASE WHEN len(t) >= 4
+              THEN list_transform(range(1, len(t) - 2),
+                   i -> array_to_string(t[i:i+3], ' '))
+              ELSE [array_to_string(t, ' ')] END) AS gram
+          FROM toks),
+        occ AS (SELECT gram, doc_id, COUNT(*) AS cnt FROM grams GROUP BY 1, 2),
+        f AS (SELECT doc_id, cnt,
+                     COUNT(*) OVER (PARTITION BY gram) AS ndocs FROM occ)
+        SELECT doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_spans,
+               CAST(SUM(CASE WHEN ndocs >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+                   AS n_dup_spans,
+               ROUND(CAST(SUM(CASE WHEN ndocs >= 2 THEN cnt ELSE 0 END) AS DOUBLE)
+                     / SUM(cnt), 6) AS dup_span_frac
+        FROM f GROUP BY doc_id
+    """
+    _mix_vals = ", ".join(
+        f"('{k}', {v!r})" for k, v in sorted(_MIXTURE_WEIGHTS.items())
+    )
+    _mix_wsum = float(sum(_MIXTURE_WEIGHTS.values()))
+    sql["mixture_resample"] = f"""
+        WITH w(lang, wt) AS (VALUES {_mix_vals}),
+        counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        j AS (
+          SELECT d.doc_id, d.lang, d.source,
+                 ROUND(LEAST(1.0, CAST({_MIXTURE_TOTAL} AS DOUBLE) * wt
+                                  / {_mix_wsum!r} / n), 9) AS frac
+          FROM documents d JOIN counts USING (lang) JOIN w USING (lang))
+        SELECT doc_id, lang, source FROM j
+        WHERE ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT)::DOUBLE
+               + 0.5) / 4294967296.0 < frac
     """
     # §2 alias ids share their implementation's oracle.
     sql["scan_jsonl"] = sql["scan_csv"]  # same staged rows, different format

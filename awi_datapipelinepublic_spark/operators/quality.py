@@ -105,6 +105,48 @@ def decontaminate(
     return corpus.join(bad, id_col, "left_anti")
 
 
+def cross_doc_duplicate_spans(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 4
+) -> DataFrame:
+    """Substring-level duplication profile: for each document, how much
+    of its text consists of word n-gram spans that ALSO occur in some
+    other document. This is the signal behind suffix-array substring
+    dedup of LM training corpora (exact duplicated spans across
+    documents, as opposed to whole-document near-dup): a doc whose
+    ``dup_span_frac`` approaches 1.0 is boilerplate assembled from
+    shared fragments even if no single other doc is a near-duplicate
+    of it.
+
+    Output per document: ``n_spans`` (total n-gram positions),
+    ``n_dup_spans`` (positions whose gram appears in ≥2 distinct
+    docs), ``dup_span_frac``. Shorter-than-n docs contribute their
+    whole text as a single span (same convention as
+    :func:`repetition_stats`), so every doc gets a row.
+
+    Scale shape: explode → groupBy(gram, doc) with map-side partials
+    (shuffle 1, on already-combined keys), a count window over the
+    gram partition (shuffle 2 — pure aggregate rows, never raw text),
+    and a final groupBy(doc) on doc-level partials (shuffle 3, |docs|
+    rows). No self-join of the corpus, no driver state. Gram strings
+    are kept verbatim for cross-engine verifiability; a production
+    run would hash them (xxhash64) to shrink shuffle width — same
+    plan, 8-byte keys.
+    """
+    from pyspark.sql import Window
+
+    occ = _grams(df, id_col, text_col, n, distinct=False).groupBy("gram", id_col).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ndocs = F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    flagged = occ.withColumn("__ndocs", ndocs)
+    dup_cnt = F.sum(F.when(F.col("__ndocs") >= 2, F.col("cnt")).otherwise(F.lit(0)))
+    return flagged.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_spans"),
+        dup_cnt.alias("n_dup_spans"),
+        F.round(dup_cnt.cast("double") / F.sum("cnt"), 6).alias("dup_span_frac"),
+    )
+
+
 def key_skew_profile(
     df: DataFrame,
     key_col: str,

@@ -105,6 +105,56 @@ def balanced_sample(
     )
 
 
+def mixture_resample(
+    df: DataFrame,
+    category_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    total_rows: int,
+) -> DataFrame:
+    """Deterministic domain-mixture resampling: downsample each
+    category so the kept set approximates a target mixture (the
+    per-source weighting step of LM corpus recipes — e.g. upweight
+    curated sources, downweight crawl — expressed as keep-fractions).
+
+    For category ``c`` with ``n_c`` rows and normalized target weight
+    ``w_c``, the keep fraction is ``min(1, total_rows·w_c / n_c)``
+    (rounded to 9dp so both engines threshold the identical double);
+    a row is kept iff its md5-derived uniform ``u(id) < frac_c``.
+    Categories absent from ``weights`` are dropped. Determinism is
+    per-id: re-runs, incremental batches, and other engines keep
+    exactly the same rows — sampling state never has to be
+    coordinated across executors.
+
+    Scale shape: one groupBy(category) whose result is bounded by the
+    category vocabulary (broadcast back to the scan), then a pure
+    filter — the corpus itself is never shuffled. Oversubscribed
+    categories (``n_c < total_rows·w_c``) saturate at keep-all rather
+    than upsampling; callers wanting replication can union the kept
+    set k times (exact-duplicate upsampling is a deliberate, visible
+    step, not an implicit one).
+    """
+    wsum = float(sum(weights.values()))
+    wmap = F.create_map(
+        *[F.lit(x) for kv in sorted(weights.items()) for x in (kv[0], float(kv[1]))]
+    )
+    counts = df.groupBy(category_col).agg(F.count(F.lit(1)).alias("__n"))
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    frac = F.round(
+        F.least(F.lit(1.0), F.lit(float(total_rows)) * wmap[F.col(category_col)] / wsum / F.col("__n")),
+        9,
+    )
+    return (
+        df.join(F.broadcast(counts), category_col)
+        .filter(wmap[F.col(category_col)].isNotNull() & (u < frac))
+        .drop("__n")
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,

@@ -340,3 +340,56 @@ def test_validate_expectations_rejects_bad_rule_names(spark):
         )
     with pytest.raises(ValueError, match="non-empty"):
         validate_expectations(df, [])
+
+
+def test_cross_doc_duplicate_spans(spark):
+    """Two docs sharing a 4-word phrase get those positions flagged;
+    a doc with no cross-doc gram has dup_span_frac 0; a short doc
+    contributes its whole text as one span."""
+    from awi_datapipelinepublic_spark.operators.quality import cross_doc_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over"),
+            (2, "lazy dogs and the quick brown fox sleep"),
+            (3, "completely unrelated words entirely here now"),
+            (4, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in cross_doc_duplicate_spans(docs, n=4).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # doc1: 3 spans, of which "the quick brown fox" + "quick brown fox jumps"?
+    # only "the quick brown fox" also appears in doc2 -> 1 dup span.
+    assert out[1].n_spans == 3 and out[1].n_dup_spans == 1
+    assert out[2].n_dup_spans == 1
+    assert out[3].n_dup_spans == 0 and out[3].dup_span_frac == 0.0
+    # short doc: whole text is its single span, shared with nobody
+    assert out[4].n_spans == 1 and out[4].n_dup_spans == 0
+
+
+def test_mixture_resample_proportions_and_determinism(spark):
+    """Kept counts track the target mixture; absent categories drop;
+    oversubscribed categories saturate at keep-all; the kept id set
+    is identical across invocations (hash-deterministic)."""
+    from awi_datapipelinepublic_spark.operators.sampling import mixture_resample
+
+    rows = [(i, "a") for i in range(1000)] + [(1000 + i, "b") for i in range(1000)]
+    rows += [(2000 + i, "rare") for i in range(5)] + [(3000 + i, "drop") for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, cat string")
+    out = mixture_resample(df, "cat", "id", {"a": 0.5, "b": 0.25, "rare": 0.25}, 400)
+    kept = out.groupBy("cat").count().collect()
+    by_cat = {r.cat: r["count"] for r in kept}
+    assert "drop" not in by_cat
+    # targets: a=200/1000 (20%), b=100/1000 (10%), rare=100/5 -> saturate at 5
+    assert abs(by_cat["a"] - 200) < 60
+    assert abs(by_cat["b"] - 100) < 45
+    assert by_cat["rare"] == 5
+    ids1 = sorted(r.id for r in out.select("id").collect())
+    ids2 = sorted(
+        r.id
+        for r in mixture_resample(
+            df, "cat", "id", {"a": 0.5, "b": 0.25, "rare": 0.25}, 400
+        ).select("id").collect()
+    )
+    assert ids1 == ids2
