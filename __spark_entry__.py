@@ -2215,25 +2215,31 @@ def q_knn_join(spark, sf_dir):
 
 def q_knn_join_lsh(spark, sf_dir):
     """LSH-bucketed approximate kNN join — the scale path (equi-join
-    on bucket ids, pair count Σ|bucket|² not n²). Rows-only driver
-    check (bucket membership is seed/engine-specific); recall vs the
-    brute-force join is bounded in tests/test_extensions.py."""
+    on bucket ids, pair count Σ|bucket|² not n²). Code length h is
+    auto-sized from the corpus so expected bucket size stays constant
+    and pair count stays linear in n (the sf0.1→sf1 sweep caught the
+    fixed-h quadratic). Rows-only driver check (bucket membership is
+    seed/engine-specific); recall vs the brute-force join is bounded
+    in tests."""
     from awi_datapipelinepublic_spark.operators.similarity import knn_join_lsh
 
     emb = _t(spark, sf_dir, "embeddings")
-    return knn_join_lsh(emb, dim=64, k=5, h=6, multiprobe_bits=1)
+    return knn_join_lsh(emb, dim=64, k=5, multiprobe_bits=1)
 
 
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style embedding-cluster dedup (operators/dedup.py:
     semantic_dedup): IVF-cluster-bounded pairwise cosine → threshold
-    graph → keep min-id per component. Rows-only driver check
-    (cluster assignment is approximate by design); recall vs the
-    brute-force pair graph is bounded in tests."""
+    graph → keep min-id per component. Cluster count auto-scales with
+    the corpus (constant expected cluster size ⇒ linear pair count —
+    the published SemDeDup setting; the sf0.1→sf1 sweep caught the
+    fixed-k quadratic). Rows-only driver check (cluster assignment is
+    approximate by design); recall vs the brute-force pair graph is
+    bounded in tests."""
     from awi_datapipelinepublic_spark.operators.dedup import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, threshold=0.2, n_clusters=8)
+    return semantic_dedup(emb, threshold=0.2)
 
 
 _EXPECTATION_RULES = [
@@ -2487,7 +2493,10 @@ def q_tpch_q17_small_qty(spark, sf_dir):
     broadcast the filtered part keys into the fact scan, compute the
     per-part quantity limit with one grouped agg, and let AQE
     broadcast that bounded (≤|part|) limit table back. lineitem is
-    scanned once and never shuffled at full width."""
+    scanned twice (the branded subtree feeds two plan branches) but
+    never shuffled at full width — both scans carry the broadcast
+    partkey probe, and the only shuffle key is l_partkey over
+    already-restricted rows."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4").select("p_partkey")
     branded = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(

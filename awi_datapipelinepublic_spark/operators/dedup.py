@@ -539,9 +539,10 @@ def segment_exact_dedup(
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = 0.95,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cluster_rows: int = 64,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: keep one representative
     per group of embedding-near-duplicates (pairwise cosine >=
@@ -558,6 +559,15 @@ def semantic_dedup(
     missed by design; recall against the brute-force pair set is
     bounded in tests.
 
+    ``n_clusters=None`` (the default) scales the cluster count with
+    the corpus — ``clamp(n // target_cluster_rows, 8, 65536)`` — so
+    E[|cluster|] stays ≈ target_cluster_rows and the within-cluster
+    pair count stays ≈ n·target, LINEAR in n. This mirrors the
+    published SemDeDup setting (cluster count grows with corpus
+    size); a fixed k is quadratic in disguise (Σ|cluster|² ≈ n²/k),
+    which the sf0.1→sf1 sweep measured directly — pass a fixed
+    n_clusters only for pinned small-scale experiments.
+
     At 100 TB: write the corpus partitioned by ``cluster`` and each
     within-cluster join is partition-local; the pair graph and victim
     set follow the same bounded shapes as near_dedup_keep_canonical.
@@ -568,6 +578,8 @@ def semantic_dedup(
         ivf_assign,
     )
 
+    if n_clusters is None:
+        n_clusters = min(65536, max(8, emb.count() // target_cluster_rows))
     assigned, _ = ivf_assign(emb, n_clusters, id_col, vec_col, out_col="__cluster")
     a = assigned.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("a_vec"), "__cluster"

@@ -239,15 +239,26 @@ def knn_join_brute(
     )
 
 
+def auto_code_length(n: int, target_bucket_rows: int = 32) -> int:
+    """LSH code length holding E[|bucket|] ≈ target_bucket_rows:
+    ``clamp(ceil(log2(n / target)), 4, 24)``. Doubling the corpus adds
+    one bit — candidate pairs stay ≈ n·probes·target, linear in n,
+    where any fixed h is pairs ≈ probes·n²/2^h, quadratic."""
+    import math
+
+    return min(24, max(4, math.ceil(math.log2(max(n, 2) / max(target_bucket_rows, 1)))))
+
+
 def knn_join_lsh(
     emb: DataFrame,
     dim: int,
     k: int = 5,
-    h: int = 6,
+    h: int | None = None,
     seed: int = 42,
     multiprobe_bits: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket_rows: int = 32,
 ) -> DataFrame:
     """Approximate all-pairs kNN join — the 100 TB path. Both sides get
     the same h-bit sign-LSH bucket; candidates are generated by an
@@ -260,9 +271,21 @@ def knn_join_lsh(
     (a, b) pair can match in at most one probe bucket — no pair-dedup
     pass is needed between the join and the ranking.
 
+    ``h=None`` (the default) sizes the code length from the corpus:
+    ``h = clamp(ceil(log2(n / target_bucket_rows)), 4, 24)``, which
+    holds E[|bucket|] ≈ target_bucket_rows so candidate pairs stay
+    ≈ n·probes·target — LINEAR in n. A fixed h is quadratic in
+    disguise (pairs ≈ probes·n²/2^h): the sf0.1→sf1 scaling sweep
+    measured exactly that — 1.9 s → 183 s at 10× rows with h=6 —
+    which is why auto-sizing is the default; pass an explicit h only
+    for pinned-recall experiments at a known scale. The one count()
+    the auto path adds is parquet-metadata-only.
+
     Recall vs :func:`knn_join_brute` is bounded in tests; the driver
     row is rows-only by design (bucket membership is seed-specific).
     """
+    if h is None:
+        h = auto_code_length(emb.count(), target_bucket_rows)
     bucketed = lsh_bucket(emb, dim, h, seed, vec_col=vec_col).select(
         F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), "bucket"
     )

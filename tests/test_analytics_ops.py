@@ -393,3 +393,18 @@ def test_mixture_resample_proportions_and_determinism(spark):
         ).select("id").collect()
     )
     assert ids1 == ids2
+
+
+def test_auto_code_length_holds_bucket_size_constant():
+    """The auto-sized LSH code length must add ~1 bit per corpus
+    doubling (constant expected bucket size ⇒ linear pair count) and
+    clamp to [4, 24]."""
+    from awi_datapipelinepublic_spark.operators.similarity import auto_code_length
+
+    assert auto_code_length(100) == 4          # clamp floor
+    assert auto_code_length(2_000) == 6        # sf0.1 regime (matches round-2 h)
+    assert auto_code_length(20_000) == 10      # sf1: +~3 bits for 10x rows
+    assert auto_code_length(20_000_000) == 20
+    assert auto_code_length(10**12) == 24      # clamp ceiling
+    for n in (1_000, 2_000, 4_000, 8_000):
+        assert auto_code_length(2 * n) - auto_code_length(n) == 1

@@ -386,3 +386,56 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_q17_broadcasts_filtered_parts_no_fact_shuffle_for_probe(spark, sf_dir):
+    """Q17's decorrelated shape: the brand-filtered part keys are
+    broadcast into the fact scan on BOTH branches (the per-part limit
+    branch and the final probe), so lineitem is never shuffled at full
+    width — the only shuffle key is l_partkey on already-restricted
+    rows. Two scans of lineitem are expected (the branded subtree is
+    consumed by two plan branches); both are scan-bound with the
+    partkey probe pushed as a broadcast."""
+    plan = _plan(entry_mod.q_tpch_q17_small_qty(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+
+
+def test_q18_having_survivors_and_topk(spark, sf_dir):
+    """Q18: the heavy groupBy(l_orderkey) happens exactly once
+    (partial+final HashAggregate pair), and the final ORDER BY ...
+    LIMIT is TakeOrderedAndProject, never a global sort."""
+    plan = _plan(entry_mod.q_tpch_q18_large_orders(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0], plan[:1500]
+
+
+def test_q13_outer_join_preserves_every_customer(spark, sf_dir):
+    """Q13 must LEFT-join (customers without qualifying orders survive
+    with c_count 0, never dropped) and aggregate twice — the plan
+    carries two partial/final HashAggregate pairs, and the custdist
+    column sums to exactly |customer| (an inner join would lose any
+    zero-order customer and break the invariant)."""
+    df = entry_mod.q_tpch_q13_custdist(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 4, plan[:2000]
+    total = sum(r.custdist for r in df.collect())
+    ncust = entry_mod._t(spark, sf_dir, "customer").count()
+    assert total == ncust
+
+
+def test_mixture_resample_is_filter_only_on_corpus(spark, sf_dir):
+    """The corpus side of mixture_resample is never shuffled: the
+    category-count table joins back as a broadcast, so the only
+    Exchange in the plan feeds the tiny counts aggregate."""
+    plan = _plan(entry_mod.q_mixture_resample(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_dup_span_stats_no_self_join(spark, sf_dir):
+    """Cross-doc span stats must be agg+window, never a corpus
+    self-join: no join operator of any kind in the plan."""
+    plan = _plan(entry_mod.q_dup_span_stats(spark, sf_dir))
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan, (op, plan[:2000])
