@@ -66,6 +66,14 @@ BENCH_QUERIES = [
     "knn_join_lsh",
     "semantic_dedup",
     "validate_expectations",
+    # round-3 additions: substring-span dedup profile, deterministic
+    # mixture resampling, and the q13/q17/q18 plan shapes (outer-join
+    # double-agg, decorrelated per-part avg, HAVING join-back).
+    "dup_span_stats",
+    "mixture_resample",
+    "tpch_q13_custdist",
+    "tpch_q17_small_qty",
+    "tpch_q18_large_orders",
 ]
 
 
