@@ -2555,6 +2555,91 @@ def q_dup_span_stats(spark, sf_dir):
     return cross_doc_duplicate_spans(_t(spark, sf_dir, "documents"), n=4)
 
 
+def q_tpch_q7_volume(spark, sf_dir):
+    """TPC-H Q7 shape: bidirectional two-nation shipping volume by
+    year — a 5-way join where BOTH endpoint dims (supplier+nation,
+    customer+nation) are nation-filtered FIRST and broadcast, so the
+    only big work is the orders⋈lineitem fact-fact join; the
+    disjunctive nation-pair predicate runs on the two broadcast tags,
+    never on fact columns. Nation pair stands in for the spec's
+    FRANCE/GERMANY on the synthetic names."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") <= "1997-12-31")
+    )
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's market share of a part type within
+    a region, by order year — a 6-way join whose three dimension arms
+    (type-filtered part, nation-tagged supplier, region-filtered
+    customer) are all broadcast; the share is a conditional-sum /
+    total-sum ratio over one grouped pass, never two scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") <= "1996-12-31")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
 # Mixture targets shared by the Spark gate and its DuckDB oracle so the
 # fp weight-sum normalizer is bit-identical on both sides.
 _MIXTURE_WEIGHTS = {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1}
@@ -2758,6 +2843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-3 additions: more TPC-H plan shapes (outer-join
         # double-agg, scalar-max view, decorrelated per-part avg,
         # HAVING join-back) + substring-span dedup + mixture sampling.
+        "tpch_q7_volume": q_tpch_q7_volume,
+        "tpch_q8_market_share": q_tpch_q8_market_share,
         "tpch_q13_custdist": q_tpch_q13_custdist,
         "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
         "tpch_q17_small_qty": q_tpch_q17_small_qty,
@@ -4255,6 +4342,39 @@ def oracle_sql() -> dict[str, str]:
         FROM supply s
         JOIN mc ON s.l_partkey = mc.l_partkey AND s.unit_cost = mc.min_cost
         JOIN supplier sup ON s.l_suppkey = sup.s_suppkey
+    """
+    sql["tpch_q7_volume"] = """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               EXTRACT(year FROM l_shipdate) AS l_year,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """
+    sql["tpch_q8_market_share"] = """
+        SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+               ROUND(SUM(CASE WHEN n1.n_name = 'NATION_7'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+                     / SUM(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+        FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          JOIN region ON n2.n_regionkey = r_regionkey
+        WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+          AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+        GROUP BY 1 ORDER BY 1
     """
     sql["tpch_q13_custdist"] = """
         SELECT c_count, COUNT(*) AS custdist FROM (
