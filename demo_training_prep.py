@@ -5,11 +5,15 @@ Chains the engine's scale-path operators the way an LLM data pipeline
 would, over the synthetic documents table:
 
     quality/language filter  (functions/text.py — pure expressions)
+  → boilerplate span gate    (cross-doc duplicated 4-gram fraction —
+                              the substring-dedup signal)
   → exact dedup              (md5 fingerprint keep-lowest-id)
   → near dedup               (minhash → LSH bands → connected
                               components → keep canonical)
   → semantic dedup           (SemDeDup: IVF-cluster-bounded embedding
                               pair graph → keep canonical)
+  → mixture resampling       (deterministic md5 acceptance toward
+                              equal source shares)
   → train/val/test split     (deterministic md5-prefix assignment)
   → token-window chunking    (50-token chunks, 10 overlap)
   → write, partitioned by split
@@ -51,6 +55,17 @@ def prepare(spark, sf_dir: str, out_dir: str) -> dict:
     )
     n_quality = kept.count()
 
+    # 1b. boilerplate gate: drop documents whose text is mostly word
+    # 4-gram spans shared with OTHER documents (the substring-dedup
+    # signal — catches pages assembled from common fragments that no
+    # whole-doc near-dup stage would pair up).
+    from awi_datapipelinepublic_spark.operators.quality import cross_doc_duplicate_spans
+
+    spans = cross_doc_duplicate_spans(kept, n=4)
+    boiler = spans.filter(F.col("dup_span_frac") > 0.8).select("doc_id")
+    kept = kept.join(boiler, "doc_id", "left_anti")
+    n_spans = kept.count()
+
     # 2. exact dedup: keep the lowest id per normalized fingerprint
     exact_keep = exact_dedup(kept).select("doc_id")
     kept = kept.join(exact_keep, "doc_id", "left_semi")
@@ -74,6 +89,18 @@ def prepare(spark, sf_dir: str, out_dir: str) -> dict:
     )
     kept = kept.join(sem_keep, "doc_id", "left_semi")
     n_sem = kept.count()
+
+    # 3c. source-mixture resampling: downsample the surviving corpus
+    # toward equal source shares (deterministic md5 acceptance — the
+    # same rows are kept on every run/engine/incremental batch).
+    from awi_datapipelinepublic_spark.operators.sampling import mixture_resample
+
+    srcs = [r["source"] for r in kept.select("source").distinct().collect()]
+    budget = max(1, int(n_sem * 0.9))
+    kept = mixture_resample(
+        kept, "source", "doc_id", {s: 1.0 for s in srcs}, total_rows=budget
+    )
+    n_mix = kept.count()
 
     # 4. deterministic split, then chunk each split's documents
     split = train_val_test_split(kept, "doc_id")
@@ -106,9 +133,11 @@ def prepare(spark, sf_dir: str, out_dir: str) -> dict:
     return {
         "raw_docs": n_raw,
         "after_quality_lang": n_quality,
+        "after_boilerplate_span_gate": n_spans,
         "after_exact_dedup": n_exact,
         "after_near_dedup": n_near,
         "after_semantic_dedup": n_sem,
+        "after_mixture_resample": n_mix,
         "chunks_per_split": per_split,
         "train_blocks_512tok": n_blocks,
     }

@@ -166,7 +166,16 @@ def test_training_prep_demo_end_to_end(spark, sf_dir, tmp_path):
 
     out_dir = str(tmp_path / "prep")
     s = prepare(spark, sf_dir, out_dir)
-    assert s["raw_docs"] >= s["after_quality_lang"] >= s["after_exact_dedup"] >= s["after_near_dedup"] > 0
+    assert (
+        s["raw_docs"]
+        >= s["after_quality_lang"]
+        >= s["after_boilerplate_span_gate"]
+        >= s["after_exact_dedup"]
+        >= s["after_near_dedup"]
+        >= s["after_semantic_dedup"]
+        >= s["after_mixture_resample"]
+        > 0
+    )
     assert set(s["chunks_per_split"]) <= {"train", "val", "test"}
     assert sum(s["chunks_per_split"].values()) > 0
     train = spark.read.parquet(out_dir).filter(F.col("split") == "train")
