@@ -2214,13 +2214,14 @@ def q_knn_join(spark, sf_dir):
 
 
 def q_knn_join_lsh(spark, sf_dir):
-    """LSH-bucketed approximate kNN join — the scale path (equi-join
-    on bucket ids, pair count Σ|bucket|² not n²). Code length h is
-    auto-sized from the corpus so expected bucket size stays constant
-    and pair count stays linear in n (the sf0.1→sf1 sweep caught the
-    fixed-h quadratic). Rows-only driver check (bucket membership is
-    seed/engine-specific); recall vs the brute-force join is bounded
-    in tests."""
+    """LSH-bucketed approximate kNN join — the scale path (cogrouped
+    per-bucket matmul, candidate count Σ|bucket|² not n², vectors
+    cross the Python boundary once per row, never per pair). Code
+    length h is auto-sized from the corpus so expected bucket size
+    stays constant and candidate count stays linear in n (the
+    sf0.1→sf1 sweep caught the fixed-h quadratic). Rows-only driver
+    check (bucket membership is seed/engine-specific); recall vs the
+    brute-force join is bounded in tests."""
     from awi_datapipelinepublic_spark.operators.similarity import knn_join_lsh
 
     emb = _t(spark, sf_dir, "embeddings")

@@ -348,13 +348,69 @@ def knn_join_lsh(
     right = lsh_bucket(emb, dim, h, seed, vec_col=vec_col).select(
         F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"), "bucket"
     )
-    cos = _pair_cosine_udf()
-    pairs = (
-        left.join(right, "bucket")
-        .filter(F.col("a_id") != F.col("b_id"))
-        .select("a_id", "b_id", F.round(cos(F.col("a_vec"), F.col("b_vec")), 6).alias("cos"))
+
+    # Score per BUCKET with a cogrouped matmul, not per pair row: the
+    # earlier bucket equi-join materialized BOTH 64-float vectors on
+    # every candidate pair (≈ n·probes·bucket rows through the shuffle
+    # and Arrow boundary — ~4.5 GB at sf1); cogrouping ships each
+    # vector across the boundary ONCE PER ROW, runs one blocked
+    # matmul per bucket, and emits only (a_id, b_id, cos) candidate
+    # triples, pre-cut to k per left row per bucket. Compute is the
+    # same Σ|bucket|² either way; the boundary traffic is ~probes·k×
+    # smaller. Left chunks are blocked so a degenerate mega-bucket
+    # bounds its sims plane instead of allocating m×n at once.
+    import pandas as pd  # noqa: F811 — self-contained for cloudpickle
+
+    def bucket_topk(lpdf, rpdf):
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            empty = np.empty(0, dtype=np.int64)
+            return pd.DataFrame({"a_id": empty, "b_id": empty, "cos": np.empty(0)})
+        order0 = np.argsort(rpdf["b_id"].to_numpy(dtype=np.int64), kind="stable")
+        b_ids = rpdf["b_id"].to_numpy(dtype=np.int64)[order0]
+        B = np.stack(rpdf["b_vec"].values)[order0].astype(float)
+        Bn = np.linalg.norm(B, axis=1)
+        Bn[Bn == 0] = 1.0
+        nb = b_ids.shape[0]
+        kk = min(k, nb)
+        neg_inf = -(2**62)  # safely negatable (see knn_join_brute)
+        outs = []
+        blk = max(1, min(4096, (4 << 20) // nb))
+        for lo in range(0, len(lpdf), blk):
+            chunk = lpdf.iloc[lo : lo + blk]
+            A = np.stack(chunk["a_vec"].values).astype(float)
+            An = np.linalg.norm(A, axis=1)
+            An[An == 0] = 1.0
+            sims = np.round((A @ B.T) / (An[:, None] * Bn[None, :]), 6)
+            a_ids = chunk["a_id"].to_numpy(dtype=np.int64)
+            c6 = np.rint(sims * 1e6).astype(np.int64)
+            key = c6 * nb - np.arange(nb, dtype=np.int64)[None, :]
+            pos = np.searchsorted(b_ids, a_ids)
+            rix = np.arange(len(a_ids))
+            hit = (pos < nb) & (b_ids[np.minimum(pos, nb - 1)] == a_ids)
+            key[rix[hit], pos[hit]] = neg_inf
+            sel = np.argpartition(-key, kk - 1, axis=1)[:, :kk] if kk < nb else (
+                np.argsort(-key, axis=1)
+            )
+            selkey = np.take_along_axis(key, sel, axis=1)
+            sel = np.take_along_axis(sel, np.argsort(-selkey, axis=1), axis=1)
+            keep = np.take_along_axis(key, sel, axis=1).ravel() > neg_inf
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "a_id": np.repeat(a_ids, sel.shape[1])[keep],
+                        "b_id": b_ids[sel].ravel()[keep],
+                        "cos": np.take_along_axis(sims, sel, axis=1).ravel()[keep],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    cand = (
+        left.groupBy("bucket")
+        .cogroup(right.groupBy("bucket"))
+        .applyInPandas(bucket_topk, schema="a_id long, b_id long, cos double")
     )
-    return _topk_per_left(pairs, k)
+    return _topk_per_left(cand, k)
 
 
 def ivf_assign(

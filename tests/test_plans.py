@@ -328,10 +328,13 @@ def test_knn_join_has_no_join_operator(spark, sf_dir):
     assert "MapInPandas" in plan
 
 
-def test_knn_join_lsh_is_bucket_equi_join(spark, sf_dir):
-    """The ANN join's candidate generation must be an equi-join on the
-    bucket id — never a nested-loop/cartesian pair expansion."""
+def test_knn_join_lsh_is_cogrouped_bucket_matmul(spark, sf_dir):
+    """The ANN join's candidate generation must be a cogrouped
+    per-bucket matmul — vectors cross the Python boundary once per
+    ROW, pair rows never materialize, and no nested-loop/cartesian
+    expansion appears anywhere."""
     plan = _plan(entry_mod.q_knn_join_lsh(spark, sf_dir))
+    assert "FlatMapCoGroupsInPandas" in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan  # top-k never buffers whole groups
