@@ -26,18 +26,48 @@ broadcast it.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints (PEP 563)
 from pyspark.sql import DataFrame, functions as F
 
 from awi_datapipelinepublic_spark.functions import text as X
 
 
+def _gram_list_udf(n: int, distinct: bool):
+    """Arrow-batched tokenize → word n-grams per document (multiset or
+    distinct). Same semantics as tokens(normalize_text(·)) +
+    shingles_of (functions/text.py) — short docs yield their whole
+    text as one gram — but one plain-Python string pass per Arrow
+    batch. The expression form is a CollapseProject trap: the chained
+    select's token array is re-inlined into the shingling transform()
+    lambda, so the tokenize regexp re-runs PER ARRAY ELEMENT (measured
+    8.7 s for 256k grams at sf0.1 — ~6× the whole rest of the query).
+    Self-contained nested def: cloudpickled by value, no repo-module
+    reference on the workers."""
+    import pandas as pd  # noqa: F811 — keep the closure self-contained
+    from pyspark.sql.types import ArrayType, StringType
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def grams(texts: pd.Series) -> pd.Series:
+        import re
+
+        ws = re.compile(r"\s+")
+        out = []
+        for t in texts:
+            toks = ws.sub(" ", (t or "").lower()).strip().split(" ")
+            m = len(toks)
+            if m >= n:
+                g = [" ".join(toks[i : i + n]) for i in range(m - n + 1)]
+                out.append(list(dict.fromkeys(g)) if distinct else g)
+            else:
+                out.append([" ".join(toks)])
+        return pd.Series(out)
+
+    return grams
+
+
 def _grams(df: DataFrame, id_col: str, text_col: str, n: int, distinct: bool) -> DataFrame:
-    """(id, gram) rows: tokenize, shingle, explode. Token array is
-    materialized before shingling (shingles_of's O(n²) warning)."""
-    toks = df.select(id_col, X.tokens(X.normalize_text(text_col)).alias("__toks"))
-    g = toks.select(id_col, X.shingles_of(F.col("__toks"), n).alias("__grams"))
-    if distinct:
-        g = g.select(id_col, F.array_distinct("__grams").alias("__grams"))
+    """(id, gram) rows: Arrow-batched tokenize+shingle, then explode."""
+    g = df.select(id_col, _gram_list_udf(n, distinct)(F.col(text_col)).alias("__grams"))
     return g.select(id_col, F.explode("__grams").alias("gram"))
 
 
