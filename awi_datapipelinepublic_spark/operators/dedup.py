@@ -26,8 +26,6 @@ from pyspark.sql import DataFrame, functions as F
 from awi_datapipelinepublic_spark.functions.text import (
     doc_fingerprint,
     normalize_text,
-    shingles_of,
-    tokens,
 )
 
 
@@ -425,9 +423,12 @@ def ngram_jaccard_pairs(
     the *verify* stage fed by minhash_lsh_candidates, not a standalone
     sweep. Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    sh = (
-        df.withColumn("__toks", tokens(normalize_text(text_col)))
-        .select(F.col(id_col), F.explode(F.array_distinct(shingles_of(F.col("__toks"), k))).alias("sh"))
+    # Arrow-batched shingle set — the expression form is a
+    # CollapseProject trap (the token array re-inlines into the
+    # shingling lambda and the tokenize regexp re-runs per element;
+    # see operators/quality.py:_gram_list_udf for the measurement).
+    sh = df.select(
+        F.col(id_col), F.explode(_shingle_set_udf(k)(F.col(text_col))).alias("sh")
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
