@@ -2434,6 +2434,44 @@ def q_tpch_q2_min_cost(spark, sf_dir):
     )
 
 
+def q_tpch_q9_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit by supplier nation × order year over a
+    part-name-filtered slice — a 5-way join where the two selective
+    dims (LIKE-filtered part, nation-tagged supplier) broadcast into
+    the fact scan and the orders join brings the year. The synthetic
+    schema has no partsupp, so unit cost derives deterministically
+    from the part's retail price (60%), mirroring the q2 gate's
+    derived-cost convention; profit per line is
+    revenue − cost·quantity, rounded at the exact 4dp product grid
+    before summation on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%ring%"))
+        .select("p_partkey", (F.round(F.col("p_retailprice") * 0.6, 4)).alias("__cost"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    amount = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("__cost") * F.col("l_quantity"),
+        4,
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
 def q_tpch_q13_custdist(spark, sf_dir):
     """TPC-H Q13 shape: customer order-count distribution — a LEFT
     outer join with a join-side predicate (customers with zero
@@ -2846,6 +2884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # HAVING join-back) + substring-span dedup + mixture sampling.
         "tpch_q7_volume": q_tpch_q7_volume,
         "tpch_q8_market_share": q_tpch_q8_market_share,
+        "tpch_q9_profit": q_tpch_q9_profit,
         "tpch_q13_custdist": q_tpch_q13_custdist,
         "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
         "tpch_q17_small_qty": q_tpch_q17_small_qty,
@@ -4376,6 +4415,20 @@ def oracle_sql() -> dict[str, str]:
         WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
           AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
         GROUP BY 1 ORDER BY 1
+    """
+    sql["tpch_q9_profit"] = """
+        SELECT n_name AS nation,
+               EXTRACT(year FROM o_orderdate) AS o_year,
+               ROUND(SUM(ROUND(l_extendedprice * (1 - l_discount)
+                               - ROUND(p_retailprice * 0.6::DOUBLE, 4) * l_quantity, 4)), 2)
+                   AS sum_profit
+        FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%ring%'
+        GROUP BY 1, 2 ORDER BY 1, 2 DESC
     """
     sql["tpch_q13_custdist"] = """
         SELECT c_count, COUNT(*) AS custdist FROM (
