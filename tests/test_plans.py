@@ -442,3 +442,18 @@ def test_dup_span_stats_no_self_join(spark, sf_dir):
     for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
                "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert op not in plan, (op, plan[:2000])
+
+
+def test_q7_q8_q9_dims_all_broadcast(spark, sf_dir):
+    """The multi-join TPC-H shapes must broadcast every dimension arm:
+    the only permissible non-broadcast join is the orders⋈lineitem
+    fact-fact join (q7/q8/q9 have at most one SortMergeJoin each)."""
+    for fn in (
+        entry_mod.q_tpch_q7_volume,
+        entry_mod.q_tpch_q8_market_share,
+        entry_mod.q_tpch_q9_profit,
+    ):
+        plan = _plan(fn(spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") >= 2, (fn.__name__, plan[:2000])
+        assert plan.count("SortMergeJoin") <= 1, (fn.__name__, plan[:2000])
+        assert "CartesianProduct" not in plan
