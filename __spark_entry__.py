@@ -2443,7 +2443,10 @@ def q_tpch_q9_profit(spark, sf_dir):
     from the part's retail price (60%), mirroring the q2 gate's
     derived-cost convention; profit per line is
     revenue − cost·quantity, rounded at the exact 4dp product grid
-    before summation on both engines."""
+    before summation on both engines; the SUM is rounded at 4dp too —
+    its true value is a multiple of 1e-4 (5e-5 from any boundary,
+    ~1e-8 cross-engine fp drift), where a 2dp round measurably flips
+    cents on half-boundary sums (the BASELINE.md rounding gotcha)."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     n = _t(spark, sf_dir, "nation")
@@ -2467,7 +2470,7 @@ def q_tpch_q9_profit(spark, sf_dir):
         .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg(F.round(F.sum(amount), 4).alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
@@ -4420,7 +4423,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT n_name AS nation,
                EXTRACT(year FROM o_orderdate) AS o_year,
                ROUND(SUM(ROUND(l_extendedprice * (1 - l_discount)
-                               - ROUND(p_retailprice * 0.6::DOUBLE, 4) * l_quantity, 4)), 2)
+                               - ROUND(p_retailprice * 0.6::DOUBLE, 4) * l_quantity, 4)), 4)
                    AS sum_profit
         FROM lineitem
           JOIN part ON l_partkey = p_partkey
