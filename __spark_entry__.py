@@ -2586,6 +2586,26 @@ def q_tpch_q18_large_orders(spark, sf_dir):
     )
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental near-dedup (operators/dedup.py:dedup_incremental):
+    every third document plays the NEW batch, the rest the persisted
+    corpus band index (minhash_band_keys). A batch doc survives only
+    if no band key hits the index (left-semi probe — the corpus is
+    never reshuffled or re-signed) and no smaller-id batch doc shares
+    a band. Hash-verified: the md5-portable MinHash replays the whole
+    decision bit-for-bit in DuckDB."""
+    from awi_datapipelinepublic_spark.operators.dedup import (
+        dedup_incremental,
+        minhash_band_keys,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    index = minhash_band_keys(corpus, k=3)
+    return dedup_incremental(batch, index, k=3).orderBy("doc_id")
+
+
 def q_dup_span_stats(spark, sf_dir):
     """Cross-document duplicated-span profile
     (operators/quality.py:cross_doc_duplicate_spans): per-doc fraction
@@ -2894,6 +2914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18_large_orders": q_tpch_q18_large_orders,
         "dup_span_stats": q_dup_span_stats,
         "mixture_resample": q_mixture_resample,
+        "dedup_incremental": q_dedup_incremental,
     }
 
 
@@ -2906,15 +2927,14 @@ _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKS = f"string_split({_NORM}, ' ')"
 
 
-def _minhash_pairs_ctes(k: int, max_bucket: int = 2000) -> str:
+def _minhash_band_ctes(k: int) -> str:
     """DuckDB CTE chain replaying operators/dedup.py's portable MinHash
-    → LSH banding exactly: distinct word-k-shingles; ONE md5-derived
-    32-bit base hash per shingle (digest hex 1-8); per-seed affine
-    transforms (a_i·h mod p + b_i) mod p over the Mersenne prime with
-    the engine's own constants (dedup.py MINHASH_A/B/P); per-seed min;
-    8 bands × 4 rows keyed by the comma-joined slice; buckets of
-    2..max_bucket members expanded to distinct (id_a < id_b) pairs.
-    Yields CTEs ending in ``pairs``; embed inside WITH [RECURSIVE]."""
+    banding exactly: distinct word-k-shingles; ONE md5-derived 32-bit
+    base hash per shingle (digest hex 1-8); per-seed affine transforms
+    (a_i·h mod p + b_i) mod p over the Mersenne prime with the
+    engine's own constants (dedup.py MINHASH_A/B/P); per-seed min;
+    8 bands × 4 rows keyed by the comma-joined slice. Yields CTEs
+    ending in ``bands`` (doc_id, band_no, bkey)."""
     a_list = ", ".join(str(a) for a in MINHASH_A[:32])
     b_list = ", ".join(str(b) for b in MINHASH_B[:32])
     return f"""
@@ -2938,7 +2958,15 @@ def _minhash_pairs_ctes(k: int, max_bucket: int = 2000) -> str:
                FROM hh CROSS JOIN consts c GROUP BY 1, 2),
         bands AS (SELECT doc_id, seed // 4 AS band_no,
                          string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bkey
-                  FROM mh GROUP BY 1, 2),
+                  FROM mh GROUP BY 1, 2)"""
+
+
+def _minhash_pairs_ctes(k: int, max_bucket: int = 2000) -> str:
+    """Extends :func:`_minhash_band_ctes` with bucket-capped pair
+    expansion: buckets of 2..max_bucket members expanded to distinct
+    (id_a < id_b) pairs. Yields CTEs ending in ``pairs``; embed inside
+    WITH [RECURSIVE]."""
+    return f"""{_minhash_band_ctes(k)},
         ok AS (SELECT band_no, bkey FROM bands GROUP BY 1, 2
                HAVING COUNT(*) > 1 AND COUNT(*) <= {max_bucket}),
         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -4475,6 +4503,22 @@ def oracle_sql() -> dict[str, str]:
                  JOIN customer ON o_custkey = c_custkey
         ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey
         LIMIT 100
+    """
+    sql["dedup_incremental"] = f"""
+        WITH {_minhash_band_ctes(k=3)},
+        idx AS (SELECT band_no, bkey FROM bands WHERE doc_id % 3 <> 0),
+        nb AS (SELECT doc_id, band_no, bkey FROM bands WHERE doc_id % 3 = 0),
+        hit AS (SELECT DISTINCT doc_id FROM nb
+                WHERE EXISTS (SELECT 1 FROM idx
+                              WHERE idx.band_no = nb.band_no AND idx.bkey = nb.bkey)),
+        mins AS (SELECT band_no, bkey, MIN(doc_id) AS mn, COUNT(*) AS c
+                 FROM nb GROUP BY 1, 2),
+        vb AS (SELECT DISTINCT nb.doc_id FROM nb JOIN mins USING (band_no, bkey)
+               WHERE c > 1 AND nb.doc_id > mn)
+        SELECT doc_id FROM documents
+        WHERE doc_id % 3 = 0
+          AND doc_id NOT IN (SELECT doc_id FROM hit UNION SELECT doc_id FROM vb)
+        ORDER BY doc_id
     """
     sql["dup_span_stats"] = f"""
         WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

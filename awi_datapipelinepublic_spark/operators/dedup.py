@@ -191,6 +191,87 @@ def minhash_signature(
     )
 
 
+def minhash_band_keys(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """(id, band_no, band_key) LSH band rows — the unit both the batch
+    candidate generator (:func:`minhash_lsh_candidates`) and the
+    incremental path (:func:`dedup_incremental`) share. The band key
+    is the comma-joined signature slice itself (exact, and — with the
+    md5-portable signature — byte-identical in the DuckDB oracle).
+    Persist this table bucketed by (band_no, band_key) to make it a
+    corpus dedup INDEX that incremental batches probe shuffle-free.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signature(df.select(id_col, text_col), text_col, id_col, num_hashes, k)
+    band_cols = F.array(
+        *[
+            F.concat_ws(
+                ",", F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band).cast("array<string>")
+            )
+            for b in range(bands)
+        ]
+    )
+    return (
+        sigs.withColumn("band_keys", band_cols)
+        .select(id_col, F.posexplode("band_keys").alias("band_no", "band_key"))
+    )
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """Near-dedup a NEW batch against a persisted corpus band index —
+    the shape a production pipeline actually runs daily, where
+    re-deduplicating the whole corpus per batch is a non-starter.
+
+    ``index`` is a (doc_id, band_no, band_key) table built by
+    :func:`minhash_band_keys` over the existing corpus. A new document
+    is dropped if (a) any of its band keys already exists in the index
+    — it is a near-duplicate of the corpus — or (b) it shares a band
+    key with a smaller-id document in the same batch (keep-first
+    within batch, decided independently of (a) so the outcome is
+    deterministic). Returns the surviving new ids; append their band
+    rows to the index to absorb the batch.
+
+    100 TB shape: the corpus-side probe is a LEFT SEMI join — it stops
+    at the first key match, so a degenerate band key shared by 10⁹
+    index rows contributes one lookup, never a pair expansion. With
+    the index stored bucketed by (band_no, band_key), only the (tiny)
+    batch's band rows shuffle; the index is probed in place. The
+    within-batch pass is a groupBy-min over batch band rows — batch-
+    bounded. Nothing ever recomputes corpus signatures.
+    """
+    nb = minhash_band_keys(new_docs, text_col, id_col, num_hashes, bands, k)
+    hit_corpus = (
+        nb.join(index.select("band_no", "band_key"), ["band_no", "band_key"], "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    mins = nb.groupBy("band_no", "band_key").agg(
+        F.min(id_col).alias("__mn"), F.count(F.lit(1)).alias("__c")
+    )
+    batch_victims = (
+        nb.join(mins, ["band_no", "band_key"])
+        .filter((F.col("__c") > 1) & (F.col(id_col) > F.col("__mn")))
+        .select(id_col)
+        .distinct()
+    )
+    dropped = hit_corpus.union(batch_victims).distinct()
+    return new_docs.select(id_col).join(dropped, id_col, "left_anti")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -222,20 +303,7 @@ def minhash_lsh_candidates(
     paired are the cheap case: run :func:`exact_dedup` first (the full
     pipeline's documented contract).
     """
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signature(df.select(id_col, text_col), text_col, id_col, num_hashes, k)
-    band_cols = F.array(
-        *[
-            F.concat_ws(
-                ",", F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band).cast("array<string>")
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = (
-        sigs.withColumn("band_keys", band_cols)
-        .select(id_col, F.posexplode("band_keys").alias("band_no", "band_key"))
-    )
+    banded = minhash_band_keys(df, text_col, id_col, num_hashes, bands, k)
     # Pair generation via groupBy + in-bucket expansion, NOT a self-join:
     # a self-join recomputes the whole signature pipeline for both sides
     # and shuffles it twice; grouping shuffles the (id, band) rows once

@@ -512,3 +512,28 @@ def test_probe_masks_popcount_family(spark):
         assert len(masks) == sum(comb(h, j) for j in range(bits + 1))
         assert all(bin(m).count("1") <= bits for m in masks)
         assert all(m < (1 << h) for m in masks)
+
+
+def test_dedup_incremental_batch_vs_index(spark):
+    """A batch doc near-duplicating the corpus drops; of two batch
+    near-dups the smaller id survives; a unique batch doc survives."""
+    from awi_datapipelinepublic_spark.operators.dedup import (
+        dedup_incremental,
+        minhash_band_keys,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again"),
+         (2, "completely different corpus content about spark shuffles")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog again and again"),  # corpus dup
+         (11, "brand new unique text never seen in any corpus at all"),
+         (12, "twin batch documents sharing identical wording exactly"),
+         (13, "twin batch documents sharing identical wording exactly")],
+        "doc_id long, text string",
+    )
+    index = minhash_band_keys(corpus, k=3)
+    survivors = {r.doc_id for r in dedup_incremental(batch, index, k=3).collect()}
+    assert survivors == {11, 12}
