@@ -138,6 +138,65 @@ def streaming_dedup(
     )
 
 
+def streaming_near_dedup(
+    docs_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+):
+    """Streaming NEAR-dedup: each micro-batch is deduplicated against
+    a persisted MinHash band index (operators/dedup.dedup_incremental)
+    inside foreachBatch; survivors append to ``out_path`` and their
+    band rows append to the index, so later batches see everything
+    earlier batches kept. The streaming twin of the batch incremental
+    path — exactly the daily-ingest shape, driven by the file trigger.
+
+    Precedence is ARRIVAL ORDER (standard streaming-dedup semantics):
+    within a batch the smaller id wins; across batches the earlier
+    batch's survivor wins because its bands are already in the index.
+    State lives entirely in the index table — no Spark state store —
+    so a restart resumes from the checkpoint with the index intact,
+    and index growth is one (id, band, key) row-set per SURVIVOR, not
+    per arrival. Returns the started availableNow query.
+    """
+    from awi_datapipelinepublic_spark.operators.dedup import (
+        dedup_incremental,
+        minhash_band_keys,
+    )
+
+    index_schema = f"{id_col} long, band_no int, band_key string"
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        try:
+            index = spark.read.parquet(index_path)
+        except Exception:  # noqa: BLE001 — first batch: no index yet
+            index = spark.createDataFrame([], index_schema)
+        survivors = dedup_incremental(
+            batch_df, index, text_col=text_col, id_col=id_col, k=k
+        )
+        kept = batch_df.join(survivors, id_col, "left_semi")
+        # Materialize survivors BEFORE appending their bands: the band
+        # write must not re-read a half-written out_path.
+        kept = kept.localCheckpoint(eager=True)
+        kept.write.mode("append").parquet(out_path)
+        minhash_band_keys(kept, text_col, id_col, k=k).write.mode("append").parquet(
+            index_path
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_click_view_join(
     clicks: DataFrame,
     views: DataFrame,

@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "tpch_q13_custdist",
     "tpch_q17_small_qty",
     "tpch_q18_large_orders",
+    # incremental batch-vs-index dedup: the daily-pipeline shape
+    "dedup_incremental",
 ]
 
 

@@ -218,3 +218,40 @@ def test_streaming_ewma_matches_batch_ewma(spark, events_stream_dir, tmp_path):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_near_dedup_grows_index(spark, tmp_path):
+    """Two availableNow drains over a growing file source: batch 1's
+    survivors seed the band index, so batch 2's near-dup of an
+    already-kept doc drops while its genuinely new doc survives —
+    arrival-order precedence with no Spark state store."""
+    from awi_datapipelinepublic_spark.streaming.windows import streaming_near_dedup
+
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = streaming_near_dedup(stream, idx, out, ckpt, k=3)
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "an entirely different document about spark streaming state")],
+        schema,
+    ).write.mode("append").parquet(in_dir)
+    drain()
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2}
+
+    spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today"),  # dup of 1
+         (11, "completely novel third topic never mentioned before anywhere")],
+        schema,
+    ).write.mode("append").parquet(in_dir)
+    drain()
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2, 11}
+    # index holds band rows for every SURVIVOR, nothing for dropped 10
+    assert {r.doc_id for r in spark.read.parquet(idx).collect()} == {1, 2, 11}
