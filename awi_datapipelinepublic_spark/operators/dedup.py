@@ -642,27 +642,47 @@ def semantic_dedup(
     set follow the same bounded shapes as near_dedup_keep_canonical.
     """
     from awi_datapipelinepublic_spark.operators.graph import dedup_clusters
-    from awi_datapipelinepublic_spark.operators.similarity import (
-        _pair_cosine_udf,
-        ivf_assign,
-    )
+    from awi_datapipelinepublic_spark.operators.similarity import ivf_assign
 
     if n_clusters is None:
         n_clusters = min(65536, max(8, emb.count() // target_cluster_rows))
     assigned, _ = ivf_assign(emb, n_clusters, id_col, vec_col, out_col="__cluster")
-    a = assigned.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("a_vec"), "__cluster"
-    )
-    b = assigned.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("b_vec"), "__cluster"
-    )
-    cos = _pair_cosine_udf()
+
+    # Within-cluster pairs via ONE grouped matmul per cluster, not a
+    # self-join: the join form materialized both vectors on every
+    # candidate pair row (the knn_join_lsh lesson — vectors must cross
+    # the Python boundary once per ROW). Each cluster group computes a
+    # blocked sims plane and emits only the (id_a < id_b) pairs above
+    # threshold; compute stays Σ|cluster|² either way, boundary
+    # traffic drops from per-pair to per-row.
+    thr = float(threshold)
+
+    def cluster_pairs(pdf):
+        n = len(pdf)
+        if n < 2:
+            e = np.empty(0, dtype=np.int64)
+            return pd.DataFrame({"id_a": e, "id_b": e})
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        M = np.stack(pdf[vec_col].values).astype(float)
+        Mn = np.linalg.norm(M, axis=1)
+        Mn[Mn == 0] = 1.0
+        out_a, out_b = [], []
+        blk = max(1, min(4096, (4 << 20) // n))
+        for lo in range(0, n, blk):
+            sims = (M[lo : lo + blk] @ M.T) / (Mn[lo : lo + blk, None] * Mn[None, :])
+            ra, rb = np.nonzero(sims >= thr)
+            ga, gb = ids[lo + ra], ids[rb]
+            keep = ga < gb
+            out_a.append(ga[keep])
+            out_b.append(gb[keep])
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
     pairs = (
-        a.join(b, "__cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos(F.col("a_vec"), F.col("b_vec")).alias("cos"))
-        .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b")
+        assigned.select(id_col, vec_col, "__cluster")
+        .groupBy("__cluster")
+        .applyInPandas(cluster_pairs, schema="id_a long, id_b long")
     )
     clusters = dedup_clusters(pairs, "id_a", "id_b")
     victims = clusters.filter(F.col("doc_id") != F.col("canonical_id")).select("doc_id")
