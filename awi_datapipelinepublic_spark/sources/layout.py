@@ -113,3 +113,39 @@ def colocated_join(
     lt = spark.table(left_table)
     rt = spark.table(right_table)
     return lt.join(rt, lt[left_key] == rt[right_key], how)
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+) -> int:
+    """Compact a small-files parquet directory in place: rewrite to
+    ⌈total_bytes / target⌉ files and atomically swap. Returns the new
+    file count.
+
+    The small-files problem is the slow death of streaming/incremental
+    sinks (every micro-batch appends a few files; a year later the
+    NameNode/listing and per-file open dominate scan time). Sizing by
+    BYTES, not file count, keeps output files at the parquet sweet
+    spot (~128 MB–1 GB) at any scale. The rewrite is one coalesce —
+    no shuffle: coalesce only merges read splits, preserving data
+    order within files. The swap is write-to-side-dir + two renames,
+    the same staged-overwrite discipline as operators/merge.py (a
+    reader never sees a half-written directory; on posix-like local
+    and HDFS the rename pair is near-atomic, on object stores use a
+    manifest/table format instead).
+    """
+    import shutil
+    from pathlib import Path as _P
+
+    src = _P(path)
+    total = sum(f.stat().st_size for f in src.rglob("*.parquet"))
+    n_files = max(1, -(-total // target_file_bytes))
+    tmp = src.with_name(src.name + "__compact_tmp")
+    old = src.with_name(src.name + "__compact_old")
+    spark.read.parquet(str(src)).coalesce(n_files).write.mode("overwrite").parquet(str(tmp))
+    src.rename(old)
+    tmp.rename(src)
+    shutil.rmtree(old)
+    return len(list(src.rglob("*.parquet")))

@@ -329,3 +329,23 @@ def test_merge_into_catalog_table_roundtrip(spark):
         "SELECT PolicyNumber FROM CAT_RENEWALS_BIG"
     ).collect()] == ["P-3"]
     spark.sql("DROP TABLE IF EXISTS cat_renewals")
+
+
+def test_compact_files_rewrites_small_files(spark, tmp_path):
+    """A many-small-files directory compacts to byte-sized output files
+    with identical content and an atomic-swap rename discipline."""
+    from pyspark.sql import functions as F
+
+    from awi_datapipelinepublic_spark.sources.layout import compact_files
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(path)  # 64 tiny files
+    import pathlib
+
+    assert len(list(pathlib.Path(path).rglob("*.parquet"))) >= 32
+    n = compact_files(spark, path, target_file_bytes=1 << 20)
+    assert n < 8
+    out = spark.read.parquet(path)
+    assert out.count() == 10_000
+    assert out.agg(F.sum("v")).first()[0] == 10_000 * 9_999
