@@ -457,3 +457,12 @@ def test_q7_q8_q9_dims_all_broadcast(spark, sf_dir):
         assert plan.count("BroadcastHashJoin") >= 2, (fn.__name__, plan[:2000])
         assert plan.count("SortMergeJoin") <= 1, (fn.__name__, plan[:2000])
         assert "CartesianProduct" not in plan
+
+
+def test_dedup_incremental_probe_is_semi_join(spark, sf_dir):
+    """The corpus-index probe must be a LEFT SEMI join (first-match
+    short-circuit — a degenerate band key shared by many index rows
+    costs one lookup, never a pair expansion)."""
+    plan = _plan(entry_mod.q_dedup_incremental(spark, sf_dir))
+    assert "LeftSemi" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
