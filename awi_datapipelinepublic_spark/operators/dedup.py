@@ -174,7 +174,9 @@ def minhash_signature(
     into every lambda, going quadratic; the explode/agg form is both
     safe from that and the standard distributed-minhash shape.)
     """
-    sh_rows = df.select(
+    from awi_datapipelinepublic_spark.functions.parallel import spread_small_input
+
+    sh_rows = spread_small_input(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(_shingle_set_udf(k)(F.col(text_col))).alias("__sh")
     )
     hashed = sh_rows.select(
@@ -494,8 +496,11 @@ def ngram_jaccard_pairs(
     # Arrow-batched shingle set — the expression form is a
     # CollapseProject trap (the token array re-inlines into the
     # shingling lambda and the tokenize regexp re-runs per element;
-    # see operators/quality.py:_gram_list_udf for the measurement).
-    sh = df.select(
+    # see operators/quality.py:_gram_list_udf for the measurement) —
+    # spread across cores first (small inputs arrive as 1-2 splits).
+    from awi_datapipelinepublic_spark.functions.parallel import spread_small_input
+
+    sh = spread_small_input(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(_shingle_set_udf(k)(F.col(text_col))).alias("sh")
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))

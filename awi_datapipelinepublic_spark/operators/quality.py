@@ -66,8 +66,14 @@ def _gram_list_udf(n: int, distinct: bool):
 
 
 def _grams(df: DataFrame, id_col: str, text_col: str, n: int, distinct: bool) -> DataFrame:
-    """(id, gram) rows: Arrow-batched tokenize+shingle, then explode."""
-    g = df.select(id_col, _gram_list_udf(n, distinct)(F.col(text_col)).alias("__grams"))
+    """(id, gram) rows: Arrow-batched tokenize+shingle, then explode.
+    The input is spread across cores first — a small parquet arrives
+    as 1-2 splits and would run the UDF on 1-2 workers."""
+    from awi_datapipelinepublic_spark.functions.parallel import spread_small_input
+
+    g = spread_small_input(df.select(id_col, text_col)).select(
+        id_col, _gram_list_udf(n, distinct)(F.col(text_col)).alias("__grams")
+    )
     return g.select(id_col, F.explode("__grams").alias("gram"))
 
 
