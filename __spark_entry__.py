@@ -2475,6 +2475,54 @@ def q_tpch_q9_profit(spark, sf_dir):
     )
 
 
+def q_tpch_q4_priority(spark, sf_dir):
+    """TPC-H Q4 shape: order counts by priority for orders with at
+    least one LATE line — a correlated EXISTS whose predicate spans
+    both tables (l_shipdate > o_orderdate + 60 days), decorrelated to
+    one LEFT SEMI join carrying the compound condition; the fact side
+    shuffles once on the join key and the semi short-circuits per
+    order. The synthetic lineitem has no commit/receipt dates, so
+    'late' derives from ship-vs-order date lag."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_tpch_q12_lateship(spark, sf_dir):
+    """TPC-H Q12 shape: high-vs-low priority classes of orders with a
+    severely late line (ship > order + 90 days) — join with a
+    cross-table date predicate, a derived CASE class, and a
+    COUNT(DISTINCT order) whose two-level (class, key) partial
+    aggregation dedups before the final shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    prio_class = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit("high")
+    ).otherwise(F.lit("low"))
+    return (
+        o.join(
+            li,
+            (o["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        )
+        .groupBy(prio_class.alias("prio_class"))
+        .agg(F.count_distinct(F.col("o_orderkey")).alias("late_orders"))
+        .orderBy("prio_class")
+    )
+
+
 def q_tpch_q13_custdist(spark, sf_dir):
     """TPC-H Q13 shape: customer order-count distribution — a LEFT
     outer join with a join-side predicate (customers with zero
@@ -2908,6 +2956,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7_volume": q_tpch_q7_volume,
         "tpch_q8_market_share": q_tpch_q8_market_share,
         "tpch_q9_profit": q_tpch_q9_profit,
+        "tpch_q4_priority": q_tpch_q4_priority,
+        "tpch_q12_lateship": q_tpch_q12_lateship,
         "tpch_q13_custdist": q_tpch_q13_custdist,
         "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
         "tpch_q17_small_qty": q_tpch_q17_small_qty,
@@ -4460,6 +4510,23 @@ def oracle_sql() -> dict[str, str]:
           JOIN orders ON l_orderkey = o_orderkey
         WHERE p_name LIKE '%ring%'
         GROUP BY 1, 2 ORDER BY 1, 2 DESC
+    """
+    sql["tpch_q4_priority"] = """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+    sql["tpch_q12_lateship"] = """
+        SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 'high' ELSE 'low' END AS prio_class,
+               COUNT(DISTINCT o_orderkey) AS late_orders
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        GROUP BY 1 ORDER BY 1
     """
     sql["tpch_q13_custdist"] = """
         SELECT c_count, COUNT(*) AS custdist FROM (
