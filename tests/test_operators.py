@@ -537,3 +537,18 @@ def test_dedup_incremental_batch_vs_index(spark):
     index = minhash_band_keys(corpus, k=3)
     survivors = {r.doc_id for r in dedup_incremental(batch, index, k=3).collect()}
     assert survivors == {11, 12}
+
+
+def test_spread_small_input_slicing(spark):
+    """Spread kicks in only below cluster parallelism, sizes slices at
+    ~512 rows, and never shatters tiny inputs."""
+    from awi_datapipelinepublic_spark.functions.parallel import spread_small_input
+
+    cores = spark.sparkContext.defaultParallelism
+    tiny = spark.range(100).coalesce(1)
+    assert spread_small_input(tiny).rdd.getNumPartitions() == 1
+    mid = spark.range(5000).coalesce(1)
+    got = spread_small_input(mid).rdd.getNumPartitions()
+    assert 2 <= got <= max(2, min(cores * 2, 9))
+    wide = spark.range(10_000).repartition(cores)
+    assert spread_small_input(wide).rdd.getNumPartitions() == cores
