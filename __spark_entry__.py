@@ -1383,15 +1383,24 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """64-bit SimHash fingerprints (rows-only check; determinism and
-    near-dup locality asserted in tests/)."""
+    """64-bit SimHash fingerprints, md5-portable family
+    (operators/dedup.py:simhash) — hash-verified: the two 32-bit
+    halves replay bit-for-bit in the DuckDB oracle. Exposed as
+    (hi, lo) so every value is a non-negative long in both engines."""
     d = _t(spark, sf_dir, "documents")
-    return simhash(d).select("doc_id", "simhash")
+    fp = simhash(d).select("doc_id", "simhash")
+    return fp.select(
+        "doc_id",
+        F.shiftrightunsigned("simhash", 32).alias("simhash_hi"),
+        F.col("simhash").bitwiseAND(F.lit((1 << 32) - 1)).alias("simhash_lo"),
+    )
 
 
 def q_dedup_simhash_pairs(spark, sf_dir):
-    """SimHash Hamming-ball near-dup candidates (pigeonhole banding;
-    rows-only — engine-specific hash; recall vs jaccard in tests/)."""
+    """SimHash Hamming-ball near-dup candidates (pigeonhole banding,
+    bucket-capped). Hash-verified since the md5-portable rework: the
+    DuckDB oracle replays fingerprints, 7-bit chunk banding, the
+    2..2000 bucket cap, and the exact Hamming filter."""
     return simhash_near_dup_candidates(_t(spark, sf_dir, "documents"), max_hamming=8)
 
 
@@ -3025,6 +3034,30 @@ def _minhash_pairs_ctes(k: int, max_bucket: int = 2000) -> str:
                   WHERE a.doc_id < b.doc_id)"""
 
 
+def _simhash_fp_ctes() -> str:
+    """DuckDB CTE chain replaying operators/dedup.py's md5-portable
+    SimHash exactly: per token OCCURRENCE, two independent 32-bit
+    hashes from md5 hex windows 1-8 / 9-16; ±1 votes per bit; sign of
+    the tally becomes the bit (ties → 0). Every value is a
+    non-negative BIGINT < 2^32, so shifts and bit tests are
+    sign-unambiguous in both engines. Yields CTEs ending in ``fp``
+    (doc_id, hi, lo)."""
+    return f"""
+        toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+        th AS (SELECT doc_id,
+                 ('0x' || substr(md5(tok), 1, 8))::UBIGINT::BIGINT AS h_hi,
+                 ('0x' || substr(md5(tok), 9, 8))::UBIGINT::BIGINT AS h_lo
+               FROM toks),
+        votes AS (SELECT doc_id, i,
+                 SUM(CASE WHEN (h_hi >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v_hi,
+                 SUM(CASE WHEN (h_lo >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v_lo
+               FROM th CROSS JOIN (SELECT unnest(range(32)) AS i) GROUP BY 1, 2),
+        fp AS (SELECT doc_id,
+                 CAST(SUM(CASE WHEN v_hi > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS hi,
+                 CAST(SUM(CASE WHEN v_lo > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS lo
+               FROM votes GROUP BY 1)"""
+
+
 def oracle_sql() -> dict[str, str]:
     sql = {
         "scan_csv": """
@@ -3402,6 +3435,36 @@ def oracle_sql() -> dict[str, str]:
             comp AS (SELECT node, MIN(label) AS component FROM lbl GROUP BY node)
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+        """,
+        # Bit-exact replay of the md5-portable SimHash halves
+        # (operators/dedup.py:simhash; graduated from rows-only in r4).
+        "dedup_simhash": f"""
+            WITH {_simhash_fp_ctes()}
+            SELECT doc_id, hi AS simhash_hi, lo AS simhash_lo FROM fp
+        """,
+        # Pigeonhole banding over the same fingerprints: nine 7-bit
+        # chunks of hi<<32|lo (chunk 4 spans the half boundary), the
+        # 2..2000 bucket cap, distinct id_a<id_b pairs, exact Hamming
+        # ≤ 8 via the two halves' bit_counts — replaying
+        # operators/dedup.py:simhash_near_dup_candidates exactly.
+        "dedup_simhash_pairs": f"""
+            WITH {_simhash_fp_ctes()},
+            banded AS (SELECT doc_id, hi, lo, i AS chunk_no,
+                         CASE WHEN i <= 3 THEN (lo >> (7*i)) & 127
+                              WHEN i = 4 THEN ((lo >> 28) | ((hi & 7) << 4)) & 127
+                              ELSE (hi >> (7*i - 32)) & 127 END AS chunk_val
+                       FROM fp CROSS JOIN (SELECT unnest(range(9)) AS i)),
+            ok AS (SELECT chunk_no, chunk_val FROM banded GROUP BY 1, 2
+                   HAVING COUNT(*) > 1 AND COUNT(*) <= 2000),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                            a.hi AS hia, a.lo AS loa, b.hi AS hib, b.lo AS lob
+                     FROM banded a JOIN banded b USING (chunk_no, chunk_val)
+                     JOIN ok USING (chunk_no, chunk_val)
+                     WHERE a.doc_id < b.doc_id)
+            SELECT id_a, id_b,
+                   CAST(bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) AS INT) AS hamming
+            FROM cand
+            WHERE bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) <= 8
         """,
         "text_stats": f"""
             SELECT doc_id,

@@ -97,22 +97,6 @@ def _affine_hash(h, seed: int):
     )
 
 
-def _seeded_hash(col, seed: int):
-    """Deterministic per-seed 64-bit hash of a string column. xxhash64
-    has no seed parameter in the Python API; hashing (seed, value) as a
-    two-argument call folds the seed into the running hash state —
-    cheaper than materializing a prefixed string per (row, seed)."""
-    return F.xxhash64(F.lit(seed), col)
-
-
-def _seeded_hash(col, seed: int):
-    """Deterministic per-seed 64-bit hash of a string column. xxhash64
-    has no seed parameter in the Python API; hashing (seed, value) as a
-    two-argument call folds the seed into the running hash state —
-    cheaper than materializing a prefixed string per (row, seed)."""
-    return F.xxhash64(F.lit(seed), col)
-
-
 def _shingle_set_udf(k: int):
     """Arrow-batched tokenize → distinct word-k-shingles per document.
 
@@ -385,32 +369,56 @@ def near_dedup_keep_canonical(
     ).select(id_col)
 
 
-def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
-    """64-bit SimHash over token hashes, fully JVM-side.
-
-    Each token votes ±1 per bit of its xxhash64; the sign of each bit's
-    tally becomes that bit of the fingerprint. Near-duplicate docs land
-    within a small Hamming distance. One projection, no shuffle.
-    """
-    # Built as a SQL expression: the Python Column API's shiftright/
-    # shiftleft only take literal bit counts, but inside higher-order
-    # lambdas the bit index is itself a column. The SQL functions accept
-    # expression operands, and the whole thing still runs JVM-side.
-    with_norm = df.withColumn("__norm", normalize_text(text_col))
-    expr = """
+def _simhash_half_expr(hex_off: int) -> str:
+    """32-bit SimHash half over one 8-hex-digit md5 window of each
+    token (``hex_off`` 1 → bits 32..63 of the fingerprint, 9 → bits
+    0..31). Votes ±1 per bit per token OCCURRENCE; sign of the tally
+    becomes the bit (ties → 0). Every intermediate is a non-negative
+    long < 2^32, so shifts and bit tests replay identically in DuckDB
+    (no arithmetic-shift-of-negative ambiguity)."""
+    return f"""
         aggregate(
           zip_with(
             aggregate(
-              transform(split(__norm, ' '), t -> xxhash64(t)),
-              array_repeat(0L, 64),
+              transform(split(__norm, ' '),
+                        t -> cast(conv(substring(md5(t), {hex_off}, 8), 16, 10) as bigint)),
+              array_repeat(0L, 32),
               (acc, h) -> zip_with(
-                acc, sequence(0, 63),
+                acc, sequence(0, 31),
                 (a, i) -> a + IF((shiftright(h, i) & 1) = 1, 1L, -1L))),
-            sequence(0, 63),
+            sequence(0, 31),
             (c, i) -> IF(c > 0, shiftleft(1L, i), 0L)),
           0L, (a, b) -> a | b)
     """
-    return with_norm.withColumn(out_col, F.expr(expr)).drop("__norm")
+
+
+def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash over md5-derived token hashes, fully JVM-side.
+
+    Each token votes ±1 per bit of its 64-bit hash (two independent
+    8-hex-digit md5 windows — the same portability trick as the
+    MinHash family above: md5 is bit-identical in every engine, so the
+    fingerprint replays exactly in the DuckDB oracle, unlike the
+    previous xxhash64 form whose seeds DuckDB cannot reproduce); the
+    sign of each bit's tally becomes that bit of the fingerprint.
+    Near-duplicate docs land within a small Hamming distance. One
+    projection, no shuffle.
+
+    Built as a SQL expression: the Python Column API's shiftright/
+    shiftleft only take literal bit counts, but inside higher-order
+    lambdas the bit index is itself a column. The SQL functions accept
+    expression operands, and the whole thing still runs JVM-side. The
+    two 32-bit halves are computed separately (each stays < 2^32, so
+    the oracle never shifts a negative value) and combined
+    hi<<32 | lo into one signed long whose BIT PATTERN is
+    cross-engine canonical — split it back with shiftrightunsigned
+    for a sign-free two-column oracle form.
+    """
+    with_norm = df.withColumn("__norm", normalize_text(text_col))
+    combined = (
+        f"shiftleft(({_simhash_half_expr(1)}), 32) | ({_simhash_half_expr(9)})"
+    )
+    return with_norm.withColumn(out_col, F.expr(combined)).drop("__norm")
 
 
 def simhash_near_dup_candidates(

@@ -160,21 +160,26 @@ def cross_doc_duplicate_spans(
     :func:`repetition_stats`), so every doc gets a row.
 
     Scale shape: explode → groupBy(gram, doc) with map-side partials
-    (shuffle 1, on already-combined keys), a count window over the
-    gram partition (shuffle 2 — pure aggregate rows, never raw text),
-    and a final groupBy(doc) on doc-level partials (shuffle 3, |docs|
-    rows). No self-join of the corpus, no driver state. Gram strings
-    are kept verbatim for cross-engine verifiability; a production
-    run would hash them (xxhash64) to shrink shuffle width — same
-    plan, 8-byte keys.
+    (shuffle 1, on already-combined keys), a groupBy(gram) doc-count
+    joined back on gram (shuffle 2 — pure aggregate rows, never raw
+    text), and a final groupBy(doc) on doc-level partials (shuffle 3,
+    |docs| rows). No self-join of the corpus, no driver state, and —
+    deliberately — NO window over the gram key: a boilerplate gram
+    occurring in 10^8 documents would land all 10^8 (gram, doc) rows
+    in a single window partition, whereas groupBy collapses the hot
+    key to one row per map partition before the shuffle and the
+    join-back is AQE-skew-splittable (plan-asserted in
+    tests/test_plans.py). Gram strings are kept verbatim for
+    cross-engine verifiability; a production run would hash them
+    (xxhash64) to shrink shuffle width — same plan, 8-byte keys.
     """
-    from pyspark.sql import Window
-
     occ = _grams(df, id_col, text_col, n, distinct=False).groupBy("gram", id_col).agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    ndocs = F.count(F.lit(1)).over(Window.partitionBy("gram"))
-    flagged = occ.withColumn("__ndocs", ndocs)
+    # occ has one row per (gram, doc), so a plain count per gram IS the
+    # distinct-document count — map-side partials make the hot key cheap.
+    gram_docs = occ.groupBy("gram").agg(F.count(F.lit(1)).alias("__ndocs"))
+    flagged = occ.join(gram_docs, "gram")
     dup_cnt = F.sum(F.when(F.col("__ndocs") >= 2, F.col("cnt")).otherwise(F.lit(0)))
     return flagged.groupBy(id_col).agg(
         F.sum("cnt").alias("n_spans"),

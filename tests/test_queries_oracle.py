@@ -33,15 +33,16 @@ def test_every_query_has_callable_signature():
 def test_oracle_coverage():
     """Non-SQL-expressible ops are the only ones allowed to skip the oracle."""
     allowed_rows_only = {
-        # engine-specific xxhash64 fingerprints (simhash) / numpy
-        # hyperplane buckets (sign-LSH): genuinely not SQL-replayable
-        "dedup_simhash", "dedup_simhash_pairs", "knn_lsh", "agg_approx",
+        # numpy hyperplane buckets (sign-LSH) / HLL sketch internals:
+        # genuinely not SQL-replayable
+        "knn_lsh", "agg_approx",
         # seed-specific LSH buckets / approximate IVF clustering;
         # recall + exactness properties pinned in tests/test_analytics_ops.py
         "knn_join_lsh", "semantic_dedup",
         # dedup_minhash_lsh / dedup_pipeline / knn_ivf graduated to
         # hard oracles in round 3 (md5-portable minhash, deterministic
-        # IVF) and are no longer in this list.
+        # IVF); dedup_simhash / dedup_simhash_pairs graduated in round
+        # 4 (md5-portable simhash halves) — no longer in this list.
     }
     missing = set(QUERIES) - set(ORACLES) - allowed_rows_only
     assert not missing, f"queries without oracle: {missing}"
