@@ -2643,6 +2643,164 @@ def q_tpch_q18_large_orders(spark, sf_dir):
     )
 
 
+def q_tpch_q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: per-part supply value for ONE nation's
+    suppliers, kept only when above a fraction of the GLOBAL sum —
+    the scalar-subquery HAVING. Supply value derives from lineitem
+    revenue (the synthetic schema has no partsupp; same derived-cost
+    convention as the q2/q9 gates). Spark-first: the 100-row supplier
+    dim (nation-filtered) broadcasts into the fact scan, one grouped
+    agg builds the per-part values, and the global total re-aggregates
+    those GROUPED rows — a one-row broadcast crossJoin, never a second
+    fact scan. Revenue rounds at the exact 4dp product grid
+    (2dp price × 2dp discount) before summation on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    supp = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select("s_suppkey")
+    line_rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    per_part = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .select("l_partkey", line_rev.alias("__rev"))
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum("__rev"), 4).alias("value"))
+    )
+    total = per_part.agg(F.sum("value").alias("__total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.lit(0.001) * F.col("__total"))
+        .select("l_partkey", "value")
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+def q_tpch_q16_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 shape: DISTINCT supplier count per (brand, type,
+    size) for a filtered part slice, excluding a NOT-IN supplier set
+    (negative account balance stands in for the comment-LIKE
+    'complaints' filter — the synthetic supplier has no comment
+    column). Spark-first: the (part, supplier) pairs come from one
+    distinct over the fact's two key columns; the excluded-supplier
+    list is a broadcast LEFT ANTI (Catalyst's null-safe plan for
+    NOT IN on a non-nullable key); the part dim broadcasts; the only
+    wide shuffle is the final count-distinct on already-distinct
+    pairs."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(1, 3, 5, 7, 9))
+    )
+    bad_supp = (
+        _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    )
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(F.broadcast(bad_supp), pairs["l_suppkey"] == bad_supp["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), pairs["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+def q_tpch_q20_promo_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: nested correlated IN over summed lineitem —
+    suppliers (in one nation) whose derived stock of a name-filtered
+    part exceeds half of that part's shipped volume in the target
+    year. The synthetic schema has no partsupp, so 'available
+    quantity' per (part, supplier) derives from pre-1997 shipments
+    and demand from 1997 shipments. Spark-first decorrelation: the
+    name-filtered part keys broadcast into ONE fact scan restricted
+    up front; two grouped sums over that slice join on the pair key
+    (AQE broadcasts the smaller year slice); the qualified supplier
+    ids reach the supplier dim as a LEFT SEMI — the agg + semi-join
+    chain that replaces both nested INs."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("small")).select(
+        "p_partkey"
+    )
+    pli = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    avail = (
+        pli.filter(F.col("l_shipdate") < "1997-01-01")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("__avail"))
+    )
+    shipped = (
+        pli.filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("__shipped"))
+    )
+    qual = (
+        avail.join(shipped, ["l_partkey", "l_suppkey"])
+        .filter(F.col("__avail") > F.lit(0.5) * F.col("__shipped"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(qual, s["s_suppkey"] == qual["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who kept 'F' orders waiting — the
+    EXISTS + NOT EXISTS pair on the same fact, the hardest
+    decorrelation in the suite. 'Late' is ship-vs-order lag > 60 days
+    (no commit/receipt dates in the synthetic lineitem, same
+    convention as the q4/q12 gates). Spark-first: instead of two
+    correlated probes per line, ONE orders⋈lineitem join feeds a
+    per-order profile (distinct suppliers, distinct LATE suppliers);
+    a late (order, supplier) pair qualifies iff the order has ≥2
+    suppliers (EXISTS another supplier) and exactly 1 late supplier
+    (NOT EXISTS another late one — that one being the pair's own).
+    lineitem is scanned at most twice (profile + pair branches of the
+    same joined subtree), the nation dim broadcasts, and the final
+    per-supplier count groups ~|supplier| rows."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    lo = li.join(o, li["l_orderkey"] == o["o_orderkey"]).withColumn(
+        "__late",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).cast("int"),
+    )
+    prof = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__n_supp"),
+        F.countDistinct(F.when(F.col("__late") == 1, F.col("l_suppkey"))).alias(
+            "__n_late_supp"
+        ),
+    )
+    waiting = (
+        lo.filter(F.col("__late") == 1).select("l_orderkey", "l_suppkey").distinct()
+    )
+    qual = waiting.join(
+        prof.filter((F.col("__n_supp") >= 2) & (F.col("__n_late_supp") == 1)),
+        "l_orderkey",
+        "left_semi",
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    return (
+        qual.join(F.broadcast(s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+                               .select("s_suppkey", "s_name")),
+                  qual["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental near-dedup (operators/dedup.py:dedup_incremental):
     every third document plays the NEW batch, the rest the persisted
@@ -2779,13 +2937,69 @@ def q_mixture_resample(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- Driver check window: the first 50 entries are the ids the
-        # --- driver oracle-verifies each round (CORRECTNESS_r*). They are
-        # --- the SURVEY.md §2 operator ids plus the LLM-pipeline
-        # --- flagships; alias ids and vocabulary variants come after.
+        # --- Driver check window (round-4 rotation): the driver oracle-
+        # --- verifies the FIRST 50 entries each round (CORRECTNESS_r*).
+        # --- r1-r3 hard-verified the SURVEY §2 ids; this round rotates
+        # --- the window onto ids that had only judge/pytest oracle
+        # --- coverage (all 22 TPC-H shapes incl. the four new r4 ones,
+        # --- the LLM-pipeline flagships named by the r3 verdict, and the
+        # --- newly hash-oracled simhash family), keeping only the §2
+        # --- view/merge/streaming flagships as permanent residents.
+        "streaming_pipeline": q_streaming_pipeline,
+        "make_view": q_make_view,
+        "merge_time_window": q_merge_time_window,
+        "view_retention": q_view_retention,
+        "view_transactions": q_view_transactions,
+        "view_auto_optiom": q_view_auto_optiom,
+        # all 22 TPC-H plan shapes (q11/q16/q20/q21 new this round)
+        "tpch_q1_pricing": q_tpch_q1_pricing,
+        "tpch_q2_min_cost": q_tpch_q2_min_cost,
+        "tpch_q3_topk": q_tpch_q3_topk,
+        "tpch_q4_priority": q_tpch_q4_priority,
+        "tpch_q5_revenue": q_tpch_q5_revenue,
+        "tpch_q6_forecast": q_tpch_q6_forecast,
+        "tpch_q7_volume": q_tpch_q7_volume,
+        "tpch_q8_market_share": q_tpch_q8_market_share,
+        "tpch_q9_profit": q_tpch_q9_profit,
+        "tpch_q10_returns": q_tpch_q10_returns,
+        "tpch_q11_important_stock": q_tpch_q11_important_stock,
+        "tpch_q12_lateship": q_tpch_q12_lateship,
+        "tpch_q13_custdist": q_tpch_q13_custdist,
+        "tpch_q14_promo": q_tpch_q14_promo,
+        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+        "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
+        "tpch_q17_small_qty": q_tpch_q17_small_qty,
+        "tpch_q18_large_orders": q_tpch_q18_large_orders,
+        "tpch_q19_brackets": q_tpch_q19_brackets,
+        "tpch_q20_promo_suppliers": q_tpch_q20_promo_suppliers,
+        "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
+        "tpch_q22_prospects": q_tpch_q22_prospects,
+        # LLM-pipeline flagships the r3 verdict named for rotation
+        "dup_span_stats": q_dup_span_stats,
+        "mixture_resample": q_mixture_resample,
+        "knn_join": q_knn_join,
+        "ewma_smooth": q_ewma_smooth,
+        "weighted_sample": q_weighted_sample,
+        "validate_expectations": q_validate_expectations,
+        "bm25_topk": q_bm25_topk,
+        "colocated_join": q_colocated_join,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_incremental": q_dedup_incremental,
+        "decontaminate": q_decontaminate,
+        "hybrid_search_rrf": q_hybrid_search_rrf,
+        "inverted_index": q_inverted_index,
+        "heavy_hitters": q_heavy_hitters,
+        "tfidf_keywords": q_tfidf_keywords,
+        "subquery_correlated": q_subquery_correlated,
+        "skew_join_salted": q_skew_join_salted,
+        "stratified_sample": q_stratified_sample,
+        "forward_fill": q_forward_fill,
+        "date_spine_gapfill": q_date_spine_gapfill,
+        "resample_ohlc": q_resample_ohlc,
+        # --- End of driver window; order below is not significant. ---
         "scan_csv": q_scan_csv,
         "scan_excel": q_scan_excel,
-        "streaming_pipeline": q_streaming_pipeline,
         "project_prune": q_project_prune,
         "fn_strip_excel": q_fn_strip_excel,
         "filter_notnull_date": q_filter_notnull_date,
@@ -2810,20 +3024,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fn_isnotnull": q_fn_isnotnull,
         "fn_date_cmp": q_fn_date_cmp,
         "fn_date_lt_param": q_fn_date_lt_param,
-        "make_view": q_make_view,
-        "merge_time_window": q_merge_time_window,
-        "view_retention": q_view_retention,
-        "view_transactions": q_view_transactions,
-        "view_auto_optiom": q_view_auto_optiom,
         "dedup_pipeline": q_dedup_pipeline,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "connected_components": q_connected_components,
         "knn_cosine": q_knn_cosine,
-        # pagerank promoted into the driver window (oracle-checkable:
-        # 5 unrolled power iterations vs chained DuckDB CTEs); knn_lsh
-        # demoted below — its numpy-hyperplane buckets are genuinely
-        # engine-specific, so it stays rows-only by design and should
-        # not burn a hard-verification slot.
         "pagerank": q_pagerank,
         "knn_ivf": q_knn_ivf,
         "chunk_documents": q_chunk_documents,
@@ -2834,27 +3038,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "asof_join": q_asof_join,
         "range_join_binned": q_range_join_binned,
-        # round-2 flagships promoted into the 50-id driver window;
-        # union_all/concat_rows (align_union aliases), sort_desc
-        # (sort_asc's family twin) and the trivial fn_alias/
-        # fn_select_star projections demoted below — their §2 evidence
-        # rides on the shared implementations that stay above.
         "paragraph_dedup": q_paragraph_dedup,
         "merge_upsert": q_merge_upsert,
         "scd2_merge": q_scd2_merge,
         "sequence_pack": q_sequence_pack,
-        # --- End of driver window; order below is not significant. ---
         "union_all": q_align_union,
         "sort_desc": q_sort_desc,
         "fn_alias": q_fn_alias,
         "fn_select_star": q_fn_select_star,
-        "colocated_join": q_colocated_join,
         "join_dim_miss": q_join_dim_miss,
         "join_null_safe": q_join_null_safe,
-        "win_min_partition": q_agg_min_windowed,  # §2.E id; same operator as agg_min_windowed
+        "win_min_partition": q_agg_min_windowed,
         "grouped_agg": q_grouped_agg,
         "decimal_sum_exact": q_decimal_sum_exact,
-        "concat_rows": q_align_union,          # §2.F id; same union shape as align_union
+        "concat_rows": q_align_union,
         "fn_expressions": q_fn_expressions,
         "profile_columns": q_profile_columns,
         "array_functions": q_array_functions,
@@ -2866,14 +3063,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_map_zscore": q_grouped_map_zscore,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "pii_redact": q_pii_redact,
         "pii_counts": q_pii_counts,
         "repetition_stats": q_repetition_stats,
-        "decontaminate": q_decontaminate,
         "events_tumbling": q_events_tumbling,
         "agg_string_list": q_agg_string_list,
         "subquery_in": q_subquery_in,
@@ -2896,24 +3090,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_anti": q_join_anti,
         "sliding_window": q_sliding_window,
         "events_json": q_events_json,
-        "tpch_q3_topk": q_tpch_q3_topk,
-        "tpch_q5_revenue": q_tpch_q5_revenue,
         "scan_binaryfile": q_scan_binaryfile,
         "streaming_totals": q_streaming_totals,
-        "bm25_topk": q_bm25_topk,
-        "resample_ohlc": q_resample_ohlc,
         "fuzzy_join_blocked": q_fuzzy_join_blocked,
         "hll_incremental": q_hll_incremental,
-        "hybrid_search_rrf": q_hybrid_search_rrf,
         "winsorize": q_winsorize,
         "quantile_bins": q_quantile_bins,
-        "tfidf_keywords": q_tfidf_keywords,
-        "heavy_hitters": q_heavy_hitters,
-        "inverted_index": q_inverted_index,
         "balanced_sample": q_balanced_sample,
         "key_skew_profile": q_key_skew_profile,
-        "tpch_q1_pricing": q_tpch_q1_pricing,
-        "tpch_q6_forecast": q_tpch_q6_forecast,
         "bpe_token_count": q_bpe_token_count,
         "embedding_near_dup": q_embedding_near_dup,
         "cube_agg": q_cube_agg,
@@ -2921,16 +3105,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "dedup_keep_first": q_dedup_keep_first,
         "histogram_numeric": q_histogram_numeric,
-        "date_spine_gapfill": q_date_spine_gapfill,
-        "tpch_q10_returns": q_tpch_q10_returns,
         "bool_bit_agg": q_bool_bit_agg,
         "map_functions": q_map_functions,
         "regr_agg": q_regr_agg,
         "win_percent_rank": q_win_percent_rank,
-        "skew_join_salted": q_skew_join_salted,
         "scan_jsonl": q_scan_jsonl,
         "scan_orc": q_scan_orc,
-        "stratified_sample": q_stratified_sample,
         "lateral_topk": q_lateral_topk,
         "frame_sample": q_frame_sample,
         "unpivot_melt": q_unpivot_melt,
@@ -2939,41 +3119,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_native": q_events_session_native,
         "vector_norm": q_vector_norm,
         "json_serialize": q_json_serialize,
-        "subquery_correlated": q_subquery_correlated,
         "except_all": q_except_all,
         "agg_argmax": q_agg_argmax,
-        "forward_fill": q_forward_fill,
         "win_distinct_count": q_win_distinct_count,
         "having_groups": q_having_groups,
         "string_distance": q_string_distance,
         "knn_lsh": q_knn_lsh,
-        "knn_join": q_knn_join,
         "knn_join_lsh": q_knn_join_lsh,
         "semantic_dedup": q_semantic_dedup,
-        "validate_expectations": q_validate_expectations,
-        "weighted_sample": q_weighted_sample,
-        "tpch_q14_promo": q_tpch_q14_promo,
-        "tpch_q22_prospects": q_tpch_q22_prospects,
-        "ewma_smooth": q_ewma_smooth,
         "feature_hash": q_feature_hash,
         "unigram_logprob": q_unigram_logprob,
-        "tpch_q19_brackets": q_tpch_q19_brackets,
-        "tpch_q2_min_cost": q_tpch_q2_min_cost,
-        # round-3 additions: more TPC-H plan shapes (outer-join
-        # double-agg, scalar-max view, decorrelated per-part avg,
-        # HAVING join-back) + substring-span dedup + mixture sampling.
-        "tpch_q7_volume": q_tpch_q7_volume,
-        "tpch_q8_market_share": q_tpch_q8_market_share,
-        "tpch_q9_profit": q_tpch_q9_profit,
-        "tpch_q4_priority": q_tpch_q4_priority,
-        "tpch_q12_lateship": q_tpch_q12_lateship,
-        "tpch_q13_custdist": q_tpch_q13_custdist,
-        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
-        "tpch_q17_small_qty": q_tpch_q17_small_qty,
-        "tpch_q18_large_orders": q_tpch_q18_large_orders,
-        "dup_span_stats": q_dup_span_stats,
-        "mixture_resample": q_mixture_resample,
-        "dedup_incremental": q_dedup_incremental,
     }
 
 
@@ -4633,6 +4788,71 @@ def oracle_sql() -> dict[str, str]:
                  JOIN customer ON o_custkey = c_custkey
         ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey
         LIMIT 100
+    """
+    sql["tpch_q11_important_stock"] = """
+        WITH pp AS (
+          SELECT l_partkey,
+                 ROUND(SUM(ROUND(l_extendedprice * (1 - l_discount), 4)), 4) AS value
+          FROM lineitem
+          WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                              JOIN nation ON s_nationkey = n_nationkey
+                              WHERE n_name = 'NATION_7')
+          GROUP BY l_partkey)
+        SELECT l_partkey, value FROM pp
+        WHERE value > 0.001::DOUBLE * (SELECT SUM(value) FROM pp)
+        ORDER BY value DESC, l_partkey
+    """
+    sql["tpch_q16_supplier_cnt"] = """
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_type NOT LIKE 'PROMO%'
+          AND p_size IN (1, 3, 5, 7, 9)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """
+    sql["tpch_q20_promo_suppliers"] = """
+        WITH pk AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+        av AS (SELECT l_partkey, l_suppkey, SUM(l_quantity) AS avail
+               FROM lineitem JOIN pk ON l_partkey = p_partkey
+               WHERE l_shipdate < TIMESTAMP '1997-01-01' GROUP BY 1, 2),
+        sh AS (SELECT l_partkey, l_suppkey, SUM(l_quantity) AS shipped
+               FROM lineitem JOIN pk ON l_partkey = p_partkey
+               WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                 AND l_shipdate < TIMESTAMP '1998-01-01'
+               GROUP BY 1, 2)
+        SELECT s_suppkey, s_name, ROUND(s_acctbal, 2) AS s_acctbal
+        FROM supplier
+        WHERE s_suppkey IN (SELECT av.l_suppkey
+                            FROM av JOIN sh USING (l_partkey, l_suppkey)
+                            WHERE avail > 0.5 * shipped)
+          AND s_nationkey IN (SELECT n_nationkey FROM nation
+                              WHERE n_name = 'NATION_3')
+        ORDER BY s_suppkey
+    """
+    sql["tpch_q21_waiting_suppliers"] = """
+        WITH o AS (SELECT o_orderkey, o_orderdate FROM orders
+                   WHERE o_orderstatus = 'F'),
+        lo AS (SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+               FROM lineitem JOIN o ON l_orderkey = o_orderkey),
+        late AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lo
+                 WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY),
+        qual AS (SELECT w.l_orderkey, w.l_suppkey FROM late w
+                 WHERE EXISTS (SELECT 1 FROM lo l2
+                               WHERE l2.l_orderkey = w.l_orderkey
+                                 AND l2.l_suppkey <> w.l_suppkey)
+                   AND NOT EXISTS (SELECT 1 FROM late l3
+                                   WHERE l3.l_orderkey = w.l_orderkey
+                                     AND l3.l_suppkey <> w.l_suppkey))
+        SELECT s_name, COUNT(*) AS numwait
+        FROM qual JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_5'
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
     """
     sql["dedup_incremental"] = f"""
         WITH {_minhash_band_ctes(k=3)},

@@ -484,6 +484,29 @@ def test_q7_q8_q9_dims_all_broadcast(spark, sf_dir):
         assert "CartesianProduct" not in plan
 
 
+def test_q21_two_fact_scans_broadcast_dims(spark, sf_dir):
+    """Q21's EXISTS + NOT EXISTS pair must decorrelate to the
+    per-order-profile form: lineitem scanned at most twice (profile +
+    waiting-pair branches of the same joined subtree — never once per
+    correlated probe), the nation-filtered supplier dim broadcast, and
+    no cartesian anywhere."""
+    plan = _plan(entry_mod.q_tpch_q21_waiting_suppliers(spark, sf_dir))
+    assert plan.count("lineitem.parquet") <= 2, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q20_semi_join_chain(spark, sf_dir):
+    """Q20's nested correlated INs must become an agg + semi-join
+    chain: the supplier qualification reaches the dim as LEFT SEMI and
+    the name-filtered part keys broadcast into the fact scan."""
+    plan = _plan(entry_mod.q_tpch_q20_promo_suppliers(spark, sf_dir))
+    assert "LeftSemi" in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
+
+
 def test_dedup_incremental_probe_is_semi_join(spark, sf_dir):
     """The corpus-index probe must be a LEFT SEMI join (first-match
     short-circuit — a degenerate band key shared by many index rows
