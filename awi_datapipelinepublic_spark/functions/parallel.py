@@ -22,14 +22,29 @@ def spread_small_input(
     """Round-robin ``df`` across the cluster iff it has fewer
     partitions than cores, targeting ~``rows_per_slice`` rows per
     slice (capped at ``slices_per_core``·cores) so tiny inputs are
-    not shattered into per-task overhead. The count this takes is a
-    parquet-metadata read on the scan shapes that hit this path; the
-    repartition moves raw input rows pre-UDF, and partitioning never
-    affects row-wise UDF results."""
+    not shattered into per-task overhead.
+
+    The helper only ever INCREASES parallelism: when the computed
+    slice count would be at or below the input's current partition
+    count (e.g. 300 rows already in 2 partitions), it returns ``df``
+    unchanged — a repartition(1) there would serialize the downstream
+    UDF onto one worker AND add a shuffle, a strict regression.
+
+    The count this takes is a parquet-metadata read on bare scans;
+    for filtered/joined inputs it executes the upstream plan, so the
+    input is persisted first — the count materializes the cache and
+    every downstream consumer reads it instead of re-running the
+    upstream pipeline. The cache is small by construction (this path
+    only fires when the input has fewer partitions than cores) and is
+    LRU-evicted; partitioning never affects row-wise UDF results."""
     spark = df.sparkSession
     cores = max(spark.sparkContext.defaultParallelism, 1)
-    if df.rdd.getNumPartitions() >= cores:
+    cur = df.rdd.getNumPartitions()
+    if cur >= cores:
         return df
+    df = df.persist()
     n = df.count()
     slices = max(1, min(cores * slices_per_core, n // rows_per_slice))
+    if slices <= cur:
+        return df
     return df.repartition(slices)

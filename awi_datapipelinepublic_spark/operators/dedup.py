@@ -239,7 +239,12 @@ def dedup_incremental(
     within-batch pass is a groupBy-min over batch band rows — batch-
     bounded. Nothing ever recomputes corpus signatures.
     """
-    nb = minhash_band_keys(new_docs, text_col, id_col, num_hashes, bands, k)
+    # The band rows feed THREE subtrees (corpus probe, within-batch
+    # mins, victim join); without a persist each subtree re-runs the
+    # whole signature pipeline — shingle UDF included — per consumer.
+    # The batch is small by definition (it's the daily delta, not the
+    # corpus), so caching it is bounded; LRU evicts it after the job.
+    nb = minhash_band_keys(new_docs, text_col, id_col, num_hashes, bands, k).persist()
     hit_corpus = (
         nb.join(index.select("band_no", "band_key"), ["band_no", "band_key"], "left_semi")
         .select(id_col)

@@ -135,15 +135,39 @@ def compact_files(
     reader never sees a half-written directory; on posix-like local
     and HDFS the rename pair is near-atomic, on object stores use a
     manifest/table format instead).
+
+    LOCAL/HDFS-mounted paths only: the byte sizing and the rename
+    swap use the local filesystem, so a non-local URI (s3://, ...)
+    raises up front instead of silently computing total=0 and
+    "compacting" to one file. A crashed previous swap leaves
+    ``<path>__compact_old`` behind; it is detected and recovered
+    (old dir removed if the swap completed, restored if not) before
+    compacting again.
     """
     import shutil
     from pathlib import Path as _P
 
-    src = _P(path)
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            f"compact_files only supports local paths, got {path!r}: the "
+            "size probe and rename swap are local-FS operations — on "
+            "object stores compact through a table format (Iceberg/Delta "
+            "rewrite) instead."
+        )
+    src = _P(path.removeprefix("file://"))
+    old = src.with_name(src.name + "__compact_old")
+    if old.exists():
+        if src.exists():
+            # previous swap completed but cleanup crashed: finish it
+            shutil.rmtree(old)
+        else:
+            # previous swap crashed between the two renames: roll back
+            old.rename(src)
+    if not src.is_dir() or not any(src.rglob("*.parquet")):
+        raise ValueError(f"{path!r} is not a directory containing parquet files")
     total = sum(f.stat().st_size for f in src.rglob("*.parquet"))
     n_files = max(1, -(-total // target_file_bytes))
     tmp = src.with_name(src.name + "__compact_tmp")
-    old = src.with_name(src.name + "__compact_old")
     spark.read.parquet(str(src)).coalesce(n_files).write.mode("overwrite").parquet(str(tmp))
     src.rename(old)
     tmp.rename(src)

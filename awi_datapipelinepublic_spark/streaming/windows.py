@@ -161,7 +161,41 @@ def streaming_near_dedup(
     so a restart resumes from the checkpoint with the index intact,
     and index growth is one (id, band, key) row-set per SURVIVOR, not
     per arrival. Returns the started availableNow query.
+
+    REPLAY SAFETY: both tables are partitioned by ``__batch_id`` and
+    written with dynamic partition OVERWRITE, so re-running a
+    micro-batch (foreachBatch is at-least-once: a crash between the
+    two writes replays the batch) replaces that batch's own partition
+    instead of appending a second copy. The index read additionally
+    excludes the replaying batch's own partition, so a replay after
+    BOTH writes committed recomputes the identical survivor set
+    instead of seeing its own bands as corpus hits and dropping
+    everything.
     """
+
+    handle = near_dedup_batch_handler(
+        index_path, out_path, id_col=id_col, text_col=text_col, k=k
+    )
+    return (
+        docs_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def near_dedup_batch_handler(
+    index_path: str,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+):
+    """The foreachBatch handler behind :func:`streaming_near_dedup`,
+    exposed so its idempotence contract is unit-testable: calling the
+    handler twice with the same ``batch_id`` (a replayed micro-batch)
+    must leave both tables exactly as after one call, whether the
+    first attempt committed neither, one, or both writes."""
     from awi_datapipelinepublic_spark.operators.dedup import (
         dedup_incremental,
         minhash_band_keys,
@@ -174,7 +208,13 @@ def streaming_near_dedup(
             return
         spark = batch_df.sparkSession
         try:
-            index = spark.read.parquet(index_path)
+            index = (
+                spark.read.parquet(index_path)
+                # a replay must not probe the bands its own first
+                # attempt may have committed — deterministic re-decision
+                .filter(F.col("__batch_id") != batch_id)
+                .drop("__batch_id")
+            )
         except Exception:  # noqa: BLE001 — first batch: no index yet
             index = spark.createDataFrame([], index_schema)
         survivors = dedup_incremental(
@@ -184,17 +224,26 @@ def streaming_near_dedup(
         # Materialize survivors BEFORE appending their bands: the band
         # write must not re-read a half-written out_path.
         kept = kept.localCheckpoint(eager=True)
-        kept.write.mode("append").parquet(out_path)
-        minhash_band_keys(kept, text_col, id_col, k=k).write.mode("append").parquet(
-            index_path
-        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                kept.withColumn("__batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("__batch_id")
+                .parquet(out_path)
+            )
+            (
+                minhash_band_keys(kept, text_col, id_col, k=k)
+                .withColumn("__batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("__batch_id")
+                .parquet(index_path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
-    return (
-        docs_stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return handle
 
 
 def streaming_click_view_join(

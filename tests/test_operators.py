@@ -552,3 +552,7 @@ def test_spread_small_input_slicing(spark):
     assert 2 <= got <= max(2, min(cores * 2, 9))
     wide = spark.range(10_000).repartition(cores)
     assert spread_small_input(wide).rdd.getNumPartitions() == cores
+    # never REDUCES parallelism: 300 rows already across 2 partitions
+    # computes slices=1, which must early-return, not repartition(1)
+    two = spark.range(300).repartition(2)
+    assert spread_small_input(two).rdd.getNumPartitions() == 2

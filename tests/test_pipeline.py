@@ -349,3 +349,30 @@ def test_compact_files_rewrites_small_files(spark, tmp_path):
     out = spark.read.parquet(path)
     assert out.count() == 10_000
     assert out.agg(F.sum("v")).first()[0] == 10_000 * 9_999
+
+
+def test_compact_files_guards_and_crash_recovery(spark, tmp_path):
+    """Non-local URIs and non-parquet dirs raise instead of silently
+    'compacting' nothing; a crash between the two swap renames (data
+    stranded at __compact_old) is rolled back on the next call."""
+    import pathlib
+
+    import pytest as _pt
+
+    from awi_datapipelinepublic_spark.sources.layout import compact_files
+
+    with _pt.raises(ValueError, match="local paths"):
+        compact_files(spark, "s3://bucket/table")
+    with _pt.raises(ValueError, match="parquet"):
+        compact_files(spark, str(tmp_path / "nope"))
+
+    path = tmp_path / "t"
+    spark.range(100).repartition(4).write.parquet(str(path))
+    rows = {r.id for r in spark.read.parquet(str(path)).collect()}
+    # simulate a crash between rename(old) and rename(src): data lives
+    # only at __compact_old
+    path.rename(tmp_path / "t__compact_old")
+    compact_files(spark, str(path), target_file_bytes=1 << 20)
+    assert {r.id for r in spark.read.parquet(str(path)).collect()} == rows
+    assert not (tmp_path / "t__compact_old").exists()
+    assert len(list(pathlib.Path(path).rglob("*.parquet"))) == 1

@@ -255,3 +255,52 @@ def test_streaming_near_dedup_grows_index(spark, tmp_path):
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2, 11}
     # index holds band rows for every SURVIVOR, nothing for dropped 10
     assert {r.doc_id for r in spark.read.parquet(idx).collect()} == {1, 2, 11}
+
+
+def test_near_dedup_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash between the survivor
+    write and the band-index write replays the whole micro-batch. The
+    handler must converge to the same tables no matter how many times
+    a batch_id re-runs, and whether the first attempt committed
+    neither, one, or both writes (batch-id-keyed dynamic partition
+    overwrite + self-partition-excluding index read)."""
+    import shutil
+
+    from awi_datapipelinepublic_spark.streaming.windows import near_dedup_batch_handler
+
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "index")
+    handle = near_dedup_batch_handler(idx, out, k=3)
+    schema = "doc_id long, text string"
+    b0 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "an entirely different document about spark streaming state")],
+        schema,
+    )
+    b1 = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today"),  # dup of 1
+         (11, "completely novel third topic never mentioned before anywhere")],
+        schema,
+    )
+
+    def state():
+        o = {r.doc_id for r in spark.read.parquet(out).collect()}
+        i = {(r.doc_id, r.band_no) for r in spark.read.parquet(idx).collect()}
+        return o, i
+
+    # replay after BOTH writes committed: must not append a second copy
+    # nor drop everything as self-hits
+    handle(b0, 0)
+    once = state()
+    handle(b0, 0)
+    assert state() == once
+    assert once[0] == {1, 2}
+
+    # replay where the first attempt crashed AFTER the survivor write
+    # but BEFORE the index write (the advisor's exact scenario)
+    handle(b1, 1)
+    full = state()
+    shutil.rmtree(f"{idx}/__batch_id=1")  # simulate the lost index write
+    handle(b1, 1)
+    assert state() == full
+    assert full[0] == {1, 2, 11}
