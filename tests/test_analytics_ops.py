@@ -408,3 +408,54 @@ def test_auto_code_length_holds_bucket_size_constant():
     assert auto_code_length(10**12) == 24      # clamp ceiling
     for n in (1_000, 2_000, 4_000, 8_000):
         assert auto_code_length(2 * n) - auto_code_length(n) == 1
+
+
+def test_recall_floors_hold_across_scales(spark):
+    """Quality side of the auto-granularity defaults (the runtime side
+    is BASELINE.md's sf0.1→sf1 sweep): auto code length h and auto
+    cluster count k GROW with the corpus, and recall must not silently
+    collapse as they do. Planted-structure corpora at 2k and 20k
+    vectors (the sf0.1 / sf1 sizes; auto-h goes 6 → 10 bits between
+    them, auto-k 31 → 312) must both clear the same floors:
+
+    - knn_join_lsh (auto-h, multiprobe 1) ≥ 0.8 recall of the exact
+      top-5 neighbor pairs
+    - semantic_dedup (auto-k) finds ≥ 0.95 of the true cosine≥0.95
+      victim set and invents NONE (every victim it names is a true
+      near-dup — SemDeDup may only miss cross-cluster dups, never
+      create false ones)
+
+    The driver-data numbers (tools/recall_sweep.py, BASELINE.md
+    "Recall sweep") complement this: sf0.1's embeddings contain zero
+    true near-dups, so only planted structure can pin a meaningful
+    floor at that size.
+    """
+    from awi_datapipelinepublic_spark.operators.dedup import semantic_dedup
+    from awi_datapipelinepublic_spark.operators.similarity import (
+        knn_join_brute,
+        knn_join_lsh,
+    )
+
+    for n_clusters in (200, 2000):
+        emb = _clustered_emb(spark, n_clusters=n_clusters, per_cluster=10)
+        n = n_clusters * 10
+
+        bf = {(r["a_id"], r["b_id"])
+              for r in knn_join_brute(emb, k=5).select("a_id", "b_id").collect()}
+        ap = {(r["a_id"], r["b_id"])
+              for r in knn_join_lsh(emb, dim=64, k=5, multiprobe_bits=1)
+              .select("a_id", "b_id").collect()}
+        recall = len(bf & ap) / len(bf)
+        assert recall >= 0.8, (n, recall)
+
+        # true victims: everyone but the min id of each tight cluster
+        # (in-cluster cosine ≈ 1; cross-cluster centers are random
+        # 64-d directions, far below 0.95)
+        truth = {r["vec_id"] for r in emb.groupBy("cluster")
+                 .agg(F.min("vec_id").alias("keep"))
+                 .join(emb, "cluster").filter(F.col("vec_id") != F.col("keep"))
+                 .select("vec_id").collect()}
+        surv = {r["vec_id"] for r in semantic_dedup(emb, threshold=0.95).collect()}
+        victims = set(range(n)) - surv
+        assert len(truth & victims) / len(truth) >= 0.95, (n, len(truth & victims) / len(truth))
+        assert not (victims - truth), (n, sorted(victims - truth)[:5])
