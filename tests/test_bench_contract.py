@@ -30,3 +30,83 @@ def test_bench_emits_single_json_line():
     assert isinstance(payload["value"], (int, float)) and payload["value"] > 0
     assert payload["queries"] and all(v >= 0 for v in payload["queries"].values())
     assert abs(sum(payload["queries"].values()) - payload["value"]) < 0.05
+
+
+def test_mega_bucket_boilerplate_at_sf1(tmp_path):
+    """Integration proof of the bucket-cap path at sf1 scale: with 10%
+    of a 50k-doc corpus replaced by BYTE-IDENTICAL boilerplate (the
+    worst-case degenerate LSH bucket: all 8 bands of 5,000 docs
+    collide), dedup_pipeline must complete within a bounded time —
+    i.e. the cap drops the 5k-member buckets BEFORE any n² member
+    expansion (~12.5M pairs per band otherwise) — and the boilerplate
+    docs must flow through near-dedup untouched (a no-signal bucket is
+    exact-dedup's job, the documented cap semantics: the unit tests
+    pin this on toy data; this pins it at the scale where the
+    expansion would actually hurt).
+
+    sf1 is derived from the driver's sf0.1 via tools/gen_scale.py
+    (FK-consistent 10x replication) if not already present.
+    """
+    import subprocess as _sp
+    import time
+
+    import pytest as _pt
+
+    sf1 = Path(os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1"))
+    if not (sf1 / "documents.parquet").exists():
+        r = _sp.run(
+            [sys.executable, str(REPO / "tools" / "gen_scale.py"),
+             "/root/testdata/sf0.1", str(sf1), "10"],
+            capture_output=True, text=True, timeout=600,
+        )
+        if r.returncode != 0:
+            _pt.skip(f"could not derive sf1 data: {r.stderr[-500:]}")
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from awi_datapipelinepublic_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        near_dedup_keep_canonical,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .appName("mega-bucket-sf1")
+        .getOrCreate()
+    )
+    docs = spark.read.parquet(str(sf1 / "documents.parquet"))
+    n = docs.count()
+    boiler = "this exact same boilerplate paragraph appears verbatim in one of every ten documents"
+    poisoned = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 10 == 0, F.lit(boiler)).otherwise(F.col("text")),
+    )
+    n_boiler = poisoned.filter(F.col("doc_id") % 10 == 0).count()
+    assert n_boiler >= n // 10 - 1 and n >= 50_000
+
+    t0 = time.monotonic()
+    survivors = near_dedup_keep_canonical(poisoned, max_bucket=2000)
+    boiler_survivors = survivors.join(
+        poisoned.filter(F.col("doc_id") % 10 == 0).select("doc_id"), "doc_id", "left_semi"
+    ).count()
+    wall = time.monotonic() - t0
+    # bounded time: the un-poisoned dedup_pipeline measures ~14 s at
+    # sf1 (BASELINE.md); 120 s leaves shared-host margin while a 12.5M
+    # pair-per-band expansion would blow far past it
+    assert wall < 120, f"mega-bucket run took {wall:.0f}s — cap path not engaged?"
+    # every boilerplate doc survives near-dedup: its only buckets are
+    # the dropped degenerate ones, so it pairs with nothing
+    assert boiler_survivors == n_boiler
+    # and the cap is what did it: with the cap lifted just past the
+    # bucket size, the same corpus produces ~n_boiler^2/2 candidate
+    # pairs — count the DEGENERATE buckets instead via the capped path
+    pairs_capped = minhash_lsh_candidates(poisoned, max_bucket=2000)
+    boiler_pairs = pairs_capped.join(
+        poisoned.filter(F.col("doc_id") % 10 == 0).select(
+            F.col("doc_id").alias("id_a")
+        ),
+        "id_a",
+        "left_semi",
+    ).count()
+    assert boiler_pairs == 0

@@ -158,16 +158,31 @@ def test_transform_with_state_matches_legacy_stateful(spark, events_stream_dir, 
     """Spark 4 transformWithStateInPandas twin must produce the same
     final per-user totals as both the applyInPandasWithState form and
     the batch groupBy."""
+    import importlib.util
+
     import pytest as _pytest
 
     from awi_datapipelinepublic_spark.streaming.windows import running_user_totals_tws
 
+    # Capability probe, not a blanket except-skip: transformWithState's
+    # state-server wire protocol needs google.protobuf in the Python
+    # workers; this sandbox cannot pip-install it (SCALING.md "Python
+    # boundaries"). Where protobuf EXISTS, any stream failure below is
+    # a real bug and must fail the test, not skip it.
+    try:
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # parent 'google' namespace absent entirely
+        has_protobuf = False
+    if not has_protobuf:
+        _pytest.skip(
+            "transformWithState needs google.protobuf in Python workers; "
+            "not installable in this sandbox (documented in SCALING.md) — "
+            "equivalent coverage runs via the applyInPandasWithState twin "
+            "in test_streaming_totals_match_batch"
+        )
     batch_events = spark.read.parquet(events_stream_dir)
     stream_events = spark.readStream.schema(batch_events.schema).parquet(events_stream_dir)
-    try:
-        _drain(running_user_totals_tws(stream_events), tmp_path, "running_tws")
-    except Exception as e:  # pragma: no cover - env-dependent backend
-        _pytest.skip(f"transformWithState backend unavailable: {str(e)[:200]}")
+    _drain(running_user_totals_tws(stream_events), tmp_path, "running_tws")
     rows = spark.sql("SELECT * FROM running_tws").collect()
     assert rows, "transformWithState produced no rows"
     last = {}
