@@ -2652,8 +2652,12 @@ def q_tpch_q11_important_stock(spark, sf_dir):
     dim (nation-filtered) broadcasts into the fact scan, one grouped
     agg builds the per-part values, and the global total re-aggregates
     those GROUPED rows — a one-row broadcast crossJoin, never a second
-    fact scan. Revenue rounds at the exact 4dp product grid
-    (2dp price × 2dp discount) before summation on both engines."""
+    fact scan (the per-part aggregate is persisted: without it Spark
+    re-executes the whole grouped subtree, fact scan included, under
+    the scalar-total branch — the double scan the plan audit caught;
+    the cache is |parts| rows, bounded). Revenue rounds at the exact
+    4dp product grid (2dp price x 2dp discount) before summation on
+    both engines."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
@@ -2664,6 +2668,7 @@ def q_tpch_q11_important_stock(spark, sf_dir):
         .select("l_partkey", line_rev.alias("__rev"))
         .groupBy("l_partkey")
         .agg(F.round(F.sum("__rev"), 4).alias("value"))
+        .persist()
     )
     total = per_part.agg(F.sum("value").alias("__total"))
     return (
@@ -2711,11 +2716,13 @@ def q_tpch_q20_promo_suppliers(spark, sf_dir):
     year. The synthetic schema has no partsupp, so 'available
     quantity' per (part, supplier) derives from pre-1997 shipments
     and demand from 1997 shipments. Spark-first decorrelation: the
-    name-filtered part keys broadcast into ONE fact scan restricted
-    up front; two grouped sums over that slice join on the pair key
-    (AQE broadcasts the smaller year slice); the qualified supplier
-    ids reach the supplier dim as a LEFT SEMI — the agg + semi-join
-    chain that replaces both nested INs."""
+    name-filtered part keys broadcast into each fact scan (two scans
+    — one per date slice, the q17 convention: scanned twice but never
+    shuffled at full width, both branches pre-restricted by the
+    broadcast probe and the pushed date filter); the two grouped sums
+    join on the pair key, and the qualified supplier ids reach the
+    supplier dim as a LEFT SEMI — the agg + semi-join chain that
+    replaces both nested INs."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("small")).select(
         "p_partkey"

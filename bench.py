@@ -76,6 +76,14 @@ BENCH_QUERIES = [
     "tpch_q18_large_orders",
     # incremental batch-vs-index dedup: the daily-pipeline shape
     "dedup_incremental",
+    # round-4 additions: the four TPC-H shapes that complete 22/22 —
+    # global-sum-fraction HAVING (q11), distinct-count + NOT IN (q16),
+    # nested correlated IN via agg+semi chain (q20), EXISTS+NOT EXISTS
+    # via per-order profile (q21).
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_cnt",
+    "tpch_q20_promo_suppliers",
+    "tpch_q21_waiting_suppliers",
 ]
 
 

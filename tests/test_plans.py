@@ -497,6 +497,17 @@ def test_q21_two_fact_scans_broadcast_dims(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_q11_single_fact_scan(spark, sf_dir):
+    """Q11's global-sum-fraction HAVING must not scan the fact twice:
+    the persisted per-part aggregate feeds BOTH the scalar total and
+    the filter, so the plan has at most one lineitem scan (the other
+    branch reads the InMemory cache)."""
+    plan = _plan(entry_mod.q_tpch_q11_important_stock(spark, sf_dir))
+    # both the scalar-total branch and the filter branch must read the
+    # cached per-part aggregate (which materializes its fact scan once)
+    assert plan.count("InMemoryTableScan") >= 2, plan[:3000]
+
+
 def test_q20_semi_join_chain(spark, sf_dir):
     """Q20's nested correlated INs must become an agg + semi-join
     chain: the supplier qualification reaches the dim as LEFT SEMI and
