@@ -2237,6 +2237,18 @@ def q_knn_join_lsh(spark, sf_dir):
     return knn_join_lsh(emb, dim=64, k=5, multiprobe_bits=1)
 
 
+def q_knn_join_ivf(spark, sf_dir):
+    """IVF-bucketed approximate all-pairs kNN join — the
+    hash-verified ANN-join twin (operators/similarity.py:
+    knn_join_ivf): deterministic modulo-step centroids + 9dp-rounded
+    assignment replay exactly in the DuckDB oracle, per-cluster
+    grouped Arrow matmul, 6dp (cos desc, b_id asc) ranking."""
+    from awi_datapipelinepublic_spark.operators.similarity import knn_join_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_join_ivf(emb, k=5)
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style embedding-cluster dedup (operators/dedup.py:
     semantic_dedup): IVF-cluster-bounded pairwise cosine → threshold
@@ -3133,6 +3145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_distance": q_string_distance,
         "knn_lsh": q_knn_lsh,
         "knn_join_lsh": q_knn_join_lsh,
+        "knn_join_ivf": q_knn_join_ivf,
         "semantic_dedup": q_semantic_dedup,
         "feature_hash": q_feature_hash,
         "unigram_logprob": q_unigram_logprob,
@@ -4569,6 +4582,38 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 6) DESC,
                             b.vec_id ASC) AS rk
           FROM e a JOIN e b ON a.vec_id <> b.vec_id) t
+        WHERE rk <= 5
+    """
+    # Replays knn_join_ivf exactly: auto cluster count clamp(n/64, 8,
+    # 65536), modulo-step centroid pick ordered by id, 9dp-rounded
+    # nearest-centroid argmax with lowest-index ties, per-cluster
+    # pairwise 6dp cosine ranked (cos desc, b_id asc) top-5
+    # (operators/similarity.py:knn_join_ivf / ivf_assign).
+    sql["knn_join_ivf"] = """
+        WITH params AS (
+          SELECT GREATEST(8, LEAST(65536, COUNT(*) // 64)) AS k_,
+                 GREATEST(1, COUNT(*) // GREATEST(8, LEAST(65536, COUNT(*) // 64))) AS s
+          FROM embeddings),
+        cents0 AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS c,
+                 ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ci
+          FROM embeddings, params WHERE vec_id % s = 0),
+        cents AS (SELECT c, ci FROM cents0, params WHERE ci < k_),
+        assigned AS (
+          SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+                 (SELECT c2.ci FROM cents c2
+                  ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c2.c), 9) DESC,
+                           c2.ci ASC LIMIT 1) AS cluster
+          FROM embeddings e)
+        SELECT a_id, b_id, cos FROM (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                 ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 6) DESC,
+                            b.vec_id ASC) AS rk
+          FROM assigned a JOIN assigned b
+            ON a.cluster = b.cluster AND a.vec_id <> b.vec_id) t
         WHERE rk <= 5
     """
     sql["validate_expectations"] = """

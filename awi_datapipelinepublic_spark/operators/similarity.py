@@ -514,6 +514,82 @@ def knn_ivf(
     )
 
 
+def knn_join_ivf(
+    emb: DataFrame,
+    k: int = 5,
+    n_clusters: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_cluster_rows: int = 64,
+) -> DataFrame:
+    """IVF-bucketed approximate all-pairs kNN join — the ANN-join
+    family's HASH-VERIFIABLE member: the deterministic centroid pick
+    (every ⌈n/k⌉-th vector by id) and the 9dp-rounded
+    nearest-centroid argmax (:func:`ivf_assign`) replay exactly in
+    the DuckDB oracle, so unlike the seed-specific sign-LSH twin
+    (:func:`knn_join_lsh`, rows-only by design) the full (a, b, cos)
+    result is cross-engine hash-checked. Each row's neighbors come
+    from WITHIN its own IVF cluster (nprobe=1 locality, the SemDeDup
+    candidate shape); cross-cluster true neighbors are missed by
+    design — the recall/determinism tradeoff mirror-image of the LSH
+    twin.
+
+    Scale shape: auto cluster count n/target holds cluster SIZE
+    constant (Σ|cluster|² linear in n — the round-3 sweep's lesson);
+    each cluster's top-k is ONE grouped Arrow matmul, vectors cross
+    the Python boundary once per row, candidates leave pre-cut to k
+    per row. Ranking contract matches :func:`knn_join_brute`: 6dp
+    cosine desc then neighbor id asc via the composite int key, so
+    ties can never straddle the argpartition boundary.
+    """
+    import pandas as pd  # noqa: F811 — self-contained for cloudpickle
+
+    if n_clusters is None:
+        n_clusters = min(65536, max(8, emb.count() // target_cluster_rows))
+    assigned, _ = ivf_assign(emb, n_clusters, id_col, vec_col, out_col="__cluster")
+
+    def cluster_topk(pdf):
+        n = len(pdf)
+        empty = np.empty(0, dtype=np.int64)
+        if n < 2:
+            return pd.DataFrame({"a_id": empty, "b_id": empty, "cos": np.empty(0)})
+        order0 = np.argsort(pdf[id_col].to_numpy(dtype=np.int64), kind="stable")
+        ids = pdf[id_col].to_numpy(dtype=np.int64)[order0]
+        M = np.stack(pdf[vec_col].values[order0]).astype(float)
+        Mn = np.linalg.norm(M, axis=1)
+        Mn[Mn == 0] = 1.0
+        kk = min(k, n - 1)
+        neg_inf = -(2**62)  # NOT int64 min: its negation overflows to itself
+        out = []
+        blk = max(1, min(4096, (8 << 20) // n))
+        for lo in range(0, n, blk):
+            sims = np.round((M[lo : lo + blk] @ M.T) / (Mn[lo : lo + blk, None] * Mn[None, :]), 6)
+            c6 = np.rint(sims * 1e6).astype(np.int64)
+            key = c6 * n - np.arange(n, dtype=np.int64)[None, :]
+            rows = np.arange(sims.shape[0])
+            key[rows, lo + rows] = neg_inf  # mask self-match
+            sel = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
+            sel = np.take_along_axis(
+                sel, np.argsort(-np.take_along_axis(key, sel, axis=1), axis=1), axis=1
+            )
+            out.append(
+                pd.DataFrame(
+                    {
+                        "a_id": np.repeat(ids[lo : lo + sims.shape[0]], kk),
+                        "b_id": ids[sel].ravel(),
+                        "cos": np.take_along_axis(sims, sel, axis=1).ravel(),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return (
+        assigned.select(id_col, vec_col, "__cluster")
+        .groupBy("__cluster")
+        .applyInPandas(cluster_topk, schema="a_id long, b_id long, cos double")
+    )
+
+
 def knn_lsh(
     emb: DataFrame,
     query_vec: list[float],

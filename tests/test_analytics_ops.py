@@ -448,6 +448,17 @@ def test_recall_floors_hold_across_scales(spark):
         recall = len(bf & ap) / len(bf)
         assert recall >= 0.8, (n, recall)
 
+        # the IVF twin (hash-verified in the driver gate) must clear
+        # the same floor: a tight cluster's members share an IVF cell
+        # whenever they share a nearest centroid, which the auto-k
+        # sizing (~6 true clusters per cell here) makes the norm
+        from awi_datapipelinepublic_spark.operators.similarity import knn_join_ivf
+
+        iv = {(r["a_id"], r["b_id"])
+              for r in knn_join_ivf(emb, k=5).select("a_id", "b_id").collect()}
+        ivf_recall = len(bf & iv) / len(bf)
+        assert ivf_recall >= 0.8, (n, ivf_recall)
+
         # true victims: everyone but the min id of each tight cluster
         # (in-cluster cosine ≈ 1; cross-cluster centers are random
         # 64-d directions, far below 0.95)
