@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "tpch_q16_supplier_cnt",
     "tpch_q20_promo_suppliers",
     "tpch_q21_waiting_suppliers",
+    # hash-verified IVF all-pairs ANN join (the knn_join_lsh twin)
+    "knn_join_ivf",
 ]
 
 
