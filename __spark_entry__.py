@@ -1382,6 +1382,16 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_candidates(_t(spark, sf_dir, "documents"), num_hashes=32, bands=8, k=3)
 
 
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric n-gram containment pairs
+    (operators/dedup.py:ngram_containment_pairs, k=3, max-direction ≥
+    0.8): the excerpt/quotation near-dup detector Jaccard cannot see —
+    |A∩B|/|A| per direction over distinct word shingles."""
+    from awi_datapipelinepublic_spark.operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.8)
+
+
 def q_dedup_simhash(spark, sf_dir):
     """64-bit SimHash fingerprints, md5-portable family
     (operators/dedup.py:simhash) — hash-verified: the two 32-bit
@@ -2840,12 +2850,26 @@ def q_dedup_incremental(spark, sf_dir):
     return dedup_incremental(batch, index, k=3).orderBy("doc_id")
 
 
+def q_remove_dup_spans(spark, sf_dir):
+    """Substring-level dedup REMOVAL
+    (operators/quality.py:remove_duplicated_spans): every token
+    position covered by a cross-doc duplicated word 4-gram is cut
+    unless this doc is the gram's min-id canonical owner — one copy of
+    each duplicated span survives corpus-wide. groupBy(gram) +
+    join-back (no gram window), covered positions explode only on bad
+    spans, one sort-by-position fold rebuilds the text."""
+    from awi_datapipelinepublic_spark.operators.quality import remove_duplicated_spans
+
+    return remove_duplicated_spans(_t(spark, sf_dir, "documents"), n=4)
+
+
 def q_dup_span_stats(spark, sf_dir):
     """Cross-document duplicated-span profile
     (operators/quality.py:cross_doc_duplicate_spans): per-doc fraction
     of word 4-gram positions whose gram also occurs in another
     document — the substring-dedup signal, computed with grouped aggs
-    + one gram-partition window, never a corpus self-join."""
+    + a per-gram doc-count joined back (NO window over the gram key —
+    hot-key safe), never a corpus self-join."""
     from awi_datapipelinepublic_spark.operators.quality import cross_doc_duplicate_spans
 
     return cross_doc_duplicate_spans(_t(spark, sf_dir, "documents"), n=4)
@@ -2995,6 +3019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22_prospects": q_tpch_q22_prospects,
         # LLM-pipeline flagships the r3 verdict named for rotation
         "dup_span_stats": q_dup_span_stats,
+        "remove_dup_spans": q_remove_dup_spans,
         "mixture_resample": q_mixture_resample,
         "knn_join": q_knn_join,
         "ewma_smooth": q_ewma_smooth,
@@ -3082,6 +3107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_map_zscore": q_grouped_map_zscore,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_containment": q_dedup_containment,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "pii_redact": q_pii_redact,
@@ -3553,6 +3579,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+        """,
+        # Same CTE chain as dedup_ngram_jaccard, asymmetric ratios:
+        # |A∩B|/|A| and |A∩B|/|B|, kept when either clears 0.8
+        # (operators/dedup.py:ngram_containment_pairs).
+        "dedup_containment": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3
+                          THEN array_distinct(list_transform(range(1, len(t) - 1),
+                               i -> array_to_string(t[i:i+2], ' ')))
+                          ELSE [array_to_string(t, ' ')] END AS shs
+              FROM toks),
+            ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   ROUND(i * 1.0 / sa.sz, 6) AS cont_a_in_b,
+                   ROUND(i * 1.0 / sb.sz, 6) AS cont_b_in_a
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE GREATEST(i * 1.0 / sa.sz, i * 1.0 / sb.sz) >= 0.8
         """,
         "knn_cosine": """
             SELECT vec_id,
@@ -4921,6 +4973,35 @@ def oracle_sql() -> dict[str, str]:
         WHERE doc_id % 3 = 0
           AND doc_id NOT IN (SELECT doc_id FROM hit UNION SELECT doc_id FROM vb)
         ORDER BY doc_id
+    """
+    # Replays remove_duplicated_spans (n=4) exactly: positional grams,
+    # per-gram (ndocs, min-id owner), covered = bad starts expanded x4,
+    # anti-joined token positions re-joined in order.
+    sql["remove_dup_spans"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        tok_rows AS (SELECT doc_id, CAST(unnest(range(len(t))) AS BIGINT) AS p,
+                            unnest(t) AS tok
+                     FROM toks),
+        grams AS (SELECT doc_id, CAST(unnest(range(len(t) - 3)) AS BIGINT) AS i,
+                         unnest(list_transform(range(1, len(t) - 2),
+                                j -> array_to_string(t[j:j+3], ' '))) AS gram
+                  FROM toks WHERE len(t) >= 4),
+        gd AS (SELECT gram, COUNT(DISTINCT doc_id) AS ndocs, MIN(doc_id) AS owner
+               FROM grams GROUP BY 1),
+        bad AS (SELECT g.doc_id, g.i FROM grams g JOIN gd USING (gram)
+                WHERE ndocs >= 2 AND g.doc_id <> owner),
+        covered AS (SELECT DISTINCT doc_id, i + CAST(unnest(range(4)) AS BIGINT) AS p
+                    FROM bad),
+        kept AS (SELECT tr.doc_id, tr.p, tr.tok FROM tok_rows tr
+                 WHERE NOT EXISTS (SELECT 1 FROM covered c
+                                   WHERE c.doc_id = tr.doc_id AND c.p = tr.p)),
+        cleaned AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+                           COUNT(*) AS n_kept
+                    FROM kept GROUP BY 1),
+        sizes AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)
+        SELECT s.doc_id, COALESCE(clean_text, '') AS clean_text, n_tokens,
+               CAST(n_tokens - COALESCE(n_kept, 0) AS BIGINT) AS n_removed
+        FROM sizes s LEFT JOIN cleaned USING (doc_id)
     """
     sql["dup_span_stats"] = f"""
         WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

@@ -537,6 +537,52 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT for all pairs where either direction
+    clears the threshold: containment(A→B) = |shingles(A) ∩
+    shingles(B)| / |shingles(A)|. The asymmetric companion of
+    :func:`ngram_jaccard_pairs` — a short quote fully contained in a
+    long article has Jaccard ≈ |A|/|B| ≈ 0 but containment(A→B) = 1,
+    so excerpt/quotation near-dups are invisible to Jaccard and
+    near-certain under containment (the broder resemblance-vs-
+    containment distinction).
+
+    Same plan shape as the Jaccard form (explode distinct shingles →
+    shingle equi-join → intersection counts → size join-back), same
+    scale role: the verify stage over LSH candidates, not a standalone
+    corpus sweep. Returns (id_a, id_b, cont_a_in_b, cont_b_in_a) with
+    id_a < id_b, kept when max(cont) ≥ threshold.
+    """
+    from awi_datapipelinepublic_spark.functions.parallel import spread_small_input
+
+    sh = spread_small_input(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(_shingle_set_udf(k)(F.col(text_col))).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("cont_a_in_b", F.round(F.col("inter") / F.col("sz_a"), 6))
+        .withColumn("cont_b_in_a", F.round(F.col("inter") / F.col("sz_b"), 6))
+        .filter(F.greatest("cont_a_in_b", "cont_b_in_a") >= threshold)
+        .select("id_a", "id_b", "cont_a_in_b", "cont_b_in_a")
+    )
+
+
 def embedding_near_dup(
     emb: DataFrame,
     id_col: str = "vec_id",

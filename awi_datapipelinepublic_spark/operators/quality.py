@@ -188,6 +188,107 @@ def cross_doc_duplicate_spans(
     )
 
 
+def remove_duplicated_spans(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 4
+) -> DataFrame:
+    """Substring-level dedup (the REMOVAL counterpart of
+    :func:`cross_doc_duplicate_spans`): cut every token position that
+    is covered by a word n-gram occurring in ≥2 documents, UNLESS this
+    document is the gram's canonical owner (min doc id) — so exactly
+    one copy of each cross-doc duplicated span survives corpus-wide.
+    This is the Spark-first analog of suffix-array substring dedup of
+    LM training corpora (exact duplicated spans removed, not whole
+    near-dup documents): boilerplate paragraphs shared by thousands of
+    pages collapse to one retained copy while each page keeps its
+    unique text.
+
+    Output per document: ``clean_text`` (surviving tokens re-joined),
+    ``n_tokens`` (original), ``n_removed``. Documents shorter than
+    ``n`` tokens carry no n-gram and pass through untouched; every
+    input doc gets a row.
+
+    Scale shape (mirrors cross_doc_duplicate_spans — NO window over
+    the gram key, no corpus self-join): positional grams explode once;
+    per-gram (ndocs, owner) comes from groupBy(gram) with map-side
+    partials and joins back on gram (AQE-skew-splittable); covered
+    positions explode ×n on the BAD positions only; the final
+    reconstruction is one groupBy(doc) sort-by-position fold. The
+    tokenized base is persisted — it feeds both the gram branch and
+    the token-reconstruction branch.
+    """
+    import pandas as pd  # noqa: F811 — keep the closure self-contained
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    from awi_datapipelinepublic_spark.functions.parallel import spread_small_input
+
+    schema = StructType(
+        [
+            StructField("toks", ArrayType(StringType())),
+            StructField("grams", ArrayType(StringType())),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def tok_grams(texts: pd.Series) -> pd.DataFrame:
+        import re
+
+        ws = re.compile(r"\s+")
+        toks_out, grams_out = [], []
+        for t in texts:
+            toks = ws.sub(" ", (t or "").lower()).strip().split(" ")
+            m = len(toks)
+            toks_out.append(toks)
+            grams_out.append(
+                [" ".join(toks[i : i + n]) for i in range(m - n + 1)] if m >= n else []
+            )
+        return pd.DataFrame({"toks": toks_out, "grams": grams_out})
+
+    base = (
+        spread_small_input(df.select(id_col, text_col))
+        .select(id_col, tok_grams(F.col(text_col)).alias("__tg"))
+        .select(id_col, F.col("__tg.toks").alias("__toks"), F.col("__tg.grams").alias("__grams"))
+        .persist()
+    )
+    gram_rows = base.select(id_col, F.posexplode("__grams").alias("__i", "gram"))
+    gram_docs = (
+        gram_rows.select("gram", id_col)
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__ndocs"), F.min(id_col).alias("__owner"))
+    )
+    bad = (
+        gram_rows.join(gram_docs.filter(F.col("__ndocs") >= 2), "gram")
+        .filter(F.col(id_col) != F.col("__owner"))
+        .select(id_col, "__i")
+    )
+    covered = bad.select(
+        id_col, F.explode(F.sequence(F.col("__i"), F.col("__i") + F.lit(n - 1))).alias("__p")
+    ).distinct()
+    tok_rows = base.select(id_col, F.posexplode("__toks").alias("__p", "__tok"))
+    kept = tok_rows.join(covered, [id_col, "__p"], "left_anti")
+    cleaned = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__p", "__tok"))), lambda s: s["__tok"]
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    sizes = base.select(id_col, F.size("__toks").alias("n_tokens"))
+    return (
+        sizes.join(cleaned, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0))).cast("long").alias(
+                "n_removed"
+            ),
+        )
+    )
+
+
 def key_skew_profile(
     df: DataFrame,
     key_col: str,

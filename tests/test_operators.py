@@ -556,3 +556,74 @@ def test_spread_small_input_slicing(spark):
     # computes slices=1, which must early-return, not repartition(1)
     two = spark.range(300).repartition(2)
     assert spread_small_input(two).rdd.getNumPartitions() == 2
+
+
+def test_remove_duplicated_spans_keeps_canonical_copy(spark):
+    """A span shared by three docs survives only in the min-id owner;
+    unique text is untouched; short docs pass through whole."""
+    from awi_datapipelinepublic_spark.operators.quality import remove_duplicated_spans
+
+    shared = "the boiler plate legal footer text"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha unique opening words {shared}"),
+            (2, f"{shared} beta entirely different tail"),
+            (3, f"gamma mid piece {shared} gamma tail words here"),
+            (4, "wholly unique document with no shared spans at all"),
+            (5, "tiny doc"),  # < n tokens: no grams, untouched
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(docs, n=4).collect()}
+    assert len(out) == 5
+    # owner (doc 1) keeps the shared span verbatim
+    assert shared in out[1]["clean_text"]
+    assert out[1]["n_removed"] == 0
+    # non-owners lose every token the shared 4-grams cover
+    assert "boiler" not in out[2]["clean_text"]
+    assert "footer" not in out[3]["clean_text"]
+    assert out[2]["n_removed"] >= 6 and out[3]["n_removed"] >= 6
+    # their unique words survive
+    assert "beta" in out[2]["clean_text"]
+    assert "gamma" in out[3]["clean_text"]
+    assert out[4]["n_removed"] == 0
+    assert out[5]["clean_text"] == "tiny doc" and out[5]["n_removed"] == 0
+
+
+def test_remove_duplicated_spans_degenerate_hot_gram(spark):
+    """Every doc identical (worst-case hot gram): the min-id doc keeps
+    its text, every other doc is emptied — and the groupBy+join-back
+    shape completes without a gram window."""
+    from awi_datapipelinepublic_spark.operators.quality import remove_duplicated_spans
+
+    docs = spark.createDataFrame(
+        [(i, "same four token text") for i in range(100)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(docs, n=4).collect()}
+    assert out[0]["clean_text"] == "same four token text"
+    assert all(out[i]["clean_text"] == "" and out[i]["n_removed"] == 4 for i in range(1, 100))
+
+
+def test_ngram_containment_catches_excerpts_jaccard_misses(spark):
+    """A short quote fully contained in a long article: containment
+    (quote→article) = 1.0 while Jaccard ≈ |quote|/|article| stays far
+    below any useful threshold — the operator's reason to exist."""
+    from awi_datapipelinepublic_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "to be or not to be that is the question"
+    filler = " ".join(f"filler{i} word{i} more{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, f"{filler} {quote} {filler} closing remarks")],
+        "doc_id long, text string",
+    )
+    cont = ngram_containment_pairs(docs, k=3, threshold=0.8).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["cont_a_in_b"] == 1.0
+    assert r["cont_b_in_a"] < 0.2
+    # jaccard at the same data: nothing at even a lax 0.3 threshold
+    assert ngram_jaccard_pairs(docs, k=3, threshold=0.3).count() == 0
