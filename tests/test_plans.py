@@ -525,3 +525,25 @@ def test_dedup_incremental_probe_is_semi_join(spark, sf_dir):
     plan = _plan(entry_mod.q_dedup_incremental(spark, sf_dir))
     assert "LeftSemi" in plan, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_remove_dup_spans_shape(spark, sf_dir):
+    """Span removal must mirror dup_span_stats' hot-key-safe shape: no
+    Window anywhere (gram ownership is groupBy+join-back), no
+    cartesian, and the persisted tokenized base feeding both the gram
+    branch and the reconstruction branch (two InMemoryTableScans)."""
+    plan = _plan(entry_mod.q_remove_dup_spans(spark, sf_dir))
+    assert "Window" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+
+
+def test_knn_join_ivf_no_join_operator(spark, sf_dir):
+    """The IVF kNN join is clusters → grouped Arrow matmul: candidates
+    never materialize as join rows, so no join operator of any kind —
+    the one shuffle is the groupBy on the cluster id."""
+    plan = _plan(entry_mod.q_knn_join_ivf(spark, sf_dir))
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan, (op, plan[:2000])
+    assert "FlatMapGroupsInPandas" in plan, plan[:2000]
