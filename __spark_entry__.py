@@ -1441,8 +1441,10 @@ def q_knn_ivf(spark, sf_dir):
 
 
 def q_knn_lsh(spark, sf_dir):
-    """Sign-LSH bucketed ANN top-10 (rows-only; recall vs brute force
-    asserted in tests/)."""
+    """Sign-LSH bucketed ANN top-10. Hash-verified since round 4: the
+    md5-derived hyperplanes and 9dp-rounded sign bits
+    (operators/similarity.py:_hyperplanes) replay exactly in DuckDB;
+    recall vs brute force additionally asserted in tests/."""
     return knn_lsh(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), dim=64, k=10, h=8)
 
 
@@ -2238,9 +2240,10 @@ def q_knn_join_lsh(spark, sf_dir):
     cross the Python boundary once per row, never per pair). Code
     length h is auto-sized from the corpus so expected bucket size
     stays constant and candidate count stays linear in n (the
-    sf0.1→sf1 sweep caught the fixed-h quadratic). Rows-only driver
-    check (bucket membership is seed/engine-specific); recall vs the
-    brute-force join is bounded in tests."""
+    sf0.1→sf1 sweep caught the fixed-h quadratic). Hash-verified since
+    round 4 (md5-derived hyperplanes + 9dp-rounded sign bits replay
+    the buckets exactly in DuckDB); recall vs the brute-force join is
+    additionally bounded in tests."""
     from awi_datapipelinepublic_spark.operators.similarity import knn_join_lsh
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -2265,9 +2268,11 @@ def q_semantic_dedup(spark, sf_dir):
     graph → keep min-id per component. Cluster count auto-scales with
     the corpus (constant expected cluster size ⇒ linear pair count —
     the published SemDeDup setting; the sf0.1→sf1 sweep caught the
-    fixed-k quadratic). Rows-only driver check (cluster assignment is
-    approximate by design); recall vs the brute-force pair graph is
-    bounded in tests."""
+    fixed-k quadratic). Hash-verified since round 4: the deterministic
+    modulo-step centroids, 9dp-rounded assignment AND 9dp-rounded
+    threshold compare replay exactly in the DuckDB oracle (recursive
+    min-label CTE for the components); recall vs the brute-force pair
+    graph additionally bounded in tests."""
     from awi_datapipelinepublic_spark.operators.dedup import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -3233,6 +3238,29 @@ def _minhash_pairs_ctes(k: int, max_bucket: int = 2000) -> str:
                   FROM bands a JOIN bands b USING (band_no, bkey)
                   JOIN ok USING (band_no, bkey)
                   WHERE a.doc_id < b.doc_id)"""
+
+
+def _lsh_bucket_ctes(seed: int = 42, dim: int = 64) -> str:
+    """DuckDB CTEs rebuilding operators/similarity.py's md5-derived
+    sign-LSH buckets exactly: each hyperplane component is the first 4
+    md5 bytes of tag 'lsh-{seed}-{i}-{j}' scaled by 2^-31 (an exact
+    dyadic rational, bit-identical in both engines); a vector's bit i
+    is the 9dp-rounded sign of its dot product with plane i (the
+    ivf_assign determinism contract). Expects a prior CTE ``params``
+    with the code length ``h``; yields CTEs ending in ``buckets``
+    (vec_id, v DOUBLE[], bucket BIGINT)."""
+    return f"""
+        planes AS (
+          SELECT i, list(('0x' || substr(md5('lsh-{seed}-' || i || '-' || j), 1, 8))::UBIGINT::BIGINT
+                         / 2147483648.0 - 1.0 ORDER BY j) AS p
+          FROM params, (SELECT unnest(range(24)) AS i), (SELECT unnest(range({dim})) AS j)
+          WHERE i < h GROUP BY i),
+        ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        buckets AS (
+          SELECT e.vec_id, any_value(e.v) AS v,
+                 CAST(SUM(CASE WHEN ROUND(list_dot_product(e.v, pl.p), 9) >= 0
+                          THEN (1::BIGINT << pl.i) ELSE 0 END) AS BIGINT) AS bucket
+          FROM ev e CROSS JOIN planes pl GROUP BY e.vec_id)"""
 
 
 def _simhash_fp_ctes() -> str:
@@ -4636,6 +4664,49 @@ def oracle_sql() -> dict[str, str]:
           FROM e a JOIN e b ON a.vec_id <> b.vec_id) t
         WHERE rk <= 5
     """
+    # Replays knn_lsh exactly (md5-derived hyperplanes + 9dp-rounded
+    # sign bits — operators/similarity.py:_hyperplanes/lsh_bucket):
+    # fixed h=8, query = vec_id 0's own bucket plus every ≤2-bit-flip
+    # probe, cosine top-10 on the probed subset.
+    sql["knn_lsh"] = f"""
+        WITH params AS (SELECT 8 AS h),
+        {_lsh_bucket_ctes()},
+        q AS (SELECT v AS qv, bucket AS qb FROM buckets WHERE vec_id = 0),
+        probes AS (SELECT DISTINCT xor(qb, m) AS b
+                   FROM q, (SELECT unnest(range(256)) AS m)
+                   WHERE bit_count(m) <= 2)
+        SELECT vec_id,
+               ROUND(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS cos
+        FROM buckets WHERE bucket IN (SELECT b FROM probes)
+        ORDER BY cos DESC, vec_id ASC LIMIT 10
+    """
+    # Replays knn_join_lsh exactly: auto code length clamp(ceil(log2(
+    # n/32)), 4, 24) (similarity.py:auto_code_length), single-bit
+    # multiprobe on the LEFT side only, per-left top-5 on the
+    # 6dp-rounded (cos DESC, b_id ASC) contract. The per-bucket k-cut
+    # in the engine never drops a global top-k pair (a dropped pair
+    # has >= k better pairs in its own bucket, all global candidates),
+    # so the direct global QUALIFY is the same result.
+    sql["knn_join_lsh"] = f"""
+        WITH params AS (
+          SELECT GREATEST(4, LEAST(24, CAST(CEIL(LOG2(GREATEST(COUNT(*), 2) / 32.0)) AS BIGINT))) AS h
+          FROM embeddings),
+        {_lsh_bucket_ctes()},
+        masks AS (SELECT 0::BIGINT AS m
+                  UNION ALL
+                  SELECT (1::BIGINT << i) FROM params, (SELECT unnest(range(24)) AS i)
+                  WHERE i < h),
+        cand AS (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                 ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+          FROM buckets a CROSS JOIN masks m
+          JOIN buckets b ON b.bucket = xor(a.bucket, m.m) AND b.vec_id <> a.vec_id)
+        SELECT a_id, b_id, cos FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY a_id ORDER BY cos DESC, b_id ASC) AS rk
+          FROM cand) t
+        WHERE rk <= 5
+    """
     # Replays knn_join_ivf exactly: auto cluster count clamp(n/64, 8,
     # 65536), modulo-step centroid pick ordered by id, 9dp-rounded
     # nearest-centroid argmax with lowest-index ties, per-cluster
@@ -4667,6 +4738,42 @@ def oracle_sql() -> dict[str, str]:
           FROM assigned a JOIN assigned b
             ON a.cluster = b.cluster AND a.vec_id <> b.vec_id) t
         WHERE rk <= 5
+    """
+    # Replays semantic_dedup (threshold 0.2) exactly: knn_join_ivf's
+    # deterministic centroid/assignment CTEs, per-cluster pairs on the
+    # 9dp-rounded cosine (the operator rounds before comparing — the
+    # ivf_assign determinism contract), recursive min-label components,
+    # survivors = non-victims (operators/dedup.py:semantic_dedup).
+    sql["semantic_dedup"] = """
+        WITH RECURSIVE params AS (
+          SELECT GREATEST(8, LEAST(65536, COUNT(*) // 64)) AS k_,
+                 GREATEST(1, COUNT(*) // GREATEST(8, LEAST(65536, COUNT(*) // 64))) AS s
+          FROM embeddings),
+        cents0 AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS c,
+                 ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ci
+          FROM embeddings, params WHERE vec_id % s = 0),
+        cents AS (SELECT c, ci FROM cents0, params WHERE ci < k_),
+        assigned AS (
+          SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+                 (SELECT c2.ci FROM cents c2
+                  ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c2.c), 9) DESC,
+                           c2.ci ASC LIMIT 1) AS cluster
+          FROM embeddings e),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM assigned a JOIN assigned b
+            ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          WHERE ROUND(list_cosine_similarity(a.v, b.v), 9) >= 0.2),
+        sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+        lbl AS (
+          SELECT DISTINCT src AS node, src AS label FROM sym
+          UNION
+          SELECT s.dst AS node, l.label FROM lbl l JOIN sym s ON s.src = l.node),
+        comp AS (SELECT node, MIN(label) AS component FROM lbl GROUP BY node)
+        SELECT vec_id FROM embeddings
+        WHERE vec_id NOT IN (SELECT node FROM comp WHERE node <> component)
     """
     sql["validate_expectations"] = """
         WITH t AS (

@@ -733,7 +733,16 @@ def semantic_dedup(
         out_a, out_b = [], []
         blk = max(1, min(4096, (4 << 20) // n))
         for lo in range(0, n, blk):
-            sims = (M[lo : lo + blk] @ M.T) / (Mn[lo : lo + blk, None] * Mn[None, :])
+            # 9dp rounding before the threshold compare — the same
+            # cross-engine determinism contract as ivf_assign: numpy
+            # and DuckDB sum the dot product in different orders, so a
+            # raw double within 1 ulp of the threshold could flip a
+            # pair between engines; rounding collapses the boundary
+            # identically in both. This is what makes the whole
+            # victim set (and the driver gate) hash-verifiable.
+            sims = np.round(
+                (M[lo : lo + blk] @ M.T) / (Mn[lo : lo + blk, None] * Mn[None, :]), 9
+            )
             ra, rb = np.nonzero(sims >= thr)
             ga, gb = ids[lo + ra], ids[rb]
             keep = ga < gb

@@ -24,8 +24,33 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def _hyperplanes(dim: int, h: int, seed: int = 42) -> list[list[float]]:
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((h, dim)).tolist()
+    """Deterministic md5-derived hyperplanes, uniform in [-1, 1).
+
+    Each component is the first 4 md5 bytes of a fixed tag scaled by
+    2^-31 — an EXACT dyadic rational, so DuckDB rebuilds the identical
+    matrix from the same tags (``('0x'||substr(md5(tag),1,8))::UBIGINT
+    / 2147483648.0 - 1.0``) and sign-LSH bucket assignment replays
+    bit-for-bit cross-engine: the same portability move that graduated
+    MinHash and SimHash from rows-only driver checks. For sign-LSH the
+    normal's direction only needs a symmetric-about-zero distribution;
+    uniform-on-the-cube components preserve the similarity-sensitive
+    property (recall floors pinned in tests/test_analytics_ops.py and
+    tests/test_operators.py), while gaussian normals (the textbook
+    choice with the exact 1−θ/π collision rate) would need an
+    erf-inverse DuckDB cannot evaluate identically."""
+    import hashlib
+
+    return [
+        [
+            int.from_bytes(
+                hashlib.md5(f"lsh-{seed}-{i}-{j}".encode()).digest()[:4], "big"
+            )
+            / 2147483648.0
+            - 1.0
+            for j in range(dim)
+        ]
+        for i in range(h)
+    ]
 
 
 def _cosine_to_query_udf(query_vec: list[float]):
@@ -105,7 +130,11 @@ def lsh_bucket(
     @F.pandas_udf(LongType())
     def bucket_of(col: pd.Series) -> pd.Series:
         m = np.stack(col.values).astype(float)
-        bits = (m @ P.T) >= 0
+        # 9dp rounding before the sign test — the ivf_assign
+        # cross-engine determinism contract: numpy and DuckDB sum the
+        # projection in different orders, so a raw double within 1 ulp
+        # of zero could flip a bit between engines.
+        bits = np.round(m @ P.T, 9) >= 0
         return pd.Series((bits @ powers).astype("int64"))
 
     return emb.withColumn(out_col, bucket_of(F.col(vec_col)))
@@ -611,7 +640,8 @@ def knn_lsh(
     qv = np.asarray(query_vec, dtype=float)
     qbucket = 0
     for i, p in enumerate(planes):
-        if float(np.dot(qv, np.asarray(p))) >= 0:
+        # same 9dp-rounded sign test as lsh_bucket's worker path
+        if round(float(np.dot(qv, np.asarray(p))), 9) >= 0:
             qbucket |= 1 << i
     probes = {qbucket ^ m for m in _probe_masks(h, multiprobe_bits)}
     bucketed = lsh_bucket(emb, dim, h, seed, vec_col=vec_col)

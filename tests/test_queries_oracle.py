@@ -33,16 +33,16 @@ def test_every_query_has_callable_signature():
 def test_oracle_coverage():
     """Non-SQL-expressible ops are the only ones allowed to skip the oracle."""
     allowed_rows_only = {
-        # numpy hyperplane buckets (sign-LSH) / HLL sketch internals:
-        # genuinely not SQL-replayable
-        "knn_lsh", "agg_approx",
-        # seed-specific LSH buckets / approximate IVF clustering;
-        # recall + exactness properties pinned in tests/test_analytics_ops.py
-        "knn_join_lsh", "semantic_dedup",
-        # dedup_minhash_lsh / dedup_pipeline / knn_ivf graduated to
-        # hard oracles in round 3 (md5-portable minhash, deterministic
-        # IVF); dedup_simhash / dedup_simhash_pairs graduated in round
-        # 4 (md5-portable simhash halves) — no longer in this list.
+        # HLL / t-digest sketch internals: the estimate depends on the
+        # engine's sketch implementation and is genuinely not
+        # SQL-replayable; accuracy bounds pinned in tests instead.
+        "agg_approx",
+        # Everything else is hash-verified. Graduation history:
+        # r3 — dedup_minhash_lsh / dedup_pipeline / knn_ivf
+        # (md5-portable minhash, deterministic IVF); r4 —
+        # dedup_simhash(_pairs) (md5-portable halves), semantic_dedup
+        # (9dp-rounded threshold, the ivf_assign contract), knn_lsh /
+        # knn_join_lsh (md5-derived hyperplanes + 9dp-rounded signs).
     }
     missing = set(QUERIES) - set(ORACLES) - allowed_rows_only
     assert not missing, f"queries without oracle: {missing}"
