@@ -4,10 +4,12 @@
 (plus the engine's scale-path extensions: dedup, similarity search,
 text analysis, event windowing) to a (spark, sf_dir) → DataFrame
 callable built on awi_datapipelinepublic_spark. ``oracle_sql()`` gives
-the DuckDB-equivalent ANSI SQL; IDs without an oracle entry
-(minhash-LSH, simhash, LSH-ANN — hash functions are engine-specific)
-get the driver's rows-only check and are cross-verified in tests/
-instead (e.g. LSH candidates ⊇ high-jaccard pairs).
+the DuckDB-equivalent ANSI SQL for every id except ``agg_approx``
+(sketch estimates are engine-specific by nature; its accuracy is
+bounded in tests/). The hash-based families (minhash-LSH, simhash,
+sign-LSH ANN, IVF, SemDeDup) all replay exactly: every hash derives
+from md5 (bit-identical in both engines) and every float decision
+rounds at a documented precision before comparison.
 
 Column names are aliased identically on both sides — the driver's
 compare sorts columns by name before value-hashing. Float aggregates
