@@ -248,3 +248,55 @@ def test_scd2_intervals_partition_history_property(spark, data):
         for a, nxt in zip(grp, grp[1:]):
             assert a["valid_to"] == nxt["valid_from"]
             assert a["state"] != nxt["state"]
+
+
+@settings(max_examples=2, deadline=None)
+@given(st.data())
+def test_remove_dup_spans_reconstruction_property(spark, data):
+    """On random word-soup corpora: surviving tokens are a subsequence
+    of the original token stream; n_removed accounting is exact; a doc
+    whose every 3-gram is unique corpus-wide passes through verbatim."""
+    from awi_datapipelinepublic_spark.operators.quality import remove_duplicated_spans
+
+    words = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"])
+    docs = data.draw(
+        st.lists(st.lists(words, min_size=0, max_size=12), min_size=2, max_size=12)
+    )
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(df, n=3).collect()}
+    assert set(out) == set(range(len(docs)))
+    for i, ws in enumerate(docs):
+        toks = (" ".join(ws)).split(" ") if ws else [""]
+        # an empty doc tokenizes to [''] and carries no 3-gram, so its
+        # single empty token always survives (clean_text '' == [''])
+        kept = (
+            out[i]["clean_text"].split(" ")
+            if (out[i]["clean_text"] or toks == [""])
+            else []
+        )
+        assert out[i]["n_tokens"] == len(toks)
+        assert out[i]["n_removed"] == len(toks) - len(kept)
+        # kept must be a subsequence of the original tokens
+        it = iter(toks)
+        assert all(any(t == o for o in it) for t in kept), (toks, kept)
+
+
+@settings(max_examples=2, deadline=None)
+@given(st.data())
+def test_containment_bounds_and_subset_property(spark, data):
+    """Containment ratios live in (0, 1]; when A's shingle set is a
+    subset of B's (A literally embedded in B), cont_a_in_b == 1."""
+    from awi_datapipelinepublic_spark.operators.dedup import ngram_containment_pairs
+
+    words = st.sampled_from([f"w{i}" for i in range(30)])
+    core = data.draw(st.lists(words, min_size=4, max_size=8))
+    prefix = data.draw(st.lists(words, min_size=4, max_size=8))
+    suffix = data.draw(st.lists(words, min_size=4, max_size=8))
+    rows = [(1, " ".join(core)), (2, " ".join(prefix + core + suffix))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = ngram_containment_pairs(df, k=3, threshold=0.0).collect()
+    for r in got:
+        assert 0.0 < r["cont_a_in_b"] <= 1.0 and 0.0 < r["cont_b_in_a"] <= 1.0
+    pair = [r for r in got if (r["id_a"], r["id_b"]) == (1, 2)]
+    assert pair and pair[0]["cont_a_in_b"] == 1.0
