@@ -12,9 +12,9 @@ discards whole time windows instead). Four tiers, cheapest first:
 - n-gram Jaccard: exact verify step for candidate pairs (or, at small
   scale, a direct explode + self-join).
 
-Everything is built-in expressions (xxhash64, transform, aggregate,
-explode, groupBy) — JVM-side end to end; at 100 TB each stage is one
-scan + one hash-partition shuffle.
+Everything is built-in expressions (md5-derived portable hashes,
+transform, aggregate, explode, groupBy) — JVM-side end to end; at
+100 TB each stage is one scan + one hash-partition shuffle.
 """
 
 from __future__ import annotations

@@ -358,8 +358,10 @@ def knn_join_lsh(
     for pinned-recall experiments at a known scale. The one count()
     the auto path adds is parquet-metadata-only.
 
-    Recall vs :func:`knn_join_brute` is bounded in tests; the driver
-    row is rows-only by design (bucket membership is seed-specific).
+    Recall vs :func:`knn_join_brute` is bounded in tests; since the
+    round-4 md5-derived hyperplanes + 9dp-rounded sign bits, bucket
+    membership replays exactly in DuckDB and the driver row is
+    hash-verified.
     """
     if h is None:
         h = auto_code_length(emb.count(), target_bucket_rows)
@@ -555,9 +557,10 @@ def knn_join_ivf(
     family's HASH-VERIFIABLE member: the deterministic centroid pick
     (every ⌈n/k⌉-th vector by id) and the 9dp-rounded
     nearest-centroid argmax (:func:`ivf_assign`) replay exactly in
-    the DuckDB oracle, so unlike the seed-specific sign-LSH twin
-    (:func:`knn_join_lsh`, rows-only by design) the full (a, b, cos)
-    result is cross-engine hash-checked. Each row's neighbors come
+    the DuckDB oracle, so the full (a, b, cos) result is cross-engine
+    hash-checked (as is the sign-LSH twin :func:`knn_join_lsh` since
+    its md5-hyperplane rework — the two differ in candidate geometry,
+    cluster-local vs Hamming-ball, not verifiability). Each row's neighbors come
     from WITHIN its own IVF cluster (nprobe=1 locality, the SemDeDup
     candidate shape); cross-cluster true neighbors are missed by
     design — the recall/determinism tradeoff mirror-image of the LSH
