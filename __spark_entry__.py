@@ -2837,6 +2837,25 @@ def q_tpch_q21_waiting_suppliers(spark, sf_dir):
     )
 
 
+def q_dataset_diff(spark, sf_dir):
+    """Snapshot diff (operators/merge.py:dataset_diff): two derived
+    versions of orders — %13 keys absent from old (added), %11 keys
+    absent from new (removed), %7 keys repriced (changed) — full-outer
+    key join over pre-hashed (key, md5) rows; the oracle compares the
+    same column set value-wise (hash equality ⟺ value equality)."""
+    from awi_datapipelinepublic_spark.operators.merge import dataset_diff
+
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 13 != 0)
+    new = o.filter(F.col("o_orderkey") % 11 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return dataset_diff(old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"])
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental near-dedup (operators/dedup.py:dedup_incremental):
     every third document plays the NEW batch, the rest the persisted
@@ -3038,6 +3057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_incremental": q_dedup_incremental,
         "decontaminate": q_decontaminate,
+        "dataset_diff": q_dataset_diff,
         "hybrid_search_rrf": q_hybrid_search_rrf,
         "inverted_index": q_inverted_index,
         "heavy_hitters": q_heavy_hitters,
@@ -5001,6 +5021,22 @@ def oracle_sql() -> dict[str, str]:
                  JOIN customer ON o_custkey = c_custkey
         ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey
         LIMIT 100
+    """
+    sql["dataset_diff"] = """
+        WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                   FROM orders WHERE o_orderkey % 13 <> 0),
+        n AS (SELECT o_orderkey, o_orderstatus,
+                     CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                          ELSE o_totalprice END AS o_totalprice
+              FROM orders WHERE o_orderkey % 11 <> 0)
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                      OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                    THEN 'changed'
+                    ELSE 'unchanged' END AS diff_status
+        FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
     """
     sql["tpch_q11_important_stock"] = """
         WITH pp AS (

@@ -127,3 +127,27 @@ def test_scd2_merge_islands_and_validity(spark):
     assert k1[2]["valid_to"] is None and k1[2]["is_current"]
     [k2] = [r for r in rows if r["k"] == 2]
     assert k2["is_current"] and k2["valid_to"] is None
+
+
+def test_dataset_diff_statuses_and_null_safety(spark):
+    """All four statuses; NULL vs '' must count as changed (the
+    null-tagged hash), NULL == NULL as unchanged."""
+    from awi_datapipelinepublic_spark.operators.merge import dataset_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, ""), (5, None)],
+        "k long, v string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, ""), (5, None), (6, "new")],
+        "k long, v string",
+    )
+    got = {r["k"]: r["diff_status"] for r in dataset_diff(old, new, ["k"]).collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "changed",   # NULL -> '' is a real change, not hash-equal
+        4: "removed",
+        5: "unchanged", # NULL -> NULL
+        6: "added",
+    }
