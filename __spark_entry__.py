@@ -4871,7 +4871,20 @@ def oracle_sql() -> dict[str, str]:
           SELECT e.user_id, e.event_id, e.t,
                  (1.0::DOUBLE - 0.3::DOUBLE) * r.ewma + 0.3::DOUBLE * e.value
           FROM e JOIN r ON e.user_id = r.user_id AND e.t = r.t + 1)
-        SELECT user_id, event_id, ROUND(ewma, 6) AS ewma FROM r
+        SELECT user_id, event_id,
+               -- Spark F.round on a DOUBLE goes through
+               -- BigDecimal.valueOf(double) = HALF_UP on the SHORTEST
+               -- DECIMAL STRING, while DuckDB ROUND works on the
+               -- binary double: a value printing as "...x5" exactly
+               -- rounds up in Spark even when the binary double sits
+               -- below the .5 boundary (6/100k rows at sf0.1).
+               -- VARCHAR -> DECIMAL(38,24) replays Spark's exact
+               -- path: shortest double strings carry <= 17
+               -- significant digits, so 24 fractional digits convert
+               -- the string exactly (a narrower scale would introduce
+               -- an intermediate rounding Spark does not perform).
+               CAST(ROUND(CAST(CAST(ewma AS VARCHAR) AS DECIMAL(38, 24)), 6) AS DOUBLE) AS ewma
+        FROM r
     """
     sql["feature_hash"] = """
         SELECT o_orderkey,
