@@ -274,6 +274,44 @@ def streaming_click_view_join(
     ).select("clicks_user", "event_id", "click_ts", "view_ts", "view_value")
 
 
+def streaming_click_view_left_join(
+    clicks: DataFrame,
+    views: DataFrame,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every click emits — with
+    its matching views when they exist, with NULL view columns when no
+    view arrived in the preceding ``lookback``.
+
+    The outer side is the semantically hard part of stream-stream
+    joins: a NULL row can only be emitted once the engine KNOWS no
+    match can still arrive, i.e. when the view-side watermark passes
+    ``click_ts`` (+ join bound). Both sides are therefore watermarked
+    and the condition is time-bounded — without them Spark rejects the
+    outer join outright, because unmatched rows would have to buffer
+    forever. Consequence the equivalence test pins: clicks near the
+    end of the stream stay buffered until a LATER batch advances the
+    watermark past them (a final availableNow drain with a
+    far-future event flushes the tail — the standard pattern for
+    bounded replays of outer joins).
+
+    Expected columns match :func:`streaming_click_view_join`:
+    clicks(clicks_user, click_ts, event_id), views(views_user,
+    view_ts, view_value).
+    """
+    c = clicks.withWatermark("click_ts", watermark)
+    v = views.withWatermark("view_ts", watermark)
+    return c.join(
+        v,
+        F.expr(
+            f"clicks_user = views_user AND "
+            f"view_ts BETWEEN click_ts - INTERVAL {lookback} AND click_ts"
+        ),
+        "leftOuter",
+    ).select("clicks_user", "event_id", "click_ts", "view_ts", "view_value")
+
+
 def running_user_totals_tws(events: DataFrame) -> DataFrame:
     """Spark 4 ``transformWithStateInPandas`` twin of
     :func:`running_user_totals` — same per-user running totals, on the

@@ -319,3 +319,102 @@ def test_near_dedup_batch_replay_is_idempotent(spark, tmp_path):
     handle(b1, 1)
     assert state() == full
     assert full[0] == {1, 2, 11}
+
+
+def test_stream_stream_left_join_flushes_nulls_on_watermark(
+    spark, events_stream_dir, tmp_path
+):
+    """LEFT OUTER stream-stream join == batch left join over the same
+    bounded input — including the NULL rows for view-less clicks,
+    which the engine may only emit once the watermark proves no match
+    can still arrive. Clicks near end-of-stream stay buffered after
+    the first drain; a far-future sentinel event advances the
+    watermark on a second drain (same checkpoint) and flushes the
+    tail — the union of both drains must equal the batch join."""
+    import datetime as dt
+    import shutil
+
+    from awi_datapipelinepublic_spark.streaming.windows import (
+        streaming_click_view_left_join,
+    )
+
+    src = str(tmp_path / "events_copy")
+    shutil.copytree(events_stream_dir, src)
+    batch = spark.read.parquet(src)
+    schema = batch.schema
+
+    def split(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("clicks_user"), F.col("ts").alias("click_ts"), "event_id"
+        )
+        views = df.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("views_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("value").alias("view_value"),
+        )
+        return clicks, views
+
+    def key(r):
+        return (r["event_id"], r["view_ts"])
+
+    # file sink, not the memory sink: only file sinks support resuming
+    # from the checkpoint, which the second (watermark-advancing) drain
+    # needs; output accumulates across drains in the directory
+    out = str(tmp_path / "ssleft_out")
+    ckpt = str(tmp_path / "ssleft_ckpt")
+
+    def drain_to_files():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_click_view_left_join(*split(stream))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain_to_files()
+    max_ts = batch.agg(F.max("ts")).first()[0]
+
+    def push_watermark(event_id: int, days: int) -> None:
+        # two subtleties this exercises: (a) a watermark computed in
+        # batch N only takes effect in batch N+1, so flushing ALL
+        # buffered nulls takes two sentinel batches; (b) the GLOBAL
+        # watermark is the MIN across both input arms, and each arm's
+        # watermark node sits behind its event_type filter — a
+        # click-only sentinel would advance the click arm while the
+        # view arm (hence the global watermark) stalls at the old max
+        # view time, so each sentinel batch carries BOTH a click and a
+        # view (same far-future ts, sentinel user: cross-matches are
+        # impossible for real rows and dropped for the sentinel's own)
+        rows = [
+            tuple(
+                {"event_id": event_id, "user_id": event_id,
+                 "event_type": etype,
+                 "ts": max_ts + dt.timedelta(days=days)}.get(f.name)
+                for f in schema.fields
+            )
+            for etype in ("click", "view")
+        ]
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        drain_to_files()
+
+    push_watermark(-1, 30)
+    push_watermark(-2, 60)
+    got = {key(r) for r in spark.read.parquet(out).collect()}
+    got = {k for k in got if k[0] not in (-1, -2)}  # drop sentinel rows
+
+    bc, bv = split(batch)
+    want = {key(r) for r in bc.join(
+        bv,
+        F.expr("clicks_user = views_user AND "
+               "view_ts BETWEEN click_ts - INTERVAL 1 HOUR AND click_ts"),
+        "leftOuter",
+    ).collect()}
+    assert got == want and len(want) > 0
+    # the outer semantics must actually be exercised: some clicks have
+    # no view in the preceding hour and emit with a NULL view_ts
+    assert any(ts is None for _, ts in want)
