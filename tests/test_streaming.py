@@ -418,3 +418,51 @@ def test_stream_stream_left_join_flushes_nulls_on_watermark(
     # the outer semantics must actually be exercised: some clicks have
     # no view in the preceding hour and emit with a NULL view_ts
     assert any(ts is None for _, ts in want)
+
+
+def test_cdc_upserts_classify_and_replay_exactly_once(spark, tmp_path):
+    """CDC classifier lifecycle + exactly-once: batch 0 adds keys,
+    batch 1 changes one / re-upserts one unchanged / adds one; then
+    every replay scenario — after both writes, and after a crash
+    BETWEEN the snapshot swap renames — reproduces identical snapshot
+    and changes tables."""
+    import shutil
+
+    from awi_datapipelinepublic_spark.streaming.windows import cdc_batch_handler
+
+    snap = str(tmp_path / "snap")
+    changes = str(tmp_path / "changes")
+    handle = cdc_batch_handler(snap, changes, ["k"])
+    schema = "k long, v string"
+
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], schema)
+    b1 = spark.createDataFrame([(2, "B"), (3, "c"), (1, "a")], schema)
+
+    def state():
+        s = {(r["k"], r["hash"], r["prev_hash"], r["first_batch"], r["last_batch"])
+             for r in spark.read.parquet(snap).collect()}
+        c = {(r["k"], r["__batch_id"], r["cdc_status"])
+             for r in spark.read.parquet(changes).collect()}
+        return s, c
+
+    handle(b0, 0)
+    _, c = state()
+    assert c == {(1, 0, "added"), (2, 0, "added")}
+
+    handle(b1, 1)
+    full = state()
+    assert full[1] == {
+        (1, 0, "added"), (2, 0, "added"),
+        (2, 1, "changed"), (3, 1, "added"), (1, 1, "unchanged"),
+    }
+
+    # replay after BOTH writes committed
+    handle(b1, 1)
+    assert state() == full
+
+    # replay after a crash BETWEEN the snapshot swap renames: live dir
+    # gone, state stranded at __old — the handler must restore and
+    # converge to the same tables
+    shutil.move(snap, snap + "__old")
+    handle(b1, 1)
+    assert state() == full
