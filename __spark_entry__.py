@@ -2252,6 +2252,19 @@ def q_knn_join_lsh(spark, sf_dir):
     return knn_join_lsh(emb, dim=64, k=5, multiprobe_bits=1)
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """Fixed-iteration spherical k-means
+    (operators/similarity.py:kmeans_assign, k=8, 3 iterations) — the
+    iterative assign→recompute loop, hash-verified: deterministic
+    modulo-step init, 9dp-rounded cosine argmax, per-dimension mean
+    recompute replayed by unrolled per-iteration DuckDB CTEs (the
+    pagerank oracle pattern)."""
+    from awi_datapipelinepublic_spark.operators.similarity import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, n_clusters=8, iters=3)
+
+
 def q_knn_join_ivf(spark, sf_dir):
     """IVF-bucketed approximate all-pairs kNN join — the
     hash-verified ANN-join twin (operators/similarity.py:
@@ -3199,6 +3212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "knn_join_lsh": q_knn_join_lsh,
         "knn_join_ivf": q_knn_join_ivf,
+        "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup": q_semantic_dedup,
         "feature_hash": q_feature_hash,
         "unigram_logprob": q_unigram_logprob,
@@ -3283,6 +3297,45 @@ def _lsh_bucket_ctes(seed: int = 42, dim: int = 64) -> str:
                  CAST(SUM(CASE WHEN ROUND(list_dot_product(e.v, pl.p), 9) >= 0
                           THEN (1::BIGINT << pl.i) ELSE 0 END) AS BIGINT) AS bucket
           FROM ev e CROSS JOIN planes pl GROUP BY e.vec_id)"""
+
+
+def _kmeans_ctes(k: int, iters: int) -> str:
+    """DuckDB CTE chain replaying operators/similarity.py:kmeans_assign
+    exactly — modulo-step init, then per iteration a 9dp-rounded
+    cosine-argmax assignment (lowest index ties) and a per-dimension
+    mean recompute with empty clusters carrying the previous centroid
+    (the pagerank-oracle unrolling pattern). Yields CTEs ending in the
+    final assignment ``a{iters}`` (vec_id, ci)."""
+    parts = [
+        f"""
+        ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        stepk AS (SELECT GREATEST(1, COUNT(*) // {k}) AS s FROM ev),
+        c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ci, v AS c
+               FROM ev, stepk WHERE vec_id % s = 0 ORDER BY vec_id LIMIT {k})"""
+    ]
+    for i in range(iters + 1):
+        parts.append(
+            f"""
+        a{i} AS (SELECT e.vec_id, e.v,
+                  (SELECT c2.ci FROM c{i} c2
+                   ORDER BY ROUND(list_cosine_similarity(e.v, c2.c), 9) DESC,
+                            c2.ci ASC LIMIT 1) AS ci
+                 FROM ev e)"""
+        )
+        if i < iters:
+            parts.append(
+                f"""
+        m{i + 1} AS (SELECT ci, CAST(unnest(range(len(v))) AS BIGINT) AS p,
+                            unnest(v) AS val
+                     FROM a{i}),
+        g{i + 1} AS (SELECT ci, p, AVG(val) AS m FROM m{i + 1} GROUP BY ci, p),
+        c{i + 1} AS (SELECT c{i}.ci,
+                            COALESCE((SELECT list(g.m ORDER BY g.p)
+                                      FROM g{i + 1} g WHERE g.ci = c{i}.ci),
+                                     c{i}.c) AS c
+                     FROM c{i})"""
+            )
+    return ",".join(parts)
 
 
 def _simhash_fp_ctes() -> str:
@@ -4728,6 +4781,13 @@ def oracle_sql() -> dict[str, str]:
             PARTITION BY a_id ORDER BY cos DESC, b_id ASC) AS rk
           FROM cand) t
         WHERE rk <= 5
+    """
+    # Replays kmeans_assign exactly (k=8, 3 iterations; final
+    # assignment is a3 — iters updates then one closing assignment,
+    # matching the engine loop).
+    sql["kmeans_clusters"] = f"""
+        WITH {_kmeans_ctes(k=8, iters=3)}
+        SELECT vec_id, CAST(ci AS INT) AS cluster FROM a3
     """
     # Replays knn_join_ivf exactly: auto cluster count clamp(n/64, 8,
     # 65536), modulo-step centroid pick ordered by id, 9dp-rounded

@@ -622,6 +622,78 @@ def knn_join_ivf(
     )
 
 
+def kmeans_assign(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fixed-iteration spherical k-means over an embedding column —
+    the iterative-ML loop shape (assign → recompute → repeat) on the
+    DataFrame API, deterministic end to end: modulo-step init (the
+    ivf_assign pick), cosine argmax assignment on the 9dp-rounded
+    similarity with lowest-index ties, per-dimension mean recompute,
+    empty clusters carrying their previous centroid. Cosine argmax is
+    scale-invariant in the centroid, so the unnormalized mean is the
+    exact spherical-k-means update (direction equals the normalized
+    mean's). Returns (id, cluster) after ``iters`` rounds.
+
+    Scale shape per iteration: ONE Arrow matmul projection for the
+    assignment (centroid matrix in the UDF closure, no shuffle) + one
+    posexplode/groupBy-avg whose output is k·dim aggregate rows — the
+    only driver traffic, bounded by the model size exactly like
+    pagerank's per-round scalars, never by the corpus. Unlike MLlib's
+    KMeans (RDD-based, random init) every step replays bit-for-bit in
+    the DuckDB oracle's unrolled per-iteration CTEs, so the driver
+    gate is hash-verified.
+    """
+    import pandas as pd  # noqa: F811 — self-contained for cloudpickle
+    from pyspark.sql.types import IntegerType
+
+    n = emb.count()
+    step = max(1, n // n_clusters)
+    cent_rows = (
+        emb.filter(F.col(id_col) % step == 0)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_clusters)
+        .collect()
+    )
+    C = np.stack(
+        [np.asarray(r[vec_col], dtype=float) for r in sorted(cent_rows, key=lambda r: r[id_col])]
+    )
+
+    def assign_with(Cmat):
+        Cn = np.linalg.norm(Cmat, axis=1)
+        Cn[Cn == 0] = 1.0
+
+        @F.pandas_udf(IntegerType())
+        def nearest(col: pd.Series) -> pd.Series:
+            m = np.stack(col.values).astype(float)
+            mn = np.linalg.norm(m, axis=1)
+            mn[mn == 0] = 1.0
+            sims = np.round((m @ Cmat.T) / (mn[:, None] * Cn[None, :]), 9)
+            return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+
+        return emb.withColumn("__c", nearest(F.col(vec_col)))
+
+    for _ in range(iters):
+        assigned = assign_with(C)
+        means = (
+            assigned.select("__c", F.posexplode(vec_col).alias("__p", "__v"))
+            .groupBy("__c", "__p")
+            .agg(F.avg("__v").alias("__m"))
+            .collect()
+        )
+        C2 = C.copy()  # empty clusters keep their previous centroid
+        for r in means:
+            C2[r["__c"], r["__p"]] = r["__m"]
+        C = C2
+
+    return assign_with(C).select(id_col, F.col("__c").alias("cluster"))
+
+
 def knn_lsh(
     emb: DataFrame,
     query_vec: list[float],

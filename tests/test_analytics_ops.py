@@ -470,3 +470,23 @@ def test_recall_floors_hold_across_scales(spark):
         victims = set(range(n)) - surv
         assert len(truth & victims) / len(truth) >= 0.95, (n, len(truth & victims) / len(truth))
         assert not (victims - truth), (n, sorted(victims - truth)[:5])
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """Spherical k-means with k matching the planted cluster count
+    must reach perfect purity: every planted cluster maps to exactly
+    one k-means cluster (the modulo-step init seeds one vector per
+    planted cluster here, so 3 iterations converge exactly)."""
+    from awi_datapipelinepublic_spark.operators.similarity import kmeans_assign
+
+    emb = _clustered_emb(spark, n_clusters=8, per_cluster=10)
+    got = kmeans_assign(emb, n_clusters=8, iters=3)
+    rows = got.alias("g").join(
+        emb.select("vec_id", F.col("cluster").alias("planted")), "vec_id"
+    ).collect()
+    by_planted = {}
+    for r in rows:
+        by_planted.setdefault(r["planted"], set()).add(r["cluster"])
+    assert len(rows) == 80
+    assert all(len(s) == 1 for s in by_planted.values()), by_planted
+    assert len({next(iter(s)) for s in by_planted.values()}) == 8
