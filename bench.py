@@ -86,6 +86,12 @@ BENCH_QUERIES = [
     "tpch_q21_waiting_suppliers",
     # hash-verified IVF all-pairs ANN join (the knn_join_lsh twin)
     "knn_join_ivf",
+    # late round-4: snapshot diff, span removal, containment verify,
+    # iterative spherical k-means
+    "dataset_diff",
+    "remove_dup_spans",
+    "dedup_containment",
+    "kmeans_clusters",
 ]
 
 
