@@ -2265,6 +2265,19 @@ def q_kmeans_clusters(spark, sf_dir):
     return kmeans_assign(emb, n_clusters=8, iters=3)
 
 
+def q_embedding_outliers(spark, sf_dir):
+    """Centroid-distance outliers
+    (operators/similarity.py:embedding_outliers): bottom-50 vectors by
+    6dp cosine to their own spherical-k-means centroid (k=8, 3
+    iterations) — the far-from-every-mode curation filter.
+    Hash-verified through the whole k-means loop (unrolled CTEs) plus
+    the double-rounded score mirror."""
+    from awi_datapipelinepublic_spark.operators.similarity import embedding_outliers
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_outliers(emb, n_clusters=8, iters=3, bottom_k=50)
+
+
 def q_knn_join_ivf(spark, sf_dir):
     """IVF-bucketed approximate all-pairs kNN join — the
     hash-verified ANN-join twin (operators/similarity.py:
@@ -3213,6 +3226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_lsh": q_knn_join_lsh,
         "knn_join_ivf": q_knn_join_ivf,
         "kmeans_clusters": q_kmeans_clusters,
+        "embedding_outliers": q_embedding_outliers,
         "semantic_dedup": q_semantic_dedup,
         "feature_hash": q_feature_hash,
         "unigram_logprob": q_unigram_logprob,
@@ -4788,6 +4802,20 @@ def oracle_sql() -> dict[str, str]:
     sql["kmeans_clusters"] = f"""
         WITH {_kmeans_ctes(k=8, iters=3)}
         SELECT vec_id, CAST(ci AS INT) AS cluster FROM a3
+    """
+    # Replays embedding_outliers exactly: the kmeans CTEs' final
+    # assignment joined back to the final centroids, score =
+    # ROUND(ROUND(cos, 9), 6) mirroring the engine's
+    # 9dp-argmax-then-6dp-score double rounding, bottom-50 by
+    # (score ASC, id ASC).
+    sql["embedding_outliers"] = f"""
+        WITH {_kmeans_ctes(k=8, iters=3)},
+        scored AS (
+          SELECT a.vec_id, a.ci,
+                 ROUND(ROUND(list_cosine_similarity(a.v, c3.c), 9), 6) AS centroid_cos
+          FROM a3 a JOIN c3 ON c3.ci = a.ci)
+        SELECT vec_id, CAST(ci AS INT) AS cluster, centroid_cos
+        FROM scored ORDER BY centroid_cos ASC, vec_id ASC LIMIT 50
     """
     # Replays knn_join_ivf exactly: auto cluster count clamp(n/64, 8,
     # 65536), modulo-step centroid pick ordered by id, 9dp-rounded

@@ -648,9 +648,39 @@ def kmeans_assign(
     the DuckDB oracle's unrolled per-iteration CTEs, so the driver
     gate is hash-verified.
     """
+    C = _kmeans_fit(emb, n_clusters, iters, id_col, vec_col)
+    return _kmeans_assign_with(emb, C, vec_col).select(
+        id_col, F.col("__c").alias("cluster")
+    )
+
+
+def _kmeans_assign_with(emb: DataFrame, Cmat, vec_col: str) -> DataFrame:
+    """Append ``__c`` = 9dp-rounded cosine argmax against the
+    closure-carried centroid matrix (lowest index on ties — the
+    cross-engine determinism contract)."""
     import pandas as pd  # noqa: F811 — self-contained for cloudpickle
     from pyspark.sql.types import IntegerType
 
+    Cn = np.linalg.norm(Cmat, axis=1)
+    Cn[Cn == 0] = 1.0
+
+    @F.pandas_udf(IntegerType())
+    def nearest(col: pd.Series) -> pd.Series:
+        m = np.stack(col.values).astype(float)
+        mn = np.linalg.norm(m, axis=1)
+        mn[mn == 0] = 1.0
+        sims = np.round((m @ Cmat.T) / (mn[:, None] * Cn[None, :]), 9)
+        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+
+    return emb.withColumn("__c", nearest(F.col(vec_col)))
+
+
+def _kmeans_fit(
+    emb: DataFrame, n_clusters: int, iters: int, id_col: str, vec_col: str
+):
+    """Run the deterministic spherical-k-means loop and return the
+    final (k, dim) centroid matrix — shared by :func:`kmeans_assign`
+    and :func:`embedding_outliers`."""
     n = emb.count()
     step = max(1, n // n_clusters)
     cent_rows = (
@@ -663,25 +693,10 @@ def kmeans_assign(
     C = np.stack(
         [np.asarray(r[vec_col], dtype=float) for r in sorted(cent_rows, key=lambda r: r[id_col])]
     )
-
-    def assign_with(Cmat):
-        Cn = np.linalg.norm(Cmat, axis=1)
-        Cn[Cn == 0] = 1.0
-
-        @F.pandas_udf(IntegerType())
-        def nearest(col: pd.Series) -> pd.Series:
-            m = np.stack(col.values).astype(float)
-            mn = np.linalg.norm(m, axis=1)
-            mn[mn == 0] = 1.0
-            sims = np.round((m @ Cmat.T) / (mn[:, None] * Cn[None, :]), 9)
-            return pd.Series(np.argmax(sims, axis=1).astype("int32"))
-
-        return emb.withColumn("__c", nearest(F.col(vec_col)))
-
     for _ in range(iters):
-        assigned = assign_with(C)
         means = (
-            assigned.select("__c", F.posexplode(vec_col).alias("__p", "__v"))
+            _kmeans_assign_with(emb, C, vec_col)
+            .select("__c", F.posexplode(vec_col).alias("__p", "__v"))
             .groupBy("__c", "__p")
             .agg(F.avg("__v").alias("__m"))
             .collect()
@@ -690,8 +705,62 @@ def kmeans_assign(
         for r in means:
             C2[r["__c"], r["__p"]] = r["__m"]
         C = C2
+    return C
 
-    return assign_with(C).select(id_col, F.col("__c").alias("cluster"))
+
+def embedding_outliers(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    iters: int = 3,
+    bottom_k: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Centroid-distance outlier detection: the ``bottom_k`` vectors
+    least similar to their own spherical-k-means centroid — the
+    curation signal for pruning far-from-any-cluster junk from an
+    embedding corpus (mislabeled, corrupted, or off-distribution
+    documents sit far from every mode; SemDeDup's companion filter in
+    published LM-data pipelines prunes exactly this tail).
+
+    Returns (id, cluster, centroid_cos) ranked ascending by the
+    6dp-rounded cosine (ties by id) — fully deterministic, so the
+    driver gate is hash-verified end to end through the k-means loop.
+    Scale shape: the k-means iterations (see :func:`kmeans_assign`)
+    plus ONE extra scoring projection and a TakeOrderedAndProject —
+    no shuffle beyond the k·dim mean recomputes.
+    """
+    import pandas as pd  # noqa: F811 — self-contained for cloudpickle
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    C = _kmeans_fit(emb, n_clusters, iters, id_col, vec_col)
+    Cn = np.linalg.norm(C, axis=1)
+    Cn[Cn == 0] = 1.0
+    out_schema = StructType(
+        [StructField("cluster", IntegerType()), StructField("centroid_cos", DoubleType())]
+    )
+
+    @F.pandas_udf(out_schema)
+    def score(col: pd.Series) -> pd.DataFrame:
+        m = np.stack(col.values).astype(float)
+        mn = np.linalg.norm(m, axis=1)
+        mn[mn == 0] = 1.0
+        sims9 = np.round((m @ C.T) / (mn[:, None] * Cn[None, :]), 9)
+        ci = np.argmax(sims9, axis=1)
+        return pd.DataFrame(
+            {
+                "cluster": ci.astype("int32"),
+                "centroid_cos": np.round(sims9[np.arange(len(ci)), ci], 6),
+            }
+        )
+
+    return (
+        emb.select(id_col, score(F.col(vec_col)).alias("__s"))
+        .select(id_col, F.col("__s.cluster").alias("cluster"),
+                F.col("__s.centroid_cos").alias("centroid_cos"))
+        .orderBy(F.col("centroid_cos").asc(), F.col(id_col).asc())
+        .limit(bottom_k)
+    )
 
 
 def knn_lsh(

@@ -490,3 +490,21 @@ def test_kmeans_recovers_planted_clusters(spark):
     assert len(rows) == 80
     assert all(len(s) == 1 for s in by_planted.values()), by_planted
     assert len({next(iter(s)) for s in by_planted.values()}) == 8
+
+
+def test_embedding_outliers_finds_planted_junk(spark):
+    """A vector orthogonal-ish to every tight cluster must surface at
+    the head of the outlier ranking; in-cluster members score near 1
+    and stay out of a small bottom-k."""
+    from awi_datapipelinepublic_spark.operators.similarity import embedding_outliers
+
+    emb = _clustered_emb(spark, n_clusters=8, per_cluster=10)
+    rng = np.random.default_rng(99)
+    junk = [float(x) for x in rng.standard_normal(64)]
+    poisoned = emb.unionByName(
+        spark.createDataFrame([(999, -1, junk)], emb.schema)
+    )
+    out = embedding_outliers(poisoned, n_clusters=8, iters=3, bottom_k=5).collect()
+    assert out[0]["vec_id"] == 999
+    # tight-cluster members score essentially 1.0 against their centroid
+    assert out[0]["centroid_cos"] < 0.9
