@@ -547,3 +547,21 @@ def test_knn_join_ivf_no_join_operator(spark, sf_dir):
                "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert op not in plan, (op, plan[:2000])
     assert "FlatMapGroupsInPandas" in plan, plan[:2000]
+
+
+def test_kmeans_final_assignment_is_pure_projection(spark, sf_dir):
+    """kmeans_assign's returned frame is the closure-matrix argmax
+    over one scan: NO Exchange, no join — every shuffle the algorithm
+    needs happened in the (already-collected) mean recomputes."""
+    plan = _plan(entry_mod.q_kmeans_clusters(spark, sf_dir))
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_embedding_outliers_is_takeordered(spark, sf_dir):
+    """Outlier ranking must plan as TakeOrderedAndProject (per-
+    partition bottom-k heaps), never a global sort, and carries no
+    join."""
+    plan = _plan(entry_mod.q_embedding_outliers(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
