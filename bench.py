@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "remove_dup_spans",
     "dedup_containment",
     "kmeans_clusters",
+    "embedding_outliers",
 ]
 
 
