@@ -300,3 +300,57 @@ def test_containment_bounds_and_subset_property(spark, data):
         assert 0.0 < r["cont_a_in_b"] <= 1.0 and 0.0 < r["cont_b_in_a"] <= 1.0
     pair = [r for r in got if (r["id_a"], r["id_b"]) == (1, 2)]
     assert pair and pair[0]["cont_a_in_b"] == 1.0
+
+
+@settings(max_examples=2, deadline=None)
+@given(st.data())
+def test_dataset_diff_identities_property(spark, data):
+    """diff(x, x) is all-unchanged; diff(empty-side, x) is all-added;
+    diff(x, empty-side) is all-removed — on arbitrary keyed payloads
+    including NULLs."""
+    from awi_datapipelinepublic_spark.operators.merge import dataset_diff
+
+    vals = st.one_of(st.none(), st.text(max_size=6))
+    rows = data.draw(
+        st.lists(st.tuples(st.integers(0, 50), vals), min_size=1, max_size=30,
+                 unique_by=lambda t: t[0])
+    )
+    x = spark.createDataFrame(rows, "k long, v string")
+    empty = spark.createDataFrame([], "k long, v string")
+    same = {r["diff_status"] for r in dataset_diff(x, x, ["k"]).collect()}
+    assert same == {"unchanged"}
+    added = {r["diff_status"] for r in dataset_diff(empty, x, ["k"]).collect()}
+    assert added == {"added"}
+    removed = {r["diff_status"] for r in dataset_diff(x, empty, ["k"]).collect()}
+    assert removed == {"removed"}
+
+
+@settings(max_examples=2, deadline=None)
+@given(data=st.data())
+def test_merge_into_path_replay_idempotent_property(spark, tmp_path_factory, data):
+    """The streaming file-pipeline's replay safety rests on
+    merge_into_path being naturally idempotent (window rewrite, not
+    append): merging the same batch twice must equal merging it
+    once — on random bases and batches."""
+    import datetime as _dt
+
+    from awi_datapipelinepublic_spark.operators.merge import merge_into_path
+
+    tmp = tmp_path_factory.mktemp("merge_replay")
+    dates = [_dt.date(2024, 1 + (i % 4), 1 + (i % 27)) for i in range(40)]
+    base_rows = data.draw(
+        st.lists(st.tuples(st.integers(0, 999), st.sampled_from(dates)),
+                 min_size=1, max_size=25)
+    )
+    batch_rows = data.draw(
+        st.lists(st.tuples(st.integers(1000, 1999), st.sampled_from(dates)),
+                 min_size=1, max_size=25)
+    )
+    path = str(tmp / "base")
+    spark.createDataFrame(base_rows, "pk long, d date").write.parquet(path)
+    batch = spark.createDataFrame(batch_rows, "pk long, d date")
+    merge_into_path(spark, path, batch, "d")
+    once = sorted((r["pk"], r["d"]) for r in spark.read.parquet(path).collect())
+    merge_into_path(spark, path, batch, "d")  # replay
+    twice = sorted((r["pk"], r["d"]) for r in spark.read.parquet(path).collect())
+    assert once == twice
