@@ -1538,6 +1538,21 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(corpus, bench, n=7).select("doc_id", "n_chars")
 
 
+def q_fuzzy_decontaminate(spark, sf_dir):
+    """Paraphrase-robust decontamination
+    (operators/quality.py:fuzzy_contaminated_ids): corpus docs sharing
+    a MinHash-LSH band with the %97 eval set — the near-dup signature
+    catches rewordings exact n-gram overlap misses. Hash-verified via
+    the portable-minhash band CTEs; LEFT SEMI probe, corpus scanned
+    once."""
+    from awi_datapipelinepublic_spark.operators.quality import fuzzy_contaminated_ids
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return fuzzy_contaminated_ids(corpus, bench)
+
+
 # ---------------------------------------------------------------------------
 # Extensions: event-stream analytics
 # ---------------------------------------------------------------------------
@@ -3083,6 +3098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_incremental": q_dedup_incremental,
         "decontaminate": q_decontaminate,
+        "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "dataset_diff": q_dataset_diff,
         "hybrid_search_rrf": q_hybrid_search_rrf,
         "inverted_index": q_inverted_index,
@@ -3909,6 +3925,17 @@ def oracle_sql() -> dict[str, str]:
                 AND gram IN (SELECT gram FROM g WHERE doc_id % 97 = 0))
             SELECT doc_id, n_chars FROM documents
             WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+        """,
+        # Replays fuzzy_contaminated_ids exactly: portable-minhash band
+        # keys over all documents, %97 split into eval index vs corpus,
+        # EXISTS probe (quality.py:fuzzy_contaminated_ids).
+        "fuzzy_decontaminate": f"""
+            WITH {_minhash_band_ctes(k=5)}
+            SELECT DISTINCT doc_id FROM bands b
+            WHERE doc_id % 97 <> 0
+              AND EXISTS (SELECT 1 FROM bands e
+                          WHERE e.doc_id % 97 = 0
+                            AND e.band_no = b.band_no AND e.bkey = b.bkey)
         """,
         "events_tumbling": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -141,6 +141,41 @@ def decontaminate(
     return corpus.join(bad, id_col, "left_anti")
 
 
+def fuzzy_contaminated_ids(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """FUZZY decontamination: corpus documents that are MinHash-LSH
+    near-duplicates of any benchmark document — the paraphrase-robust
+    companion of :func:`contaminated_ids` (exact n-gram overlap misses
+    an eval item whose wording drifted; a near-dup signature does
+    not). Same s-curve as the dedup family: 32 hashes / 8 bands ≈
+    catches Jaccard ≳ 0.6 rewrites.
+
+    Plan shape is the :func:`~awi_datapipelinepublic_spark.operators.
+    dedup.dedup_incremental` probe re-aimed: the benchmark's band keys
+    form the (tiny) index side, the corpus band rows LEFT SEMI probe
+    it — first-match short-circuit, no pair expansion, corpus scanned
+    once. At 100 TB the benchmark index is MB-scale and broadcasts.
+    """
+    from awi_datapipelinepublic_spark.operators.dedup import minhash_band_keys
+
+    bench_bands = minhash_band_keys(
+        benchmark, text_col, id_col, num_hashes, bands, k
+    ).select("band_no", "band_key")
+    corpus_bands = minhash_band_keys(corpus, text_col, id_col, num_hashes, bands, k)
+    return (
+        corpus_bands.join(F.broadcast(bench_bands), ["band_no", "band_key"], "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
 def cross_doc_duplicate_spans(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 4
 ) -> DataFrame:

@@ -627,3 +627,39 @@ def test_ngram_containment_catches_excerpts_jaccard_misses(spark):
     assert r["cont_b_in_a"] < 0.2
     # jaccard at the same data: nothing at even a lax 0.3 threshold
     assert ngram_jaccard_pairs(docs, k=3, threshold=0.3).count() == 0
+
+
+def test_fuzzy_decontamination_catches_paraphrase_exact_misses(spark):
+    """A light rewording of an eval item (one word changed every ~8
+    tokens) shares no 7-gram with it but stays a MinHash near-dup:
+    exact decontamination misses it, fuzzy flags it. Unrelated docs
+    stay unflagged either way."""
+    from awi_datapipelinepublic_spark.operators.quality import (
+        contaminated_ids,
+        fuzzy_contaminated_ids,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while the calm river "
+            "flows beneath the old wooden bridge near the quiet village square "
+            "as morning light slowly spreads across the misty green valley floor")
+    toks = base.split()
+    # swap one token in every 7-token window for a different word
+    # (normalization lowercases, so case changes would not count):
+    # no shared 7-gram remains, but ~57% of 3-shingles survive —
+    # jaccard ≈ 0.4, above the 16-band/2-row s-curve threshold
+    # (1/16)^(1/2) = 0.25 while far below exact-overlap detectability
+    reworded = " ".join(
+        (t + "ish" if i % 7 == 3 else t) for i, t in enumerate(toks)
+    )
+    bench = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, reworded),
+         (2, "completely unrelated text about database query planning and shuffles "
+             "with many additional words ensuring no overlap whatsoever here")],
+        "doc_id long, text string",
+    )
+    exact = {r["doc_id"] for r in contaminated_ids(corpus, bench, n=7).collect()}
+    fuzzy = {r["doc_id"] for r in
+             fuzzy_contaminated_ids(corpus, bench, bands=16, k=3).collect()}
+    assert 1 not in exact          # every 7-gram was perturbed
+    assert fuzzy == {1}            # but the minhash bands still match
