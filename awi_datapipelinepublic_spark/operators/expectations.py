@@ -110,9 +110,12 @@ def validate_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
         )
         .select(
             "rule",
-            "violations",
+            # Canonicalization-proof output contract: violations is an
+            # explicit BIGINT and passed an INT 0/1 (not BOOLEAN) so the
+            # report hashes identically across engines / render paths.
+            F.col("violations").cast("long").alias("violations"),
             "total",
-            (F.col("violations") == 0).alias("passed"),
+            (F.col("violations") == 0).cast("int").alias("passed"),
         )
     )
 

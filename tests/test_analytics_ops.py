@@ -184,12 +184,12 @@ def test_validate_expectations_counts(spark):
     out = {r.rule: (r.violations, r.total, r.passed)
            for r in validate_expectations(_toy(spark), _RULES).collect()}
     assert out == {
-        "id_not_null": (1, 5, False),
-        "id_unique": (1, 5, False),        # two id=1 rows -> 1 beyond first
-        "status_in_set": (1, 5, False),
-        "score_in_range": (3, 5, False),   # 1.5 > hi, -0.5 < lo, 2.5 > hi
-        "code_format": (1, 5, False),
-        "score_below_two": (1, 5, False),  # NULL score is not a violation
+        "id_not_null": (1, 5, 0),
+        "id_unique": (1, 5, 0),        # two id=1 rows -> 1 beyond first
+        "status_in_set": (1, 5, 0),
+        "score_in_range": (3, 5, 0),   # 1.5 > hi, -0.5 < lo, 2.5 > hi
+        "code_format": (1, 5, 0),
+        "score_below_two": (1, 5, 0),  # NULL score is not a violation
     }
 
 
@@ -199,7 +199,7 @@ def test_validate_expectations_all_pass(spark):
         "id long, status string, score double, code string",
     )
     out = validate_expectations(clean, _RULES)
-    assert out.filter(~F.col("passed")).count() == 0
+    assert out.filter(F.col("passed") == 0).count() == 0
     assert out.count() == len(_RULES)
 
 
