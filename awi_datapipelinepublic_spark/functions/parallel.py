@@ -36,13 +36,20 @@ def spread_small_input(
     every downstream consumer reads it instead of re-running the
     upstream pipeline. The cache is small by construction (this path
     only fires when the input has fewer partitions than cores) and is
-    LRU-evicted; partitioning never affects row-wise UDF results."""
+    MEMORY_ONLY deliberately: the default MEMORY_AND_DISK level spills
+    evicted blocks to local disk instead of dropping them, so a
+    long-lived session (or a streaming job calling this per
+    micro-batch) would accumulate disk unboundedly — with MEMORY_ONLY
+    the LRU eviction actually frees the space. Partitioning never
+    affects row-wise UDF results."""
+    from pyspark.storagelevel import StorageLevel
+
     spark = df.sparkSession
     cores = max(spark.sparkContext.defaultParallelism, 1)
     cur = df.rdd.getNumPartitions()
     if cur >= cores:
         return df
-    df = df.persist()
+    df = df.persist(StorageLevel.MEMORY_ONLY)
     n = df.count()
     slices = max(1, min(cores * slices_per_core, n // rows_per_slice))
     if slices <= cur:

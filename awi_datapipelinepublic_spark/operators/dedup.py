@@ -243,8 +243,15 @@ def dedup_incremental(
     # mins, victim join); without a persist each subtree re-runs the
     # whole signature pipeline — shingle UDF included — per consumer.
     # The batch is small by definition (it's the daily delta, not the
-    # corpus), so caching it is bounded; LRU evicts it after the job.
-    nb = minhash_band_keys(new_docs, text_col, id_col, num_hashes, bands, k).persist()
+    # corpus), so caching it is bounded. MEMORY_ONLY so LRU eviction
+    # actually frees the space — the default level would spill evicted
+    # blocks to local disk, accumulating unboundedly in a long-lived
+    # session that runs this per daily batch.
+    from pyspark.storagelevel import StorageLevel
+
+    nb = minhash_band_keys(new_docs, text_col, id_col, num_hashes, bands, k).persist(
+        StorageLevel.MEMORY_ONLY
+    )
     hit_corpus = (
         nb.join(index.select("band_no", "band_key"), ["band_no", "band_key"], "left_semi")
         .select(id_col)

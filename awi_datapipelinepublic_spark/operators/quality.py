@@ -278,11 +278,15 @@ def remove_duplicated_spans(
             )
         return pd.DataFrame({"toks": toks_out, "grams": grams_out})
 
+    from pyspark.storagelevel import StorageLevel
+
     base = (
         spread_small_input(df.select(id_col, text_col))
         .select(id_col, tok_grams(F.col(text_col)).alias("__tg"))
         .select(id_col, F.col("__tg.toks").alias("__toks"), F.col("__tg.grams").alias("__grams"))
-        .persist()
+        # MEMORY_ONLY: eviction must free the space (default level
+        # spills evicted blocks to disk — unbounded in long sessions)
+        .persist(StorageLevel.MEMORY_ONLY)
     )
     gram_rows = base.select(id_col, F.posexplode("__grams").alias("__i", "gram"))
     gram_docs = (

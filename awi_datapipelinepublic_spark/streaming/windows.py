@@ -516,12 +516,35 @@ def cdc_batch_handler(
             )
             for c in cols
         ]
-        batch = batch_df.select(
-            *keys, F.md5(F.concat_ws("\x02", *tagged)).alias("__new_hash")
-        ).dropDuplicates(keys)
-        snap_schema = (
-            ", ".join(f"{k} long" for k in keys)
-            + ", hash string, prev_hash string, first_batch long, last_batch long"
+        # Deterministic intra-batch winner: a micro-batch may carry
+        # several upserts for one key; dropDuplicates would keep an
+        # arbitrary (partition-layout-dependent) row, so a re-ordered
+        # replay could fold a different hash. max() over the payload
+        # hash is order-free, making the byte-identical-replay
+        # guarantee hold regardless of shuffle layout.
+        batch = (
+            batch_df.select(
+                *keys, F.md5(F.concat_ws("\x02", *tagged)).alias("__new_hash")
+            )
+            .groupBy(*keys)
+            .agg(F.max("__new_hash").alias("__new_hash"))
+        )
+        # Empty-snapshot schema: key types must come from the batch
+        # itself (keys is a generic list[str] — string/date/decimal
+        # keys would otherwise be type-coerced against a hardcoded
+        # bigint on the first full-outer join and corrupt the
+        # persisted snapshot).
+        from pyspark.sql import types as T
+
+        key_fields = [batch_df.schema[k] for k in keys]
+        snap_schema = T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in key_fields]
+            + [
+                T.StructField("hash", T.StringType(), True),
+                T.StructField("prev_hash", T.StringType(), True),
+                T.StructField("first_batch", T.LongType(), True),
+                T.StructField("last_batch", T.LongType(), True),
+            ]
         )
         from pathlib import Path as _P
 
