@@ -498,12 +498,41 @@ def simhash_near_dup_candidates(
     return pairs
 
 
+def _guard_pair_expansion(sh: DataFrame, max_pairs: int | None, op: str) -> None:
+    """Enforce the exact-similarity ops' "verify stage, not corpus
+    sweep" contract by code (mirrors similarity.knn_join_brute's
+    max_rows raise): the shingle self-join materializes
+    Σ c·(c−1)/2 intermediate rows over per-shingle multiplicities c —
+    quadratic in duplicate multiplicity — so estimate that sum with
+    one aggregation over the (persisted) exploded shingles and refuse
+    to detonate. ``max_pairs=None`` disables the guard for callers
+    that have already bounded the input (e.g. an LSH candidate set).
+    """
+    if max_pairs is None:
+        return
+    est = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("p"))
+        .collect()[0]["p"]
+    ) or 0
+    if est > max_pairs:
+        raise ValueError(
+            f"{op}: shingle self-join would materialize ~{int(est)} candidate "
+            f"rows, over max_pairs={max_pairs}. These exact-similarity ops are "
+            "the VERIFY stage over a bounded candidate set — pre-filter the "
+            "corpus with minhash_lsh_candidates (or raise max_pairs / pass "
+            "max_pairs=None deliberately)."
+        )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    max_pairs: int | None = 500_000_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs above threshold.
 
@@ -511,18 +540,27 @@ def ngram_jaccard_pairs(
     shingle hash) → count intersections → join per-doc set sizes →
     |∩| / (|A|+|B|−|∩|). Quadratic in the worst case — at scale this is
     the *verify* stage fed by minhash_lsh_candidates, not a standalone
-    sweep. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    sweep, and :func:`_guard_pair_expansion` enforces that contract
+    (raises when the estimated self-join expansion tops ``max_pairs``).
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     # Arrow-batched shingle set — the expression form is a
     # CollapseProject trap (the token array re-inlines into the
     # shingling lambda and the tokenize regexp re-runs per element;
     # see operators/quality.py:_gram_list_udf for the measurement) —
     # spread across cores first (small inputs arrive as 1-2 splits).
+    from pyspark.storagelevel import StorageLevel
+
     from awi_datapipelinepublic_spark.functions.parallel import spread_small_input
 
     sh = spread_small_input(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(_shingle_set_udf(k)(F.col(text_col))).alias("sh")
     )
+    # The guard count + both self-join sides + sizes all consume sh:
+    # persist (MEMORY_ONLY — eviction must free, not spill) so the
+    # shingle UDF runs once, not four times.
+    sh = sh.persist(StorageLevel.MEMORY_ONLY)
+    _guard_pair_expansion(sh, max_pairs, "ngram_jaccard_pairs")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -550,6 +588,7 @@ def ngram_containment_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.8,
+    max_pairs: int | None = 500_000_000,
 ) -> DataFrame:
     """Exact n-gram CONTAINMENT for all pairs where either direction
     clears the threshold: containment(A→B) = |shingles(A) ∩
@@ -563,14 +602,19 @@ def ngram_containment_pairs(
     Same plan shape as the Jaccard form (explode distinct shingles →
     shingle equi-join → intersection counts → size join-back), same
     scale role: the verify stage over LSH candidates, not a standalone
-    corpus sweep. Returns (id_a, id_b, cont_a_in_b, cont_b_in_a) with
-    id_a < id_b, kept when max(cont) ≥ threshold.
+    corpus sweep — enforced by :func:`_guard_pair_expansion`
+    (``max_pairs``). Returns (id_a, id_b, cont_a_in_b, cont_b_in_a)
+    with id_a < id_b, kept when max(cont) ≥ threshold.
     """
+    from pyspark.storagelevel import StorageLevel
+
     from awi_datapipelinepublic_spark.functions.parallel import spread_small_input
 
     sh = spread_small_input(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(_shingle_set_udf(k)(F.col(text_col))).alias("sh")
     )
+    sh = sh.persist(StorageLevel.MEMORY_ONLY)
+    _guard_pair_expansion(sh, max_pairs, "ngram_containment_pairs")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

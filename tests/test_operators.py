@@ -663,3 +663,28 @@ def test_fuzzy_decontamination_catches_paraphrase_exact_misses(spark):
              fuzzy_contaminated_ids(corpus, bench, bands=16, k=3).collect()}
     assert 1 not in exact          # every 7-gram was perturbed
     assert fuzzy == {1}            # but the minhash bands still match
+
+
+def test_ngram_pair_guard_refuses_degenerate_corpus(spark):
+    """The exact-similarity ops' "verify stage only" contract is
+    enforced by code (VERDICT r4 #3): a corpus where one shingle set
+    is shared by every doc would materialize C(n,2) self-join rows per
+    shingle — the guard estimates Σ c·(c−1)/2 and raises before the
+    join detonates. max_pairs=None opts out for pre-bounded inputs."""
+    import pytest as _pytest
+
+    from awi_datapipelinepublic_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the very same exact text every single time") for i in range(60)],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(ValueError, match="max_pairs"):
+        ngram_jaccard_pairs(docs, max_pairs=1000)
+    with _pytest.raises(ValueError, match="max_pairs"):
+        ngram_containment_pairs(docs, max_pairs=1000)
+    # opt-out still computes: 60 identical docs -> C(60,2) jaccard-1 pairs
+    assert ngram_jaccard_pairs(docs, max_pairs=None).count() == 60 * 59 // 2
