@@ -64,12 +64,31 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_media(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+def decode_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decoder=None,
+    schema: str = DECODED_SCHEMA,
+) -> DataFrame:
     """Decode/feature-extract each payload via mapInPandas.
 
     One output row per input row; Arrow batches in, Arrow batches out.
     The iterator form processes a partition as a stream of batches —
     constant memory regardless of partition size.
+
+    ``decoder`` is the real-codec seam: a ``bytes -> dict`` callable
+    whose dict keys match ``schema`` (minus ``id_col``). Pass e.g.
+    ``lambda p: pil_features(p)`` with
+    ``schema="doc_id long, width long, height long, mode string"`` and
+    the identical distributed plan runs the real codec — the default
+    is the deterministic byte-length stub (this container ships no
+    image/audio libraries) so plumbing stays oracle-verifiable. A
+    decoder defined in an installed library is cloudpickled by
+    reference (importable on workers); one defined in ``__main__`` or
+    a notebook is pickled by value — both work, but the default stub
+    stays a nested def so THIS package never needs to be importable on
+    executors.
 
     The worker closure must be SELF-CONTAINED: a reference to a
     module-level helper is cloudpickled by module path, and executors'
@@ -89,13 +108,14 @@ def decode_media(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payl
                 "checksum": sum(payload[:64]) if n else 0,
             }
 
+        fn = decoder if decoder is not None else stub
         for pdf in batches:
-            feats = [stub(p) for p in pdf[payload_col]]
+            feats = [fn(bytes(p)) for p in pdf[payload_col]]
             out = pd.DataFrame(feats)
             out.insert(0, id_col, pdf[id_col].values)
             yield out
 
-    return df.select(id_col, payload_col).mapInPandas(run, schema=DECODED_SCHEMA)
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
 
 
 def resize_stub(df: DataFrame, width: int, height: int, payload_col: str = "payload") -> DataFrame:

@@ -109,6 +109,37 @@ def test_multimodal_decode_shape_and_determinism(spark, sf_dir):
         assert r["checksum"] == sum(raw[:64])
 
 
+def test_multimodal_decode_pluggable_decoder(spark, sf_dir):
+    """The real-codec seam: a user-supplied bytes→dict decoder with its
+    own output schema rides the SAME mapInPandas plan as the stub — a
+    production deploy swaps one callable, not the pipeline."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10)
+    with_bin = attach_binary_payload(docs)
+
+    def fake_real_decoder(payload: bytes) -> dict:
+        # stands in for PIL.Image.open(io.BytesIO(payload))
+        return {
+            "width": int.from_bytes(payload[:2], "big") if len(payload) >= 2 else 0,
+            "height": len(payload) // 2,
+            "mode": "RGB" if payload else "EMPTY",
+        }
+
+    out = decode_media(
+        with_bin,
+        decoder=fake_real_decoder,
+        schema="doc_id long, width long, height long, mode string",
+    )
+    assert out.columns == ["doc_id", "width", "height", "mode"]
+    rows = {r["doc_id"]: r for r in out.collect()}
+    src = {r["doc_id"]: r["text"].encode("utf-8") for r in docs.collect()}
+    assert len(rows) == 10
+    for doc_id, raw in src.items():
+        r = rows[doc_id]
+        assert r["width"] == int.from_bytes(raw[:2], "big")
+        assert r["height"] == len(raw) // 2
+        assert r["mode"] == "RGB"
+
+
 def test_resize_stub_rewrites_payload_and_meta(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
     resized = resize_stub(attach_binary_payload(docs), 100, 100)
