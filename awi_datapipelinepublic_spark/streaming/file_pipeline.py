@@ -43,9 +43,16 @@ def stream_pipeline(
     spec: PipelineSpec,
     checkpoint_dir: str,
     available_now: bool = True,
+    on_complete=None,
 ):
     """Start the streaming pipeline for one data type. Returns the
-    StreamingQuery; callers awaitTermination() or stop()."""
+    StreamingQuery; callers awaitTermination() or stop().
+
+    ``on_complete`` is a streaming/sinks.CompletionEmitter: after each
+    non-empty batch merges, one completion event is published — the
+    reference's post-clean Pub/Sub handoff (main.py:39-41) in sink
+    form. Pass kafka_completion_emitter(...) in production or
+    file_completion_emitter(...) in tests; None skips emission."""
     fields = load_schema_json(spec.schema_file)
     raw = (
         spark.readStream.schema(string_read_struct(fields))
@@ -55,9 +62,28 @@ def stream_pipeline(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         cleaned = _clean_batch(batch_df, spec, fields)
-        if cleaned.isEmpty():
+        # Without an emitter, the empty probe stays the cheap
+        # first-row isEmpty; with one, the count both gates and rides
+        # in the event payload (one extra pass over the micro-batch —
+        # O(batch), paid only when events are wanted).
+        if on_complete is None:
+            if cleaned.isEmpty():
+                return
+            merge_into_path(
+                batch_df.sparkSession, spec.base_table_path, cleaned, spec.date_col
+            )
+            return
+        n = cleaned.count()
+        if n == 0:
             return
         merge_into_path(batch_df.sparkSession, spec.base_table_path, cleaned, spec.date_col)
+        from awi_datapipelinepublic_spark.streaming.sinks import completion_message
+
+        on_complete(
+            batch_df.sparkSession,
+            completion_message(spec.name, batch_id, n),
+            batch_id,
+        )
 
     writer = raw.writeStream.foreachBatch(process).option("checkpointLocation", checkpoint_dir)
     if available_now:

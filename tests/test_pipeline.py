@@ -156,6 +156,47 @@ def test_streaming_pipeline_available_now(spark, spec, tmp_path):
     assert rows == {"P-1"}
 
 
+def test_streaming_pipeline_emits_one_completion_event_per_batch(spark, spec, tmp_path):
+    """sink_message twin (reference main.py:39-41 Pub/Sub handoff):
+    each processed non-empty micro-batch publishes exactly one
+    completion record through the CompletionEmitter contract; empty
+    batches publish nothing. The file emitter is the test double for
+    kafka_completion_emitter (same callable shape)."""
+    import json as _json
+
+    from awi_datapipelinepublic_spark.streaming.file_pipeline import stream_pipeline
+    from awi_datapipelinepublic_spark.streaming.sinks import file_completion_emitter
+
+    events_dir = str(tmp_path / "events")
+    _drop(spec, "batch1.csv", HDR + "11,P-1,2024-01-15,10\n22,P-2,2024-02-15,20\n")
+    q = stream_pipeline(
+        spark,
+        spec,
+        str(tmp_path / "ckpt"),
+        on_complete=file_completion_emitter(events_dir),
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    events = spark.read.parquet(events_dir).collect()
+    assert len(events) == 1                      # one drained batch -> one event
+    ev = events[0]
+    assert ev["topic"] == "pipeline_complete"
+    payload = _json.loads(ev["value"])
+    assert payload == {"name": "renewals", "batch_id": int(ev["key"]), "rows": 2}
+    # second file, second drain: exactly one more event
+    _drop(spec, "batch2.csv", HDR + "33,P-3,2024-03-15,30\n")
+    q2 = stream_pipeline(
+        spark,
+        spec,
+        str(tmp_path / "ckpt"),
+        on_complete=file_completion_emitter(events_dir),
+    )
+    q2.awaitTermination(120)
+    after = spark.read.parquet(events_dir).collect()
+    assert len(after) == 2
+    assert {_json.loads(r["value"])["rows"] for r in after} == {2, 1}
+
+
 def test_training_prep_demo_end_to_end(spark, sf_dir, tmp_path):
     """The training-data-prep chain (filter → exact dedup → near dedup
     → split → chunk → partitioned write) runs end to end, shrinks
