@@ -684,13 +684,36 @@ def q_win_range_frame(spark, sf_dir):
 
 def q_agg_approx(spark, sf_dir):
     """Sketch aggregates: HLL distinct + t-digest quantile — the 100 TB
-    substitutes for exact distinct/percentile. No SQL oracle (sketch
-    internals are engine-specific); tests/ bound the relative error
-    against the exact answers."""
+    substitutes for exact distinct/percentile. The sketch estimates
+    themselves are engine-specific (not SQL-replayable), so the gate
+    emits the DETERMINISTIC cross-check instead: the exact answers
+    (hash-verified against DuckDB) plus INT flags asserting each
+    sketch landed within its advertised error of the exact value,
+    computed in the same plan — if either sketch ever drifts out of
+    bounds the flag flips 1 -> 0 and the hash goes red. Same single
+    groupBy pass; the exact aggregates ride alongside the sketches."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("__hll_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("__td_median"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("__exact_median"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        F.round(F.col("__exact_median"), 4).alias("exact_median_price"),
+        # HLL rsd=0.02 -> 6% bound; t-digest(10k) median -> 5% bound
+        (
+            F.abs(F.col("__hll_parts") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            < 0.06
+        ).cast("int").alias("hll_within_bounds"),
+        (
+            F.abs(F.col("__td_median") - F.col("__exact_median"))
+            / F.col("__exact_median")
+            < 0.05
+        ).cast("int").alias("tdigest_within_bounds"),
     )
 
 
@@ -3051,6 +3074,55 @@ def q_mixture_resample(spark, sf_dir):
     return out.select("doc_id", "lang", "source")
 
 
+def q_token_budget_select(spark, sf_dir):
+    """Per-source token-budget curation
+    (operators/sampling.py:token_budget_select): md5-shuffled docs per
+    source, kept while the source's running token total stays within
+    2,000 tokens — the "at most N tokens per source" mixture
+    primitive. One partitioned window, deterministic in any engine."""
+    from awi_datapipelinepublic_spark.operators.sampling import token_budget_select
+
+    d = _t(spark, sf_dir, "documents")
+    counted = d.select("source", "doc_id", X.token_count("text").alias("n_tokens"))
+    return token_budget_select(counted, "source", "doc_id", "n_tokens", 2000)
+
+
+def q_quality_calibrate(spark, sf_dir):
+    """Cross-source quality calibration
+    (operators/quality.py:calibrate_scores): the composite quality
+    score replaced by its percent_rank WITHIN each source, so a single
+    global threshold means the same thing on every source (the CCNet
+    per-source-percentile recipe)."""
+    from awi_datapipelinepublic_spark.operators.quality import calibrate_scores
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select("doc_id", "source", X.quality_score("text").alias("quality"))
+    return calibrate_scores(scored, "source", "quality", "doc_id")
+
+
+def q_shard_stats(spark, sf_dir):
+    """Deterministic output sharding audit
+    (operators/sampling.py:assign_shards/shard_stats): md5-derived
+    shard = h(doc_id) % 8, per-shard doc and token totals — the
+    balance check before a sharded training-corpus write."""
+    from awi_datapipelinepublic_spark.operators.sampling import shard_stats
+
+    d = _t(spark, sf_dir, "documents")
+    counted = d.select("doc_id", X.token_count("text").alias("n_tokens"))
+    return shard_stats(counted, "doc_id", "n_tokens", 8)
+
+
+def q_source_overlap(spark, sf_dir):
+    """Cross-source n-gram containment matrix
+    (operators/quality.py:source_overlap): directed fraction of each
+    source's distinct word 3-grams that occur in every other source —
+    the shared-upstream-crawl audit run before mixture weighting."""
+    from awi_datapipelinepublic_spark.operators.quality import source_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    return source_overlap(d, "doc_id", "text", "source", n=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- Driver check window (round-5 rotation): the driver oracle-
@@ -3251,6 +3323,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "feature_hash": q_feature_hash,
         "unigram_logprob": q_unigram_logprob,
+        "token_budget_select": q_token_budget_select,
+        "quality_calibrate": q_quality_calibrate,
+        "shard_stats": q_shard_stats,
+        "source_overlap": q_source_overlap,
     }
 
 
@@ -3989,6 +4065,18 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
                    ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
             FROM orders GROUP BY o_orderstatus
+        """,
+        # the deterministic half of the sketch gate: exact answers
+        # hash-verified; the bounds flags are constants IFF the
+        # engine's sketches honor their advertised error (pinned
+        # also in tests/test_extensions.py::test_agg_approx_error_bounds)
+        "agg_approx": """
+            SELECT l_returnflag,
+                   COUNT(DISTINCT l_partkey) AS exact_parts,
+                   ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median_price,
+                   CAST(1 AS INTEGER) AS hll_within_bounds,
+                   CAST(1 AS INTEGER) AS tdigest_within_bounds
+            FROM lineitem GROUP BY l_returnflag
         """,
         "agg_stats": """
             SELECT l_linestatus,
@@ -5316,6 +5404,68 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang, source FROM j
         WHERE ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT)::DOUBLE
                + 0.5) / 4294967296.0 < frac
+    """
+    sql["token_budget_select"] = f"""
+        WITH t AS (
+          SELECT source, doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT source, doc_id, n_tokens,
+                 CAST(SUM(n_tokens) OVER (
+                      PARTITION BY source
+                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+          FROM t)
+        SELECT source, doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 2000
+    """
+    sql["quality_calibrate"] = f"""
+        WITH base AS (
+          SELECT doc_id, source,
+                 len({_TOKS}) AS n_tokens,
+                 len(list_filter(list_transform({_TOKS},
+                     x -> regexp_replace(x, '[^a-z]', '', 'g')),
+                     x -> x IN {_STOPWORDS_SQL})) AS n_stop,
+                 length(text) AS n_chars_all,
+                 length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_nonpunct
+          FROM documents),
+        q AS (
+          SELECT doc_id, source,
+                 ROUND(0.4 * LEAST(n_tokens / 200.0, 1.0)
+                     + 0.4 * LEAST((n_stop * 1.0 / n_tokens) / 0.2, 1.0)
+                     + 0.2 * (1.0 - (n_chars_all - n_nonpunct) * 1.0 / n_chars_all), 6)
+                   AS quality
+          FROM base)
+        SELECT doc_id, source, quality,
+               ROUND(PERCENT_RANK() OVER (
+                     PARTITION BY source ORDER BY quality, doc_id), 9) AS calibrated
+        FROM q
+    """
+    sql["shard_stats"] = f"""
+        WITH t AS (
+          SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 8
+                      AS INTEGER) AS shard
+          FROM documents)
+        SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM t GROUP BY shard
+    """
+    sql["source_overlap"] = f"""
+        WITH toks AS (SELECT source, {_TOKS} AS t FROM documents),
+        sh AS (SELECT source,
+                 CASE WHEN len(t) >= 3
+                      THEN array_distinct(list_transform(range(1, len(t) - 1),
+                           i -> array_to_string(t[i:i+2], ' ')))
+                      ELSE [array_to_string(t, ' ')] END AS g
+               FROM toks),
+        eg AS (SELECT DISTINCT source, gram
+               FROM (SELECT source, unnest(g) AS gram FROM sh)),
+        sizes AS (SELECT source, COUNT(*) AS n FROM eg GROUP BY source),
+        pairs AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared_grams
+                  FROM eg a JOIN eg b USING (gram)
+                  WHERE a.source <> b.source GROUP BY 1, 2)
+        SELECT p.src_a, p.src_b, p.shared_grams,
+               ROUND(p.shared_grams * 1.0 / s.n, 9) AS containment
+        FROM pairs p JOIN sizes s ON s.source = p.src_a
     """
     # §2 alias ids share their implementation's oracle.
     sql["scan_jsonl"] = sql["scan_csv"]  # same staged rows, different format

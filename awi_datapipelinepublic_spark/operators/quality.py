@@ -458,3 +458,82 @@ def unigram_logprob(
         F.round(F.avg("lp"), 6).alias("mean_logprob"),
         F.count(F.lit(1)).alias("n_tokens"),
     )
+
+
+def calibrate_scores(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    out_col: str = "calibrated",
+) -> DataFrame:
+    """Cross-group score calibration: replace a raw per-document
+    quality score with its percentile WITHIN its group (source/domain).
+
+    Raw quality heuristics are not comparable across sources — a
+    stopword-ratio score that means "good" on web text means "spam" on
+    code — so corpus pipelines threshold the per-source percentile
+    instead of the raw value (the CCNet recipe: keep the top X% of
+    each source). percent_rank is deterministic under ties (ties share
+    a rank in every engine), so the output is hash-verifiable.
+
+    Scale shape: one hash-partitioned window per group over pruned
+    (id, score) pairs; group count is small, rows within a group sort
+    locally. Rounded to 9dp — rank arithmetic is exact in both
+    engines, the rounding only normalizes the double's render.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.col(score_col), F.col(id_col))
+    return df.select(
+        id_col,
+        group_col,
+        F.col(score_col),
+        F.round(F.percent_rank().over(w), 9).alias(out_col),
+    )
+
+
+def source_overlap(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every ordered pair of
+    groups (a, b), the fraction of a's distinct word n-grams that also
+    occur in b (directed containment). High overlap between two
+    "independent" sources flags shared upstream crawls or mirrored
+    content — the audit run before weighting sources in a mixture.
+
+    Scale shape: the gram space is reduced to DISTINCT (group, gram)
+    pairs first — corpus volume collapses at the map side; the pair
+    expansion is then a self-join on gram whose fan-out per gram is
+    bounded by the NUMBER OF GROUPS (dozens), never by document
+    multiplicity, so the worst case is ~|distinct grams| x groups^2 —
+    linear in the corpus with a small constant. Contrast with
+    document-pair overlap (dedup_containment), which is quadratic in
+    duplicate multiplicity and gated behind LSH.
+    """
+    grams = (
+        _grams(df.select(F.col(group_col).alias("__grp"), F.col(text_col)),
+               "__grp", text_col, n, distinct=True)
+        .distinct()
+    )
+    sizes = grams.groupBy("__grp").agg(F.count(F.lit(1)).alias("__n_grams"))
+    pairs = (
+        grams.alias("a")
+        .join(grams.alias("b"), "gram")
+        .filter(F.col("a.__grp") != F.col("b.__grp"))
+        .groupBy(F.col("a.__grp").alias("src_a"), F.col("b.__grp").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("__grp", "src_a"), "src_a")
+        .select(
+            "src_a",
+            "src_b",
+            "shared_grams",
+            F.round(F.col("shared_grams") / F.col("__n_grams"), 9).alias("containment"),
+        )
+    )

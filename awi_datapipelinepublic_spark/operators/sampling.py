@@ -13,7 +13,7 @@ predicate pushdown upstream, and the md5 cost is scan-bound.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def _hash_prefix(id_col: str) -> Column:
@@ -201,4 +201,92 @@ def weighted_sample(
         .orderBy(F.col("__wkey").desc(), F.col(id_col).asc())
         .limit(k)
         .drop("__wkey")
+    )
+
+
+def token_budget_select(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    token_count_col: str,
+    budget: int,
+) -> DataFrame:
+    """Per-group token-budget curation: keep documents from each group
+    (source/domain/language) in a deterministic md5(id) order until the
+    group's cumulative token count reaches ``budget``, then stop.
+
+    This is the standard mixture-construction primitive — "take at
+    most N tokens per source" — expressed as one partitioned running
+    sum: rows are ordered inside each group by md5(id) (an unbiased,
+    engine-portable shuffle of the group; same trick as
+    :func:`train_val_test_split`), and a row survives iff the running
+    total INCLUDING it is within budget. Unlike a fraction-based
+    sample, the budget is met in tokens, not rows, so long documents
+    don't blow past a target token mix.
+
+    Output carries ``cum_tokens`` (the running total at the row) so
+    downstream stages and the oracle can audit the cut.
+
+    Scale shape: one hash-partitioned window per group — each group
+    sorts locally within its partition, nothing global. Group count is
+    small (sources/domains), so partitions are coarse; if one source
+    dominates the corpus its window partition is a single sort of that
+    source's (id, token_count) pairs — columns are pruned to exactly
+    those before the shuffle.
+    """
+    order_key = F.md5(F.col(id_col).cast("string"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_key, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_count_col).cast("long")).over(w)
+    return (
+        df.select(group_col, id_col, F.col(token_count_col).cast("long").alias(token_count_col))
+        .withColumn("cum_tokens", cum)
+        .filter(F.col("cum_tokens") <= budget)
+    )
+
+
+def assign_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    out_col: str = "shard",
+) -> DataFrame:
+    """Deterministic output sharding: ``shard = md5_32(id) % n_shards``.
+
+    The write-layout primitive for training corpora: every engine and
+    every rerun assigns each document to the same shard, so shard
+    files are reproducible and incrementally appendable (a new batch
+    never reshuffles old rows' shards — the property a round-robin or
+    monotonic row-number assignment cannot give). The md5-derived
+    32-bit value is the repo's standard engine-portable uniform hash,
+    so shard sizes are balanced to ~1/sqrt(rows-per-shard) relative
+    error.
+
+    At scale the assignment is a pure projection; the subsequent
+    ``df.repartition(n_shards, out_col).write`` (or DISTRIBUTE BY) is
+    the only shuffle, producing exactly one writer task per shard.
+    """
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("long")
+    return df.withColumn(out_col, (h % n_shards).cast("int"))
+
+
+def shard_stats(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    n_shards: int,
+) -> DataFrame:
+    """Audit view of :func:`assign_shards`: per-shard document and
+    token totals. One partial-agg groupBy on the n_shards-key column —
+    the check a pipeline runs before committing a sharded write."""
+    return (
+        assign_shards(df, id_col, n_shards)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(token_count_col).cast("long")).alias("n_tokens"),
+        )
     )

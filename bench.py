@@ -93,6 +93,10 @@ BENCH_QUERIES = [
     "dedup_containment",
     "kmeans_clusters",
     "embedding_outliers",
+    # round-5 additions: mixture curation + corpus audit (per-source
+    # token-budget window, cross-source containment matrix)
+    "token_budget_select",
+    "source_overlap",
 ]
 
 

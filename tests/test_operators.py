@@ -688,3 +688,103 @@ def test_ngram_pair_guard_refuses_degenerate_corpus(spark):
         ngram_containment_pairs(docs, max_pairs=1000)
     # opt-out still computes: 60 identical docs -> C(60,2) jaccard-1 pairs
     assert ngram_jaccard_pairs(docs, max_pairs=None).count() == 60 * 59 // 2
+
+
+def test_token_budget_select_budget_and_prefix_property(spark):
+    """No group exceeds its token budget, the kept set is a prefix of
+    the group's md5(id) order (adding back the first excluded doc
+    would blow the budget), and reruns agree row-for-row."""
+    from pyspark.sql import functions as F
+
+    from awi_datapipelinepublic_spark.operators.sampling import token_budget_select
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", 10 + (i % 7)) for i in range(400)],
+        ["id", "src", "n_tok"],
+    )
+    kept = token_budget_select(df, "src", "id", "n_tok", 300)
+    rows = kept.collect()
+    assert rows == token_budget_select(df, "src", "id", "n_tok", 300).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["src"], []).append(r)
+    for src, group in by_src.items():
+        total = sum(r["n_tok"] for r in group)
+        assert total <= 300
+        assert max(r["cum_tokens"] for r in group) == total
+        # prefix property: every doc in the group NOT kept sits later
+        # in md5 order than every kept doc (single cut point)
+        all_ids = [
+            r["id"]
+            for r in df.filter(F.col("src") == src)
+            .select("id", F.md5(F.col("id").cast("string")).alias("h"))
+            .orderBy("h", "id")
+            .collect()
+        ]
+        kept_ids = {r["id"] for r in group}
+        assert set(all_ids[: len(kept_ids)]) == kept_ids
+
+
+def test_assign_shards_stable_balanced_and_append_safe(spark):
+    from awi_datapipelinepublic_spark.operators.sampling import assign_shards
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["id"])
+    out = {r["id"]: r["shard"] for r in assign_shards(df, "id", 16).collect()}
+    assert set(out.values()) <= set(range(16))
+    # balanced to ~1/sqrt(125) ≈ 9%: allow generous 40% relative slack
+    from collections import Counter
+
+    sizes = Counter(out.values())
+    assert len(sizes) == 16 and max(sizes.values()) < 2000 / 16 * 1.4
+    # append-safety: the same ids in a different (smaller, reordered)
+    # batch land on the same shards
+    sub = spark.createDataFrame([(i,) for i in range(1999, 999, -2)], ["id"])
+    again = {r["id"]: r["shard"] for r in assign_shards(sub, "id", 16).collect()}
+    assert all(out[i] == s for i, s in again.items())
+
+
+def test_calibrate_scores_percentile_semantics(spark):
+    """percent_rank spans [0,1] per group, is monotone in the raw
+    score, and ties share a rank."""
+    from awi_datapipelinepublic_spark.operators.quality import calibrate_scores
+
+    df = spark.createDataFrame(
+        [(i, "s1", float(i % 10)) for i in range(20)]
+        + [(100 + i, "s2", float(i)) for i in range(5)],
+        ["id", "src", "score"],
+    )
+    rows = calibrate_scores(df, "src", "score", "id").collect()
+    s2 = sorted((r for r in rows if r["src"] == "s2"), key=lambda r: r["score"])
+    assert [r["calibrated"] for r in s2] == [0.0, 0.25, 0.5, 0.75, 1.0]
+    s1 = [r for r in rows if r["src"] == "s1"]
+    assert min(r["calibrated"] for r in s1) == 0.0
+    assert max(r["calibrated"] for r in s1) == 1.0
+    # ties on score are broken by id in rank order but percent_rank of
+    # equal (score,id) keys is strictly monotone; same-score rows get
+    # consecutive distinct ranks — verify monotonicity overall
+    s1_sorted = sorted(s1, key=lambda r: (r["score"], r["id"]))
+    cal = [r["calibrated"] for r in s1_sorted]
+    assert cal == sorted(cal)
+
+
+def test_source_overlap_directed_containment(spark):
+    """Planted overlap: source B contains all of A's grams plus its
+    own, so containment(A→B) = 1.0 while containment(B→A) < 1."""
+    from awi_datapipelinepublic_spark.operators.quality import source_overlap
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "A"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta", "B"),
+            (3, "iota kappa lambda mu", "C"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {(r["src_a"], r["src_b"]): r for r in source_overlap(df, "doc_id", "text", "source", n=3).collect()}
+    # A's grams: 2 distinct 3-grams, both present in B
+    ab = out[("A", "B")]
+    assert ab["shared_grams"] == 2 and ab["containment"] == 1.0
+    ba = out[("B", "A")]
+    assert ba["shared_grams"] == 2 and 0 < ba["containment"] < 1
+    # C shares nothing: no row at all for (A,C)/(C,A)
+    assert ("A", "C") not in out and ("C", "A") not in out

@@ -32,18 +32,16 @@ def test_every_query_has_callable_signature():
 
 def test_oracle_coverage():
     """Non-SQL-expressible ops are the only ones allowed to skip the oracle."""
-    allowed_rows_only = {
-        # HLL / t-digest sketch internals: the estimate depends on the
-        # engine's sketch implementation and is genuinely not
-        # SQL-replayable; accuracy bounds pinned in tests instead.
-        "agg_approx",
-        # Everything else is hash-verified. Graduation history:
-        # r3 — dedup_minhash_lsh / dedup_pipeline / knn_ivf
-        # (md5-portable minhash, deterministic IVF); r4 —
-        # dedup_simhash(_pairs) (md5-portable halves), semantic_dedup
-        # (9dp-rounded threshold, the ivf_assign contract), knn_lsh /
-        # knn_join_lsh (md5-derived hyperplanes + 9dp-rounded signs).
-    }
+    # Empty on purpose — every gate is hash-verified. Graduation
+    # history: r3 — dedup_minhash_lsh / dedup_pipeline / knn_ivf
+    # (md5-portable minhash, deterministic IVF); r4 —
+    # dedup_simhash(_pairs) (md5-portable halves), semantic_dedup
+    # (9dp-rounded threshold, the ivf_assign contract), knn_lsh /
+    # knn_join_lsh (md5-derived hyperplanes + 9dp-rounded signs);
+    # r5 — agg_approx (the last rows-only id): the gate now emits the
+    # exact answers plus in-plan INT bounds flags, so the sketch
+    # estimates are checked without being hashed.
+    allowed_rows_only: set = set()
     missing = set(QUERIES) - set(ORACLES) - allowed_rows_only
     assert not missing, f"queries without oracle: {missing}"
 
