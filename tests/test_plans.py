@@ -565,3 +565,37 @@ def test_embedding_outliers_is_takeordered(spark, sf_dir):
     plan = _plan(entry_mod.q_embedding_outliers(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert "Join" not in plan, plan[:2000]
+
+
+def test_token_budget_select_single_window_exchange(spark, sf_dir):
+    """One hash-partition exchange on the group key feeds the running
+    sum; the parquet scan reads only the columns the window needs."""
+    plan = _plan(entry_mod.q_token_budget_select(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(source") == 1, plan[:2000]
+    assert "Window" in plan
+    txt = _explain_formatted(entry_mod.q_token_budget_select(spark, sf_dir))
+    head = txt.split("ReadSchema: ")[1].splitlines()[0]
+    assert "lang" not in head and "n_chars" not in head, head
+
+
+def test_quality_calibrate_single_window_exchange(spark, sf_dir):
+    plan = _plan(entry_mod.q_quality_calibrate(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(source") == 1, plan[:2000]
+    assert "Window" in plan
+
+
+def test_source_overlap_no_cartesian(spark, sf_dir):
+    """The pair expansion must ride the gram equi-join — no cartesian
+    or nested-loop product anywhere in the plan."""
+    plan = _plan(entry_mod.q_source_overlap(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_substring_decontamination_is_broadcast_probe(spark, sf_dir):
+    """The benchmark side must broadcast (map-side contains-probe; no
+    corpus shuffle for the join): a BroadcastNestedLoopJoin is the
+    EXPECTED shape here — the needle set is bench-sized."""
+    plan = _plan(entry_mod.q_decontaminate_substring(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
