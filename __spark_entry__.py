@@ -3123,6 +3123,35 @@ def q_source_overlap(spark, sf_dir):
     return source_overlap(d, "doc_id", "text", "source", n=3)
 
 
+def q_decontaminate_substring(spark, sf_dir):
+    """Exact-substring decontamination
+    (operators/quality.py:substring_contaminated_ids): an 80-char
+    slice of every %97 doc's normalized text acts as the eval set;
+    any corpus doc containing a slice verbatim is contaminated (each
+    slice's own source doc guarantees hits). Broadcast nested-loop
+    contains-probe — no corpus shuffle."""
+    from awi_datapipelinepublic_spark.operators.quality import (
+        substring_contaminated_ids,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0).select(
+        F.substring(X.normalize_text("text"), 41, 80).alias("text")
+    )
+    return substring_contaminated_ids(d, bench)
+
+
+def q_negative_sample(spark, sf_dir):
+    """Deterministic contrastive negatives
+    (operators/quality.py:negative_sample): 3 md5-drawn ring-walk
+    negatives per document — never the anchor itself, replayable in
+    any engine."""
+    from awi_datapipelinepublic_spark.operators.quality import negative_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return negative_sample(d, "doc_id", 3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- Driver check window (round-5 rotation): the driver oracle-
@@ -3327,6 +3356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_calibrate": q_quality_calibrate,
         "shard_stats": q_shard_stats,
         "source_overlap": q_source_overlap,
+        "decontaminate_substring": q_decontaminate_substring,
+        "negative_sample": q_negative_sample,
     }
 
 
@@ -5466,6 +5497,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT p.src_a, p.src_b, p.shared_grams,
                ROUND(p.shared_grams * 1.0 / s.n, 9) AS containment
         FROM pairs p JOIN sizes s ON s.source = p.src_a
+    """
+    sql["decontaminate_substring"] = f"""
+        WITH needles AS (
+          SELECT DISTINCT trim(substr({_NORM}, 41, 80)) AS b
+          FROM documents WHERE doc_id % 97 = 0
+            AND length(trim(substr({_NORM}, 41, 80))) > 0),
+        probe AS (SELECT doc_id, {_NORM} AS c FROM documents)
+        SELECT DISTINCT doc_id FROM probe JOIN needles ON position(b IN c) > 0
+    """
+    sql["negative_sample"] = """
+        WITH pos AS (
+          SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS p
+          FROM documents),
+        n AS (SELECT COUNT(*) AS c FROM documents),
+        t AS (SELECT doc_id, p, unnest(range(3)) AS draw FROM pos),
+        d AS (
+          SELECT doc_id, draw,
+                 (p + (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
+                        || CAST(draw AS VARCHAR)), 1, 8))::UBIGINT::BIGINT
+                       % (c - 1)) + 1) % c AS tpos
+          FROM t, n)
+        SELECT d.doc_id, CAST(d.draw AS INTEGER) AS draw, p2.doc_id AS neg_id
+        FROM d JOIN pos p2 ON p2.p = d.tpos
     """
     # §2 alias ids share their implementation's oracle.
     sql["scan_jsonl"] = sql["scan_csv"]  # same staged rows, different format

@@ -537,3 +537,96 @@ def source_overlap(
             F.round(F.col("shared_grams") / F.col("__n_grams"), 9).alias("containment"),
         )
     )
+
+
+def substring_contaminated_ids(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring decontamination: ids of corpus documents whose
+    NORMALIZED text contains any benchmark document's normalized text
+    verbatim (the strictest leak check — catches an eval row pasted
+    inside a longer page, which gram-overlap with large n can dilute
+    and which token-boundary shifts never hide).
+
+    The benchmark side is broadcast (eval suites are MB-scale) and the
+    corpus scan probes it map-side with a `contains` predicate — a
+    nested-loop broadcast join whose cost is corpus_rows x bench_rows
+    CHARACTER scans, linear in the corpus with a bench-sized constant.
+    No corpus shuffle, no candidate generation: the right production
+    shape while benchmarks stay small; gram-based
+    :func:`contaminated_ids` is the pre-filter when they don't.
+    """
+    from awi_datapipelinepublic_spark.functions import text as _X
+
+    probe = corpus.select(
+        id_col, _X.normalize_text(text_col).alias("__ctext")
+    )
+    needles = (
+        benchmark.select(_X.normalize_text(text_col).alias("__btext"))
+        .filter(F.length("__btext") > 0)
+        .distinct()
+    )
+    hits = probe.join(
+        F.broadcast(needles), F.col("__ctext").contains(F.col("__btext")), "inner"
+    )
+    return hits.select(id_col).distinct()
+
+
+def negative_sample(
+    df: DataFrame,
+    id_col: str,
+    k: int,
+    out_col: str = "neg_id",
+) -> DataFrame:
+    """Deterministic in-batch negative sampling: for each row, k
+    pseudo-random OTHER ids drawn by hashing (id, draw-index) onto a
+    dense rank ring — the contrastive-training primitive (one positive
+    pair + k negatives) with no RNG state and engine-replayable draws.
+
+    Mechanics: rows get a dense 0..n-1 position by sorting ids (one
+    thin two-column window); each (id, i<k) pair hashes md5(id||'#'||i)
+    to a 32-bit draw, maps it to an OFFSET in 1..n-1 (never 0, so a row
+    can't draw itself), and the negative is the id at
+    (pos + offset) % n — a ring walk giving uniform negatives that are
+    never the anchor itself (two of a row's k draws may repeat; that
+    mirrors sampling WITH replacement, the standard contrastive
+    setup). The draw join is an equi-join
+    on the position key, shuffle-bounded by n x k rows of two longs.
+
+    At 100 TB the rank window is the scale hazard (global sort): for
+    corpus-scale inputs, rank within hash buckets instead (same trick
+    as operators/windows.py's two-pass row_number twin); the gate uses
+    the simple form — embedding tables at negative-sampling time are
+    model-vocabulary-sized, not corpus-sized.
+    """
+    from pyspark.sql import Window
+
+    n_total = df.count()
+    if n_total < 2:
+        raise ValueError("negative_sample needs >= 2 rows")
+    pos = df.select(
+        F.col(id_col),
+        (F.row_number().over(Window.orderBy(F.col(id_col))) - 1).alias("__pos"),
+    )
+    draws = pos.select(
+        F.col(id_col),
+        "__pos",
+        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("draw"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit("#"), F.col("draw").cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    target = (F.col("__pos") + (h % (n_total - 1)) + 1) % n_total
+    want = draws.withColumn("__tpos", target)
+    neg = pos.select(F.col(id_col).alias(out_col), F.col("__pos").alias("__tpos"))
+    return (
+        want.join(neg, "__tpos")
+        .select(id_col, "draw", out_col)
+    )

@@ -788,3 +788,52 @@ def test_source_overlap_directed_containment(spark):
     assert ba["shared_grams"] == 2 and 0 < ba["containment"] < 1
     # C shares nothing: no row at all for (A,C)/(C,A)
     assert ("A", "C") not in out and ("C", "A") not in out
+
+
+def test_substring_contaminated_ids_catches_embedded_eval_row(spark):
+    from awi_datapipelinepublic_spark.operators.quality import (
+        substring_contaminated_ids,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "some unrelated text about spark partitions"),
+            (3, "prefix padding THE QUICK   BROWN fox jumps suffix"),  # case+ws variant
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps")], ["doc_id", "text"]
+    )
+    hit_ids = {
+        r["doc_id"] for r in substring_contaminated_ids(corpus, bench).collect()
+    }
+    # doc 1 contains it verbatim; doc 3 contains it modulo case/whitespace
+    # normalization; doc 2 is clean
+    assert hit_ids == {1, 3}
+
+
+def test_negative_sample_never_self_and_deterministic(spark):
+    from awi_datapipelinepublic_spark.operators.quality import negative_sample
+
+    df = spark.createDataFrame([(i,) for i in range(50)], ["id"])
+    out = negative_sample(df, "id", 4).collect()
+    assert len(out) == 50 * 4
+    assert all(r["neg_id"] != r["id"] for r in out)
+    assert all(0 <= r["neg_id"] < 50 for r in out)
+    again = negative_sample(df, "id", 4).collect()
+    key = lambda r: (r["id"], r["draw"])
+    assert sorted(out, key=key) == sorted(again, key=key)
+    # draws are spread: no anchor gets the same negative for all 4 draws
+    from collections import defaultdict
+
+    by_anchor = defaultdict(set)
+    for r in out:
+        by_anchor[r["id"]].add(r["neg_id"])
+    assert sum(1 for v in by_anchor.values() if len(v) == 1) <= 2
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        negative_sample(spark.createDataFrame([(1,)], ["id"]), "id", 2)
