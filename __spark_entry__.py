@@ -1818,6 +1818,30 @@ def q_scan_jsonl(spark, sf_dir):
     return read_jsonl(spark, str(stage), _SCAN_CSV_FIELDS)
 
 
+def q_scan_xml(spark, sf_dir):
+    """XML source (sources/readers.py:read_xml, Spark 4 built-in XML
+    datasource): schema-declared scan over <row> elements staged from
+    the orders table; oracle reads the same rows from parquet, so
+    element parsing / typing / date handling bugs break the hash."""
+    from awi_datapipelinepublic_spark.sources.readers import read_xml
+
+    stage = Path("/root/repo/.cache") / f"scan_xml_{Path(sf_dir).name}"
+    if not (stage / "_SUCCESS").exists():
+        (
+            _t(spark, sf_dir, "orders")
+            .select(
+                "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            )
+            .coalesce(4)
+            .write.mode("overwrite")
+            .format("xml")
+            .option("rowTag", "row")
+            .save(str(stage))
+        )
+    return read_xml(spark, str(stage), _SCAN_CSV_FIELDS)
+
+
 def q_scan_orc(spark, sf_dir):
     """ORC source/sink round-trip: columnar alternative to parquet,
     native reader/writer, type-preserving (no string staging)."""
@@ -3357,6 +3381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_stats": q_shard_stats,
         "source_overlap": q_source_overlap,
         "decontaminate_substring": q_decontaminate_substring,
+        "scan_xml": q_scan_xml,
         "negative_sample": q_negative_sample,
     }
 
@@ -5523,6 +5548,7 @@ def oracle_sql() -> dict[str, str]:
     """
     # §2 alias ids share their implementation's oracle.
     sql["scan_jsonl"] = sql["scan_csv"]  # same staged rows, different format
+    sql["scan_xml"] = sql["scan_csv"]  # same staged rows, different format
     sql["join_geo"] = sql["join_dim_miss"]
     sql["win_min_partition"] = sql["agg_min_windowed"]
     sql["union_all"] = sql["align_union"]

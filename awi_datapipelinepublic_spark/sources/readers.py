@@ -108,6 +108,32 @@ def read_jsonl(spark: SparkSession, path: str, fields: list[dict]) -> DataFrame:
     return spark.read.schema(st).json(path).select(*[f["name"] for f in fields])
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    fields: list[dict],
+    row_tag: str = "row",
+) -> DataFrame:
+    """Schema-declared XML scan (Spark 4 built-in XML datasource —
+    the former spark-xml package, merged into core in 4.0).
+
+    Same contract as read_csv/read_jsonl: the declared schema is
+    applied (no inference pass — XML inference reads the whole input
+    twice), columns pruned to the declaration, each ``<row_tag>``
+    element one row. Distributed: the reader splits on element
+    boundaries, so a many-file or large-file corpus scans in parallel
+    like any other source.
+    """
+    st = to_struct_type(fields)
+    return (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .schema(st)
+        .load(path)
+        .select(*[f["name"] for f in fields])
+    )
+
+
 def read_excel_sheets(
     spark: SparkSession,
     path: str,
