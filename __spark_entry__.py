@@ -3176,6 +3176,28 @@ def q_negative_sample(spark, sf_dir):
     return negative_sample(d, "doc_id", 3)
 
 
+def q_digest_prefilter_join(spark, sf_dir):
+    """Digest-prefilter equi-join
+    (operators/joins.py:digest_prefilter_join): lineitem pre-filtered
+    map-side by a broadcast of the urgent-finished orders' distinct
+    xxhash64 key digests before the join shuffle. Digest collisions
+    are false positives only (the real join drops them), so the
+    oracle is the PLAIN inner join — the prefilter only prunes
+    shuffle volume."""
+    from awi_datapipelinepublic_spark.operators.joins import digest_prefilter_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    sel = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "F")
+    )
+    out = digest_prefilter_join(li, sel, "l_orderkey", "o_orderkey")
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderdate",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- Driver check window (round-5 rotation): the driver oracle-
@@ -3382,6 +3404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "decontaminate_substring": q_decontaminate_substring,
         "scan_xml": q_scan_xml,
+        "digest_prefilter_join": q_digest_prefilter_join,
         "negative_sample": q_negative_sample,
     }
 
@@ -5545,6 +5568,12 @@ def oracle_sql() -> dict[str, str]:
           FROM t, n)
         SELECT d.doc_id, CAST(d.draw AS INTEGER) AS draw, p2.doc_id AS neg_id
         FROM d JOIN pos p2 ON p2.p = d.tpos
+    """
+    sql["digest_prefilter_join"] = """
+        SELECT l.l_orderkey, l.l_linenumber,
+               ROUND(o.o_totalprice, 2) AS o_totalprice, o.o_orderdate
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'F'
     """
     # §2 alias ids share their implementation's oracle.
     sql["scan_jsonl"] = sql["scan_csv"]  # same staged rows, different format

@@ -205,3 +205,42 @@ def fuzzy_join_blocked(
             "dist",
         )
     )
+
+
+def digest_prefilter_join(
+    big: DataFrame,
+    selective: DataFrame,
+    big_key: str,
+    sel_key: str,
+) -> DataFrame:
+    """Inner equi-join where the big side is pre-filtered MAP-SIDE by a
+    broadcast of the selective side's distinct 8-byte key digests
+    (xxhash64) before any shuffle — the 100 TB trick when the
+    selective side's key set fits in a broadcast only after
+    compaction (wide string/composite keys shrink ~10-50x to a long).
+
+    Digest collisions admit false POSITIVES only — a non-matching big
+    row that survives the prefilter is dropped by the real equi-join —
+    so the result is EXACTLY the plain join's (the oracle replays the
+    plain join); collisions cost a little extra shuffle, never a
+    wrong row. Rows that cannot match never enter the exchange, which
+    is the point: at 100 TB the join shuffle, not the scan, is the
+    bottleneck, and a selective dimension prunes most of it.
+
+    Spark's own runtime filtering
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) injects the
+    sketch form of this plan automatically when statistics warrant;
+    the explicit operator guarantees the reduction in pipelines that
+    disable AQE or join through shapes the optimizer won't risk, and
+    pins the plan shape we want either way (plan-asserted in
+    tests/test_plans.py).
+    """
+    digests = (
+        selective.select(F.xxhash64(F.col(sel_key)).alias("__kd")).distinct()
+    )
+    pre = big.join(
+        F.broadcast(digests),
+        F.xxhash64(F.col(big_key)) == F.col("__kd"),
+        "left_semi",
+    )
+    return pre.join(selective, pre[big_key] == selective[sel_key], "inner")

@@ -876,3 +876,26 @@ def test_clustered_write_produces_disjoint_key_ranges(spark, tmp_path):
     assert sum(r["rows"] for r in ranges) == 20_000
     for a, b in zip(ranges, ranges[1:]):
         assert a["key_max"] < b["key_min"]  # disjoint: file skipping can prune
+
+
+def test_digest_prefilter_join_matches_plain_join(spark):
+    """Prefilter is semantics-preserving: identical rows to the plain
+    inner join, including duplicate selective-side keys (fan-out) and
+    big-side rows with no match."""
+    from awi_datapipelinepublic_spark.operators.joins import digest_prefilter_join
+
+    big = spark.createDataFrame(
+        [(i, i % 50) for i in range(1000)], ["bid", "k"]
+    )
+    sel = spark.createDataFrame(
+        [(k, f"p{k}") for k in range(0, 50, 7)] + [(7, "dup")], ["sk", "payload"]
+    )
+    got = sorted(
+        (r["bid"], r["payload"])
+        for r in digest_prefilter_join(big, sel, "k", "sk").collect()
+    )
+    want = sorted(
+        (r["bid"], r["payload"])
+        for r in big.join(sel, big["k"] == sel["sk"], "inner").collect()
+    )
+    assert got == want and len(got) > 0

@@ -599,3 +599,11 @@ def test_substring_decontamination_is_broadcast_probe(spark, sf_dir):
     plan = _plan(entry_mod.q_decontaminate_substring(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_digest_prefilter_is_broadcast_semi_before_join(spark, sf_dir):
+    """The digest prefilter must be a map-side BroadcastHashJoin
+    (LeftSemi) feeding the real equi-join — big-side rows that cannot
+    match are dropped BEFORE any exchange of the big side."""
+    plan = _plan(entry_mod.q_digest_prefilter_join(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:2000]
