@@ -173,3 +173,25 @@ def compact_files(
     tmp.rename(src)
     shutil.rmtree(old)
     return len(list(src.rglob("*.parquet")))
+
+
+def file_key_ranges(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+) -> DataFrame:
+    """Per-file min/max/rows of ``key_col`` — the distributed audit
+    that a clustered layout (write_range_sorted / write_zordered)
+    actually holds without a driver-side file listing: one scan,
+    groupBy(input_file_name). Disjoint ranges here mean footer
+    min/max file-skipping will prune key predicates in any parquet
+    reader."""
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.min(key_col).alias("key_min"),
+            F.max(key_col).alias("key_max"),
+            F.count(F.lit(1)).alias("rows"),
+        )
+    )

@@ -839,36 +839,18 @@ def test_negative_sample_never_self_and_deterministic(spark):
         negative_sample(spark.createDataFrame([(1,)], ["id"]), "id", 2)
 
 
-def test_compact_path_shrinks_files_preserves_rows(spark, tmp_path):
-    from awi_datapipelinepublic_spark.operators.maintenance import compact_path
-
-    path = str(tmp_path / "frag")
-    # simulate a fragmented table: 64 tiny files
-    spark.range(10_000).selectExpr("id", "id * 2 AS v").repartition(64).write.parquet(path)
-    before = spark.read.parquet(path)
-    expected = sorted(r["id"] for r in before.collect())
-    stats = compact_path(spark, path, target_rows_per_file=5_000)
-    assert stats["files_before"] == 64
-    assert stats["files_after"] == 2
-    assert stats["rows"] == 10_000
-    after = spark.read.parquet(path)
-    assert sorted(r["id"] for r in after.collect()) == expected
-    # no staging/trash residue next to the table
-    import os as _os
-
-    residue = [d for d in _os.listdir(tmp_path) if "__compact_" in d or "__old_" in d]
-    assert residue == []
-
-
-def test_clustered_write_produces_disjoint_key_ranges(spark, tmp_path):
-    from awi_datapipelinepublic_spark.operators.maintenance import (
-        clustered_write,
+def test_range_sorted_layout_audits_disjoint_key_ranges(spark, tmp_path):
+    """file_key_ranges (the distributed layout audit) proves
+    write_range_sorted's contract: per-file key ranges disjoint, so
+    footer min/max skipping can prune — no driver file listing."""
+    from awi_datapipelinepublic_spark.sources.layout import (
         file_key_ranges,
+        write_range_sorted,
     )
 
     path = str(tmp_path / "clustered")
     df = spark.range(20_000).selectExpr("id", "id % 97 AS k")
-    clustered_write(df, path, ["id"], n_files=8)
+    write_range_sorted(df, path, "id", partitions=8)
     ranges = sorted(
         file_key_ranges(spark, path, "id").collect(), key=lambda r: r["key_min"]
     )
