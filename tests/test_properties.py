@@ -354,3 +354,100 @@ def test_merge_into_path_replay_idempotent_property(spark, tmp_path_factory, dat
     merge_into_path(spark, path, batch, "d")  # replay
     twice = sorted((r["pk"], r["d"]) for r in spark.read.parquet(path).collect())
     assert once == twice
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.data())
+def test_token_budget_property(spark, data):
+    """For any corpus and budget: (1) no group's kept total exceeds
+    the budget; (2) the kept set per group is the maximal md5-order
+    prefix — re-adding the first excluded doc would exceed it."""
+    from awi_datapipelinepublic_spark.operators.sampling import token_budget_select
+
+    rows = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=10_000),  # id
+                st.sampled_from(["a", "b", "c"]),
+                st.integers(min_value=0, max_value=500),  # tokens
+            ),
+            min_size=1,
+            max_size=120,
+            unique_by=lambda t: t[0],
+        )
+    )
+    budget = data.draw(st.integers(min_value=1, max_value=2_000))
+    df = spark.createDataFrame(rows, ["id", "src", "n_tok"])
+    kept = token_budget_select(df, "src", "id", "n_tok", budget).collect()
+    import hashlib
+
+    def md5key(i):
+        return hashlib.md5(str(i).encode()).hexdigest()
+
+    by_src = {}
+    for i, s, t in rows:
+        by_src.setdefault(s, []).append((md5key(i), i, t))
+    kept_by_src = {}
+    for r in kept:
+        kept_by_src.setdefault(r["src"], set()).add(r["id"])
+    for s, members in by_src.items():
+        members.sort()
+        acc, want = 0, set()
+        for _, i, t in members:
+            if acc + t > budget:
+                break
+            acc += t
+            want.add(i)
+        assert kept_by_src.get(s, set()) == want, (s, budget)
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.data())
+def test_assign_shards_range_and_stability_property(spark, data):
+    from awi_datapipelinepublic_spark.operators.sampling import assign_shards
+
+    ids = data.draw(
+        st.lists(st.integers(min_value=-(10**9), max_value=10**9),
+                 min_size=1, max_size=150, unique=True)
+    )
+    n = data.draw(st.integers(min_value=1, max_value=64))
+    df = spark.createDataFrame([(i,) for i in ids], ["id"])
+    out = {r["id"]: r["shard"] for r in assign_shards(df, "id", n).collect()}
+    assert all(0 <= s < n for s in out.values())
+    # engine-portable definition: md5-derived 32-bit value mod n
+    import hashlib
+
+    for i in ids:
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        assert out[i] == h % n, (i, n)
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.data())
+def test_calibrate_scores_bounds_and_monotone_property(spark, data):
+    from awi_datapipelinepublic_spark.operators.quality import calibrate_scores
+
+    rows = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=10_000),
+                st.sampled_from(["x", "y"]),
+                st.integers(min_value=-50, max_value=50),
+            ),
+            min_size=2,
+            max_size=100,
+            unique_by=lambda t: t[0],
+        )
+    )
+    df = spark.createDataFrame(rows, ["id", "src", "score"])
+    out = calibrate_scores(df, "src", "score", "id").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["src"], []).append(r)
+    for grp in by_src.values():
+        grp.sort(key=lambda r: (r["score"], r["id"]))
+        cal = [r["calibrated"] for r in grp]
+        assert all(0.0 <= c <= 1.0 for c in cal)
+        assert cal == sorted(cal)
+        if len(grp) > 1:
+            assert cal[0] == 0.0 and cal[-1] == 1.0
