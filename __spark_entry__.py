@@ -3198,6 +3198,88 @@ def q_digest_prefilter_join(spark, sf_dir):
     )
 
 
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity / l-diversity audit (functions/privacy.py:
+    k_anonymity): per (nation, market-segment) quasi-identifier group,
+    row count, distinct-balance l-diversity, and an INT 0/1 k<5 risk
+    flag — one hash-partitioned groupBy, output bounded by group
+    cardinality. The release-gate twin of pii_redact."""
+    from awi_datapipelinepublic_spark.functions.privacy import k_anonymity
+
+    c = _t(spark, sf_dir, "customer")
+    return k_anonymity(
+        c, ["c_nationkey", "c_mktsegment"], k=5, sensitive_col="c_acctbal"
+    )
+
+
+def q_entropy_quality(spark, sf_dir):
+    """Character-entropy quality signal (functions/text.py:
+    char_entropy): Shannon bits/char per document plus an INT 0/1
+    low-entropy flag — the gibberish/boilerplate detector of the
+    quality family. Sorted-distinct accumulation order and 9dp
+    rounding make the float fold identical in both engines."""
+    d = _t(spark, sf_dir, "documents")
+    e = d.select(
+        "doc_id",
+        (F.round(X.char_entropy("text"), 9) + F.lit(0.0)).alias("entropy"),
+    )
+    return e.withColumn(
+        "low_entropy", F.when(F.col("entropy") < 3.0, 1).otherwise(0).cast("int")
+    )
+
+
+def q_knn_pq(spark, sf_dir):
+    """Product-quantization ADC top-10 (operators/similarity.py:
+    pq_assign/knn_pq): vectors compressed to m=4 four-bit codes
+    against the md5-derived codebook, query scored via the (m, ks)
+    lookup table — the billion-vector memory layout (Jégou et al.
+    2011). Hash-verified: the dyadic codebook, 9dp-rounded argmin
+    encoding, and 9dp table entries replay exactly in DuckDB."""
+    from awi_datapipelinepublic_spark.operators.similarity import knn_pq
+
+    return knn_pq(
+        _t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), dim=64, k=10
+    )
+
+
+def q_zorder_layout(spark, sf_dir):
+    """Z-order clustering audit (sources/layout.py:zorder_key): orders
+    keyed by the Morton interleave of (o_custkey, o_totalprice) at 8
+    bits/dim, bucketed by the top 6 z-bits, with per-bucket min/max of
+    BOTH dimensions — the data-skipping evidence a Delta/Iceberg
+    Z-ORDER write produces (each bucket is range-local in every
+    participating column, unlike a single-column sort). Pure bitwise
+    Column arithmetic; the min/max normalization constants are a
+    4-scalar driver pull."""
+    from awi_datapipelinepublic_spark.sources.layout import zorder_key
+
+    o = _t(spark, sf_dir, "orders")
+    r = o.agg(
+        F.min("o_custkey").alias("ck_mn"),
+        F.max("o_custkey").alias("ck_mx"),
+        F.min("o_totalprice").alias("tp_mn"),
+        F.max("o_totalprice").alias("tp_mx"),
+    ).collect()[0]
+    cols = ["o_custkey", "o_totalprice"]
+    z = zorder_key(
+        cols,
+        {"o_custkey": r["ck_mn"], "o_totalprice": r["tp_mn"]},
+        {"o_custkey": r["ck_mx"], "o_totalprice": r["tp_mx"]},
+        bits=8,
+    )
+    return (
+        o.withColumn("bucket", F.shiftright(z, 10))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_custkey").alias("ck_min"),
+            F.max("o_custkey").alias("ck_max"),
+            F.round(F.min("o_totalprice"), 2).alias("tp_min"),
+            F.round(F.max("o_totalprice"), 2).alias("tp_max"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- Driver check window (round-5 rotation): the driver oracle-
@@ -3406,6 +3488,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_xml": q_scan_xml,
         "digest_prefilter_join": q_digest_prefilter_join,
         "negative_sample": q_negative_sample,
+        # round-5 late additions (r6 driver-window candidates):
+        # privacy audit, entropy quality, PQ ANN, z-order layout audit
+        "k_anonymity": q_k_anonymity,
+        "entropy_quality": q_entropy_quality,
+        "knn_pq": q_knn_pq,
+        "zorder_layout": q_zorder_layout,
     }
 
 
@@ -5574,6 +5662,96 @@ def oracle_sql() -> dict[str, str]:
                ROUND(o.o_totalprice, 2) AS o_totalprice, o.o_orderdate
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'F'
+    """
+    sql["k_anonymity"] = """
+        SELECT c_nationkey, c_mktsegment,
+               COUNT(*) AS n_rows,
+               COUNT(DISTINCT c_acctbal) AS l_diversity,
+               CAST(CASE WHEN COUNT(*) < 5 THEN 1 ELSE 0 END AS INTEGER) AS at_risk
+        FROM customer GROUP BY 1, 2
+    """
+    # Replays functions/text.py:char_entropy exactly: empties dropped
+    # from the char split, distinct chars sorted so the float fold
+    # order matches Spark's aggregate(), 9dp round (+0.0 folds -0.0).
+    sql["entropy_quality"] = """
+        WITH ch AS (
+          SELECT doc_id, list_filter(string_split(text, ''), x -> x <> '') AS cs
+          FROM documents),
+        e AS (
+          SELECT doc_id,
+                 CASE WHEN len(cs) > 0 THEN
+                   ROUND(-list_sum(list_transform(list_sort(list_distinct(cs)),
+                       d -> (len(list_filter(cs, x -> x = d)) * 1.0 / len(cs))
+                            * log2(len(list_filter(cs, x -> x = d)) * 1.0 / len(cs)))), 9)
+                   + 0.0
+                 ELSE 0.0 END AS entropy
+          FROM ch)
+        SELECT doc_id, entropy,
+               CAST(CASE WHEN entropy < 3.0 THEN 1 ELSE 0 END AS INTEGER) AS low_entropy
+        FROM e
+    """
+    # Replays operators/similarity.py:_pq_codebook/pq_assign/knn_pq:
+    # md5-dyadic codebook (m=4 subvectors of 16 dims, ks=16 codes),
+    # 9dp-rounded Euclidean argmin encoding with lowest-code ties,
+    # 9dp query distance table, ADC sum rounded at 6dp.
+    sql["knn_pq"] = """
+        WITH codes AS (
+          SELECT s, c,
+                 list(('0x' || substr(md5('pq-42-' || s || '-' || c || '-' || j), 1, 8))::UBIGINT::BIGINT
+                      / 2147483648.0 - 1.0 ORDER BY j) AS cb
+          FROM (SELECT unnest(range(4)) AS s),
+               (SELECT unnest(range(16)) AS c),
+               (SELECT unnest(range(16)) AS j)
+          GROUP BY s, c),
+        ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sv AS (SELECT vec_id, s, v[s*16+1 : (s+1)*16] AS seg
+               FROM ev, (SELECT unnest(range(4)) AS s)),
+        asg AS (
+          SELECT vec_id, s,
+                 (SELECT c2.c FROM codes c2 WHERE c2.s = sv.s
+                  ORDER BY ROUND(list_distance(sv.seg, c2.cb), 9) ASC, c2.c ASC
+                  LIMIT 1) AS code
+          FROM sv),
+        qt AS (
+          SELECT c2.s, c2.c, ROUND(list_distance(q.seg, c2.cb), 9) AS d
+          FROM codes c2 JOIN (SELECT s, seg FROM sv WHERE vec_id = 0) q ON q.s = c2.s),
+        adc AS (
+          SELECT a.vec_id, SUM(qt.d) AS dist
+          FROM asg a JOIN qt ON qt.s = a.s AND qt.c = a.code
+          GROUP BY a.vec_id)
+        SELECT vec_id, ROUND(dist, 6) AS adc_dist
+        FROM adc ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
+    """
+    # Replays sources/layout.py:zorder_key at bits=8 over
+    # (o_custkey, o_totalprice): min/max normalize to 0..255 (FLOOR =
+    # Spark's toward-zero long cast on non-negatives), interleave the
+    # 8 bit pairs, bucket by the top 6 z-bits.
+    _zx = " | ".join(
+        f"(((xs >> {i}) & 1) << {2 * i})" for i in range(8)
+    )
+    _zy = " | ".join(
+        f"(((ys >> {i}) & 1) << {2 * i + 1})" for i in range(8)
+    )
+    sql["zorder_layout"] = f"""
+        WITH b AS (
+          SELECT MIN(o_custkey) AS ck_mn, MAX(o_custkey) AS ck_mx,
+                 MIN(o_totalprice) AS tp_mn, MAX(o_totalprice) AS tp_mx
+          FROM orders),
+        s AS (
+          SELECT o_custkey, o_totalprice,
+                 CAST(FLOOR((CAST(o_custkey AS DOUBLE) - ck_mn)
+                      / (CASE WHEN ck_mx - ck_mn = 0 THEN 1.0 ELSE ck_mx - ck_mn END)
+                      * 255) AS BIGINT) AS xs,
+                 CAST(FLOOR((o_totalprice - tp_mn)
+                      / (CASE WHEN tp_mx - tp_mn = 0 THEN 1.0 ELSE tp_mx - tp_mn END)
+                      * 255) AS BIGINT) AS ys
+          FROM orders, b)
+        SELECT ({_zx} | {_zy}) >> 10 AS bucket,
+               COUNT(*) AS n_rows,
+               MIN(o_custkey) AS ck_min, MAX(o_custkey) AS ck_max,
+               ROUND(MIN(o_totalprice), 2) AS tp_min,
+               ROUND(MAX(o_totalprice), 2) AS tp_max
+        FROM s GROUP BY 1
     """
     # §2 alias ids share their implementation's oracle.
     sql["scan_jsonl"] = sql["scan_csv"]  # same staged rows, different format

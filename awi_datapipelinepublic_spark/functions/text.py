@@ -120,6 +120,38 @@ def shingles_of(toks: Column, k: int = 5) -> Column:
     return F.when(n >= k, make).otherwise(whole)
 
 
+def char_entropy(c: Column | str) -> Column:
+    """Shannon entropy (bits/char) of the character distribution — the
+    gibberish/boilerplate detector: natural prose sits ~4-4.5 bits,
+    repeated-character spam and template padding fall under ~3, and
+    random base64 blobs push ~6.
+
+    Pure higher-order-function Column expression (split → distinct →
+    per-char frequency → Σ p·log2 p), JVM-side in codegen like every
+    other quality signal. Cost is O(distinct_chars × len) per document
+    — bounded by the alphabet, scan-dominated at corpus scale.
+
+    Cross-engine determinism contract: the distinct-character list is
+    sorted (array_sort ↔ list_sort) so the float accumulation order is
+    identical in Spark and the DuckDB oracle; callers round at 9dp.
+    Empty/whitespace-only text → 0.0.
+    """
+    # Java-regex split keeps a trailing "" element under Spark's
+    # limit=-1; DuckDB's string_split does not — drop empties so both
+    # engines see the identical character multiset.
+    chars = F.filter(F.split(_col(c), ""), lambda x: x != "")
+    n = F.size(chars)
+    ds = F.array_sort(F.array_distinct(chars))
+    ent = -F.aggregate(
+        ds,
+        F.lit(0.0),
+        lambda acc, d: acc
+        + (F.size(F.filter(chars, lambda x: x == d)).cast("double") / n)
+        * F.log2(F.size(F.filter(chars, lambda x: x == d)).cast("double") / n),
+    )
+    return F.when(n > 0, ent).otherwise(F.lit(0.0))
+
+
 def shingles(c: Column | str, k: int = 5) -> Column:
     """Convenience expression form of shingles_of — fine for ad-hoc use
     on small data; hot paths (operators/dedup.py) materialize the token

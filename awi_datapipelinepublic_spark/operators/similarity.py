@@ -796,3 +796,180 @@ def knn_lsh(
         F.round(score(F.col(vec_col)), 6).alias("cos"),
     )
     return scored.orderBy(F.col("cos").desc(), F.col(id_col).asc()).limit(k)
+
+
+def _pq_codebook(dim: int, m: int, ks: int, seed: int = 42) -> np.ndarray:
+    """Deterministic md5-derived product-quantization codebook,
+    shape (m, ks, dim/m), components uniform in [-1, 1).
+
+    Same exact-dyadic construction as :func:`_hyperplanes` (first 4
+    md5 bytes of tag ``pq-{seed}-{sub}-{code}-{j}`` scaled by 2^-31),
+    so the DuckDB oracle rebuilds the identical codebook and the code
+    assignment replays bit-for-bit. A production deployment trains the
+    codebook instead (per-subvector k-means over a sample — see
+    :func:`kmeans_assign`; any (m, ks, dim/m) array can be passed to
+    :func:`pq_assign`); the md5 codebook is the cross-engine
+    verifiability contract, exactly as with the sign-LSH hyperplanes.
+    """
+    import hashlib
+
+    sub = dim // m
+    return np.asarray(
+        [
+            [
+                [
+                    int.from_bytes(
+                        hashlib.md5(f"pq-{seed}-{s}-{c}-{j}".encode()).digest()[:4],
+                        "big",
+                    )
+                    / 2147483648.0
+                    - 1.0
+                    for j in range(sub)
+                ]
+                for c in range(ks)
+            ]
+            for s in range(m)
+        ],
+        dtype=float,
+    )
+
+
+def pq_assign(
+    emb: DataFrame,
+    dim: int,
+    m: int = 4,
+    ks: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: np.ndarray | None = None,
+) -> DataFrame:
+    """Product-quantization encoding: each vector compressed to ``m``
+    small codes (one per contiguous subvector, nearest codebook entry
+    by Euclidean distance).
+
+    THE 100 TB ANN memory move: at m=8, ks=256 a float32[1024]
+    embedding (4 KB) becomes 8 bytes — a 512× corpus-size reduction
+    that turns a cluster-scale scan into a per-executor in-memory
+    table, which is why IVF-PQ is the standard billion-vector layout
+    (Jégou et al., "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011; same layout as FAISS IVFPQ).
+
+    Encoding is a pure projection — one Arrow-batched matmul per
+    subvector against the (ks, dim/m) codebook held in the UDF
+    closure, no shuffle, exactly the ivf_assign pattern. Distances are
+    9dp-rounded before the argmin so near-ties collapse equal and
+    break to the lowest code index in both engines (the ivf_assign
+    determinism contract).
+    """
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    C = _pq_codebook(dim, m, ks, seed) if codebook is None else np.asarray(codebook, dtype=float)
+    sub = dim // m
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode(col: pd.Series) -> pd.Series:
+        mat = np.stack(col.values).astype(float)
+        codes = np.empty((mat.shape[0], C.shape[0]), dtype="int32")
+        for s in range(C.shape[0]):
+            seg = mat[:, s * sub : (s + 1) * sub]
+            # (n, ks) Euclidean distances to this subvector's codebook
+            d = np.round(
+                np.sqrt(
+                    np.maximum(
+                        ((seg[:, None, :] - C[s][None, :, :]) ** 2).sum(axis=2), 0.0
+                    )
+                ),
+                9,
+            )
+            codes[:, s] = np.argmin(d, axis=1).astype("int32")
+        return pd.Series(list(codes))
+
+    return emb.withColumn("codes", encode(F.col(vec_col)))
+
+
+def knn_pq(
+    emb: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    m: int = 4,
+    ks: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: np.ndarray | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query builds
+    an (m, ks) distance table to every codebook entry once; each
+    corpus vector's approximate distance is then m table lookups
+    summed — no per-row vector arithmetic at all.
+
+    The lookup-sum is a built-in higher-order-function projection over
+    the broadcast literal table (element_at + aggregate), so after
+    encoding, scoring 100 TB of codes is a codegen-resident scan:
+    cheaper per row than reading the original embedding column off
+    disk, which is the entire point of PQ. Table entries are
+    9dp-rounded (so the DuckDB oracle's list_distance replays the sum
+    exactly); the final distance rounds at 6dp with id-ascending
+    tie-break.
+    """
+    C = _pq_codebook(dim, m, ks, seed) if codebook is None else np.asarray(codebook, dtype=float)
+    sub = dim // m
+    q = np.asarray(query_vec, dtype=float)
+    qtab = [
+        [
+            round(float(np.sqrt(max(((q[s * sub : (s + 1) * sub] - C[s][c]) ** 2).sum(), 0.0))), 9)
+            for c in range(ks)
+        ]
+        for s in range(m)
+    ]
+    encoded = pq_assign(emb, dim, m, ks, seed, id_col, vec_col, codebook)
+    tab_lit = F.array(*[F.array(*[F.lit(d) for d in row]) for row in qtab])
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(F.element_at(tab_lit, s + 1), F.element_at("codes", s + 1) + 1),
+    )
+    return (
+        encoded.select(id_col, F.round(adc, 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def pq_codebook_from_sample(
+    emb: DataFrame,
+    dim: int,
+    m: int = 4,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Data-derived PQ codebook: every ⌈n/ks⌉-th vector by id donates
+    its subvectors as codebook entries — the same deterministic
+    modulo-step pick as ivf_assign's coarse centroids, k-means-free
+    but distribution-matched (entries ARE corpus subvectors, so codes
+    land where the data lives; the md5 contract codebook is uniform on
+    the cube and exists for cross-engine verifiability, not recall).
+
+    Driver traffic is ks rows — m·ks·(dim/m) floats — regardless of
+    corpus size. A production fit replaces this with per-subvector
+    k-means over a sample; any (m, ks, dim/m) array drops into
+    pq_assign/knn_pq unchanged.
+    """
+    n = emb.count()
+    step = max(1, n // ks)
+    rows = (
+        emb.filter(F.col(id_col) % step == 0)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(ks)
+        .collect()
+    )
+    sub = dim // m
+    M = np.asarray([[float(x) for x in r[vec_col]] for r in rows], dtype=float)
+    return np.stack(
+        [[M[i][s * sub : (s + 1) * sub] for i in range(ks)] for s in range(m)]
+    )

@@ -97,6 +97,12 @@ BENCH_QUERIES = [
     # token-budget window, cross-source containment matrix)
     "token_budget_select",
     "source_overlap",
+    # round-5 late additions: PQ ANN (ADC lookup-sum), HOF char
+    # entropy, privacy-audit groupBy, z-order bucket audit
+    "knn_pq",
+    "entropy_quality",
+    "k_anonymity",
+    "zorder_layout",
 ]
 
 

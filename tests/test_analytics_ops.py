@@ -508,3 +508,101 @@ def test_embedding_outliers_finds_planted_junk(spark):
     assert out[0]["vec_id"] == 999
     # tight-cluster members score essentially 1.0 against their centroid
     assert out[0]["centroid_cos"] < 0.9
+
+
+def test_k_anonymity_flags_small_groups(spark):
+    from awi_datapipelinepublic_spark.functions.privacy import k_anonymity
+
+    rows = [("us", "a", 1.0)] * 5 + [("us", "b", 2.0), ("us", "b", 3.0)] + [("de", "a", 4.0)]
+    df = spark.createDataFrame(rows, ["country", "seg", "salary"])
+    got = {
+        (r["country"], r["seg"]): r
+        for r in k_anonymity(df, ["country", "seg"], k=3, sensitive_col="salary").collect()
+    }
+    assert got[("us", "a")]["n_rows"] == 5 and got[("us", "a")]["at_risk"] == 0
+    # 5 identical salaries: k-anonymous but l-diversity 1 (value leaks)
+    assert got[("us", "a")]["l_diversity"] == 1
+    assert got[("us", "b")]["n_rows"] == 2 and got[("us", "b")]["at_risk"] == 1
+    assert got[("us", "b")]["l_diversity"] == 2
+    assert got[("de", "a")]["at_risk"] == 1
+    # INT 0/1 flag, not BOOLEAN (canonicalization-proof contract)
+    assert dict(k_anonymity(df, ["country"], k=3).dtypes)["at_risk"] == "int"
+
+
+def test_char_entropy_hand_values(spark):
+    from awi_datapipelinepublic_spark.functions.text import char_entropy
+
+    df = spark.createDataFrame(
+        [("aaaa",), ("ab",), ("abcd",), ("",), ("banana",)], ["t"]
+    )
+    got = [r[0] for r in df.select(F.round(char_entropy("t"), 9)).collect()]
+    # H(aaaa)=0; H(ab)=1 bit; H(abcd)=2 bits; empty -> 0;
+    # banana: p(a)=1/2, p(b)=1/6, p(n)=1/3 -> 1.459147917 bits
+    assert got[0] == 0.0
+    assert got[1] == 1.0
+    assert got[2] == 2.0
+    assert got[3] == 0.0
+    assert abs(got[4] - 1.459147917) < 1e-8
+
+
+def test_pq_codes_deterministic_and_bounded(spark, sf_dir):
+    from awi_datapipelinepublic_spark.operators.similarity import pq_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = {r["vec_id"]: list(r["codes"]) for r in pq_assign(emb, dim=64).collect()}
+    b = {r["vec_id"]: list(r["codes"]) for r in pq_assign(emb, dim=64).collect()}
+    assert a == b
+    assert all(len(c) == 4 and all(0 <= x < 16 for x in c) for c in a.values())
+
+
+def test_pq_adc_recall_floor(spark, sf_dir):
+    """Pin ADC shortlist recall (the production pattern: PQ shortlist
+    -> exact rerank). The data-derived codebook must put most exact
+    top-10 neighbors in the top-100 shortlist; the md5 contract
+    codebook (uniform on the cube, built for verifiability not recall)
+    gets a weaker floor. Measured at sf0.001: 7/10 and 3/10."""
+    from awi_datapipelinepublic_spark.operators.similarity import (
+        knn_brute_force,
+        knn_pq,
+        pq_codebook_from_sample,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    exact = {r["vec_id"] for r in knn_brute_force(emb, qv, k=10).collect()}
+    cb = pq_codebook_from_sample(emb, dim=64)
+    trained = {r["vec_id"] for r in knn_pq(emb, qv, dim=64, k=100, codebook=cb).collect()}
+    assert len(exact & trained) >= 5, (exact, trained)
+    contract = {r["vec_id"] for r in knn_pq(emb, qv, dim=64, k=100).collect()}
+    assert len(exact & contract) >= 2, (exact, contract)
+
+
+def test_pq_accepts_trained_codebook(spark, sf_dir):
+    """The codebook parameter is the production seam: per-subvector
+    centroids (e.g. from kmeans over a sample) flow through the same
+    encode/ADC path as the md5 contract codebook."""
+    from awi_datapipelinepublic_spark.operators.similarity import knn_pq, pq_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    rng = np.random.default_rng(7)
+    cb = rng.standard_normal((4, 16, 16))
+    codes = pq_assign(emb, dim=64, codebook=cb).collect()
+    assert all(0 <= x < 16 for r in codes for x in r["codes"])
+    qv = [float(x) for x in emb.collect()[0]["embedding"]]
+    got = knn_pq(emb, qv, dim=64, k=5, codebook=cb).collect()
+    assert len(got) == 5 and list(got[0].asDict()) == ["vec_id", "adc_dist"]
+
+
+def test_zorder_audit_partitions_all_rows(spark, sf_dir):
+    import __spark_entry__ as E
+
+    out = E.q_zorder_layout(spark, sf_dir)
+    rows = out.collect()
+    total = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert sum(r["n_rows"] for r in rows) == total
+    assert all(0 <= r["bucket"] < 64 for r in rows)
+    # z-bucketing localizes BOTH dims: average bucket span well under
+    # the global span on each dimension
+    ck_span = max(r["ck_max"] for r in rows) - min(r["ck_min"] for r in rows)
+    avg_ck = sum(r["ck_max"] - r["ck_min"] for r in rows) / len(rows)
+    assert avg_ck < 0.6 * ck_span
