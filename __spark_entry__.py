@@ -3214,14 +3214,15 @@ def q_k_anonymity(spark, sf_dir):
 
 def q_entropy_quality(spark, sf_dir):
     """Character-entropy quality signal (functions/text.py:
-    char_entropy): Shannon bits/char per document plus an INT 0/1
-    low-entropy flag — the gibberish/boilerplate detector of the
-    quality family. Sorted-distinct accumulation order and 9dp
-    rounding make the float fold identical in both engines."""
+    doc_entropy — explode + map-side-combine char counts, shuffle is
+    alphabet-bounded per doc): Shannon bits/char per document plus an
+    INT 0/1 low-entropy flag — the gibberish/boilerplate detector of
+    the quality family. Sorted accumulation order and 9dp rounding
+    make the float fold identical in both engines."""
     d = _t(spark, sf_dir, "documents")
-    e = d.select(
+    e = X.doc_entropy(d, ["doc_id"]).select(
         "doc_id",
-        (F.round(X.char_entropy("text"), 9) + F.lit(0.0)).alias("entropy"),
+        (F.round(F.col("entropy"), 9) + F.lit(0.0)).alias("entropy"),
     )
     return e.withColumn(
         "low_entropy", F.when(F.col("entropy") < 3.0, 1).otherwise(0).cast("int")

@@ -128,8 +128,12 @@ def char_entropy(c: Column | str) -> Column:
 
     Pure higher-order-function Column expression (split → distinct →
     per-char frequency → Σ p·log2 p), JVM-side in codegen like every
-    other quality signal. Cost is O(distinct_chars × len) per document
-    — bounded by the alphabet, scan-dominated at corpus scale.
+    other quality signal. CONVENIENCE FORM for ad-hoc/small use (the
+    shingles vs shingles_of split): CollapseProject inlines the char
+    array into the fold lambda, so the split re-evaluates per distinct
+    character — measured 11.5 s over 50k docs at sf0.1. Hot paths use
+    :func:`doc_entropy`, which materializes counts through an explode
+    barrier with map-side combine and produced the identical 9dp hash.
 
     Cross-engine determinism contract: the distinct-character list is
     sorted (array_sort ↔ list_sort) so the float accumulation order is
@@ -150,6 +154,56 @@ def char_entropy(c: Column | str) -> Column:
         * F.log2(F.size(F.filter(chars, lambda x: x == d)).cast("double") / n),
     )
     return F.when(n > 0, ent).otherwise(F.lit(0.0))
+
+
+def doc_entropy(df, id_cols: list[str], text_col: str = "text", out_col: str = "entropy"):
+    """Scalable per-document Shannon entropy (bits/char): the hot-path
+    twin of :func:`char_entropy`, same values to the last ulp.
+
+    Shape: explode the char array (codegen Generate, no shuffle of its
+    own) → groupBy(id, char) count — map-side partial aggregation
+    collapses each document's characters WITHIN its input partition, so
+    shuffle volume is rows × alphabet (≤ ~100 entries/doc), never total
+    corpus characters → per-doc sorted (char, count) fold. The float
+    accumulation order (ascending char) is identical to char_entropy
+    and the DuckDB oracle, so the 9dp-rounded results hash-match.
+
+    explode_outer keeps empty/whitespace-only documents (entropy 0.0)
+    without a join back to the input.
+    """
+    from awi_datapipelinepublic_spark.functions.parallel import spread_small_input
+
+    chars = F.filter(F.split(F.col(text_col), ""), lambda x: x != "")
+    # A small parquet scan arrives as 1 split; the explode+partial-agg
+    # stage would run on one core. No-op at real corpus scale.
+    src = spread_small_input(df.select(*id_cols, text_col))
+    ex = src.select(*id_cols, F.explode_outer(chars).alias("__ch"))
+    cnt = ex.groupBy(*id_cols, "__ch").agg(F.count(F.lit(1)).alias("__k"))
+    per = cnt.groupBy(*id_cols).agg(
+        F.array_sort(
+            F.collect_list(  # null __ch (empty doc) rows drop here
+                F.when(
+                    F.col("__ch").isNotNull(),
+                    F.struct(F.col("__ch").alias("c"), F.col("__k").alias("k")),
+                )
+            )
+        ).alias("__cs")
+    )
+    n = F.aggregate(F.col("__cs"), F.lit(0).cast("int"), lambda a, s: a + s["k"].cast("int"))
+    per = per.withColumn("__n", n)
+    # p·log2 p fold in ascending-char order; k/n division replays
+    # char_entropy's int-count / int-size double division exactly.
+    ent = -F.aggregate(
+        F.col("__cs"),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + (s["k"].cast("int").cast("double") / F.col("__n"))
+        * F.log2(s["k"].cast("int").cast("double") / F.col("__n")),
+    )
+    return per.select(
+        *id_cols,
+        F.when(F.col("__n") > 0, ent).otherwise(F.lit(0.0)).alias(out_col),
+    )
 
 
 def shingles(c: Column | str, k: int = 5) -> Column:

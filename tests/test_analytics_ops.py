@@ -545,6 +545,33 @@ def test_char_entropy_hand_values(spark):
     assert abs(got[4] - 1.459147917) < 1e-8
 
 
+def test_doc_entropy_matches_expression_form(spark, sf_dir):
+    """doc_entropy (explode + map-side-combine hot path) must replay
+    char_entropy's float fold to the last ulp — same sorted-char
+    accumulation order, same int/int double divisions — including on
+    empty text (kept via explode_outer, entropy 0.0)."""
+    from awi_datapipelinepublic_spark.functions.text import char_entropy, doc_entropy
+
+    hand = spark.createDataFrame(
+        [(0, "aaaa"), (1, "ab"), (2, ""), (3, "banana"), (4, "  ")],
+        ["doc_id", "text"],
+    )
+    fast = {r["doc_id"]: r["entropy"] for r in doc_entropy(hand, ["doc_id"]).collect()}
+    slow = {
+        r["doc_id"]: r["e"]
+        for r in hand.select("doc_id", char_entropy("text").alias("e")).collect()
+    }
+    assert fast == slow  # exact float equality, not approx
+    assert fast[2] == 0.0 and len(fast) == 5
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    fast = {r["doc_id"]: r["entropy"] for r in doc_entropy(docs, ["doc_id"]).collect()}
+    slow = {
+        r["doc_id"]: r["e"]
+        for r in docs.select("doc_id", char_entropy("text").alias("e")).collect()
+    }
+    assert fast == slow
+
+
 def test_pq_codes_deterministic_and_bounded(spark, sf_dir):
     from awi_datapipelinepublic_spark.operators.similarity import pq_assign
 
