@@ -3198,6 +3198,61 @@ def q_digest_prefilter_join(spark, sf_dir):
     )
 
 
+def q_dp_noisy_count(spark, sf_dir):
+    """ε-DP noisy release counts (functions/privacy.py:
+    dp_noisy_count): per-(nation, segment) customer counts with
+    Laplace(1/ε) noise from the seeded md5-uniform inverse-CDF draw —
+    the publish-side companion of the k_anonymity audit. The fixed
+    seed is the replayable-release/oracle contract; production passes
+    a fresh secret seed per release (documented in the operator)."""
+    from awi_datapipelinepublic_spark.functions.privacy import dp_noisy_count
+
+    c = _t(spark, sf_dir, "customer")
+    return dp_noisy_count(c, ["c_nationkey", "c_mktsegment"], epsilon=1.0)
+
+
+def q_triangle_count(spark, sf_dir):
+    """Triangle / wedge census (operators/graph.py:triangle_count,
+    Suri-Vassilvitskii degree orientation) over the part co-purchase
+    graph: parts are adjacent when some order contains both. The
+    count is orientation-invariant, so the oracle replays plain
+    id-ordered triangle counting; the Spark plan uses the
+    degree-ordered form whose wedge join is arboricity-bounded."""
+    from awi_datapipelinepublic_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    return triangle_count(edges)
+
+
+def q_bloom_prefilter_join(spark, sf_dir):
+    """Bloom-prefilter equi-join
+    (operators/joins.py:bloom_prefilter_join): lineitem probed
+    map-side against a FIXED 8 KB Bloom bitset (2^16 bits, k=3
+    xxhash64 family) of the selective orders' keys before the join
+    shuffle — the sketch companion of digest_prefilter_join for when
+    even the digest set is too big to broadcast. Bloom admits false
+    positives only and the real equi-join drops them, so the oracle
+    is the PLAIN inner join."""
+    from awi_datapipelinepublic_spark.operators.joins import bloom_prefilter_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    sel = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "5-LOW") & (F.col("o_totalprice") > 150000.0)
+    )
+    out = bloom_prefilter_join(li, sel, "l_orderkey", "o_orderkey")
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+
+
 def q_k_anonymity(spark, sf_dir):
     """k-anonymity / l-diversity audit (functions/privacy.py:
     k_anonymity): per (nation, market-segment) quasi-identifier group,
@@ -3495,6 +3550,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_quality": q_entropy_quality,
         "knn_pq": q_knn_pq,
         "zorder_layout": q_zorder_layout,
+        "bloom_prefilter_join": q_bloom_prefilter_join,
+        "triangle_count": q_triangle_count,
+        "dp_noisy_count": q_dp_noisy_count,
     }
 
 
@@ -5663,6 +5721,48 @@ def oracle_sql() -> dict[str, str]:
                ROUND(o.o_totalprice, 2) AS o_totalprice, o.o_orderdate
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'F'
+    """
+    # Replays dp_noisy_count's seeded Laplace draw: md5 tag
+    # 'dp-42' <US> nationkey <US> segment, first 8 hex -> uniform,
+    # inverse-CDF, 6dp round. concat_ws <-> chr(31) separators.
+    sql["dp_noisy_count"] = """
+        WITH g AS (
+          SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+                 (('0x' || substr(md5('dp-42' || chr(31) || CAST(c_nationkey AS VARCHAR)
+                                   || chr(31) || c_mktsegment), 1, 8))::UBIGINT::DOUBLE
+                  + 0.5) / 4294967296.0 AS u
+          FROM customer GROUP BY 1, 2)
+        SELECT c_nationkey, c_mktsegment,
+               ROUND(n + -(1.0::DOUBLE) * sign(u - 0.5)
+                       * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noisy_count
+        FROM g
+    """
+    # Triangle count is orientation-invariant: the oracle counts each
+    # triangle once at its lowest-ID vertex (u < v1 < v2), while the
+    # Spark plan uses the degree-ordered orientation — same census.
+    sql["triangle_count"] = """
+        WITH e AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        d AS (
+          SELECT n, COUNT(*) AS d
+          FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+          GROUP BY n)
+        SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+               (SELECT CAST(SUM(CAST(d * (d - 1) / 2 AS BIGINT)) AS BIGINT) FROM d) AS n_wedges,
+               (SELECT COUNT(*) FROM e e1
+                JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+                JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles
+    """
+    # Bloom false positives are dropped by the real equi-join, so the
+    # oracle is the plain inner join — the filter only prunes shuffle.
+    sql["bloom_prefilter_join"] = """
+        SELECT l.l_orderkey, l.l_linenumber,
+               ROUND(o.o_totalprice, 2) AS o_totalprice,
+               o.o_orderpriority
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority = '5-LOW' AND o.o_totalprice > 150000.0
     """
     sql["k_anonymity"] = """
         SELECT c_nationkey, c_mktsegment,

@@ -101,3 +101,51 @@ def pii_counts(c: Column | str) -> Column:
         counts.append(F.regexp_count(out, F.lit(pattern)).cast("long").alias(name))
         out = F.regexp_replace(out, pattern, token)
     return F.struct(*counts)
+
+
+def dp_noisy_count(
+    df,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    seed: int = 42,
+    out_col: str = "noisy_count",
+):
+    """Laplace-mechanism noisy group counts — the release-side
+    companion of :func:`k_anonymity`: publish per-group counts with
+    Laplace(1/ε) noise (a count query has sensitivity 1) instead of
+    the exact counts, the standard ε-differential-privacy mechanism
+    (Dwork et al. 2006).
+
+    The noise draw is the inverse-CDF transform of a uniform derived
+    from ``md5(seed, group key)``: noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|).
+    A FIXED seed makes the release replayable — the cross-engine
+    hash-verifiability contract this repo uses everywhere (the same
+    md5-uniform family as sampling.py) — which is the right shape for
+    a pinned, audited release. True ε-DP requires the draw to be
+    secret and fresh per release: pass a new secret ``seed`` per
+    publication and this is the textbook mechanism; reusing a seed
+    across releases of CHANGED data leaks the delta, which is
+    documented here rather than hidden.
+
+    Scale: one hash-partitioned groupBy with map-side combine, then a
+    pure projection — the noise math never touches row data. Output:
+    group_cols..., noisy_count DOUBLE (6dp), never the exact count.
+    """
+    g = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
+    tag = F.concat_ws(
+        "\x1f",
+        F.lit(f"dp-{seed}"),
+        *[F.col(c).cast("string") for c in group_cols],
+    )
+    v = F.conv(F.substring(F.md5(tag), 1, 8), 16, 10).cast("double")
+    u = (v + F.lit(0.5)) / F.lit(4294967296.0)
+    centered = u - F.lit(0.5)
+    noise = (
+        -F.lit(1.0 / epsilon)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    return g.select(
+        *group_cols,
+        F.round(F.col("__n") + noise, 6).alias(out_col),
+    )

@@ -200,3 +200,80 @@ def dedup_clusters(
     """
     cc = connected_components(pairs, src=id_a, dst=id_b)
     return cc.select(F.col("node").alias("doc_id"), F.col("component").alias("canonical_id"))
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle / open-wedge census over an undirected simple
+    graph — returns one row (n_edges, n_wedges, n_triangles), the
+    inputs to clustering-coefficient / graph-health checks on
+    similarity and co-occurrence graphs (e.g. is the near-dup pair
+    graph clique-like or chain-like before canonicalization).
+
+    Algorithm: the MapReduce degree-orientation scheme (Suri &
+    Vassilvitskii, WWW'11). Every undirected edge is oriented from its
+    LOWER-(degree, id) endpoint to its higher one — a total order, so
+    each triangle is counted exactly once at its lowest vertex — and
+    the wedge self-join Σ out-degree² is then bounded by edge count ×
+    graph arboricity instead of the unbounded Σ degree² a naive
+    id-orientation gives (one hub vertex of degree d would otherwise
+    emit d²/2 wedges; under degree orientation a hub's out-degree is
+    at most O(√m)).
+
+    Shuffles: degree groupBy, two edge-key joins (wedge build + close
+    check) — all on edge/wedge keys, skew-bounded by the orientation.
+    The triangle COUNT is orientation-invariant, so the oracle may
+    replay plain id-ordered counting.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n")).unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    # orient low-(deg, id) -> high-(deg, id)
+    ed = e.join(du, "u").join(dv, "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(fwd, F.struct(F.col("dv"), F.col("v"))).otherwise(
+            F.struct(F.col("du").alias("dv"), F.col("u").alias("v"))
+        ).alias("t"),
+    )
+    a, b = oriented.alias("a"), oriented.alias("b")
+    wedges = a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.t") < F.col("b.t"))).select(
+        F.col("a.t.v").alias("wu"), F.col("b.t.v").alias("wv")
+    )
+    closing = e.select(
+        F.least("u", "v").alias("cu"), F.greatest("u", "v").alias("cv")
+    )
+    tri = wedges.join(
+        closing,
+        (F.least("wu", "wv") == F.col("cu")) & (F.greatest("wu", "wv") == F.col("cv")),
+        "left_semi",
+    )
+    n_edges = e.count()
+    # standard wedge census Σ C(deg, 2) — the denominator of the
+    # global clustering coefficient (3·triangles / wedges); computed
+    # from the degree table, not the oriented join
+    n_wedges = int(
+        deg.agg(
+            F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")).alias("w")
+        ).collect()[0]["w"]
+        or 0
+    )
+    n_tri = tri.count()
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(n_edges, n_wedges, n_tri)], "n_edges bigint, n_wedges bigint, n_triangles bigint"
+    )

@@ -244,3 +244,97 @@ def digest_prefilter_join(
         "left_semi",
     )
     return pre.join(selective, pre[big_key] == selective[sel_key], "inner")
+
+
+def bloom_filter_words(
+    keys: DataFrame, key_col: str, m_bits: int = 1 << 16, k_hashes: int = 3
+) -> list[int]:
+    """Build a Bloom filter over ``keys[key_col]`` as a dense list of
+    ``m_bits/64`` little-endian 64-bit words, computed distributively:
+    each key explodes into its ``k_hashes`` (word-index, bit-mask)
+    pairs, one hash-partitioned groupBy ``bit_or``s the masks per
+    word, and only the NONZERO words travel to the driver (≤ m/64
+    rows — 8 KB per 2^16 bits regardless of key cardinality, which is
+    the whole advantage over an exact digest set when the selective
+    side has hundreds of millions of keys).
+
+    Hash family: ``xxhash64(key, i)`` for i in 0..k-1 — the same
+    JVM-side seeded family Spark's own runtime bloom filter uses;
+    positions are ``pmod(hash, m)``.
+    """
+    if m_bits % 64 != 0:
+        raise ValueError("m_bits must be a multiple of 64")
+    hits = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits)).alias(
+                        "p"
+                    )
+                    for i in range(k_hashes)
+                ]
+            )
+        ).alias("p")
+    ).select(
+        (F.col("p") / 64).cast("long").alias("w"),
+        # pyspark's shiftleft wrapper only takes a literal shift —
+        # the SQL form accepts a column
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("m"),
+    )
+    packed = hits.groupBy("w").agg(F.expr("bit_or(m)").alias("mask")).collect()
+    words = [0] * (m_bits // 64)
+    for r in packed:
+        words[r["w"]] = r["mask"]
+    return words
+
+
+def bloom_prefilter_join(
+    big: DataFrame,
+    selective: DataFrame,
+    big_key: str,
+    sel_key: str,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Inner equi-join where the big side is pre-filtered MAP-SIDE by
+    a Bloom filter of the selective side's keys before any shuffle —
+    the sketch companion of :func:`digest_prefilter_join` for when
+    even the distinct 8-byte digest set is too large to broadcast:
+    the filter is a FIXED ``m_bits/8``-byte bitset (8 KB at the 2^16
+    default) no matter how many keys the selective side holds.
+
+    Bloom filters admit false POSITIVES only — never negatives — so
+    every matching big row survives the prefilter and every surviving
+    non-match is dropped by the real equi-join that follows: the
+    result is EXACTLY the plain join's, and the oracle replays the
+    plain join. What the filter buys is shuffle volume: rows that
+    cannot match never enter the exchange. With k=3 and m sized at
+    ~10 bits/key the pass-through rate for non-matching rows is ~1-2%
+    (pinned by tests/test_plans.py's selectivity assertion).
+
+    The probe is a pure codegen conjunction — k (element_at(words,
+    pmod(xxhash64(key, i), m)/64) & (1 << pos%64)) != 0 terms against
+    the literal word array — no Python, no join, no broadcast
+    exchange needed for the filter itself. This is exactly the plan
+    Spark's runtime row-level filtering
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) injects when
+    stats warrant; the explicit operator guarantees it in pipelines
+    where the optimizer won't risk it, mirroring the reference's
+    selective-dimension joins (settings.yaml merge queries) at the
+    scale where the dimension no longer broadcasts.
+    """
+    words = bloom_filter_words(selective.select(sel_key), sel_key, m_bits, k_hashes)
+    wlit = F.lit(words)
+    probe = None
+    for i in range(k_hashes):
+        p = F.pmod(F.xxhash64(F.col(big_key), F.lit(i)), F.lit(m_bits))
+        shifted = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(pmod(xxhash64(`{big_key}`, {i}), {m_bits}) % 64 AS INT))"
+        )
+        term = (
+            F.element_at(wlit, (p / 64).cast("int") + 1).bitwiseAND(shifted) != 0
+        )
+        probe = term if probe is None else (probe & term)
+    pre = big.filter(probe)
+    return pre.join(selective, pre[big_key] == selective[sel_key], "inner")

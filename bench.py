@@ -103,6 +103,11 @@ BENCH_QUERIES = [
     "entropy_quality",
     "k_anonymity",
     "zorder_layout",
+    # round-5 mid additions: fixed-size bloom runtime filter,
+    # degree-oriented triangle census, DP noisy release counts
+    "bloom_prefilter_join",
+    "triangle_count",
+    "dp_noisy_count",
 ]
 
 

@@ -633,3 +633,61 @@ def test_zorder_audit_partitions_all_rows(spark, sf_dir):
     ck_span = max(r["ck_max"] for r in rows) - min(r["ck_min"] for r in rows)
     avg_ck = sum(r["ck_max"] - r["ck_min"] for r in rows) / len(rows)
     assert avg_ck < 0.6 * ck_span
+
+
+def test_triangle_count_known_graphs(spark):
+    from awi_datapipelinepublic_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    g = spark.createDataFrame(k4 + [(10, 11)], ["src", "dst"])
+    r = triangle_count(g).collect()[0]
+    # K4: 6 edges, 4*C(3,2)=12 wedges, 4 triangles; isolated edge adds 1 edge
+    assert (r["n_edges"], r["n_wedges"], r["n_triangles"]) == (7, 12, 4)
+    path = spark.createDataFrame([(0, 1), (1, 2)], ["src", "dst"])
+    r = triangle_count(path).collect()[0]
+    assert (r["n_edges"], r["n_wedges"], r["n_triangles"]) == (2, 1, 0)
+    # duplicate + reversed + self edges collapse to the simple graph
+    messy = spark.createDataFrame(
+        [(0, 1), (1, 0), (0, 0), (1, 2), (2, 0), (2, 0)], ["src", "dst"]
+    )
+    r = triangle_count(messy).collect()[0]
+    assert (r["n_edges"], r["n_triangles"]) == (3, 1)
+
+
+def test_triangle_count_hub_graph_stays_bounded(spark):
+    """Degree orientation makes a star hub emit ZERO oriented wedges
+    (every edge points AT the hub, each leaf's out-degree is 1) — the
+    naive id-orientation would join 2000 hub edges into ~2M wedge
+    rows. The census still reports the true C(2000,2) wedge count
+    from the degree table."""
+    from awi_datapipelinepublic_spark.operators.graph import triangle_count
+
+    star = spark.range(1, 2001).selectExpr("id AS src", "CAST(0 AS LONG) AS dst")
+    r = triangle_count(star).collect()[0]
+    assert r["n_triangles"] == 0
+    assert r["n_wedges"] == 2000 * 1999 // 2
+
+
+def test_dp_noisy_count_properties(spark):
+    from awi_datapipelinepublic_spark.functions.privacy import dp_noisy_count
+
+    rows = [(i, f"g{i % 200}") for i in range(4000)]
+    df = spark.createDataFrame(rows, ["id", "grp"])
+    out = {r["grp"]: r["noisy_count"] for r in dp_noisy_count(df, ["grp"]).collect()}
+    again = {r["grp"]: r["noisy_count"] for r in dp_noisy_count(df, ["grp"]).collect()}
+    assert out == again  # seeded release is replayable
+    noises = [out[g] - 20.0 for g in out]  # every group holds exactly 20 rows
+    assert abs(sum(noises) / len(noises)) < 0.5  # Laplace(1) mean ~0
+    assert sum(1 for n in noises if abs(n) > 5.0) / len(noises) < 0.05  # e^-5 tail
+    # epsilon scaling: eps=0.1 noise is ~10x wider
+    wide = {
+        r["grp"]: r["noisy_count"]
+        for r in dp_noisy_count(df, ["grp"], epsilon=0.1).collect()
+    }
+    assert sum(abs(wide[g] - 20.0) for g in wide) > 5 * sum(abs(n) for n in noises)
+    # a different seed draws different noise
+    other = {
+        r["grp"]: r["noisy_count"]
+        for r in dp_noisy_count(df, ["grp"], seed=7).collect()
+    }
+    assert other != out

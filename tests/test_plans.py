@@ -607,3 +607,55 @@ def test_digest_prefilter_is_broadcast_semi_before_join(spark, sf_dir):
     match are dropped BEFORE any exchange of the big side."""
     plan = _plan(entry_mod.q_digest_prefilter_join(spark, sf_dir))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:2000]
+
+
+def test_bloom_prefilter_is_codegen_filter_before_join(spark, sf_dir):
+    """The Bloom probe must be a plain Filter on the big side's scan —
+    no extra exchange, no broadcast join for the filter itself — so
+    non-matching rows die before the equi-join's shuffle. Exactly one
+    join in the plan (the real one); the probe terms are literal
+    word-array lookups inside codegen."""
+    plan = _plan(entry_mod.q_bloom_prefilter_join(spark, sf_dir))
+    import re as _re
+
+    assert len(_re.findall(r"Join", plan)) >= 1
+    # the probe is a Filter containing the xxhash64 terms, not a join
+    assert "xxhash64" in plan and "Filter" in plan, plan[:2000]
+
+
+def test_bloom_prefilter_no_false_negatives_bounded_fp(spark):
+    """Bloom contract on a planted corpus: every true match survives
+    the probe (no false negatives — the filter may never drop a
+    matching row), and non-matching pass-through stays under 5% at
+    ~10 bits/key load (theory: (1-e^(-kn/m))^k ≈ 1.7% at k=3)."""
+    from awi_datapipelinepublic_spark.operators.joins import (
+        bloom_filter_words,
+        bloom_prefilter_join,
+    )
+    from pyspark.sql import functions as F
+
+    big = spark.range(0, 40_000).select(F.col("id").alias("k"))
+    sel = spark.range(0, 40_000, 13).select(F.col("id").alias("sk"))  # ~3077 keys
+    out = bloom_prefilter_join(big, sel, "k", "sk")
+    expect = big.join(sel, big["k"] == sel["sk"], "inner")
+    assert out.count() == expect.count()
+    assert sorted(r["k"] for r in out.collect()) == sorted(
+        r["k"] for r in expect.collect()
+    )
+    # probe-only selectivity: rebuild the filter and count survivors
+    words = bloom_filter_words(sel, "sk")
+    m = 1 << 16
+    wlit = F.lit(words)
+    probe = None
+    for i in range(3):
+        p = F.pmod(F.xxhash64(F.col("k"), F.lit(i)), F.lit(m))
+        sh = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(xxhash64(`k`, {i}), {m}) % 64 AS INT))"
+        )
+        t = F.element_at(wlit, (p / 64).cast("int") + 1).bitwiseAND(sh) != 0
+        probe = t if probe is None else (probe & t)
+    survivors = big.filter(probe).count()
+    true_matches = expect.count()
+    non_match = 40_000 - true_matches
+    fp_rate = (survivors - true_matches) / non_match
+    assert fp_rate < 0.05, fp_rate
