@@ -3198,6 +3198,31 @@ def q_digest_prefilter_join(spark, sf_dir):
     )
 
 
+def q_bigram_lm(spark, sf_dir):
+    """Bigram conditional-probability table (operators/corpus.py:
+    bigram_lm): adjacent-token pairs via codegen zip_with (no UDF),
+    one pair groupBy + a context-total join-back — the KenLM-style
+    n-gram LM stand-in for sequence-aware quality filtering, exported
+    as the top-3 continuations per context."""
+    from awi_datapipelinepublic_spark.operators.corpus import bigram_lm
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_lm(d, min_count=10, top_per_context=3)
+
+
+def q_vocab_build(spark, sf_dir):
+    """Tokenizer vocabulary artifact (operators/corpus.py:
+    vocab_build): corpus + document frequency per normalized token,
+    min-count filtered, with deterministic dense ids by (freq DESC,
+    term ASC) — the pre-training vocab/embedding-table build. The
+    id window runs on the post-filter vocab (bounded by min_count),
+    never the raw term space."""
+    from awi_datapipelinepublic_spark.operators.corpus import vocab_build
+
+    d = _t(spark, sf_dir, "documents")
+    return vocab_build(d, min_count=20, max_size=200)
+
+
 def q_dp_noisy_count(spark, sf_dir):
     """ε-DP noisy release counts (functions/privacy.py:
     dp_noisy_count): per-(nation, segment) customer counts with
@@ -3553,6 +3578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prefilter_join": q_bloom_prefilter_join,
         "triangle_count": q_triangle_count,
         "dp_noisy_count": q_dp_noisy_count,
+        "vocab_build": q_vocab_build,
+        "bigram_lm": q_bigram_lm,
     }
 
 
@@ -5721,6 +5748,43 @@ def oracle_sql() -> dict[str, str]:
                ROUND(o.o_totalprice, 2) AS o_totalprice, o.o_orderdate
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'F'
+    """
+    # Replays bigram_lm: adjacent pairs from the shared tokenization,
+    # pair_count >= 10, cond_p over the FULL context total (denominator
+    # unfiltered), 9dp round, top-3 per context by (count DESC, w2).
+    sql["bigram_lm"] = """
+        WITH t AS (
+          SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+          FROM documents),
+        p AS (
+          SELECT toks[i] AS w1, toks[i + 1] AS w2
+          FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i)
+          WHERE len(toks) >= 2),
+        pc AS (
+          SELECT w1, w2, COUNT(*) AS pair_count
+          FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 10),
+        tot AS (SELECT w1, COUNT(*) AS ctx FROM p GROUP BY 1)
+        SELECT pc.w1, pc.w2, pc.pair_count,
+               ROUND(pc.pair_count / tot.ctx, 9) AS cond_p
+        FROM pc JOIN tot ON tot.w1 = pc.w1
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY pc.w1
+                                   ORDER BY pc.pair_count DESC, pc.w2 ASC) <= 3
+    """
+    # Replays vocab_build: same normalize+split tokenization as the
+    # chunk/unigram oracles, freq >= 20, ids by (freq DESC, term ASC),
+    # top 200.
+    sql["vocab_build"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+          FROM documents),
+        c AS (
+          SELECT term, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS doc_freq
+          FROM t GROUP BY term HAVING COUNT(*) >= 20)
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) - 1 AS INT) AS token_id,
+               term, freq, doc_freq
+        FROM c
+        QUALIFY token_id < 200
     """
     # Replays dp_noisy_count's seeded Laplace draw: md5 tag
     # 'dp-42' <US> nationkey <US> segment, first 8 hex -> uniform,

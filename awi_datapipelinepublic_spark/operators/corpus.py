@@ -237,3 +237,108 @@ def rrf_fuse(
         .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
         .limit(top)
     )
+
+
+def vocab_build(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    max_size: int | None = None,
+) -> DataFrame:
+    """Tokenizer vocabulary artifact: (token_id, term, freq, doc_freq)
+    with deterministic dense ids — the build step every tokenizer /
+    embedding-table pipeline runs before training, and the lookup
+    table :func:`unigram_logprob`-style scorers consume.
+
+    Ids are assigned by (freq DESC, term ASC) — fully deterministic,
+    so re-runs and other engines mint identical ids (no
+    StringIndexer-style fit state). min_count drops the Zipf tail
+    (typically >90% of distinct terms), which is what makes the
+    ordered id assignment cheap: it runs on the SURVIVING vocabulary,
+    not the raw term space.
+
+    Scale: explode → one groupBy(term) with map-side combine (the
+    Zipf head collapses within partitions) carrying both corpus freq
+    and doc freq (count_distinct via per-doc dedup explode). The
+    row_number id is a single-partition window over the post-filter
+    vocab — bounded by max_size/min_count, not corpus size; for
+    billion-term raw spaces the two-pass zipWithIndex twin in
+    operators/windows.py applies, but a TRAINED vocab is ≤ a few
+    hundred thousand rows by construction.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(X.tokens(X.normalize_text(text_col))).alias("term"),
+    )
+    counts = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.count_distinct("__doc").alias("doc_freq"),
+    )
+    kept = counts.filter(F.col("freq") >= min_count)
+    w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+    out = kept.select(
+        (F.row_number().over(w) - 1).alias("token_id"), "term", "freq", "doc_freq"
+    )
+    if max_size is not None:
+        out = out.filter(F.col("token_id") < max_size)
+    return out
+
+
+def bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_per_context: int | None = None,
+) -> DataFrame:
+    """Bigram conditional-probability table: (w1, w2, pair_count,
+    cond_p = count(w1,w2)/count(w1 ·)) — the sequence-aware companion
+    of the unigram LM scorer (operators/quality.py:unigram_logprob)
+    and the minimal stand-in for the KenLM-style n-gram quality
+    filters of CCNet/RefinedWeb (a document whose bigrams are
+    improbable under the corpus LM is boilerplate or gibberish).
+
+    Plan: per-doc adjacent-token pairs via array zip (arrays_zip of
+    the token array with itself shifted — pure codegen, no UDF) →
+    explode → ONE groupBy(w1, w2) with map-side combine → context
+    totals by a second groupBy(w1) joined back (the two-pass
+    count+join shape of unigram_logprob: the context-total table is
+    vocabulary-sized and NEVER broadcast or windowed over raw pairs).
+    cond_p rounds at 9dp for cross-engine hash stability.
+
+    ``top_per_context`` keeps only the k most probable continuations
+    per context (rank by count DESC, w2 ASC) — the export shape an
+    autocomplete/speculative-decode table wants.
+    """
+    toks = df.select(X.tokens(X.normalize_text(text_col)).alias("t"))
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.zip_with(
+                    F.slice(F.col("t"), 1, F.size("t") - 1),
+                    F.slice(F.col("t"), 2, F.size("t") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    pc = pc.filter(F.col("pair_count") >= min_count)
+    totals = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("__ctx"))
+    out = pc.join(totals, "w1").select(
+        "w1",
+        "w2",
+        "pair_count",
+        F.round(F.col("pair_count") / F.col("__ctx"), 9).alias("cond_p"),
+    )
+    if top_per_context is not None:
+        w = Window.partitionBy("w1").orderBy(
+            F.col("pair_count").desc(), F.col("w2").asc()
+        )
+        out = (
+            out.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= top_per_context)
+            .drop("__r")
+        )
+    return out

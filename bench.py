@@ -108,6 +108,9 @@ BENCH_QUERIES = [
     "bloom_prefilter_join",
     "triangle_count",
     "dp_noisy_count",
+    # tokenizer-artifact exports: vocab table, bigram LM
+    "vocab_build",
+    "bigram_lm",
 ]
 
 

@@ -691,3 +691,48 @@ def test_dp_noisy_count_properties(spark):
         for r in dp_noisy_count(df, ["grp"], seed=7).collect()
     }
     assert other != out
+
+
+def test_vocab_build_ids_deterministic_and_filtered(spark):
+    from awi_datapipelinepublic_spark.operators.corpus import vocab_build
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),
+            (1, "the dog sat"),
+            (2, "THE cat  ran"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["term"]: r for r in vocab_build(docs, min_count=2).collect()}
+    # 'the' freq 4 across 3 docs (case-folded), 'cat'/'sat' freq 2
+    assert out["the"]["token_id"] == 0
+    assert (out["the"]["freq"], out["the"]["doc_freq"]) == (4, 3)
+    assert set(out) == {"the", "cat", "sat"}
+    # freq ties break by term asc: cat(2) before sat(2)
+    assert out["cat"]["token_id"] == 1 and out["sat"]["token_id"] == 2
+    # max_size truncates the id-ordered head
+    top2 = vocab_build(docs, min_count=2, max_size=2).collect()
+    assert sorted(r["term"] for r in top2) == ["cat", "the"]
+
+
+def test_bigram_lm_hand_values(spark):
+    from awi_datapipelinepublic_spark.operators.corpus import bigram_lm
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b a c"), (1, "a b"), (2, "x")], ["doc_id", "text"]
+    )
+    out = {(r["w1"], r["w2"]): r for r in bigram_lm(docs, min_count=1).collect()}
+    # pairs: doc0 -> ab ba ab ba ac, doc1 -> ab; single-token doc2 emits none
+    assert out[("a", "b")]["pair_count"] == 3
+    # context 'a' total = 4 (ab x3 + ac) -> P(b|a)=0.75, P(c|a)=0.25
+    assert out[("a", "b")]["cond_p"] == 0.75
+    assert out[("a", "c")]["cond_p"] == 0.25
+    assert out[("b", "a")]["cond_p"] == 1.0
+    assert ("x", "x") not in out and not any(w1 == "x" for (w1, _) in out)
+    # top_per_context keeps the most probable continuation only
+    top1 = {
+        (r["w1"], r["w2"])
+        for r in bigram_lm(docs, min_count=1, top_per_context=1).collect()
+    }
+    assert top1 == {("a", "b"), ("b", "a")}
