@@ -3198,6 +3198,20 @@ def q_digest_prefilter_join(spark, sf_dir):
     )
 
 
+def q_knn_ivfpq(spark, sf_dir):
+    """IVF-PQ ADC top-10 (operators/similarity.py:knn_ivfpq): the
+    combined billion-vector layout — IVF coarse pruning (4 of 16
+    probed lists) + product quantization of the RESIDUAL against each
+    vector's centroid, scored by per-cluster ADC lookup tables.
+    Hash-verified: deterministic IVF centroids, md5-dyadic PQ
+    codebook, 9dp rounds at every argmin/argmax, 6dp ADC sum."""
+    from awi_datapipelinepublic_spark.operators.similarity import knn_ivfpq
+
+    return knn_ivfpq(
+        _t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), dim=64, k=10
+    )
+
+
 def q_bigram_lm(spark, sf_dir):
     """Bigram conditional-probability table (operators/corpus.py:
     bigram_lm): adjacent-token pairs via codegen zip_with (no UDF),
@@ -3580,6 +3594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_noisy_count": q_dp_noisy_count,
         "vocab_build": q_vocab_build,
         "bigram_lm": q_bigram_lm,
+        "knn_ivfpq": q_knn_ivfpq,
     }
 
 
@@ -5748,6 +5763,67 @@ def oracle_sql() -> dict[str, str]:
                ROUND(o.o_totalprice, 2) AS o_totalprice, o.o_orderdate
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'F'
+    """
+    # Replays knn_ivfpq step-for-step: knn_ivf's centroid/probe CTEs +
+    # knn_pq's md5-dyadic codebook, with PQ encoding applied to the
+    # RESIDUAL (vector - its centroid) and one ADC table per probed
+    # cluster on (query - centroid).
+    sql["knn_ivfpq"] = """
+        WITH step AS (
+          SELECT GREATEST(1, COUNT(*) // 16) AS s FROM embeddings),
+        cents AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS c,
+                 ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ci
+          FROM embeddings, step WHERE vec_id % s = 0
+          ORDER BY vec_id LIMIT 16),
+        q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        probes AS (
+          SELECT ci, c FROM cents, q
+          ORDER BY ROUND(list_cosine_similarity(c, qv), 9) DESC, ci ASC
+          LIMIT 4),
+        codes AS (
+          SELECT s, c,
+                 list(('0x' || substr(md5('pq-42-' || s || '-' || c || '-' || j), 1, 8))::UBIGINT::BIGINT
+                      / 2147483648.0 - 1.0 ORDER BY j) AS cb
+          FROM (SELECT unnest(range(4)) AS s),
+               (SELECT unnest(range(16)) AS c),
+               (SELECT unnest(range(16)) AS j)
+          GROUP BY s, c),
+        assigned AS (
+          SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+                 (SELECT c2.ci FROM cents c2
+                  ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c2.c), 9) DESC,
+                           c2.ci ASC LIMIT 1) AS cluster
+          FROM embeddings e),
+        resid AS (
+          SELECT a.vec_id, a.cluster,
+                 list_transform(range(1, 65), j -> a.v[j] - ct.c[j]) AS rv
+          FROM assigned a JOIN cents ct ON ct.ci = a.cluster
+          WHERE a.cluster IN (SELECT ci FROM probes)),
+        sv AS (
+          SELECT vec_id, cluster, s, rv[s*16+1 : (s+1)*16] AS seg
+          FROM resid, (SELECT unnest(range(4)) AS s)),
+        asg AS (
+          SELECT vec_id, cluster, s,
+                 (SELECT c2.c FROM codes c2 WHERE c2.s = sv.s
+                  ORDER BY ROUND(list_distance(sv.seg, c2.cb), 9) ASC, c2.c ASC
+                  LIMIT 1) AS code
+          FROM sv),
+        qres AS (
+          SELECT p.ci, list_transform(range(1, 65), j -> q.qv[j] - p.c[j]) AS qrv
+          FROM probes p, q),
+        qsv AS (
+          SELECT ci, s, qrv[s*16+1 : (s+1)*16] AS seg
+          FROM qres, (SELECT unnest(range(4)) AS s)),
+        qt AS (
+          SELECT qsv.ci, c2.s, c2.c, ROUND(list_distance(qsv.seg, c2.cb), 9) AS d
+          FROM codes c2 JOIN qsv ON qsv.s = c2.s),
+        adc AS (
+          SELECT a.vec_id, SUM(qt.d) AS dist
+          FROM asg a JOIN qt ON qt.ci = a.cluster AND qt.s = a.s AND qt.c = a.code
+          GROUP BY 1)
+        SELECT vec_id, ROUND(dist, 6) AS adc_dist
+        FROM adc ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
     """
     # Replays bigram_lm: adjacent pairs from the shared tokenization,
     # pair_count >= 10, cond_p over the FULL context total (denominator

@@ -973,3 +973,117 @@ def pq_codebook_from_sample(
     return np.stack(
         [[M[i][s * sub : (s + 1) * sub] for i in range(ks)] for s in range(m)]
     )
+
+
+def knn_ivfpq(
+    emb: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    ks: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-PQ: the combined billion-vector layout (FAISS IVFPQ; Jégou
+    et al. 2011) — IVF coarse quantization prunes the corpus to
+    ``nprobe/n_clusters`` of its lists, and product quantization over
+    the RESIDUAL (vector − its centroid) compresses what remains to
+    ``m`` small codes scored by ADC table lookups.
+
+    Residual encoding is the part that makes the combination better
+    than either piece: residuals live in a ball around the centroid,
+    so the same codebook granularity captures far more variance than
+    PQ over raw vectors. Encoding is one Arrow matmul per subvector
+    with the centroid subtraction fused into the same batch
+    (:func:`ivf_assign`'s pattern); each probed cluster gets its own
+    (m, ks) query table on (query − centroid_c), and scoring is a
+    per-cluster branch of the same codegen lookup-sum as
+    :func:`knn_pq` — nprobe branches of pure JVM expression, no
+    Python, no shuffle after the cluster filter (partition pruning
+    when the table is written cluster-partitioned).
+
+    Determinism contract: md5-dyadic codebook + deterministic IVF
+    centroids, 9dp rounds before argmin/argmax, 6dp on the final ADC
+    sum — the DuckDB oracle replays every step bit-for-bit.
+    """
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    assigned, centroids = ivf_assign(emb, n_clusters, id_col, vec_col)
+    C = _pq_codebook(dim, m, ks, seed) if codebook is None else np.asarray(codebook, dtype=float)
+    cent = np.asarray([cv for _, cv in centroids], dtype=float)
+    sub = dim // m
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode(vec: pd.Series, cl: pd.Series) -> pd.Series:
+        mat = np.stack(vec.values).astype(float) - cent[cl.values.astype(int)]
+        codes = np.empty((mat.shape[0], C.shape[0]), dtype="int32")
+        for s in range(C.shape[0]):
+            seg = mat[:, s * sub : (s + 1) * sub]
+            d = np.round(
+                np.sqrt(
+                    np.maximum(
+                        ((seg[:, None, :] - C[s][None, :, :]) ** 2).sum(axis=2), 0.0
+                    )
+                ),
+                9,
+            )
+            codes[:, s] = np.argmin(d, axis=1).astype("int32")
+        return pd.Series(list(codes))
+
+    enc = assigned.withColumn("codes", encode(F.col(vec_col), F.col("cluster")))
+
+    q = np.asarray(query_vec, dtype=float)
+    qn = np.linalg.norm(q)
+
+    def cos(cv):
+        cv = np.asarray(cv, dtype=float)
+        d = qn * np.linalg.norm(cv)
+        return round(float(np.dot(q, cv) / d), 9) if d else 0.0
+
+    probes = [ci for ci, cvec in sorted(centroids, key=lambda t: -cos(t[1]))[:nprobe]]
+    adc = None
+    for ci in probes:
+        r = q - cent[ci]
+        qtab = [
+            [
+                round(
+                    float(
+                        np.sqrt(
+                            max(((r[s * sub : (s + 1) * sub] - C[s][c]) ** 2).sum(), 0.0)
+                        )
+                    ),
+                    9,
+                )
+                for c in range(ks)
+            ]
+            for s in range(m)
+        ]
+        tab_lit = F.array(*[F.array(*[F.lit(d) for d in row]) for row in qtab])
+
+        def _adc_of(_t):
+            # factory pins the per-cluster table; a default-arg lambda
+            # would change the HOF's perceived arity
+            return F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0.0),
+                lambda acc, s: acc
+                + F.element_at(F.element_at(_t, s + 1), F.element_at("codes", s + 1) + 1),
+            )
+
+        e = _adc_of(tab_lit)
+        adc = (
+            F.when(F.col("cluster") == ci, e)
+            if adc is None
+            else adc.when(F.col("cluster") == ci, e)
+        )
+    return (
+        enc.filter(F.col("cluster").isin(probes))
+        .select(id_col, F.round(adc, 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

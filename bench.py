@@ -111,6 +111,8 @@ BENCH_QUERIES = [
     # tokenizer-artifact exports: vocab table, bigram LM
     "vocab_build",
     "bigram_lm",
+    # the combined billion-vector ANN layout
+    "knn_ivfpq",
 ]
 
 

@@ -736,3 +736,41 @@ def test_bigram_lm_hand_values(spark):
         for r in bigram_lm(docs, min_count=1, top_per_context=1).collect()
     }
     assert top1 == {("a", "b"), ("b", "a")}
+
+
+def test_knn_ivfpq_deterministic_and_self_retrieving(spark, sf_dir):
+    from awi_datapipelinepublic_spark.operators.similarity import knn_ivfpq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    a = [(r["vec_id"], r["adc_dist"]) for r in knn_ivfpq(emb, qv, dim=64, k=10).collect()]
+    b = [(r["vec_id"], r["adc_dist"]) for r in knn_ivfpq(emb, qv, dim=64, k=10).collect()]
+    assert a == b
+    # the query vector sits in a probed cluster and its own codes hit
+    # the per-slot minima of that cluster's ADC table
+    assert 0 in {v for v, _ in a}
+    assert all(d >= 0 for _, d in a)
+
+
+def test_knn_ivfpq_shortlist_recall_floor(spark, sf_dir):
+    """PQ shortlist -> exact rerank is the production pattern; the
+    IVF-PQ top-100 shortlist must retain a usable share of the exact
+    top-10 (bounded below the IVF-only probe set, which caps recall
+    at whatever the 4/16 probed clusters contain)."""
+    from awi_datapipelinepublic_spark.operators.similarity import (
+        knn_brute_force,
+        knn_ivf,
+        knn_ivfpq,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    exact = {r["vec_id"] for r in knn_brute_force(emb, qv, k=10).collect()}
+    ivf_reachable = {r["vec_id"] for r in knn_ivf(emb, qv, k=10_000).collect()}
+    shortlist = {r["vec_id"] for r in knn_ivfpq(emb, qv, dim=64, k=100).collect()}
+    reachable = exact & ivf_reachable
+    assert len(reachable) >= 5  # probes cover most of the true neighbors
+    assert len(shortlist & reachable) >= len(reachable) // 2, (
+        reachable,
+        shortlist & reachable,
+    )
