@@ -3384,8 +3384,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- red r4 row) + 49 FIRST-TIME ids never driver-checked in
         # --- r1-r4: the r4-new ANN/k-means/semantic-dedup family, all
         # --- four scan formats, the window-function + subquery + set-op
-        # --- families, and the text-quality LLM ops. 24 ids remain for
-        # --- the r6 window to complete the rotation.
+        # --- families, and the text-quality LLM ops. 44 ids then
+        # --- remain never-driver-checked (36 pre-r5 + the 8 new r5
+        # --- ops below the marker) — they are the r6 window.
         "validate_expectations": q_validate_expectations,
         "kmeans_clusters": q_kmeans_clusters,
         "embedding_outliers": q_embedding_outliers,

@@ -5,6 +5,7 @@ Chains the engine's scale-path operators the way an LLM data pipeline
 would, over the synthetic documents table:
 
     quality/language filter  (functions/text.py — pure expressions)
+  → char-entropy screen      (doc_entropy: gibberish/template gate)
   → boilerplate span gate    (cross-doc duplicated 4-gram fraction —
                               the substring-dedup signal)
   → exact dedup              (md5 fingerprint keep-lowest-id)
@@ -49,10 +50,17 @@ def prepare(spark, sf_dir: str, out_dir: str) -> dict:
     docs = spark.read.parquet(str(Path(sf_dir) / "documents.parquet"))
     n_raw = docs.count()
 
-    # 1. quality + language gate (pure Column expressions, one scan)
+    # 1. quality + language gate (pure Column expressions, one scan),
+    # then the character-entropy gibberish/boilerplate screen
+    # (doc_entropy — explode + map-side-combine char counts; natural
+    # prose sits ~4-4.5 bits/char, repeated-template spam under ~3)
     kept = docs.filter(
         (X.quality_score("text") > 0.3) & (X.lang_id("text") == "en")
     )
+    low_ent = X.doc_entropy(kept, ["doc_id"]).filter(
+        F.col("entropy") < 3.0
+    ).select("doc_id")
+    kept = kept.join(low_ent, "doc_id", "left_anti")
     n_quality = kept.count()
 
     # 1b. boilerplate gate: drop documents whose text is mostly word
@@ -130,6 +138,15 @@ def prepare(spark, sf_dir: str, out_dir: str) -> dict:
     blocks = sequence_pack(train_chunks, block_tokens=512)
     n_blocks = blocks.count()
 
+    # 7. tokenizer artifacts over the final train corpus: vocabulary
+    # with deterministic dense ids + bigram LM table (the exports a
+    # tokenizer / speculative-decode build consumes)
+    from awi_datapipelinepublic_spark.operators.corpus import bigram_lm, vocab_build
+
+    train_docs = split.filter(F.col("split") == "train")
+    vocab_size = vocab_build(train_docs, min_count=5).count()
+    bigrams = bigram_lm(train_docs, min_count=5, top_per_context=3).count()
+
     return {
         "raw_docs": n_raw,
         "after_quality_lang": n_quality,
@@ -140,6 +157,8 @@ def prepare(spark, sf_dir: str, out_dir: str) -> dict:
         "after_mixture_resample": n_mix,
         "chunks_per_split": per_split,
         "train_blocks_512tok": n_blocks,
+        "train_vocab_terms": vocab_size,
+        "train_bigram_rows": bigrams,
     }
 
 

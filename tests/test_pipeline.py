@@ -219,6 +219,8 @@ def test_training_prep_demo_end_to_end(spark, sf_dir, tmp_path):
     )
     assert set(s["chunks_per_split"]) <= {"train", "val", "test"}
     assert sum(s["chunks_per_split"].values()) > 0
+    # tokenizer artifacts export over the surviving train split
+    assert s["train_vocab_terms"] > 0 and s["train_bigram_rows"] > 0
     train = spark.read.parquet(out_dir).filter(F.col("split") == "train")
     txt = train._jdf.queryExecution().executedPlan().toString()
     assert train.count() == s["chunks_per_split"].get("train", 0)
