@@ -53,6 +53,10 @@ TARGETS = {
     "dataset_diff": "Snapshot diff: both sides pre-hashed to (key, md5) before the full-outer join - exchange carries digests, never payloads",
     "kmeans_clusters": "Iterative k-means: final assignment is a pure closure-matrix projection - NO Exchange, no join in the returned plan",
     "embedding_outliers": "Centroid-distance bottom-k: TakeOrderedAndProject per-partition heaps, never a global sort",
+    "bloom_prefilter_join": "Bloom probe is a literal-word-array Filter on the big scan - non-matching rows die before the join exchange",
+    "entropy_quality": "doc_entropy: explode + map-side-combine char counts - shuffle is rows x alphabet, never corpus characters",
+    "knn_ivfpq": "IVF-PQ: cluster filter + per-cluster ADC lookup-sum branches - no shuffle, no join after the coarse filter",
+    "bigram_lm": "Adjacent pairs via codegen zip_with; pair groupBy + context-total join-back, no window over raw pairs",
 }
 
 
