@@ -1550,6 +1550,51 @@ def q_repetition_stats(spark, sf_dir):
     return repetition_stats(_t(spark, sf_dir, "documents"), n=2)
 
 
+def q_gopher_filter(spark, sf_dir):
+    """Gopher word-level quality rules (functions/text.py:gopher_rules):
+    word-count bounds, mean word length 3-10, symbol-to-word ratio,
+    ≥80% alphabetic words, stopword presence — per-doc signals plus an
+    INT 0/1 verdict, all in one codegen projection. The synthetic
+    corpus is uniformly clean prose, so deterministic defects are
+    injected first (the pii_redact pattern) and the oracle replays
+    them: doc_id%11 truncates to 3 words (word-count floor), doc_id%5
+    appends symbol/number soup (symbol + alpha rules), doc_id%13
+    appends a 400-char token (mean-length ceiling)."""
+    from awi_datapipelinepublic_spark.functions.text import gopher_rules
+
+    d = _t(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    dirty = F.when(
+        F.col("doc_id") % 11 == 0, F.array_join(F.slice(toks, 1, 3), " ")
+    ).otherwise(F.col("text"))
+    dirty = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(dirty, F.lit(" ## 12 34 ### 56 78 #"))
+    ).otherwise(dirty)
+    dirty = F.when(
+        F.col("doc_id") % 13 == 0, F.concat(dirty, F.lit(" "), F.repeat(F.lit("x"), 400))
+    ).otherwise(dirty)
+    r = gopher_rules(dirty, min_words=20)
+    return d.select(
+        "doc_id",
+        r["n_words"].alias("n_words"),
+        F.round(r["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(r["alpha_ratio"], 6).alias("alpha_ratio"),
+        F.round(r["symbol_ratio"], 6).alias("symbol_ratio"),
+        r["n_stopwords"].alias("n_stopwords"),
+        r["passes"].alias("passes"),
+    )
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end corpus curation (operators/quality.py:curate_corpus):
+    lang-id filter → Gopher rule filter → exact dedup, the FineWeb-
+    style front half of a training pipeline as one hash-verified gate.
+    Scan-fused filters, then a single fingerprint-keyed shuffle."""
+    from awi_datapipelinepublic_spark.operators.quality import curate_corpus
+
+    return curate_corpus(_t(spark, sf_dir, "documents"), min_words=20)
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: docs with doc_id % 97 == 0 act as
     the eval set; surviving corpus ids share no 7-gram with it."""
@@ -3385,7 +3430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r1-r4: the r4-new ANN/k-means/semantic-dedup family, all
         # --- four scan formats, the window-function + subquery + set-op
         # --- families, and the text-quality LLM ops. 44 ids then
-        # --- remain never-driver-checked (36 pre-r5 + the 8 new r5
+        # --- remain never-driver-checked (32 pre-r5 + the 12 new r5
         # --- ops below the marker) — they are the r6 window.
         "validate_expectations": q_validate_expectations,
         "kmeans_clusters": q_kmeans_clusters,
@@ -3596,6 +3641,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_build": q_vocab_build,
         "bigram_lm": q_bigram_lm,
         "knn_ivfpq": q_knn_ivfpq,
+        "gopher_filter": q_gopher_filter,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 
@@ -4260,6 +4307,87 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_gram_frac,
                    ROUND(CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / SUM(cnt), 6) AS dup_gram_frac
             FROM counts GROUP BY doc_id
+        """,
+        # Replays q_gopher_filter exactly: the three deterministic
+        # defect injections (%11 truncate, %5 symbol soup, %13 long
+        # token), then functions/text.py:gopher_rules over the
+        # normalized text — mean length arithmetically from
+        # length(norm), alpha/symbol ratios as integer-ratio double
+        # divisions, pass verdict on the UNROUNDED doubles.
+        "gopher_filter": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 11 = 0
+                          THEN array_to_string(({_TOKS})[1:3], ' ')
+                          ELSE text END AS s
+              FROM documents),
+            d1 AS (SELECT doc_id,
+                          CASE WHEN doc_id % 5 = 0 THEN s || ' ## 12 34 ### 56 78 #' ELSE s END AS s
+                   FROM base),
+            dirty AS (SELECT doc_id,
+                             CASE WHEN doc_id % 13 = 0 THEN s || ' ' || repeat('x', 400) ELSE s END AS s
+                      FROM d1),
+            tok AS (SELECT doc_id,
+                           trim(regexp_replace(lower(s), '\\s+', ' ', 'g')) AS norm,
+                           string_split(trim(regexp_replace(lower(s), '\\s+', ' ', 'g')), ' ') AS t
+                    FROM dirty),
+            m AS (
+              SELECT doc_id,
+                     CASE WHEN norm = '' THEN 0 ELSE len(t) END AS n_words,
+                     CASE WHEN norm = '' THEN 0.0
+                          ELSE (length(norm) - len(t) + 1) * 1.0 / len(t) END AS mean_word_len,
+                     CASE WHEN norm = '' THEN 0.0
+                          ELSE len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) * 1.0 / len(t) END AS alpha_ratio,
+                     CASE WHEN norm = '' THEN 0.0
+                          ELSE (length(norm) - length(replace(norm, '#', ''))
+                                + len(regexp_extract_all(norm, '\\.\\.\\.'))) * 1.0 / len(t) END AS symbol_ratio,
+                     len(list_filter(list_transform(t, x -> regexp_replace(x, '[^a-z]', '', 'g')),
+                         x -> x IN {_STOPWORDS_SQL})) AS n_stopwords
+              FROM tok)
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   ROUND(mean_word_len, 6) AS mean_word_len,
+                   ROUND(alpha_ratio, 6) AS alpha_ratio,
+                   ROUND(symbol_ratio, 6) AS symbol_ratio,
+                   CAST(n_stopwords AS BIGINT) AS n_stopwords,
+                   CAST(n_words >= 20 AND n_words <= 100000
+                        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                        AND symbol_ratio < 0.1 AND alpha_ratio >= 0.8
+                        AND n_stopwords >= 2 AS INT) AS passes
+            FROM m
+        """,
+        # Replays operators/quality.py:curate_corpus: lang_id (stopword
+        # ratio >= 0.08) AND gopher pass (min_words=20) filters, then
+        # exact dedup keeping the min doc_id per md5(norm) fingerprint.
+        "curation_pipeline": f"""
+            WITH tok AS (SELECT doc_id, {_NORM} AS norm, {_TOKS} AS t FROM documents),
+            m AS (
+              SELECT doc_id, norm,
+                     CASE WHEN norm = '' THEN 0 ELSE len(t) END AS n_words,
+                     CASE WHEN norm = '' THEN 0.0
+                          ELSE (length(norm) - len(t) + 1) * 1.0 / len(t) END AS mean_word_len,
+                     CASE WHEN norm = '' THEN 0.0
+                          ELSE len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) * 1.0 / len(t) END AS alpha_ratio,
+                     CASE WHEN norm = '' THEN 0.0
+                          ELSE (length(norm) - length(replace(norm, '#', ''))
+                                + len(regexp_extract_all(norm, '\\.\\.\\.'))) * 1.0 / len(t) END AS symbol_ratio,
+                     len(list_filter(list_transform(t, x -> regexp_replace(x, '[^a-z]', '', 'g')),
+                         x -> x IN {_STOPWORDS_SQL})) AS n_stop
+              FROM tok),
+            kept AS (
+              SELECT doc_id, md5(norm) AS fingerprint, n_words, mean_word_len, alpha_ratio, n_stop
+              FROM m
+              WHERE (CASE WHEN n_words = 0 THEN 0.0 ELSE n_stop * 1.0 / n_words END) >= 0.08
+                AND n_words >= 20 AND n_words <= 100000
+                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND symbol_ratio < 0.1 AND alpha_ratio >= 0.8 AND n_stop >= 2),
+            w AS (SELECT fingerprint, MIN(doc_id) AS doc_id FROM kept GROUP BY 1)
+            SELECT k.doc_id, k.fingerprint,
+                   CAST(k.n_words AS BIGINT) AS n_words,
+                   ROUND(k.mean_word_len, 6) AS mean_word_len,
+                   ROUND(k.alpha_ratio, 6) AS alpha_ratio,
+                   CAST(k.n_stop AS BIGINT) AS n_stopwords
+            FROM kept k JOIN w USING (fingerprint, doc_id)
         """,
         "decontaminate": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

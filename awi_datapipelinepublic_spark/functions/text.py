@@ -211,3 +211,104 @@ def shingles(c: Column | str, k: int = 5) -> Column:
     on small data; hot paths (operators/dedup.py) materialize the token
     column first (see shingles_of's warning)."""
     return shingles_of(tokens(normalize_text(c)), k)
+
+
+# --- Gopher-style document quality rules -----------------------------
+# Word-level repetition-free subset of the Gopher (Rae et al. 2021,
+# App. A) quality filter, adapted to a single-line corpus: the two
+# line-based rules (bullet-start / ellipsis-end line fractions) have no
+# meaning without newlines and are intentionally absent; the bigram/
+# n-gram repetition rules live in operators/quality.py:repetition_stats.
+# Everything below is derived from the NORMALIZED text (lowercase,
+# single-spaced — normalize_text), so token counts and lengths are
+# whitespace-run-proof and the DuckDB oracle replays them exactly.
+
+
+def mean_word_length(c: Column | str) -> Column:
+    """Mean characters per word. Computed arithmetically from the
+    normalized text — Σ token lengths = length(norm) − (n−1) separators
+    — so it stays a codegen projection with NO higher-order fold
+    re-evaluating a split per element. 0.0 for empty docs."""
+    norm = normalize_text(_col(c))
+    n = F.size(F.split(norm, " "))
+    return F.when(norm == "", F.lit(0.0)).otherwise(
+        (F.length(norm) - n + 1).cast("double") / n.cast("double")
+    )
+
+
+def alpha_word_ratio(c: Column | str) -> Column:
+    """Fraction of words containing at least one letter — Gopher's
+    '≥80% of words must contain an alphabetic character' signal that
+    kills number/symbol soup. 0.0 for empty docs."""
+    norm = normalize_text(_col(c))
+    toks = F.split(norm, " ")
+    n = F.size(toks)
+    alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    return F.when(norm == "", F.lit(0.0)).otherwise(
+        alpha.cast("double") / n.cast("double")
+    )
+
+
+def symbol_word_ratio(c: Column | str) -> Column:
+    """(# count + '...' count) / words — Gopher's symbol-to-word ratio
+    flagging markup/boilerplate. Counts are plain substring/regexp
+    counts on the normalized text; 0.0 for empty docs."""
+    norm = normalize_text(_col(c))
+    n = F.size(F.split(norm, " "))
+    hashes = F.length(norm) - F.length(F.replace(norm, F.lit("#"), F.lit("")))
+    ellipses = F.regexp_count(norm, F.lit(r"\.\.\."))
+    return F.when(norm == "", F.lit(0.0)).otherwise(
+        (hashes + ellipses).cast("double") / n.cast("double")
+    )
+
+
+def gopher_rules(
+    c: Column | str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_ratio: float = 0.8,
+    min_stopwords: int = 2,
+) -> dict[str, Column]:
+    """The Gopher word-level rule set as named Columns plus a composite
+    0/1 ``passes`` verdict (INT, not BOOLEAN — canonicalization-proof
+    across harness render paths, the validate_expectations lesson).
+
+    Defaults are the paper's (50–100k words, mean word length 3–10,
+    symbol ratio < 0.1, ≥80% alphabetic words, ≥2 stopwords); every
+    bound is a keyword so short-doc corpora can recalibrate. All five
+    signals are single-scan Column projections — at 100 TB this is one
+    pass over the text column, no shuffle, fully codegen-resident.
+
+    The pass comparison uses the UNROUNDED doubles: each signal is one
+    integer-ratio division, bit-identical across engines, so the
+    verdict replays exactly in the DuckDB oracle without a rounding
+    contract on the thresholds.
+    """
+    col = _col(c)
+    norm = normalize_text(col)
+    n = F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " "))).cast("long")
+    mean_len = mean_word_length(col)
+    alpha = alpha_word_ratio(col)
+    symbol = symbol_word_ratio(col)
+    n_stop = stopword_count(col)
+    passes = (
+        (n >= min_words)
+        & (n <= max_words)
+        & (mean_len >= min_mean_len)
+        & (mean_len <= max_mean_len)
+        & (symbol < max_symbol_ratio)
+        & (alpha >= min_alpha_ratio)
+        & (n_stop >= min_stopwords)
+    ).cast("int")
+    return {
+        "n_words": n,
+        "mean_word_len": mean_len,
+        "alpha_ratio": alpha,
+        "symbol_ratio": symbol,
+        "n_stopwords": n_stop,
+        "passes": passes,
+    }

@@ -630,3 +630,56 @@ def negative_sample(
         want.join(neg, "__tpos")
         .select(id_col, "draw", out_col)
     )
+
+
+def curate_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    lang_threshold: float = 0.08,
+    **gopher_bounds,
+) -> DataFrame:
+    """End-to-end quality curation: language ID → Gopher rule filter →
+    exact dedup — the canonical FineWeb/Gopher-style front half of a
+    training-data pipeline as ONE composable operator.
+
+    Stage shapes (and why they scale to 100 TB):
+
+    1. lang_id + gopher_rules are pure Column projections over the text
+       column — a single scan, no shuffle, codegen-resident; Catalyst
+       fuses both filters into the parquet scan stage so rejected
+       documents never reach the dedup shuffle.
+    2. exact dedup is a groupBy on the md5 fingerprint with map-side
+       partial aggregation (operators/dedup.py:exact_dedup rationale) —
+       the ONLY shuffle in the pipeline, keyed on a 32-char digest, and
+       it runs over the already-filtered survivor set.
+
+    Returns the surviving documents with their fingerprint and the
+    per-doc quality signals that justified keeping them. ``passes`` is
+    emitted by construction (all survivors pass) and therefore dropped;
+    callers wanting reject reasons use gopher_rules directly.
+    """
+    from awi_datapipelinepublic_spark.functions.text import (
+        doc_fingerprint,
+        gopher_rules,
+        lang_id,
+    )
+
+    rules = gopher_rules(F.col(text_col), **gopher_bounds)
+    scored = df.select(
+        id_col,
+        lang_id(text_col, threshold=lang_threshold).alias("lang_pred"),
+        rules["n_words"].alias("n_words"),
+        F.round(rules["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(rules["alpha_ratio"], 6).alias("alpha_ratio"),
+        rules["n_stopwords"].alias("n_stopwords"),
+        rules["passes"].alias("__passes"),
+        doc_fingerprint(text_col).alias("fingerprint"),
+    )
+    kept = scored.filter((F.col("lang_pred") == "en") & (F.col("__passes") == 1))
+    winners = kept.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return (
+        kept.join(winners, ["fingerprint", id_col])
+        .select(id_col, "fingerprint", "n_words", "mean_word_len", "alpha_ratio", "n_stopwords")
+    )

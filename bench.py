@@ -113,6 +113,9 @@ BENCH_QUERIES = [
     "bigram_lm",
     # the combined billion-vector ANN layout
     "knn_ivfpq",
+    # the FineWeb-style curation front half: lang-id + gopher rules
+    # fused into the scan, one fingerprint-dedup shuffle
+    "curation_pipeline",
 ]
 
 

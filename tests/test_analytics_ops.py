@@ -774,3 +774,67 @@ def test_knn_ivfpq_shortlist_recall_floor(spark, sf_dir):
         reachable,
         shortlist & reachable,
     )
+
+
+def test_gopher_rules_hand_values(spark):
+    """Each Gopher rule flips on a crafted defect while the clean doc
+    passes; verdict is INT 0/1 (canonicalization-proof contract)."""
+    from awi_datapipelinepublic_spark.functions.text import gopher_rules
+
+    clean = (
+        "the yellow submarine sailed across the ocean with a crew "
+        "that was singing for an entire evening in their cabin"
+    )
+    docs = [
+        (0, clean),                                   # passes
+        (1, "the cat sat"),                           # too few words
+        (2, clean + " ## ## ## ##"),                  # symbol ratio
+        (3, clean + " " + "x" * 300),                 # mean word length
+        (4, "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18 19 20"),  # alpha + stopwords
+        (5, ""),                                      # empty
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    r = gopher_rules(F.col("text"), min_words=10)
+    got = {
+        row["doc_id"]: row.asDict()
+        for row in df.select(
+            "doc_id",
+            *[v.alias(k) for k, v in r.items()],
+        ).collect()
+    }
+    assert got[0]["passes"] == 1
+    assert got[1]["passes"] == 0 and got[1]["n_words"] == 3
+    assert got[2]["passes"] == 0 and got[2]["symbol_ratio"] > 0.1
+    assert got[3]["passes"] == 0 and got[3]["mean_word_len"] > 10.0
+    assert got[4]["passes"] == 0 and got[4]["alpha_ratio"] == 0.0
+    assert got[5]["passes"] == 0 and got[5]["n_words"] == 0
+    # mean length is arithmetic: clean doc = (len - n + 1) / n
+    n = len(clean.split())
+    assert abs(got[0]["mean_word_len"] - (len(clean) - n + 1) / n) < 1e-12
+    dtypes = dict(
+        df.select(*[v.alias(k) for k, v in r.items()]).dtypes
+    )
+    assert dtypes["passes"] == "int"
+    assert dtypes["n_words"] == "bigint" and dtypes["n_stopwords"] == "bigint"
+
+
+def test_curate_corpus_filters_and_dedups(spark):
+    """lang filter, gopher filter, and exact dedup all bite; the
+    dedup winner is the min doc_id per fingerprint."""
+    from awi_datapipelinepublic_spark.operators.quality import curate_corpus
+
+    good = (
+        "the yellow submarine sailed across the ocean with a crew "
+        "that was singing for an entire evening in their cabin"
+    )
+    docs = [
+        (10, good),
+        (11, good),                       # exact duplicate -> dropped (10 wins)
+        (12, good.upper()),               # case-dup of 10 -> dropped too
+        (13, "uno dos tres cuatro cinco seis siete ocho nueve diez once doce trece catorce quince dieciseis diecisiete dieciocho diecinueve veinte"),  # not 'en'
+        (14, "the cat sat"),              # fails word-count floor
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = curate_corpus(df, min_words=10).collect()
+    assert [r["doc_id"] for r in out] == [10]
+    assert out[0]["n_words"] == len(good.split())

@@ -57,6 +57,8 @@ TARGETS = {
     "entropy_quality": "doc_entropy: explode + map-side-combine char counts - shuffle is rows x alphabet, never corpus characters",
     "knn_ivfpq": "IVF-PQ: cluster filter + per-cluster ADC lookup-sum branches - no shuffle, no join after the coarse filter",
     "bigram_lm": "Adjacent pairs via codegen zip_with; pair groupBy + context-total join-back, no window over raw pairs",
+    "gopher_filter": "Gopher rule set: ONE codegen projection over the scan - no Exchange anywhere in the plan",
+    "curation_pipeline": "lang+gopher filters fused into the scan stage; the md5-fingerprint dedup groupBy is the only shuffle",
 }
 
 
