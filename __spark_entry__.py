@@ -1899,6 +1899,43 @@ def q_scan_orc(spark, sf_dir):
     return spark.read.orc(str(stage)).select(*cols)
 
 
+def q_scan_schema_drift(spark, sf_dir):
+    """Schema-evolution scan: two parquet batches with DIFFERENT
+    column sets (the day-2 pipeline reality) read back through
+    mergeSchema — missing columns surface as NULLs, no manual
+    alignment. Batch split is deterministic (o_orderkey % 2); the
+    oracle replays the union-with-NULLs directly."""
+    stage = Path("/root/repo/.cache") / f"scan_drift_{Path(sf_dir).name}"
+    o = _t(spark, sf_dir, "orders")
+    if not (stage / "b1" / "_SUCCESS").exists() or not (stage / "b2" / "_SUCCESS").exists():
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_custkey"
+        ).coalesce(2).write.mode("overwrite").parquet(str(stage / "b1"))
+        o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        ).coalesce(2).write.mode("overwrite").parquet(str(stage / "b2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        str(stage / "b1"), str(stage / "b2")
+    )
+    return merged.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+
+
+def q_dedup_pr_eval(spark, sf_dir):
+    """Dedup-quality evaluation (operators/quality.py:
+    pair_retrieval_metrics): precision/recall/F1 of the MinHash-LSH
+    candidate pairs (32 hashes × 8 bands, k=3) against the exact
+    n-gram Jaccard ≥ 0.5 gold set — the recall-floor harness
+    (tools/recall_sweep.py) as a hash-verified single-row gate."""
+    from awi_datapipelinepublic_spark.operators.quality import pair_retrieval_metrics
+
+    d = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(d, num_hashes=32, bands=8, k=3)
+    gold = ngram_jaccard_pairs(d, k=3, threshold=0.5)
+    return pair_retrieval_metrics(cand, gold)
+
+
 def q_train_test_split(spark, sf_dir):
     """Deterministic train/val/test assignment by md5(id) prefix
     (operators/sampling.py): stable across runs, engines, and
@@ -3429,8 +3466,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- red r4 row) + 49 FIRST-TIME ids never driver-checked in
         # --- r1-r4: the r4-new ANN/k-means/semantic-dedup family, all
         # --- four scan formats, the window-function + subquery + set-op
-        # --- families, and the text-quality LLM ops. 44 ids then
-        # --- remain never-driver-checked (32 pre-r5 + the 12 new r5
+        # --- families, and the text-quality LLM ops. 46 ids then
+        # --- remain never-driver-checked (32 pre-r5 + the 14 new r5
         # --- ops below the marker) — they are the r6 window.
         "validate_expectations": q_validate_expectations,
         "kmeans_clusters": q_kmeans_clusters,
@@ -3643,6 +3680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivfpq": q_knn_ivfpq,
         "gopher_filter": q_gopher_filter,
         "curation_pipeline": q_curation_pipeline,
+        "scan_schema_drift": q_scan_schema_drift,
+        "dedup_pr_eval": q_dedup_pr_eval,
     }
 
 
@@ -4177,6 +4216,38 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": f"""
             WITH {_minhash_pairs_ctes(k=3)}
             SELECT id_a, id_b FROM pairs
+        """,
+        # Replays q_dedup_pr_eval: LSH candidate pairs (same CTE chain
+        # as dedup_minhash_lsh) scored against the exact Jaccard ≥ 0.5
+        # gold set. `ex` from the minhash CTEs IS the exploded distinct
+        # k=3 shingle set, so the gold side reuses it directly —
+        # identical shingles feed both the bands and the exact verify.
+        "dedup_pr_eval": f"""
+            WITH {_minhash_pairs_ctes(k=3)},
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY 1),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            gold AS (SELECT id_a, id_b FROM inter
+                     JOIN sizes sa ON sa.doc_id = id_a
+                     JOIN sizes sb ON sb.doc_id = id_b
+                     WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5),
+            m AS (SELECT (SELECT COUNT(*) FROM pairs) AS n_candidates,
+                         (SELECT COUNT(*) FROM gold) AS n_gold,
+                         (SELECT COUNT(*) FROM pairs JOIN gold USING (id_a, id_b)) AS n_hits),
+            pr AS (SELECT *,
+                     CASE WHEN n_candidates = 0 THEN 0.0
+                          ELSE n_hits * 1.0 / n_candidates END AS p,
+                     CASE WHEN n_gold = 0 THEN 0.0
+                          ELSE n_hits * 1.0 / n_gold END AS r
+                   FROM m)
+            SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+                   CAST(n_gold AS BIGINT) AS n_gold,
+                   CAST(n_hits AS BIGINT) AS n_hits,
+                   ROUND(p, 6) AS prec, ROUND(r, 6) AS rec,
+                   ROUND(CASE WHEN p + r = 0 THEN 0.0
+                              ELSE 2.0 * p * r / (p + r) END, 6) AS f1
+            FROM pr
         """,
         # Full pipeline: same pairs (k=5 default) closed transitively
         # by a recursive min-label CTE; survivors = ids that are their
@@ -5018,6 +5089,19 @@ def oracle_sql() -> dict[str, str]:
         "scan_orc": """
             SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
             FROM orders
+        """,
+        # Replays the mergeSchema read: batch1 (even keys) never had
+        # totalprice/status, batch2 (odd keys) never had custkey —
+        # the merged scan surfaces each batch's missing columns as NULL.
+        "scan_schema_drift": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(NULL AS DOUBLE) AS o_totalprice,
+                   CAST(NULL AS VARCHAR) AS o_orderstatus
+            FROM orders WHERE o_orderkey % 2 = 0
+            UNION ALL
+            SELECT o_orderkey, CAST(NULL AS BIGINT) AS o_custkey,
+                   o_totalprice, o_orderstatus
+            FROM orders WHERE o_orderkey % 2 = 1
         """,
         "scan_excel": """
             SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name,

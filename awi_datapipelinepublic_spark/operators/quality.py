@@ -683,3 +683,49 @@ def curate_corpus(
         kept.join(winners, ["fingerprint", id_col])
         .select(id_col, "fingerprint", "n_words", "mean_word_len", "alpha_ratio", "n_stopwords")
     )
+
+
+def pair_retrieval_metrics(
+    candidates: DataFrame,
+    gold: DataFrame,
+    keys: tuple[str, str] = ("id_a", "id_b"),
+) -> DataFrame:
+    """Precision / recall / F1 of a candidate pair set against a gold
+    pair set — the dedup-quality evaluation harness as a first-class
+    operator (every LSH/SimHash deployment needs its recall measured
+    against an exact-verify sample before the thresholds ship).
+
+    Shape: both inputs reduce to distinct key pairs; hits are a LEFT
+    SEMI join (never materializes the pair payload product); the three
+    counts are 1-row aggregates crossJoined into one result row — the
+    repo's bounded-crossJoin pattern (quality.py:calibrate_scores).
+    At 100 TB scale the inputs are pair tables (already bounded by the
+    candidate generator's banding), so the whole evaluation is two
+    semi/distinct shuffles over two-column rows.
+    """
+    ks = list(keys)
+    cand = candidates.select(*ks).distinct()
+    gl = gold.select(*ks).distinct()
+    hits = cand.join(gl, ks, "left_semi")
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    ng = gl.agg(F.count(F.lit(1)).alias("n_gold"))
+    nh = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    m = nc.crossJoin(ng).crossJoin(nh)
+    p = F.when(F.col("n_candidates") == 0, F.lit(0.0)).otherwise(
+        F.col("n_hits").cast("double") / F.col("n_candidates").cast("double")
+    )
+    r = F.when(F.col("n_gold") == 0, F.lit(0.0)).otherwise(
+        F.col("n_hits").cast("double") / F.col("n_gold").cast("double")
+    )
+    m = m.withColumn("__p", p).withColumn("__r", r)
+    f1 = F.when((F.col("__p") + F.col("__r")) == 0, F.lit(0.0)).otherwise(
+        F.lit(2.0) * F.col("__p") * F.col("__r") / (F.col("__p") + F.col("__r"))
+    )
+    return m.select(
+        "n_candidates",
+        "n_gold",
+        "n_hits",
+        F.round("__p", 6).alias("prec"),
+        F.round("__r", 6).alias("rec"),
+        F.round(f1, 6).alias("f1"),
+    )

@@ -838,3 +838,23 @@ def test_curate_corpus_filters_and_dedups(spark):
     out = curate_corpus(df, min_words=10).collect()
     assert [r["doc_id"] for r in out] == [10]
     assert out[0]["n_words"] == len(good.split())
+
+
+def test_pair_retrieval_metrics_hand_values(spark):
+    """P/R/F1 against hand-counted pair sets; duplicate input pairs
+    must not inflate counts (distinct contract)."""
+    from awi_datapipelinepublic_spark.operators.quality import pair_retrieval_metrics
+
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (1, 2)], ["id_a", "id_b"]
+    )
+    gold = spark.createDataFrame([(1, 2), (2, 3), (6, 7)], ["id_a", "id_b"])
+    row = pair_retrieval_metrics(cand, gold).collect()[0]
+    assert row["n_candidates"] == 4 and row["n_gold"] == 3 and row["n_hits"] == 2
+    assert row["prec"] == 0.5
+    assert abs(row["rec"] - 2 / 3) < 1e-6
+    p, r = 0.5, 2 / 3
+    assert abs(row["f1"] - 2 * p * r / (p + r)) < 1e-6
+    # empty candidate set: all-zero metrics, no div-by-zero
+    empty = pair_retrieval_metrics(cand.filter("id_a > 99"), gold).collect()[0]
+    assert empty["n_candidates"] == 0 and empty["prec"] == 0.0 and empty["f1"] == 0.0
