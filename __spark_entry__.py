@@ -1635,6 +1635,18 @@ def q_events_session(spark, sf_dir):
     return sessionize(read_events(spark, sf_dir))
 
 
+def q_time_rollup(spark, sf_dir):
+    """Hypertable-style multi-grain rollup (operators/timeseries.py:
+    multi_grain_rollup): hour/day/month aggregates where each coarser
+    grain re-aggregates the finer grain's partials — the raw fact is
+    scanned ONCE; day/month shuffles move bucket-cardinality rows
+    only. Oracle replays the three grains directly off raw (the
+    rollup is algebraic, so partial re-aggregation is exact)."""
+    from awi_datapipelinepublic_spark.operators.timeseries import multi_grain_rollup
+
+    return multi_grain_rollup(read_events(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Extensions: multidimensional aggregates, rank/range operators,
 # time-series scaffolding, skew-safe joins
@@ -3466,8 +3478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- red r4 row) + 49 FIRST-TIME ids never driver-checked in
         # --- r1-r4: the r4-new ANN/k-means/semantic-dedup family, all
         # --- four scan formats, the window-function + subquery + set-op
-        # --- families, and the text-quality LLM ops. 46 ids then
-        # --- remain never-driver-checked (32 pre-r5 + the 14 new r5
+        # --- families, and the text-quality LLM ops. 47 ids then
+        # --- remain never-driver-checked (32 pre-r5 + the 15 new r5
         # --- ops below the marker) — they are the r6 window.
         "validate_expectations": q_validate_expectations,
         "kmeans_clusters": q_kmeans_clusters,
@@ -3682,6 +3694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "scan_schema_drift": q_scan_schema_drift,
         "dedup_pr_eval": q_dedup_pr_eval,
+        "time_rollup": q_time_rollup,
     }
 
 
@@ -4490,6 +4503,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        # Replays multi_grain_rollup: the rollup is algebraic
+        # (count/sum), so re-aggregating hourly partials equals direct
+        # grouping off raw at each grain; 4dp rounding at the edge only.
+        "time_rollup": """
+            SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket,
+                   COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total
+            FROM events GROUP BY 2
+            UNION ALL
+            SELECT 'day', date_trunc('day', ts),
+                   COUNT(*), ROUND(SUM(value), 4)
+            FROM events GROUP BY 2
+            UNION ALL
+            SELECT 'month', date_trunc('month', ts),
+                   COUNT(*), ROUND(SUM(value), 4)
+            FROM events GROUP BY 2
         """,
         "agg_string_list": """
             SELECT o_custkey,

@@ -152,3 +152,49 @@ def ewma(
         return pdf
 
     return df.groupBy(key_col).applyInPandas(smooth, schema=schema)
+
+
+def multi_grain_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: hour → day → month
+    aggregates in ONE raw scan. The finest (hourly) grain is the only
+    groupBy that touches raw rows; each coarser grain re-aggregates the
+    previous grain's PARTIALS (counts sum, sums sum — both algebraic),
+    so the raw 100 TB fact is read exactly once and the day/month
+    shuffles move only bucket-cardinality rows (~10³-10⁴/day). This is
+    the continuous-aggregate / materialized-rollup pattern every
+    time-series store ships; here it is three chained groupBys whose
+    inputs shrink by the bucket ratio at each level.
+
+    Returns (grain, bucket, n_events, total) with total rounded at 4dp
+    only at the output edge — intermediate partials stay unrounded so
+    coarser grains aggregate full-precision doubles.
+    """
+    hour = (
+        events.groupBy(F.date_trunc("hour", F.col(ts_col)).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("__sum"),
+        )
+    )
+    day = (
+        hour.groupBy(F.date_trunc("day", F.col("bucket")).alias("bucket"))
+        .agg(F.sum("n_events").alias("n_events"), F.sum("__sum").alias("__sum"))
+    )
+    month = (
+        day.groupBy(F.date_trunc("month", F.col("bucket")).alias("bucket"))
+        .agg(F.sum("n_events").alias("n_events"), F.sum("__sum").alias("__sum"))
+    )
+
+    def out(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            F.col("bucket"),
+            F.col("n_events"),
+            F.round("__sum", 4).alias("total"),
+        )
+
+    return out(hour, "hour").unionAll(out(day, "day")).unionAll(out(month, "month"))
