@@ -50,12 +50,17 @@ def prepare(spark, sf_dir: str, out_dir: str) -> dict:
     docs = spark.read.parquet(str(Path(sf_dir) / "documents.parquet"))
     n_raw = docs.count()
 
-    # 1. quality + language gate (pure Column expressions, one scan),
-    # then the character-entropy gibberish/boilerplate screen
-    # (doc_entropy — explode + map-side-combine char counts; natural
-    # prose sits ~4-4.5 bits/char, repeated-template spam under ~3)
+    # 1. quality + language gate (pure Column expressions, one scan):
+    # composite score, stopword-ratio lang-id, AND the Gopher
+    # word-level rule verdict — all fused into the scan stage by
+    # Catalyst. Then the character-entropy gibberish/boilerplate
+    # screen (doc_entropy — explode + map-side-combine char counts;
+    # natural prose sits ~4-4.5 bits/char, template spam under ~3).
+    gopher_pass = X.gopher_rules(F.col("text"), min_words=20)["passes"]
     kept = docs.filter(
-        (X.quality_score("text") > 0.3) & (X.lang_id("text") == "en")
+        (X.quality_score("text") > 0.3)
+        & (X.lang_id("text") == "en")
+        & (gopher_pass == 1)
     )
     low_ent = X.doc_entropy(kept, ["doc_id"]).filter(
         F.col("entropy") < 3.0

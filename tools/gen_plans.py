@@ -59,6 +59,7 @@ TARGETS = {
     "bigram_lm": "Adjacent pairs via codegen zip_with; pair groupBy + context-total join-back, no window over raw pairs",
     "gopher_filter": "Gopher rule set: ONE codegen projection over the scan - no Exchange anywhere in the plan",
     "curation_pipeline": "lang+gopher filters fused into the scan stage; the md5-fingerprint dedup groupBy is the only shuffle",
+    "time_rollup": "ONE raw scan: day/month branches read the persisted hourly/daily partials (InMemoryTableScan), never the fact again",
 }
 
 
