@@ -3354,12 +3354,22 @@ def q_triangle_count(spark, sf_dir):
     from awi_datapipelinepublic_spark.operators.graph import triangle_count
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    # co-purchase pairs via in-bucket expansion (the LSH-bucket pattern,
+    # dedup.py:minhash_lsh_candidates): ONE groupBy shuffle on orderkey
+    # + a codegen nested-transform pair explode, instead of a fact-fact
+    # self-join that shuffles and sorts the lineitem twice. Buckets are
+    # order-sized (≤7 items), so the expansion is bounded per row.
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ids")
+    )
+    edges = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (a, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), b -> struct(a AS src, b AS dst))))"
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst")
     return triangle_count(edges)
 
 
