@@ -1500,6 +1500,43 @@ def q_quality_score(spark, sf_dir):
     return d.select("doc_id", X.quality_score("text").alias("quality"))
 
 
+_DE_SAMPLE = "der hund und die katze ist ein tier nicht mit auf für von haus"
+_FR_SAMPLE = "le chien et la chatte est un animal pas avec sur pour de maison"
+
+
+def q_lang_id_multi(spark, sf_dir):
+    """Multi-language stopword-ratio heuristic (functions/text.py:
+    lang_id_scores): per-language ratios over frozen de/en/fr lists +
+    deterministic argmax prediction. The corpus is English-only, so
+    German/French samples are injected deterministically (doc_id%7)
+    and the oracle replays the injection + the same strict-> fold."""
+    from awi_datapipelinepublic_spark.functions.text import lang_id_scores
+
+    d = _t(spark, sf_dir, "documents")
+    dirty = (
+        F.when(F.col("doc_id") % 7 == 1, F.lit(_DE_SAMPLE))
+        .when(F.col("doc_id") % 7 == 2, F.lit(_FR_SAMPLE))
+        .otherwise(F.col("text"))
+    )
+    s = lang_id_scores(dirty)
+    return d.select(
+        "doc_id",
+        F.round(s["score_de"], 6).alias("score_de"),
+        F.round(s["score_en"], 6).alias("score_en"),
+        F.round(s["score_fr"], 6).alias("score_fr"),
+        s["lang_pred"].alias("lang_pred"),
+    )
+
+
+def q_dedup_cluster_stats(spark, sf_dir):
+    """Duplication-profile audit (operators/dedup.py:
+    dedup_cluster_stats): histogram of exact-dup cluster sizes —
+    two chained groupBys, each input strictly smaller than the last."""
+    from awi_datapipelinepublic_spark.operators.dedup import dedup_cluster_stats
+
+    return dedup_cluster_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_pii_redact(spark, sf_dir):
     """PII redaction (functions/privacy.py): email/IP/SSN/phone →
     typed placeholders, one chained-regexp projection. The synthetic
@@ -3488,8 +3525,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- red r4 row) + 49 FIRST-TIME ids never driver-checked in
         # --- r1-r4: the r4-new ANN/k-means/semantic-dedup family, all
         # --- four scan formats, the window-function + subquery + set-op
-        # --- families, and the text-quality LLM ops. 47 ids then
-        # --- remain never-driver-checked (32 pre-r5 + the 15 new r5
+        # --- families, and the text-quality LLM ops. 49 ids then
+        # --- remain never-driver-checked (32 pre-r5 + the 17 new r5
         # --- ops below the marker) — they are the r6 window.
         "validate_expectations": q_validate_expectations,
         "kmeans_clusters": q_kmeans_clusters,
@@ -3705,10 +3742,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_schema_drift": q_scan_schema_drift,
         "dedup_pr_eval": q_dedup_pr_eval,
         "time_rollup": q_time_rollup,
+        "lang_id_multi": q_lang_id_multi,
+        "dedup_cluster_stats": q_dedup_cluster_stats,
     }
 
 
 _STOPWORDS_SQL = "(" + ",".join(f"'{w}'" for w in X.EN_STOPWORDS) + ")"
+
+
+def _lang_sql(lang: str) -> str:
+    return "(" + ",".join(f"'{w}'" for w in X.LANG_STOPWORDS[lang]) + ")"
 
 # DuckDB-dialect shared fragments for the text oracles. Tokenization is
 # normalize (lower, collapse whitespace, trim) then split on single
@@ -4150,6 +4193,13 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
             FROM documents GROUP BY 1
         """,
+        "dedup_cluster_stats": f"""
+            WITH cl AS (SELECT md5({_NORM}) AS f, COUNT(*) AS cluster_size
+                        FROM documents GROUP BY 1)
+            SELECT cluster_size, COUNT(*) AS n_clusters,
+                   CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+            FROM cl GROUP BY 1
+        """,
         "dedup_ngram_jaccard": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
             sh AS (
@@ -4333,6 +4383,45 @@ def oracle_sql() -> dict[str, str]:
                         x -> x IN {_STOPWORDS_SQL})) * 1.0 / len({_TOKS}) >= 0.08
                         THEN 'en' ELSE 'unknown' END AS lang_pred
             FROM documents
+        """,
+        # Replays q_lang_id_multi: the %7 de/fr sample injection, the
+        # per-language cleaned-token stopword ratios, then the strict->
+        # argmax fold in sorted language order (de, en, fr) with the
+        # 0.08 DOUBLE threshold seed — ties keep the earlier language.
+        "lang_id_multi": f"""
+            WITH dirty AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 1 THEN '{_DE_SAMPLE}'
+                          WHEN doc_id % 7 = 2 THEN '{_FR_SAMPLE}'
+                          ELSE text END AS s
+              FROM documents),
+            tok AS (
+              SELECT doc_id,
+                     list_transform(
+                       string_split(trim(regexp_replace(lower(s), '\\s+', ' ', 'g')), ' '),
+                       x -> regexp_replace(x, '[^a-zà-ÿ]', '', 'g')) AS ct,
+                     len(string_split(trim(regexp_replace(lower(s), '\\s+', ' ', 'g')), ' ')) AS n
+              FROM dirty),
+            sc AS (
+              SELECT doc_id,
+                     len(list_filter(ct, x -> x IN {_lang_sql("de")})) * 1.0 / n AS s_de,
+                     len(list_filter(ct, x -> x IN {_lang_sql("en")})) * 1.0 / n AS s_en,
+                     len(list_filter(ct, x -> x IN {_lang_sql("fr")})) * 1.0 / n AS s_fr
+              FROM tok),
+            f1 AS (SELECT *,
+                     CASE WHEN s_de > 0.08::DOUBLE THEN 'de' ELSE 'unknown' END AS p1,
+                     GREATEST(s_de, 0.08::DOUBLE) AS b1
+                   FROM sc),
+            f2 AS (SELECT *,
+                     CASE WHEN s_en > b1 THEN 'en' ELSE p1 END AS p2,
+                     GREATEST(s_en, b1) AS b2
+                   FROM f1)
+            SELECT doc_id,
+                   ROUND(s_de, 6) AS score_de,
+                   ROUND(s_en, 6) AS score_en,
+                   ROUND(s_fr, 6) AS score_fr,
+                   CASE WHEN s_fr > b2 THEN 'fr' ELSE p2 END AS lang_pred
+            FROM f2
         """,
         "quality_score": f"""
             WITH base AS (

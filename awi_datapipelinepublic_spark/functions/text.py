@@ -20,6 +20,24 @@ EN_STOPWORDS = (
     "on", "as", "with", "was", "at", "by", "an", "be", "this", "are",
 )
 
+# Frozen high-frequency lists for the multi-language heuristic
+# (lang_id_scores). Same contract as EN_STOPWORDS: tiny, fixed, and
+# any production deployment swaps in a trained model via the same
+# projection shape.
+LANG_STOPWORDS = {
+    "en": EN_STOPWORDS,
+    "de": (
+        "der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit",
+        "auf", "für", "von", "sich", "dem", "den", "des", "im", "zu",
+        "sie", "er",
+    ),
+    "fr": (
+        "le", "la", "les", "et", "est", "un", "une", "pas", "avec",
+        "sur", "pour", "de", "se", "du", "des", "au", "en", "que",
+        "elle", "il",
+    ),
+}
+
 
 def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
@@ -57,6 +75,37 @@ def lang_id(c: Column | str, threshold: float = 0.08) -> Column:
     model via mapInPandas; the contract — string label column, pure
     projection, no shuffle — is identical.)"""
     return F.when(stopword_ratio(c) >= threshold, F.lit("en")).otherwise(F.lit("unknown"))
+
+
+def _stopword_ratio_for(c: Column | str, words: tuple[str, ...]) -> Column:
+    """Stopword ratio against an arbitrary frozen word list."""
+    toks = tokens(F.lower(_col(c)))
+    cleaned = F.transform(toks, lambda x: F.regexp_replace(x, r"[^a-zà-ÿ]", ""))
+    arr = F.array(*[F.lit(w) for w in words])
+    n = F.size(toks)
+    hits = F.size(F.filter(cleaned, lambda x: F.array_contains(arr, x)))
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits / n.cast("double"))
+
+
+def lang_id_scores(c: Column | str, threshold: float = 0.08) -> dict[str, Column]:
+    """Multi-language stopword-ratio heuristic: one ratio per language
+    in LANG_STOPWORDS plus an argmax ``lang_pred`` ('unknown' when no
+    language clears ``threshold``; ties break by language-code order,
+    deterministically). One projection, no shuffle — the multi-class
+    twin of :func:`lang_id`, same swap-in-a-real-model contract."""
+    scores = {lang: _stopword_ratio_for(c, ws) for lang, ws in LANG_STOPWORDS.items()}
+    langs = sorted(scores)
+    best = F.lit("unknown")
+    best_score = F.lit(float(threshold))
+    # strict > against the running best keeps the FIRST language in
+    # sorted order on ties (and 'unknown' when nothing clears threshold)
+    for lang in langs:
+        is_better = scores[lang] > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
+    out = {f"score_{lang}": scores[lang] for lang in langs}
+    out["lang_pred"] = best
+    return out
 
 
 def punct_ratio(c: Column | str) -> Column:

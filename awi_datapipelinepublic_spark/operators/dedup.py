@@ -813,3 +813,24 @@ def semantic_dedup(
     return emb.join(
         victims, emb[id_col] == victims["doc_id"], "left_anti"
     ).select(id_col)
+
+
+def dedup_cluster_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplication profile: histogram of exact-duplicate cluster sizes
+    (cluster_size, n_clusters, n_docs) — the before/after audit every
+    dedup deployment reports (what fraction of the corpus is singleton
+    vs 2-copy vs boilerplate mega-cluster).
+
+    Two chained groupBys: fingerprint → cluster sizes (map-side
+    combined, the exact_dedup shuffle), then size → histogram (the
+    second input is cluster-cardinality rows, the second shuffle is
+    histogram-cardinality — both strictly smaller than the corpus).
+    """
+    clusters = exact_dedup(df, text_col, id_col)
+    return (
+        clusters.groupBy(F.col("dup_count").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .withColumn("n_docs", (F.col("cluster_size") * F.col("n_clusters")).cast("long"))
+    )

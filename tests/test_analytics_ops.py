@@ -858,3 +858,42 @@ def test_pair_retrieval_metrics_hand_values(spark):
     # empty candidate set: all-zero metrics, no div-by-zero
     empty = pair_retrieval_metrics(cand.filter("id_a > 99"), gold).collect()[0]
     assert empty["n_candidates"] == 0 and empty["prec"] == 0.0 and empty["f1"] == 0.0
+
+
+def test_lang_id_scores_hand_values(spark):
+    """Per-language ratios and deterministic argmax; strict-> fold
+    keeps 'unknown' at the exact threshold and earlier language on
+    exact score ties."""
+    from awi_datapipelinepublic_spark.functions.text import lang_id_scores
+
+    docs = [
+        (0, "the cat and the dog sat on it"),
+        (1, "der hund und die katze ist ein tier"),
+        (2, "le chien et la chatte est un animal"),
+        (3, "zzz qqq xxx www"),          # nothing clears threshold
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    s = lang_id_scores(F.col("text"))
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in df.select("doc_id", *[v.alias(k) for k, v in s.items()]).collect()
+    }
+    assert got[0]["lang_pred"] == "en" and got[0]["score_en"] > 0.3
+    assert got[1]["lang_pred"] == "de" and got[1]["score_de"] > 0.5
+    assert got[2]["lang_pred"] == "fr" and got[2]["score_fr"] > 0.5
+    assert got[3]["lang_pred"] == "unknown"
+    assert got[4]["lang_pred"] == "unknown" and got[4]["score_en"] == 0.0
+
+
+def test_dedup_cluster_stats_hand_values(spark):
+    from awi_datapipelinepublic_spark.operators.dedup import dedup_cluster_stats
+
+    df = spark.createDataFrame(
+        [(0, "aa bb"), (1, "aa  BB"), (2, "cc"), (3, "dd"), (4, "cc")],
+        ["doc_id", "text"],
+    )
+    got = {r["cluster_size"]: (r["n_clusters"], r["n_docs"])
+           for r in dedup_cluster_stats(df).collect()}
+    # "aa bb"≡"aa  BB" (normalize), "cc"×2 → two 2-clusters; "dd" singleton
+    assert got == {2: (2, 4), 1: (1, 1)}
