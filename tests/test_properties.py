@@ -451,3 +451,41 @@ def test_calibrate_scores_bounds_and_monotone_property(spark, data):
         assert cal == sorted(cal)
         if len(grp) > 1:
             assert cal[0] == 0.0 and cal[-1] == 1.0
+
+
+@settings(max_examples=2, deadline=None)
+@given(st.data())
+def test_gopher_signals_match_python_reference(spark, data):
+    """mean_word_length / alpha_word_ratio / symbol_word_ratio equal a
+    pure-python replay of the spec on ASCII text (the signals divide
+    exact integers, so the doubles must match bit-for-bit)."""
+    import re
+
+    from awi_datapipelinepublic_spark.functions.text import (
+        alpha_word_ratio,
+        mean_word_length,
+        symbol_word_ratio,
+    )
+
+    ascii_st = st.text(
+        alphabet=st.sampled_from("abcz# .!109"), min_size=0, max_size=30
+    )
+    cases = data.draw(st.lists(ascii_st, min_size=1, max_size=150))
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    got = df.select(
+        mean_word_length("text").alias("m"),
+        alpha_word_ratio("text").alias("a"),
+        symbol_word_ratio("text").alias("s"),
+    ).collect()
+
+    for c, row in zip(cases, got):
+        words = c.lower().split()
+        if not words:
+            assert (row["m"], row["a"], row["s"]) == (0.0, 0.0, 0.0), c
+            continue
+        n = len(words)
+        assert row["m"] == sum(len(w) for w in words) / n, c
+        assert row["a"] == sum(1 for w in words if re.search("[a-z]", w)) / n, c
+        norm = " ".join(words)
+        symbols = norm.count("#") + len(re.findall(r"\.\.\.", norm))
+        assert row["s"] == symbols / n, c
