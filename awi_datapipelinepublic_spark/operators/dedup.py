@@ -82,12 +82,29 @@ MINHASH_A = [_hash_const(f"minhash-a{i}", 1 << 30, (1 << 31) - (1 << 30)) for i 
 MINHASH_B = [_hash_const(f"minhash-b{i}", 0, MINHASH_P) for i in range(64)]
 
 
-def _base_hash32(col):
-    """First 8 hex digits of md5 → uniform 32-bit base hash. The
-    2^32 universe is ample for per-document argmin estimation (a
-    cross-shingle collision needs ~2^16 distinct shingles in ONE
-    comparison to matter; documents carry a few hundred)."""
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+def _base_hash32(col, hash_family: str = "md5"):
+    """Uniform 32-bit base hash. The 2^32 universe is ample for
+    per-document argmin estimation (a cross-shingle collision needs
+    ~2^16 distinct shingles in ONE comparison to matter; documents
+    carry a few hundred).
+
+    Families:
+    - "md5" (default): first 8 hex digits of md5 — bit-identical in
+      DuckDB, the cross-engine verifiability contract every gate uses.
+    - "xxhash64": low 32 bits of Spark's native xxhash64 — the
+      PRODUCTION fast path (no digest string, no hex conversion;
+      measured ~1.15× faster end-to-end on the sf0.1 LSH pipeline —
+      the Arrow shingle UDF, not the hash, dominates that pipeline).
+      Same statistical quality, NOT replayable in the oracle — use
+      when nothing needs to re-verify signatures outside Spark.
+    Both stay < 2^32, preserving the affine transform's signed-64
+    overflow-safety contract (a_i < 2^31 → a_i·h < 2^63).
+    """
+    if hash_family == "md5":
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+    if hash_family == "xxhash64":
+        return F.xxhash64(col).bitwiseAND(F.lit(0xFFFFFFFF))
+    raise ValueError(f"unknown hash_family {hash_family!r} (md5 | xxhash64)")
 
 
 def _affine_hash(h, seed: int):
@@ -135,6 +152,7 @@ def minhash_signature(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     k: int = 5,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """(id, signature array<bigint>): per-seed min over shingle hashes.
 
@@ -157,6 +175,11 @@ def minhash_signature(
     Catalyst's project-collapsing re-inlines the tokenize expression
     into every lambda, going quadratic; the explode/agg form is both
     safe from that and the standard distributed-minhash shape.)
+
+    ``hash_family="xxhash64"`` swaps the base hash for Spark's native
+    xxhash64 (see _base_hash32) — the production fast path when
+    cross-engine replay is not needed; the affine family and every
+    downstream stage are unchanged.
     """
     from awi_datapipelinepublic_spark.functions.parallel import spread_small_input
 
@@ -164,7 +187,7 @@ def minhash_signature(
         F.col(id_col), F.explode(_shingle_set_udf(k)(F.col(text_col))).alias("__sh")
     )
     hashed = sh_rows.select(
-        F.col(id_col), _base_hash32(F.col("__sh")).alias("__bh")
+        F.col(id_col), _base_hash32(F.col("__sh"), hash_family).alias("__bh")
     ).select(
         F.col(id_col),
         *[_affine_hash(F.col("__bh"), s).alias(f"__h{s}") for s in range(num_hashes)],
@@ -184,6 +207,7 @@ def minhash_band_keys(
     num_hashes: int = 32,
     bands: int = 8,
     k: int = 5,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """(id, band_no, band_key) LSH band rows — the unit both the batch
     candidate generator (:func:`minhash_lsh_candidates`) and the
@@ -194,7 +218,9 @@ def minhash_band_keys(
     corpus dedup INDEX that incremental batches probe shuffle-free.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signature(df.select(id_col, text_col), text_col, id_col, num_hashes, k)
+    sigs = minhash_signature(
+        df.select(id_col, text_col), text_col, id_col, num_hashes, k, hash_family
+    )
     band_cols = F.array(
         *[
             F.concat_ws(
@@ -278,6 +304,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     k: int = 5,
     max_bucket: int = 2000,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding.
 
@@ -301,7 +328,7 @@ def minhash_lsh_candidates(
     paired are the cheap case: run :func:`exact_dedup` first (the full
     pipeline's documented contract).
     """
-    banded = minhash_band_keys(df, text_col, id_col, num_hashes, bands, k)
+    banded = minhash_band_keys(df, text_col, id_col, num_hashes, bands, k, hash_family)
     # Pair generation via groupBy + in-bucket expansion, NOT a self-join:
     # a self-join recomputes the whole signature pipeline for both sides
     # and shuffles it twice; grouping shuffles the (id, band) rows once

@@ -897,3 +897,34 @@ def test_dedup_cluster_stats_hand_values(spark):
            for r in dedup_cluster_stats(df).collect()}
     # "aa bb"≡"aa  BB" (normalize), "cc"×2 → two 2-clusters; "dd" singleton
     assert got == {2: (2, 4), 1: (1, 1)}
+
+
+def test_minhash_xxhash64_fast_family(spark):
+    """The production hash family: exact duplicates still share every
+    band (identical shingles → identical signature regardless of
+    family), signatures genuinely differ from the md5 family, and the
+    32-bit range contract holds (affine overflow safety)."""
+    from awi_datapipelinepublic_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signature,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = [(0, base), (1, base), (2, "completely different words entirely here now")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(df, k=3, hash_family="xxhash64").collect()
+    }
+    assert (0, 1) in pairs and (0, 2) not in pairs
+    sig_md5 = minhash_signature(df, k=3).collect()
+    sig_xx = minhash_signature(df, k=3, hash_family="xxhash64").collect()
+    md5_map = {r["doc_id"]: r["signature"] for r in sig_md5}
+    xx_map = {r["doc_id"]: r["signature"] for r in sig_xx}
+    assert md5_map[0] != xx_map[0]          # the family actually switched
+    assert xx_map[0] == xx_map[1]           # exact dups identical
+    assert all(0 <= v < (1 << 61) - 1 for v in xx_map[0])
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        minhash_signature(df, hash_family="fnv")
