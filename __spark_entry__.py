@@ -1528,6 +1528,16 @@ def q_lang_id_multi(spark, sf_dir):
     )
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Sequence-aware LM quality proxy (operators/quality.py:
+    bigram_logprob): per-doc mean log p(w2|w1) under the corpus's own
+    bigram counts — the word-ORDER-sensitive CCNet-style filter the
+    unigram proxy can't express."""
+    from awi_datapipelinepublic_spark.operators.quality import bigram_logprob
+
+    return bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_cluster_stats(spark, sf_dir):
     """Duplication-profile audit (operators/dedup.py:
     dedup_cluster_stats): histogram of exact-dup cluster sizes —
@@ -3525,8 +3535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- red r4 row) + 49 FIRST-TIME ids never driver-checked in
         # --- r1-r4: the r4-new ANN/k-means/semantic-dedup family, all
         # --- four scan formats, the window-function + subquery + set-op
-        # --- families, and the text-quality LLM ops. 49 ids then
-        # --- remain never-driver-checked (32 pre-r5 + the 17 new r5
+        # --- families, and the text-quality LLM ops. 50 ids then
+        # --- remain never-driver-checked (32 pre-r5 + the 18 new r5
         # --- ops below the marker) — they are the r6 window.
         "validate_expectations": q_validate_expectations,
         "kmeans_clusters": q_kmeans_clusters,
@@ -3744,6 +3754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup": q_time_rollup,
         "lang_id_multi": q_lang_id_multi,
         "dedup_cluster_stats": q_dedup_cluster_stats,
+        "bigram_logprob": q_bigram_logprob,
     }
 
 
@@ -5722,6 +5733,25 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_tokens
         FROM toks t JOIN counts c USING (tok), total
         GROUP BY t.doc_id
+    """
+    # Replays operators/quality.py:bigram_logprob — adjacent-pair
+    # grams, corpus pair counts / context totals, per-doc mean of
+    # log(pair/ctx). Docs with < 2 tokens emit no pairs in either
+    # engine and are absent from both outputs.
+    sql["bigram_logprob"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        idx AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks),
+        prs AS (SELECT doc_id,
+                       t[i] || ' ' || t[i+1] AS gram,
+                       t[i] AS ctx
+                FROM idx),
+        pc AS (SELECT gram, COUNT(*) AS pcnt FROM prs GROUP BY gram),
+        cc AS (SELECT ctx, COUNT(*) AS ccnt FROM prs GROUP BY ctx)
+        SELECT p.doc_id,
+               ROUND(AVG(LN(pc.pcnt * 1.0 / cc.ccnt)), 6) AS mean_logprob,
+               COUNT(*) AS n_bigrams
+        FROM prs p JOIN pc USING (gram) JOIN cc USING (ctx)
+        GROUP BY p.doc_id
     """
     sql["tpch_q19_brackets"] = """
         SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,

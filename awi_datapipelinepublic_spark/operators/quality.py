@@ -729,3 +729,51 @@ def pair_retrieval_metrics(
         F.round("__r", 6).alias("rec"),
         F.round(f1, 6).alias("f1"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Sequence-aware LM quality score: each document's mean bigram
+    conditional log-probability log p(w2|w1) under the corpus's own
+    bigram counts — the next step up from :func:`unigram_logprob`
+    toward the KenLM-perplexity filters of CCNet/RefinedWeb. A doc
+    whose word ORDER is improbable scores low even when its unigrams
+    are common (shuffled/templated text), which the unigram proxy
+    cannot see. Scoring the training corpus itself means every doc
+    bigram has a nonzero corpus count — no backoff branch needed.
+
+    Scale shape: adjacent pairs via codegen zip_with (no UDF, no HOF
+    re-evaluation — the token array is materialized first), then the
+    unigram_logprob two-pass pattern twice: pair counts and context
+    totals are separate vocabulary-sized groupBys joined back to the
+    exploded pair stream on their keys (never broadcast by hand; AQE
+    promotes small ones). Final per-doc mean is one groupBy.
+    """
+    from awi_datapipelinepublic_spark.functions.text import normalize_text, tokens
+
+    toks = df.select(id_col, tokens(normalize_text(text_col)).alias("t"))
+    pairs = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.zip_with(
+                    F.slice(F.col("t"), 1, F.size("t") - 1),
+                    F.slice(F.col("t"), 2, F.size("t") - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    ).withColumn("ctx", F.split_part(F.col("gram"), F.lit(" "), F.lit(1)))
+    pc = pairs.groupBy("gram").agg(F.count(F.lit(1)).alias("__pc"))
+    ctx = pairs.groupBy("ctx").agg(F.count(F.lit(1)).alias("__cc"))
+    scored = (
+        pairs.join(pc, "gram")
+        .join(ctx, "ctx")
+        .select(id_col, F.log(F.col("__pc") / F.col("__cc")).alias("lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg("lp"), 6).alias("mean_logprob"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )

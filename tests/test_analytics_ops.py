@@ -928,3 +928,25 @@ def test_minhash_xxhash64_fast_family(spark):
 
     with _pt.raises(ValueError):
         minhash_signature(df, hash_family="fnv")
+
+
+def test_bigram_logprob_hand_values(spark):
+    """Hand-computed corpus bigram model: doc 0 = 'a b a b' and
+    doc 1 = 'a b c'. Pairs: (a b)x3, (b a)x1, (b c)x1; contexts:
+    a->3, b->2."""
+    import math
+
+    from awi_datapipelinepublic_spark.operators.quality import bigram_logprob
+
+    df = spark.createDataFrame([(0, "a b a b"), (1, "a b c"), (2, "x")],
+                               ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    # doc 0 pairs: ab, ba, ab -> lp = ln(3/3), ln(1/2), ln(3/3)
+    exp0 = (math.log(1.0) + math.log(0.5) + math.log(1.0)) / 3
+    assert abs(got[0]["mean_logprob"] - round(exp0, 6)) < 1e-9
+    assert got[0]["n_bigrams"] == 3
+    # doc 1 pairs: ab, bc -> ln(3/3), ln(1/2)
+    exp1 = (math.log(1.0) + math.log(0.5)) / 2
+    assert abs(got[1]["mean_logprob"] - round(exp1, 6)) < 1e-9
+    # single-token doc emits no pairs
+    assert 2 not in got
