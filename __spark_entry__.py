@@ -1530,6 +1530,17 @@ def q_lang_id_multi(spark, sf_dir):
     )
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention triangle (operators/events.py:
+    cohort_retention): users bucketed by first-seen day; per
+    (cohort_day, offset) active counts + retention rate. Activity is
+    deduplicated to (user, day) before any join, so the pipeline is
+    three key-partitioned groupBys and one user-key join."""
+    from awi_datapipelinepublic_spark.operators.events import cohort_retention
+
+    return cohort_retention(read_events(spark, sf_dir))
+
+
 def q_bigram_logprob(spark, sf_dir):
     """Sequence-aware LM quality proxy (operators/quality.py:
     bigram_logprob): per-doc mean log p(w2|w1) under the corpus's own
@@ -3537,8 +3548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- red r4 row) + 49 FIRST-TIME ids never driver-checked in
         # --- r1-r4: the r4-new ANN/k-means/semantic-dedup family, all
         # --- four scan formats, the window-function + subquery + set-op
-        # --- families, and the text-quality LLM ops. 50 ids then
-        # --- remain never-driver-checked (32 pre-r5 + the 18 new r5
+        # --- families, and the text-quality LLM ops. 51 ids then
+        # --- remain never-driver-checked (32 pre-r5 + the 19 new r5
         # --- ops below the marker) — they are the r6 window.
         "validate_expectations": q_validate_expectations,
         "kmeans_clusters": q_kmeans_clusters,
@@ -3757,6 +3768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_multi": q_lang_id_multi,
         "dedup_cluster_stats": q_dedup_cluster_stats,
         "bigram_logprob": q_bigram_logprob,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -5735,6 +5747,22 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_tokens
         FROM toks t JOIN counts c USING (tok), total
         GROUP BY t.doc_id
+    """
+    # Replays operators/events.py:cohort_retention: (user, day)
+    # distinct activity, min-day cohorts, offset counts ≤ 30, rate
+    # against cohort size at 6dp (one integer-ratio division).
+    sql["cohort_retention"] = """
+        WITH act AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+        coh AS (SELECT u, MIN(d) AS cohort_day FROM act GROUP BY u),
+        sizes AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM coh GROUP BY 1),
+        j AS (SELECT c.cohort_day, datediff('day', c.cohort_day, a.d) AS day_offset
+              FROM act a JOIN coh c USING (u)
+              WHERE datediff('day', c.cohort_day, a.d) <= 30),
+        cnt AS (SELECT cohort_day, day_offset, COUNT(*) AS active_users
+                FROM j GROUP BY 1, 2)
+        SELECT c.cohort_day, c.day_offset, c.active_users,
+               ROUND(c.active_users * 1.0 / s.cohort_size, 6) AS retention
+        FROM cnt c JOIN sizes s USING (cohort_day)
     """
     # Replays operators/quality.py:bigram_logprob — adjacent-pair
     # grams, corpus pair counts / context totals, per-doc mean of

@@ -82,3 +82,42 @@ def sessionize(
         )
         .drop("session_no")
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_offset: int | None = 30,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by FIRST-seen day, then
+    for every (cohort_day, day_offset) the count of cohort members
+    active offset days later — the standard product-analytics
+    retention triangle, plus the rate against cohort size.
+
+    Shape: one groupBy(user) min(day) for cohort assignment (map-side
+    combined), joined back to the per-(user, day) distinct activity
+    table on the user key, then one groupBy(cohort, offset) count.
+    The activity table is already deduplicated to (user, day) BEFORE
+    the join, so the join input is bounded by users × active-days,
+    never raw events; no window functions, no skew beyond the user
+    key itself. ``max_offset`` prunes the triangle's long tail.
+    """
+    day = F.to_date(F.col(ts_col))
+    activity = events.select(F.col(user_col).alias("u"), day.alias("d")).distinct()
+    cohorts = activity.groupBy("u").agg(F.min("d").alias("cohort_day"))
+    sizes = cohorts.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("cohort_size"))
+    joined = activity.join(cohorts, "u").select(
+        "cohort_day", F.datediff(F.col("d"), F.col("cohort_day")).alias("day_offset")
+    )
+    if max_offset is not None:
+        joined = joined.filter(F.col("day_offset") <= max_offset)
+    counts = joined.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )
+    return counts.join(sizes, "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "active_users",
+        F.round(F.col("active_users") / F.col("cohort_size"), 6).alias("retention"),
+    )
