@@ -2252,6 +2252,37 @@ def q_unpivot_melt(spark, sf_dir):
     return wide.unpivot(["o_orderpriority"], ["n_f", "n_o", "n_p"], "status_col", "n")
 
 
+def q_json_array_explode(spark, sf_dir):
+    """Nested-document ETL round trip: per-order lineitems collected
+    into a JSON ARRAY OF STRUCTS (to_json), then schema-declared
+    re-parse (from_json with array<struct<...>>) → explode → re-
+    aggregate. The round trip is an identity, so the oracle is the
+    direct per-order aggregate — which is exactly what makes it a
+    correctness check of the nested parse path, not of the data.
+    Scale shape: collect_list is per-order bounded (≤7 lines); parse +
+    explode are codegen; one groupBy each side."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    nested = li.groupBy("l_orderkey").agg(
+        F.to_json(
+            F.array_sort(F.collect_list(F.struct("l_linenumber", "l_quantity")))
+        ).alias("items_json")
+    )
+    parsed = nested.select(
+        "l_orderkey",
+        F.explode(
+            F.from_json(
+                "items_json", "array<struct<l_linenumber:int,l_quantity:double>>"
+            )
+        ).alias("it"),
+    )
+    return parsed.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("it.l_quantity"), 4).alias("sum_qty"),
+    )
+
+
 def q_json_parse(spark, sf_dir):
     """Schema-declared JSON parsing (from_json, not regex): extract a
     typed field from the events props document."""
@@ -3548,8 +3579,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- red r4 row) + 49 FIRST-TIME ids never driver-checked in
         # --- r1-r4: the r4-new ANN/k-means/semantic-dedup family, all
         # --- four scan formats, the window-function + subquery + set-op
-        # --- families, and the text-quality LLM ops. 51 ids then
-        # --- remain never-driver-checked (32 pre-r5 + the 19 new r5
+        # --- families, and the text-quality LLM ops. 52 ids then
+        # --- remain never-driver-checked (32 pre-r5 + the 20 new r5
         # --- ops below the marker) — they are the r6 window.
         "validate_expectations": q_validate_expectations,
         "kmeans_clusters": q_kmeans_clusters,
@@ -3769,6 +3800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_stats": q_dedup_cluster_stats,
         "bigram_logprob": q_bigram_logprob,
         "cohort_retention": q_cohort_retention,
+        "json_array_explode": q_json_array_explode,
     }
 
 
@@ -5747,6 +5779,14 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_tokens
         FROM toks t JOIN counts c USING (tok), total
         GROUP BY t.doc_id
+    """
+    # The JSON array round trip is an identity, so the oracle is the
+    # direct per-order aggregate — any parse/explode defect breaks the
+    # hash (q_json_array_explode).
+    sql["json_array_explode"] = """
+        SELECT l_orderkey, COUNT(*) AS n_items,
+               ROUND(SUM(l_quantity), 4) AS sum_qty
+        FROM lineitem GROUP BY 1
     """
     # Replays operators/events.py:cohort_retention: (user, day)
     # distinct activity, min-day cohorts, offset counts ≤ 30, rate
