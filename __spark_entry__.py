@@ -859,6 +859,30 @@ def q_asof_join(spark, sf_dir):
                       F.round(F.col("view_value"), 2).alias("view_value"))
 
 
+def q_asof_join_tolerance(spark, sf_dir):
+    """Forward as-of with tolerance (operators/joins.py:asof_join,
+    direction='forward', tolerance_seconds=3600): each click enriched
+    with the user's NEXT purchase value, nulled when it is more than
+    an hour ahead — pandas merge_asof's direction/tolerance surface on
+    the same linear union+window plan. Right side deduped per
+    (user, ts) keeping min value so tie-winners are deterministic."""
+    ev = read_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("value").alias("pvalue"))
+    )
+    out = asof_join(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        right_payload=["pvalue"], direction="forward", tolerance_seconds=3600,
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.round(F.col("pvalue"), 2).alias("next_purchase_value"),
+    )
+
+
 def q_sliding_window(spark, sf_dir):
     """Sliding 1h/30min windowed counts."""
     return sliding_window_agg(read_events(spark, sf_dir))
@@ -3579,8 +3603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- red r4 row) + 49 FIRST-TIME ids never driver-checked in
         # --- r1-r4: the r4-new ANN/k-means/semantic-dedup family, all
         # --- four scan formats, the window-function + subquery + set-op
-        # --- families, and the text-quality LLM ops. 52 ids then
-        # --- remain never-driver-checked (32 pre-r5 + the 20 new r5
+        # --- families, and the text-quality LLM ops. 53 ids then
+        # --- remain never-driver-checked (32 pre-r5 + the 21 new r5
         # --- ops below the marker) — they are the r6 window.
         "validate_expectations": q_validate_expectations,
         "kmeans_clusters": q_kmeans_clusters,
@@ -3801,6 +3825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "cohort_retention": q_cohort_retention,
         "json_array_explode": q_json_array_explode,
+        "asof_join_tolerance": q_asof_join_tolerance,
     }
 
 
@@ -5779,6 +5804,25 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_tokens
         FROM toks t JOIN counts c USING (tok), total
         GROUP BY t.doc_id
+    """
+    # Replays q_asof_join_tolerance: per-(user, ts) deduped purchases,
+    # correlated MIN next-ts per click, payload nulled past the 3600 s
+    # tolerance. Ties at equal ts match (>=), as in the engine.
+    sql["asof_join_tolerance"] = """
+        WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        p AS (SELECT user_id, ts, MIN(value) AS pvalue
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        m AS (SELECT c.event_id, c.user_id, c.ts,
+                     (SELECT MIN(p.ts) FROM p
+                      WHERE p.user_id = c.user_id AND p.ts >= c.ts) AS mts
+              FROM c)
+        SELECT m.event_id, m.user_id, m.ts,
+               CASE WHEN m.mts IS NOT NULL
+                         AND epoch(m.mts) - epoch(m.ts) <= 3600
+                    THEN ROUND((SELECT p.pvalue FROM p
+                                WHERE p.user_id = m.user_id AND p.ts = m.mts), 2)
+               END AS next_purchase_value
+        FROM m
     """
     # The JSON array round trip is an identity, so the oracle is the
     # direct per-order aggregate — any parse/explode defect breaks the

@@ -129,22 +129,36 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_payload: list[str],
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
-    right_ts ≤ left_ts for the same key (beyond-reference operator;
-    the time-series enrichment primitive Spark lacks natively).
+    right_ts ≤ left_ts (``direction="backward"``, default) or the
+    earliest with right_ts ≥ left_ts (``"forward"``) for the same key
+    — the time-series enrichment primitive Spark lacks natively, with
+    pandas merge_asof's direction/tolerance surface.
 
     Implemented as union + one partitioned window — NOT a range
-    self-join: tag both sides, sort within (key) by (ts, side), and
-    carry the last seen right payload forward with
+    self-join: tag both sides, sort within (key) by (ts, side)
+    (ts DESC for forward), and carry the last seen right payload with
     last_value(ignorenulls) over rows-unbounded-preceding. One shuffle
     on the key, linear in |left|+|right|, no quadratic candidate
     blow-up — this shape survives 100 TB where a theta-join would not.
-    Ties (right_ts == left_ts) match, mirroring DuckDB/kdb asof
-    semantics (right sorts before left at equal ts).
+    Ties (right_ts == left_ts) match in both directions (right sorts
+    before left at equal ts), mirroring DuckDB/kdb asof semantics.
+
+    ``tolerance_seconds`` nulls the payload when the matched right row
+    is farther than the bound: the matched right ts is carried through
+    the same window, so tolerance costs one extra carried column and a
+    conditional projection — no second pass. DETERMINISM NOTE: when
+    several right rows share one (key, ts), which payload wins depends
+    on partition order (same caveat as pandas); dedupe the right side
+    per (key, ts) first if that matters.
     """
     from pyspark.sql import Window
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left.columns
     tagged_l = left.select(
         F.col(key).alias("__k"), F.col(left_ts).alias("__ts"), F.lit(1).alias("__side"),
@@ -156,19 +170,34 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         *[F.col(p).alias(f"__p_{p}") for p in right_payload],
     )
+    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = tagged_l.unionByName(tagged_r).select(
+    carry = right_payload if tolerance_seconds is None else [*right_payload, "__mts"]
+    tagged = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
+    if tolerance_seconds is not None:
+        tagged = tagged.withColumn(
+            "__p___mts", F.when(F.col("__side") == 0, F.col("__ts"))
+        )
+    carried = tagged.select(
         "*",
-        *[
-            F.last(f"__p_{p}", ignorenulls=True).over(w).alias(p)
-            for p in right_payload
-        ],
+        *[F.last(f"__p_{p}", ignorenulls=True).over(w).alias(p) for p in carry],
     )
-    return carried.filter(F.col("__side") == 1).select(*lcols, *right_payload)
+    out = carried.filter(F.col("__side") == 1)
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.col("__ts").cast("double") - F.col("__mts").cast("double")
+        )
+        ok = F.col("__mts").isNotNull() & (gap <= F.lit(float(tolerance_seconds)))
+        out = out.select(
+            *lcols,
+            *[F.when(ok, F.col(p)).alias(p) for p in right_payload],
+        )
+        return out
+    return out.select(*lcols, *right_payload)
 
 
 def fuzzy_join_blocked(

@@ -881,3 +881,35 @@ def test_digest_prefilter_join_matches_plain_join(spark):
         for r in big.join(sel, big["k"] == sel["sk"], "inner").collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_asof_join_forward_with_tolerance(spark):
+    """Forward direction picks the EARLIEST right at-or-after each
+    left ts; tolerance nulls matches beyond the bound; equal ts match."""
+    import datetime as dt
+
+    from awi_datapipelinepublic_spark.operators.joins import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, 1, t(0)), (2, 1, t(30)), (3, 1, t(50)), (4, 2, t(0))],
+        "id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, t(30), 10.0), (1, t(45), 20.0)],
+        "k long, ts timestamp, v double",
+    )
+    out = {r["id"]: r["v"] for r in asof_join(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        right_payload=["v"], direction="forward", tolerance_seconds=600,
+    ).collect()}
+    assert out[1] is None            # next right is 30 min away > 10 min
+    assert out[2] == 10.0            # equal ts matches
+    assert out[3] is None            # 45 is within... 50->no right after
+    assert out[4] is None            # key 2 has no right rows
+    # widen tolerance: id 1 now reaches t(30)
+    out2 = {r["id"]: r["v"] for r in asof_join(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        right_payload=["v"], direction="forward", tolerance_seconds=3600,
+    ).collect()}
+    assert out2[1] == 10.0 and out2[2] == 10.0 and out2[3] is None
