@@ -116,6 +116,13 @@ BENCH_QUERIES = [
     # the FineWeb-style curation front half: lang-id + gopher rules
     # fused into the scan, one fingerprint-dedup shuffle
     "curation_pipeline",
+    # late round-5: one-scan multi-grain rollup, cohort retention
+    # triangle, word-order LM quality proxy, compact-forward triangle
+    # census (post-optimization), forward+tolerance as-of
+    "time_rollup",
+    "cohort_retention",
+    "bigram_logprob",
+    "asof_join_tolerance",
 ]
 
 
