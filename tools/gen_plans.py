@@ -60,6 +60,9 @@ TARGETS = {
     "gopher_filter": "Gopher rule set: ONE codegen projection over the scan - no Exchange anywhere in the plan",
     "curation_pipeline": "lang+gopher filters fused into the scan stage; the md5-fingerprint dedup groupBy is the only shuffle",
     "time_rollup": "ONE raw scan: day/month branches read the persisted hourly/daily partials (InMemoryTableScan), never the fact again",
+    "cohort_retention": "Activity dedups to (user, day) BEFORE the cohort join - join input bounded by users x active-days, never raw events",
+    "asof_join_tolerance": "Forward as-of: one key-partitioned window over the union - no range join, no Exchange beyond the key shuffle",
+    "bigram_logprob": "Pair + context count tables join back on their keys - SMJ/AQE decides, nothing broadcast by hand",
 }
 
 
