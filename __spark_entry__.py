@@ -1554,6 +1554,27 @@ def q_lang_id_multi(spark, sf_dir):
     )
 
 
+def q_normalize_accents(spark, sf_dir):
+    """Accent folding (functions/text.py:fold_accents) for
+    multilingual canonicalization: deterministic accented fragments
+    injected per doc_id, folded, and fingerprinted — the folded md5
+    only matches the oracle if every mapped character replays DuckDB's
+    strip_accents exactly."""
+    from awi_datapipelinepublic_spark.functions.text import doc_fingerprint, fold_accents
+
+    d = _t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.lit("café crème №"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(" àéîõü çñ "), F.substring("text", 1, 40),
+    )
+    folded = fold_accents(dirty)
+    return d.select(
+        "doc_id",
+        folded.alias("folded"),
+        doc_fingerprint(folded).alias("folded_fp"),
+    )
+
+
 def q_cohort_retention(spark, sf_dir):
     """Cohort retention triangle (operators/events.py:
     cohort_retention): users bucketed by first-seen day; per
@@ -3603,8 +3624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- red r4 row) + 49 FIRST-TIME ids never driver-checked in
         # --- r1-r4: the r4-new ANN/k-means/semantic-dedup family, all
         # --- four scan formats, the window-function + subquery + set-op
-        # --- families, and the text-quality LLM ops. 53 ids then
-        # --- remain never-driver-checked (32 pre-r5 + the 21 new r5
+        # --- families, and the text-quality LLM ops. 54 ids then
+        # --- remain never-driver-checked (32 pre-r5 + the 22 new r5
         # --- ops below the marker) — they are the r6 window.
         "validate_expectations": q_validate_expectations,
         "kmeans_clusters": q_kmeans_clusters,
@@ -3826,6 +3847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "json_array_explode": q_json_array_explode,
         "asof_join_tolerance": q_asof_join_tolerance,
+        "normalize_accents": q_normalize_accents,
     }
 
 
@@ -5804,6 +5826,22 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_tokens
         FROM toks t JOIN counts c USING (tok), total
         GROUP BY t.doc_id
+    """
+    # Replays q_normalize_accents: same injected accented fragment,
+    # DuckDB's strip_accents vs the engine's translate map — the
+    # folded md5 pins character-for-character agreement. The folded
+    # text is re-normalized (lower/collapse/trim) inside the md5 to
+    # replay doc_fingerprint exactly.
+    sql["normalize_accents"] = """
+        WITH dirty AS (
+          SELECT doc_id,
+                 'café crème №' || CAST(doc_id % 7 AS VARCHAR)
+                 || ' àéîõü çñ ' || substr(text, 1, 40) AS s
+          FROM documents),
+        folded AS (SELECT doc_id, strip_accents(s) AS folded FROM dirty)
+        SELECT doc_id, folded,
+               md5(trim(regexp_replace(lower(folded), '\\s+', ' ', 'g'))) AS folded_fp
+        FROM folded
     """
     # Replays q_asof_join_tolerance: per-(user, ts) deduped purchases,
     # correlated MIN next-ts per click, payload nulled past the 3600 s

@@ -134,6 +134,24 @@ def quality_score(c: Column | str) -> Column:
     )
 
 
+_ACCENTED = "àáâãäåèéêëìíîïòóôõöùúûüýÿçñ"
+_FOLDED = "aaaaaaeeeeiiiiooooouuuuyycn"
+
+
+def fold_accents(c: Column | str) -> Column:
+    """Latin accent folding (à→a, ç→c, …) — the canonicalization step
+    multilingual dedup/fingerprinting needs so 'café' and 'cafe'
+    collide. A codegen translate() over the Latin-1-supplement
+    lowercase range; uppercase inputs should be lowered first (the
+    normalize_text convention). The mapped range replays DuckDB's
+    strip_accents character-for-character (pinned by the
+    normalize_accents gate), so folded fingerprints stay
+    oracle-verifiable. Full Unicode NFKD folding would need a Pandas
+    UDF; this covers the Latin scripts the lang_id_scores heuristic
+    targets."""
+    return F.translate(_col(c), _ACCENTED, _FOLDED)
+
+
 def normalize_text(c: Column | str) -> Column:
     """Canonical form for fingerprinting/dedup: lowercase, collapse
     whitespace runs, trim."""
