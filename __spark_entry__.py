@@ -1554,6 +1554,25 @@ def q_lang_id_multi(spark, sf_dir):
     )
 
 
+def q_drift_psi(spark, sf_dir):
+    """Data-drift alarm (operators/quality.py:population_stability):
+    PSI of the order-priority distribution between a reference snapshot
+    (even keys) and a current one (odd keys) with deterministic
+    injected drift (key%3==0 forced to '1-URGENT'). Bucket-sized
+    exchanges only; 0.5-smoothed so one-sided buckets stay finite."""
+    from awi_datapipelinepublic_spark.operators.quality import population_stability
+
+    o = _t(spark, sf_dir, "orders")
+    ref = o.filter(F.col("o_orderkey") % 2 == 0)
+    cur = o.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("1-URGENT")).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    return population_stability(ref, cur, "o_orderpriority")
+
+
 def q_normalize_accents(spark, sf_dir):
     """Accent folding (functions/text.py:fold_accents) for
     multilingual canonicalization: deterministic accented fragments
@@ -3624,8 +3643,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- red r4 row) + 49 FIRST-TIME ids never driver-checked in
         # --- r1-r4: the r4-new ANN/k-means/semantic-dedup family, all
         # --- four scan formats, the window-function + subquery + set-op
-        # --- families, and the text-quality LLM ops. 54 ids then
-        # --- remain never-driver-checked (32 pre-r5 + the 22 new r5
+        # --- families, and the text-quality LLM ops. 55 ids then
+        # --- remain never-driver-checked (32 pre-r5 + the 23 new r5
         # --- ops below the marker) — they are the r6 window.
         "validate_expectations": q_validate_expectations,
         "kmeans_clusters": q_kmeans_clusters,
@@ -3848,6 +3867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_array_explode": q_json_array_explode,
         "asof_join_tolerance": q_asof_join_tolerance,
         "normalize_accents": q_normalize_accents,
+        "drift_psi": q_drift_psi,
     }
 
 
@@ -5826,6 +5846,29 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_tokens
         FROM toks t JOIN counts c USING (tok), total
         GROUP BY t.doc_id
+    """
+    # Replays q_drift_psi: same even/odd split + %3 priority override,
+    # 0.5-smoothed PSI over the union bucket set. The term expression
+    # mirrors the engine's exact double arithmetic; ~5 buckets sum
+    # well inside the 6dp rounding margin.
+    sql["drift_psi"] = """
+        WITH ref AS (SELECT o_orderpriority AS b FROM orders WHERE o_orderkey % 2 = 0),
+        cur AS (SELECT CASE WHEN o_orderkey % 3 = 0 THEN '1-URGENT'
+                            ELSE o_orderpriority END AS b
+                FROM orders WHERE o_orderkey % 2 = 1),
+        rc AS (SELECT b, COUNT(*) AS rc FROM ref GROUP BY b),
+        cc AS (SELECT b, COUNT(*) AS cc FROM cur GROUP BY b),
+        merged AS (SELECT COALESCE(rc.b, cc.b) AS b,
+                          COALESCE(rc, 0) AS rc, COALESCE(cc, 0) AS cc
+                   FROM rc FULL OUTER JOIN cc USING (b)),
+        tot AS (SELECT SUM(rc) AS rt, SUM(cc) AS ct, COUNT(*) AS nb FROM merged)
+        SELECT nb AS n_buckets,
+               ROUND(SUM(
+                 ((cc + 0.5) / (ct + 0.5 * nb) - (rc + 0.5) / (rt + 0.5 * nb))
+                 * LN(((cc + 0.5) / (ct + 0.5 * nb)) / ((rc + 0.5) / (rt + 0.5 * nb)))
+               ), 6) AS psi
+        FROM merged, tot
+        GROUP BY nb
     """
     # Replays q_normalize_accents: same injected accented fragment,
     # DuckDB's strip_accents vs the engine's translate map — the

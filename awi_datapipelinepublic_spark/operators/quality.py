@@ -777,3 +777,52 @@ def bigram_logprob(
         F.round(F.avg("lp"), 6).alias("mean_logprob"),
         F.count(F.lit(1)).alias("n_bigrams"),
     )
+
+
+def population_stability(
+    ref: DataFrame, cur: DataFrame, bucket_col: str
+) -> DataFrame:
+    """Population Stability Index between two dataset snapshots over a
+    bucket column — the standard data-drift alarm for ML pipelines
+    (PSI < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 retrain).
+
+    PSI = Σ_buckets (q_b − p_b)·ln(q_b / p_b) with additive 0.5
+    smoothing over the union bucket set (so buckets present in only
+    one snapshot contribute a finite, deterministic term instead of a
+    division by zero).
+
+    Scale shape: each snapshot reduces to a bucket-cardinality count
+    table (map-side combined); the full-outer join and the final sum
+    run over buckets, not rows — at 100 TB the operator costs two
+    scans and a bucket-sized exchange. The three scalar totals ride
+    the bounded-crossJoin pattern.
+    """
+    r = ref.groupBy(F.col(bucket_col).alias("b")).agg(F.count(F.lit(1)).alias("rc"))
+    c = cur.groupBy(F.col(bucket_col).alias("b")).agg(F.count(F.lit(1)).alias("cc"))
+    both = (
+        r.join(c, "b", "full_outer")
+        .select(
+            "b",
+            F.coalesce("rc", F.lit(0)).alias("rc"),
+            F.coalesce("cc", F.lit(0)).alias("cc"),
+        )
+    )
+    tot = both.agg(
+        F.sum("rc").alias("rt"), F.sum("cc").alias("ct"), F.count(F.lit(1)).alias("nb")
+    )
+    terms = both.crossJoin(F.broadcast(tot)).select(
+        (
+            (
+                (F.col("cc") + 0.5) / (F.col("ct") + 0.5 * F.col("nb"))
+                - (F.col("rc") + 0.5) / (F.col("rt") + 0.5 * F.col("nb"))
+            )
+            * F.log(
+                ((F.col("cc") + 0.5) / (F.col("ct") + 0.5 * F.col("nb")))
+                / ((F.col("rc") + 0.5) / (F.col("rt") + 0.5 * F.col("nb")))
+            )
+        ).alias("term"),
+        F.col("nb"),
+    )
+    return terms.groupBy("nb").agg(F.round(F.sum("term"), 6).alias("psi")).select(
+        F.col("nb").alias("n_buckets"), "psi"
+    )

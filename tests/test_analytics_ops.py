@@ -950,3 +950,16 @@ def test_bigram_logprob_hand_values(spark):
     assert abs(got[1]["mean_logprob"] - round(exp1, 6)) < 1e-9
     # single-token doc emits no pairs
     assert 2 not in got
+
+
+def test_population_stability_hand_values(spark):
+    """Identical snapshots score ~0; a hard categorical shift scores
+    past the 0.25 retrain threshold; one-sided buckets stay finite."""
+    from awi_datapipelinepublic_spark.operators.quality import population_stability
+
+    a = spark.createDataFrame([("x",)] * 50 + [("y",)] * 50, ["b"])
+    same = population_stability(a, a, "b").collect()[0]
+    assert same["n_buckets"] == 2 and abs(same["psi"]) < 1e-9
+    b = spark.createDataFrame([("x",)] * 90 + [("z",)] * 10, ["b"])
+    shifted = population_stability(a, b, "b").collect()[0]
+    assert shifted["n_buckets"] == 3 and shifted["psi"] > 0.25
