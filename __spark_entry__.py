@@ -1554,6 +1554,32 @@ def q_lang_id_multi(spark, sf_dir):
     )
 
 
+def q_spatial_radius_join(spark, sf_dir):
+    """Grid-bucketed radius join (operators/spatial.py): all customer
+    pairs within Euclidean distance 5 on a synthetic 100×100 plane
+    (md5-derived dyadic coordinates — exact doubles both engines).
+    The spatial twin of LSH banding: 3×3 neighbor-cell equi-join
+    instead of an O(n²) theta-join; the oracle replays the plain
+    quadratic form, which the exact IEEE predicate matches row-set
+    for row-set."""
+    from awi_datapipelinepublic_spark.operators.spatial import grid_radius_join
+
+    c = _t(spark, sf_dir, "customer")
+    coord = lambda tag: (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(tag), F.col("c_custkey").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+        * F.lit(100.0)
+    )
+    pts = c.select(
+        F.col("c_custkey").alias("id"), coord("x#").alias("x"), coord("y#").alias("y")
+    )
+    out = grid_radius_join(pts, radius=5.0)
+    return out.select("id_a", "id_b", F.round("dist_sq", 9).alias("dist_sq"))
+
+
 def q_drift_psi(spark, sf_dir):
     """Data-drift alarm (operators/quality.py:population_stability):
     PSI of the order-priority distribution between a reference snapshot
@@ -3643,8 +3669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- red r4 row) + 49 FIRST-TIME ids never driver-checked in
         # --- r1-r4: the r4-new ANN/k-means/semantic-dedup family, all
         # --- four scan formats, the window-function + subquery + set-op
-        # --- families, and the text-quality LLM ops. 55 ids then
-        # --- remain never-driver-checked (32 pre-r5 + the 23 new r5
+        # --- families, and the text-quality LLM ops. 56 ids then
+        # --- remain never-driver-checked (32 pre-r5 + the 24 new r5
         # --- ops below the marker) — they are the r6 window.
         "validate_expectations": q_validate_expectations,
         "kmeans_clusters": q_kmeans_clusters,
@@ -3868,6 +3894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_tolerance": q_asof_join_tolerance,
         "normalize_accents": q_normalize_accents,
         "drift_psi": q_drift_psi,
+        "spatial_radius_join": q_spatial_radius_join,
     }
 
 
@@ -5846,6 +5873,22 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_tokens
         FROM toks t JOIN counts c USING (tok), total
         GROUP BY t.doc_id
+    """
+    # Replays q_spatial_radius_join with the PLAIN quadratic form —
+    # the grid bucketing is candidate generation only; the exact IEEE
+    # predicate (x·x products, no pow/sqrt) makes the row sets equal.
+    sql["spatial_radius_join"] = """
+        WITH pts AS (
+          SELECT c_custkey AS id,
+                 ('0x' || substr(md5('x#' || CAST(c_custkey AS VARCHAR)), 1, 8))::UBIGINT
+                   / 4294967296.0 * 100.0 AS x,
+                 ('0x' || substr(md5('y#' || CAST(c_custkey AS VARCHAR)), 1, 8))::UBIGINT
+                   / 4294967296.0 * 100.0 AS y
+          FROM customer)
+        SELECT a.id AS id_a, b.id AS id_b,
+               ROUND((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y), 9) AS dist_sq
+        FROM pts a JOIN pts b ON a.id < b.id
+        WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 25.0
     """
     # Replays q_drift_psi: same even/odd split + %3 priority override,
     # 0.5-smoothed PSI over the union bucket set. The term expression

@@ -913,3 +913,26 @@ def test_asof_join_forward_with_tolerance(spark):
         right_payload=["v"], direction="forward", tolerance_seconds=3600,
     ).collect()}
     assert out2[1] == 10.0 and out2[2] == 10.0 and out2[3] is None
+
+
+def test_grid_radius_join_matches_brute_force(spark):
+    """Grid candidates + exact predicate must equal the O(n²) answer,
+    including pairs straddling cell borders."""
+    import itertools
+
+    from awi_datapipelinepublic_spark.operators.spatial import grid_radius_join
+
+    pts = [
+        (1, 0.0, 0.0), (2, 4.9, 0.0),      # same-radius, adjacent cells
+        (3, 5.1, 0.0),                      # 5.1 from id 1 -> out
+        (4, 9.9, 0.0),                      # 5.0 exactly from id 2? 5.0 -> in (<=)
+        (5, 50.0, 50.0),                    # isolated
+        (6, -0.1, -0.1),                    # negative cells
+    ]
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    got = {(r["id_a"], r["id_b"]) for r in grid_radius_join(df, radius=5.0).collect()}
+    want = set()
+    for (i, xi, yi), (j, xj, yj) in itertools.combinations(pts, 2):
+        if (xi - xj) ** 2 + (yi - yj) ** 2 <= 25.0:
+            want.add((min(i, j), max(i, j)))
+    assert got == want and (1, 2) in got and (1, 3) not in got
