@@ -1554,6 +1554,17 @@ def q_lang_id_multi(spark, sf_dir):
     )
 
 
+def q_cumulative_adoption(spark, sf_dir):
+    """Cumulative distinct-user adoption (operators/events.py:
+    cumulative_adoption): the COUNT(DISTINCT) OVER (ORDER BY day)
+    query with no Spark window form, rewritten scale-correctly as
+    first-seen-day counts + a running sum over the day axis — the
+    window runs over days, never events."""
+    from awi_datapipelinepublic_spark.operators.events import cumulative_adoption
+
+    return cumulative_adoption(read_events(spark, sf_dir))
+
+
 def q_spatial_radius_join(spark, sf_dir):
     """Grid-bucketed radius join (operators/spatial.py): all customer
     pairs within Euclidean distance 5 on a synthetic 100×100 plane
@@ -3669,8 +3680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- red r4 row) + 49 FIRST-TIME ids never driver-checked in
         # --- r1-r4: the r4-new ANN/k-means/semantic-dedup family, all
         # --- four scan formats, the window-function + subquery + set-op
-        # --- families, and the text-quality LLM ops. 56 ids then
-        # --- remain never-driver-checked (32 pre-r5 + the 24 new r5
+        # --- families, and the text-quality LLM ops. 57 ids then
+        # --- remain never-driver-checked (32 pre-r5 + the 25 new r5
         # --- ops below the marker) — they are the r6 window.
         "validate_expectations": q_validate_expectations,
         "kmeans_clusters": q_kmeans_clusters,
@@ -3895,6 +3906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_accents": q_normalize_accents,
         "drift_psi": q_drift_psi,
         "spatial_radius_join": q_spatial_radius_join,
+        "cumulative_adoption": q_cumulative_adoption,
     }
 
 
@@ -5873,6 +5885,22 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_tokens
         FROM toks t JOIN counts c USING (tok), total
         GROUP BY t.doc_id
+    """
+    # Replays q_cumulative_adoption: DuckDB CAN express the distinct
+    # window directly, which makes it the perfect oracle for the
+    # engine's first-seen rewrite — two different formulations, one
+    # answer.
+    sql["cumulative_adoption"] = """
+        WITH act AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events),
+        days AS (SELECT DISTINCT day FROM act),
+        fs AS (SELECT u, MIN(day) AS day FROM act GROUP BY u),
+        nu AS (SELECT day, COUNT(*) AS new_users FROM fs GROUP BY day),
+        pd AS (SELECT d.day, COALESCE(nu.new_users, 0) AS new_users
+               FROM days d LEFT JOIN nu USING (day))
+        SELECT day, new_users,
+               SUM(new_users) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumulative_users
+        FROM pd
     """
     # Replays q_spatial_radius_join with the PLAIN quadratic form —
     # the grid bucketing is candidate generation only; the exact IEEE

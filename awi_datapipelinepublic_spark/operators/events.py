@@ -84,6 +84,43 @@ def sessionize(
     )
 
 
+def cumulative_adoption(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cumulative distinct-user adoption curve: per day, how many
+    distinct users have been seen up to and including that day.
+
+    The naive form — COUNT(DISTINCT user) OVER (ORDER BY day) — has no
+    Spark window (distinct windows are unsupported) and would be
+    quadratic state anywhere. The scale rewrite: each user contributes
+    exactly once, on their FIRST day (groupBy(user).min(day), map-side
+    combined), so the curve is new-users-per-day + one running sum
+    over the day axis — a window over ~hundreds of rows, not events.
+    Days with activity but no NEW users still appear (joined against
+    the distinct active-day axis) with new_users = 0.
+    """
+    from pyspark.sql import Window
+
+    day = F.to_date(F.col(ts_col))
+    days = events.select(day.alias("day")).distinct()
+    first_seen = (
+        events.select(F.col(user_col).alias("u"), day.alias("day"))
+        .groupBy("u")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    per_day = days.join(first_seen, "day", "left").select(
+        "day", F.coalesce("new_users", F.lit(0)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("cumulative_users")
+    )
+
+
 def cohort_retention(
     events: DataFrame,
     user_col: str = "user_id",
