@@ -1554,6 +1554,21 @@ def q_lang_id_multi(spark, sf_dir):
     )
 
 
+def q_interval_coverage(spark, sf_dir):
+    """Gaps-and-islands coverage (operators/events.py:
+    interval_coverage): each event opens a 10-minute interval;
+    overlaps merge per user; output = islands + covered seconds.
+    Integer epoch arithmetic end to end — no float drift."""
+    from awi_datapipelinepublic_spark.operators.events import interval_coverage
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id",
+        F.col("ts").cast("long").alias("start_s"),
+        (F.col("ts").cast("long") + 600).alias("end_s"),
+    )
+    return interval_coverage(ev)
+
+
 def q_cumulative_adoption(spark, sf_dir):
     """Cumulative distinct-user adoption (operators/events.py:
     cumulative_adoption): the COUNT(DISTINCT) OVER (ORDER BY day)
@@ -3680,8 +3695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- red r4 row) + 49 FIRST-TIME ids never driver-checked in
         # --- r1-r4: the r4-new ANN/k-means/semantic-dedup family, all
         # --- four scan formats, the window-function + subquery + set-op
-        # --- families, and the text-quality LLM ops. 57 ids then
-        # --- remain never-driver-checked (32 pre-r5 + the 25 new r5
+        # --- families, and the text-quality LLM ops. 58 ids then
+        # --- remain never-driver-checked (32 pre-r5 + the 26 new r5
         # --- ops below the marker) — they are the r6 window.
         "validate_expectations": q_validate_expectations,
         "kmeans_clusters": q_kmeans_clusters,
@@ -3907,6 +3922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi": q_drift_psi,
         "spatial_radius_join": q_spatial_radius_join,
         "cumulative_adoption": q_cumulative_adoption,
+        "interval_coverage": q_interval_coverage,
     }
 
 
@@ -5885,6 +5901,31 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_tokens
         FROM toks t JOIN counts c USING (tok), total
         GROUP BY t.doc_id
+    """
+    # Replays q_interval_coverage: identical window chain (running
+    # max end -> island flag -> island id), integer epoch arithmetic.
+    sql["interval_coverage"] = """
+        WITH iv AS (SELECT user_id,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                           CAST(floor(epoch(ts)) AS BIGINT) + 600 AS e
+                    FROM events),
+        flagged AS (
+          SELECT user_id, s, e,
+                 CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                       OR s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      THEN 1 ELSE 0 END AS nw
+          FROM iv),
+        isl AS (SELECT user_id, s, e,
+                       SUM(nw) OVER (PARTITION BY user_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+                FROM flagged),
+        g AS (SELECT user_id, island, MIN(s) AS ms, MAX(e) AS me
+              FROM isl GROUP BY 1, 2)
+        SELECT user_id, COUNT(*) AS n_islands,
+               SUM(me - ms) AS covered_seconds
+        FROM g GROUP BY user_id
     """
     # Replays q_cumulative_adoption: DuckDB CAN express the distinct
     # window directly, which makes it the perfect oracle for the

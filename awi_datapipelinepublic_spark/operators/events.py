@@ -84,6 +84,44 @@ def sessionize(
     )
 
 
+def interval_coverage(
+    intervals: DataFrame,
+    key_col: str = "user_id",
+    start_col: str = "start_s",
+    end_col: str = "end_s",
+) -> DataFrame:
+    """Merge overlapping [start, end) intervals per key and report the
+    merged-island count plus total covered duration — the classic
+    gaps-and-islands coverage aggregate (machine uptime, session
+    coverage, effective listening time). Start/end are numeric
+    (seconds); a new island begins where an interval's start exceeds
+    the running max end of everything before it.
+
+    One key-partitioned sort powers the whole chain (running max end →
+    island flag → island id); coverage sums are per-island max(end) −
+    min(start). Integer arithmetic end to end — no float drift."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(start_col, end_col)
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = intervals.withColumn(
+        "__new",
+        (prev_max_end.isNull() | (F.col(start_col) > prev_max_end)).cast("int"),
+    ).withColumn(
+        "__island",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = flagged.groupBy(key_col, "__island").agg(
+        F.min(start_col).alias("__s"), F.max(end_col).alias("__e")
+    )
+    return islands.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("__e") - F.col("__s")).alias("covered_seconds"),
+    )
+
+
 def cumulative_adoption(
     events: DataFrame,
     user_col: str = "user_id",

@@ -936,3 +936,20 @@ def test_grid_radius_join_matches_brute_force(spark):
         if (xi - xj) ** 2 + (yi - yj) ** 2 <= 25.0:
             want.add((min(i, j), max(i, j)))
     assert got == want and (1, 2) in got and (1, 3) not in got
+
+
+def test_interval_coverage_hand_values(spark):
+    """Overlap, touching-endpoint ([0,10) then [10,20) merge: start >
+    running max end is the NEW-island test, so equality continues the
+    island), containment, and disjoint cases."""
+    from awi_datapipelinepublic_spark.operators.events import interval_coverage
+
+    rows = [
+        (1, 0, 10), (1, 5, 12), (1, 12, 20),   # chain -> one island [0,20)
+        (1, 100, 110),                          # disjoint second island
+        (2, 0, 50), (2, 10, 20),                # containment -> [0,50)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, start_s long, end_s long")
+    got = {r["user_id"]: (r["n_islands"], r["covered_seconds"])
+           for r in interval_coverage(df).collect()}
+    assert got == {1: (2, 30), 2: (1, 50)}
