@@ -1554,6 +1554,17 @@ def q_lang_id_multi(spark, sf_dir):
     )
 
 
+def q_sliding_distinct_users(spark, sf_dir):
+    """Exact 7-day rolling distinct users (operators/events.py:
+    sliding_distinct_users): the COUNT(DISTINCT) RANGE window with no
+    Spark form, rewritten as a bounded explode over the DEDUPED
+    (user, day) activity table — 7× growth on users × active-days,
+    never raw events."""
+    from awi_datapipelinepublic_spark.operators.events import sliding_distinct_users
+
+    return sliding_distinct_users(read_events(spark, sf_dir))
+
+
 def q_interval_coverage(spark, sf_dir):
     """Gaps-and-islands coverage (operators/events.py:
     interval_coverage): each event opens a 10-minute interval;
@@ -3695,8 +3706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- red r4 row) + 49 FIRST-TIME ids never driver-checked in
         # --- r1-r4: the r4-new ANN/k-means/semantic-dedup family, all
         # --- four scan formats, the window-function + subquery + set-op
-        # --- families, and the text-quality LLM ops. 58 ids then
-        # --- remain never-driver-checked (32 pre-r5 + the 26 new r5
+        # --- families, and the text-quality LLM ops. 59 ids then
+        # --- remain never-driver-checked (32 pre-r5 + the 27 new r5
         # --- ops below the marker) — they are the r6 window.
         "validate_expectations": q_validate_expectations,
         "kmeans_clusters": q_kmeans_clusters,
@@ -3923,6 +3934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_radius_join": q_spatial_radius_join,
         "cumulative_adoption": q_cumulative_adoption,
         "interval_coverage": q_interval_coverage,
+        "sliding_distinct_users": q_sliding_distinct_users,
     }
 
 
@@ -5901,6 +5913,18 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_tokens
         FROM toks t JOIN counts c USING (tok), total
         GROUP BY t.doc_id
+    """
+    # Replays q_sliding_distinct_users: per active day, the distinct
+    # users active in the trailing 7-day window — the direct
+    # COUNT(DISTINCT) form DuckDB can express, vs the engine's
+    # bounded-explode rewrite.
+    sql["sliding_distinct_users"] = """
+        WITH act AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+        days AS (SELECT DISTINCT d AS window_end FROM act)
+        SELECT window_end, COUNT(DISTINCT a.u) AS distinct_users
+        FROM days JOIN act a
+          ON a.d BETWEEN window_end - INTERVAL 6 DAY AND window_end
+        GROUP BY window_end
     """
     # Replays q_interval_coverage: identical window chain (running
     # max end -> island flag -> island id), integer epoch arithmetic.

@@ -84,6 +84,39 @@ def sessionize(
     )
 
 
+def sliding_distinct_users(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Exact N-day rolling distinct users per day (the DAU/WAU/MAU
+    family). A COUNT(DISTINCT) OVER a RANGE frame has no Spark window
+    form; the scale rewrite dedupes activity to (user, day) FIRST,
+    then explodes each activity day into the ≤N window-end days it
+    contributes to and counts distinct users per window end. Row
+    growth is N× on the deduplicated activity table (users ×
+    active-days), never on raw events — the explode factor is the
+    window/slide ratio, the standard exact form at any volume.
+
+    Only window ends that are themselves active days are reported
+    (keeps the output aligned with the observed day axis)."""
+    day = F.to_date(F.col(ts_col))
+    activity = events.select(F.col(user_col).alias("u"), day.alias("d")).distinct()
+    ends = activity.select(
+        "u",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), window_days - 1))
+        ).alias("window_end"),
+    ).distinct()
+    days = activity.select(F.col("d").alias("window_end")).distinct()
+    return (
+        ends.join(days, "window_end", "left_semi")
+        .groupBy("window_end")
+        .agg(F.count(F.lit(1)).alias("distinct_users"))
+    )
+
+
 def interval_coverage(
     intervals: DataFrame,
     key_col: str = "user_id",
