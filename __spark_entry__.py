@@ -1554,6 +1554,48 @@ def q_lang_id_multi(spark, sf_dir):
     )
 
 
+def q_funnel_steps(spark, sf_dir):
+    """Multi-step ordered funnel: view → click → purchase, each step
+    the FIRST qualifying event within 24 h of the previous step's
+    timestamp. Two chained (key + time-range) joins + min aggregates —
+    the same user-partitioned attribution shape as the 2-step funnel,
+    extended one stage; output is the per-stage survivor census (one
+    row: n_users, n_step1..n_step3) — the funnel report itself."""
+    e = read_events(spark, sf_dir)
+
+    def first_after(prev, prev_ts, etype, out_ts):
+        nxt = e.filter(F.col("event_type") == etype).select(
+            F.col("user_id").alias("nu"), F.col("ts").alias("nts")
+        )
+        j = prev.join(
+            nxt,
+            (F.col("user_id") == F.col("nu"))
+            & (F.col("nts") >= F.col(prev_ts))
+            & (F.col("nts") <= F.col(prev_ts) + F.expr("INTERVAL 24 HOURS")),
+            "left",
+        )
+        return j.groupBy(*prev.columns).agg(F.min("nts").alias(out_ts))
+
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = first_after(s1, "t1", "click", "t2")
+    s3 = first_after(s2, "t2", "purchase", "t3")
+    # total distinct users via the bounded 1-row crossJoin pattern —
+    # no driver-side count action inside the gate
+    tot = e.select("user_id").distinct().agg(F.count(F.lit(1)).alias("n_users"))
+    steps = s3.agg(
+        F.count("t1").alias("n_step1"),
+        F.count("t2").alias("n_step2"),
+        F.count("t3").alias("n_step3"),
+    )
+    return steps.crossJoin(F.broadcast(tot)).select(
+        "n_users", "n_step1", "n_step2", "n_step3"
+    )
+
+
 def q_sliding_distinct_users(spark, sf_dir):
     """Exact 7-day rolling distinct users (operators/events.py:
     sliding_distinct_users): the COUNT(DISTINCT) RANGE window with no
@@ -3706,8 +3748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- red r4 row) + 49 FIRST-TIME ids never driver-checked in
         # --- r1-r4: the r4-new ANN/k-means/semantic-dedup family, all
         # --- four scan formats, the window-function + subquery + set-op
-        # --- families, and the text-quality LLM ops. 59 ids then
-        # --- remain never-driver-checked (32 pre-r5 + the 27 new r5
+        # --- families, and the text-quality LLM ops. 60 ids then
+        # --- remain never-driver-checked (32 pre-r5 + the 28 new r5
         # --- ops below the marker) — they are the r6 window.
         "validate_expectations": q_validate_expectations,
         "kmeans_clusters": q_kmeans_clusters,
@@ -3935,6 +3977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_adoption": q_cumulative_adoption,
         "interval_coverage": q_interval_coverage,
         "sliding_distinct_users": q_sliding_distinct_users,
+        "funnel_steps": q_funnel_steps,
     }
 
 
@@ -5913,6 +5956,28 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_tokens
         FROM toks t JOIN counts c USING (tok), total
         GROUP BY t.doc_id
+    """
+    # Replays q_funnel_steps: first view per user, first click within
+    # 24h of it, first purchase within 24h of the click; per-stage
+    # survivor counts plus total distinct users.
+    sql["funnel_steps"] = """
+        WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (SELECT s1.user_id, s1.t1,
+                      MIN(c.ts) AS t2
+               FROM s1 LEFT JOIN events c
+                 ON c.event_type = 'click' AND c.user_id = s1.user_id
+                AND c.ts >= s1.t1 AND c.ts <= s1.t1 + INTERVAL 24 HOUR
+               GROUP BY s1.user_id, s1.t1),
+        s3 AS (SELECT s2.user_id, s2.t1, s2.t2,
+                      MIN(p.ts) AS t3
+               FROM s2 LEFT JOIN events p
+                 ON p.event_type = 'purchase' AND p.user_id = s2.user_id
+                AND p.ts >= s2.t2 AND p.ts <= s2.t2 + INTERVAL 24 HOUR
+               GROUP BY s2.user_id, s2.t1, s2.t2)
+        SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+               COUNT(t1) AS n_step1, COUNT(t2) AS n_step2, COUNT(t3) AS n_step3
+        FROM s3
     """
     # Replays q_sliding_distinct_users: per active day, the distinct
     # users active in the trailing 7-day window — the direct
