@@ -1554,6 +1554,16 @@ def q_lang_id_multi(spark, sf_dir):
     )
 
 
+def q_collocations_pmi(spark, sf_dir):
+    """Top-50 PMI collocations (operators/corpus.py:collocations_pmi):
+    adjacent pairs beating unigram independence, min_count-floored,
+    PMI-desc/word-asc total order. The phrase-mining companion of
+    vocab_build/bigram_lm."""
+    from awi_datapipelinepublic_spark.operators.corpus import collocations_pmi
+
+    return collocations_pmi(_t(spark, sf_dir, "documents"))
+
+
 def q_funnel_steps(spark, sf_dir):
     """Multi-step ordered funnel: view → click → purchase, each step
     the FIRST qualifying event within 24 h of the previous step's
@@ -3748,8 +3758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- red r4 row) + 49 FIRST-TIME ids never driver-checked in
         # --- r1-r4: the r4-new ANN/k-means/semantic-dedup family, all
         # --- four scan formats, the window-function + subquery + set-op
-        # --- families, and the text-quality LLM ops. 60 ids then
-        # --- remain never-driver-checked (32 pre-r5 + the 28 new r5
+        # --- families, and the text-quality LLM ops. 61 ids then
+        # --- remain never-driver-checked (32 pre-r5 + the 29 new r5
         # --- ops below the marker) — they are the r6 window.
         "validate_expectations": q_validate_expectations,
         "kmeans_clusters": q_kmeans_clusters,
@@ -3978,6 +3988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_coverage": q_interval_coverage,
         "sliding_distinct_users": q_sliding_distinct_users,
         "funnel_steps": q_funnel_steps,
+        "collocations_pmi": q_collocations_pmi,
     }
 
 
@@ -5956,6 +5967,25 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_tokens
         FROM toks t JOIN counts c USING (tok), total
         GROUP BY t.doc_id
+    """
+    # Replays q_collocations_pmi: same pair/unigram counts and PMI
+    # expression; ORDER BY pmi DESC, w1, w2 LIMIT 50 (total order).
+    sql["collocations_pmi"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        idx AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks),
+        prs AS (SELECT t[i] AS w1, t[i+1] AS w2 FROM idx),
+        uni AS (SELECT unnest(t) AS w FROM toks),
+        pc AS (SELECT w1, w2, COUNT(*) AS pair_count FROM prs GROUP BY 1, 2
+               HAVING COUNT(*) >= 10),
+        wc AS (SELECT w, COUNT(*) AS wc FROM uni GROUP BY 1),
+        tp AS (SELECT COUNT(*) AS tp FROM prs),
+        tt AS (SELECT COUNT(*) AS tt FROM uni)
+        SELECT pc.w1, pc.w2, pc.pair_count,
+               ROUND(LN((pc.pair_count * 1.0 / tp.tp)
+                        / ((c1.wc * 1.0 / tt.tt) * (c2.wc * 1.0 / tt.tt))), 6) AS pmi
+        FROM pc JOIN wc c1 ON c1.w = pc.w1
+               JOIN wc c2 ON c2.w = pc.w2, tp, tt
+        ORDER BY pmi DESC, pc.w1 ASC, pc.w2 ASC LIMIT 50
     """
     # Replays q_funnel_steps: first view per user, first click within
     # 24h of it, first purchase within 24h of the click; per-stage

@@ -342,3 +342,59 @@ def bigram_lm(
             .drop("__r")
         )
     return out
+
+
+def collocations_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 10,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top collocations by pointwise mutual information: adjacent word
+    pairs whose co-occurrence beats their unigrams' independence
+    assumption — the standard phrase-mining signal (new-terminology
+    discovery, tokenizer merge candidates).
+
+    PMI = ln( (pair/total_pairs) / ((w1/total_toks)·(w2/total_toks)) ),
+    floored by min_count so rare-pair noise never ranks. Shapes: one
+    pair groupBy + one token groupBy (both map-side combined), two
+    joins of the POST-min_count pair table (bounded) against the
+    vocabulary counts, one TakeOrderedAndProject for the top-k (rank
+    by PMI desc then words asc — total order, deterministic)."""
+    toks_arr = df.select(X.tokens(X.normalize_text(text_col)).alias("t"))
+    pairs = toks_arr.select(
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.zip_with(
+                    F.slice(F.col("t"), 1, F.size("t") - 1),
+                    F.slice(F.col("t"), 2, F.size("t") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    toks = toks_arr.select(F.explode("t").alias("w"))
+    pc = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+    wc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+    tot_pairs = pairs.agg(F.count(F.lit(1)).alias("tp"))
+    tot_toks = toks.agg(F.count(F.lit(1)).alias("tt"))
+    joined = (
+        pc.join(wc.select(F.col("w").alias("w1"), F.col("wc").alias("c1")), "w1")
+        .join(wc.select(F.col("w").alias("w2"), F.col("wc").alias("c2")), "w2")
+        .crossJoin(F.broadcast(tot_pairs))
+        .crossJoin(F.broadcast(tot_toks))
+    )
+    pmi = F.log(
+        (F.col("pair_count") / F.col("tp"))
+        / ((F.col("c1") / F.col("tt")) * (F.col("c2") / F.col("tt")))
+    )
+    return (
+        joined.select("w1", "w2", "pair_count", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(top_k)
+    )
