@@ -3643,6 +3643,30 @@ def q_triangle_count(spark, sf_dir):
     return triangle_count(edges)
 
 
+def q_kcore(spark, sf_dir):
+    """k-core by fixed-round peeling (operators/graph.py:kcore) over a
+    sparsified part co-purchase graph (partkey % 3 == 0): the
+    community-pruning step before per-component work. Oracle unrolls
+    the same peel rounds as chained CTEs (the pagerank contract)."""
+    from awi_datapipelinepublic_spark.operators.graph import kcore
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").filter(
+        F.col("l_partkey") % 3 == 0
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ids")
+    )
+    edges = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (a, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), b -> struct(a AS src, b AS dst))))"
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst")
+    return kcore(edges, k=4, iterations=4)
+
+
 def q_bloom_prefilter_join(spark, sf_dir):
     """Bloom-prefilter equi-join
     (operators/joins.py:bloom_prefilter_join): lineitem probed
@@ -3758,8 +3782,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- red r4 row) + 49 FIRST-TIME ids never driver-checked in
         # --- r1-r4: the r4-new ANN/k-means/semantic-dedup family, all
         # --- four scan formats, the window-function + subquery + set-op
-        # --- families, and the text-quality LLM ops. 61 ids then
-        # --- remain never-driver-checked (32 pre-r5 + the 29 new r5
+        # --- families, and the text-quality LLM ops. 62 ids then
+        # --- remain never-driver-checked (32 pre-r5 + the 30 new r5
         # --- ops below the marker) — they are the r6 window.
         "validate_expectations": q_validate_expectations,
         "kmeans_clusters": q_kmeans_clusters,
@@ -3989,6 +4013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_distinct_users": q_sliding_distinct_users,
         "funnel_steps": q_funnel_steps,
         "collocations_pmi": q_collocations_pmi,
+        "kcore": q_kcore,
     }
 
 
@@ -5967,6 +5992,34 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_tokens
         FROM toks t JOIN counts c USING (tok), total
         GROUP BY t.doc_id
+    """
+
+    # Replays operators/graph.py:kcore with the SAME fixed peel rounds
+    # unrolled as chained CTEs (the pagerank determinism contract):
+    # final output is the degree table of the edge set restricted to
+    # the last survivor set, filtered at k.
+    sql["kcore"] = """
+        WITH e AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          WHERE a.l_partkey % 3 = 0 AND b.l_partkey % 3 = 0), d0 AS (SELECT n, COUNT(*) AS d FROM
+              (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        n0 AS (SELECT n FROM d0 WHERE d >= 4), e1 AS (SELECT * FROM e
+              WHERE u IN (SELECT n FROM n0) AND v IN (SELECT n FROM n0)), d1 AS (SELECT n, COUNT(*) AS d FROM
+              (SELECT u AS n FROM e1 UNION ALL SELECT v FROM e1) GROUP BY 1),
+        n1 AS (SELECT n FROM d1 WHERE d >= 4), e2 AS (SELECT * FROM e1
+              WHERE u IN (SELECT n FROM n1) AND v IN (SELECT n FROM n1)), d2 AS (SELECT n, COUNT(*) AS d FROM
+              (SELECT u AS n FROM e2 UNION ALL SELECT v FROM e2) GROUP BY 1),
+        n2 AS (SELECT n FROM d2 WHERE d >= 4), e3 AS (SELECT * FROM e2
+              WHERE u IN (SELECT n FROM n2) AND v IN (SELECT n FROM n2)), d3 AS (SELECT n, COUNT(*) AS d FROM
+              (SELECT u AS n FROM e3 UNION ALL SELECT v FROM e3) GROUP BY 1),
+        n3 AS (SELECT n FROM d3 WHERE d >= 4),
+        efin AS (SELECT * FROM e
+                 WHERE u IN (SELECT n FROM n3) AND v IN (SELECT n FROM n3)),
+        dfin AS (SELECT n, COUNT(*) AS d FROM
+                 (SELECT u AS n FROM efin UNION ALL SELECT v FROM efin) GROUP BY 1)
+        SELECT n AS node, d AS core_degree FROM dfin WHERE d >= 4
     """
     # Replays q_collocations_pmi: same pair/unigram counts and PMI
     # expression; ORDER BY pmi DESC, w1, w2 LIMIT 50 (total order).

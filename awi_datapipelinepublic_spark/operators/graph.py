@@ -298,3 +298,62 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     return spark.createDataFrame(
         [(n_edges, n_wedges, n_tri)], "n_edges bigint, n_wedges bigint, n_triangles bigint"
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 6,
+) -> DataFrame:
+    """k-core of an undirected simple graph by fixed-round peeling:
+    each round drops every vertex whose degree within the surviving
+    subgraph is below k. Returns (node, core_degree) for the vertices
+    remaining after ``iterations`` rounds, with their degree inside
+    the surviving subgraph — the standard community-pruning step
+    before expensive per-component work (e.g. shrinking a near-dup
+    pair graph to its dense cores).
+
+    Fixed iteration count (the pagerank/kmeans determinism contract):
+    both the engine and the DuckDB oracle run the SAME rounds, so the
+    result is exact once peeling has converged and identically-partial
+    otherwise. Per round: two LEFT SEMI joins restrict the persisted
+    edge list to survivors, one union+groupBy recomputes degrees —
+    edge-key shuffles only, and localCheckpoint cuts the growing
+    lineage exactly like the pagerank loop.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+
+    def degrees(edge_df: DataFrame) -> DataFrame:
+        return (
+            edge_df.select(F.col("u").alias("n"))
+            .unionAll(edge_df.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+
+    nodes = degrees(e).filter(F.col("d") >= k).select("n")
+    for _ in range(iterations - 1):
+        ee = e.join(
+            nodes.select(F.col("n").alias("u")), "u", "left_semi"
+        ).join(nodes.select(F.col("n").alias("v")), "v", "left_semi")
+        nodes = degrees(ee).filter(F.col("d") >= k).select("n").localCheckpoint()
+    ee = e.join(nodes.select(F.col("n").alias("u")), "u", "left_semi").join(
+        nodes.select(F.col("n").alias("v")), "v", "left_semi"
+    )
+    out = degrees(ee).filter(F.col("d") >= k).select(
+        F.col("n").alias("node"), F.col("d").alias("core_degree")
+    )
+    e.unpersist()
+    return out

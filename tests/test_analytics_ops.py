@@ -963,3 +963,17 @@ def test_population_stability_hand_values(spark):
     b = spark.createDataFrame([("x",)] * 90 + [("z",)] * 10, ["b"])
     shifted = population_stability(a, b, "b").collect()[0]
     assert shifted["n_buckets"] == 3 and shifted["psi"] > 0.25
+
+
+def test_kcore_hand_values(spark):
+    """4-clique + pendant chain: the 3-core is exactly the clique
+    (degree 3 each); pendants peel away in round one."""
+    from awi_datapipelinepublic_spark.operators.graph import kcore
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(3, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(clique + chain, "src long, dst long")
+    got = {r["node"]: r["core_degree"] for r in kcore(edges, k=3, iterations=4).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    # k above the max degree -> empty core
+    assert kcore(edges, k=5, iterations=3).count() == 0
