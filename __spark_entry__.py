@@ -3643,6 +3643,16 @@ def q_triangle_count(spark, sf_dir):
     return triangle_count(edges)
 
 
+def q_event_transitions(spark, sf_dir):
+    """Markov transition matrix over per-user event streams
+    (operators/events.py:event_transitions): lead() over the
+    (ts, event_id)-ordered stream, then (from, to) counts with
+    row-normalized probabilities."""
+    from awi_datapipelinepublic_spark.operators.events import event_transitions
+
+    return event_transitions(read_events(spark, sf_dir))
+
+
 def q_kcore(spark, sf_dir):
     """k-core by fixed-round peeling (operators/graph.py:kcore) over a
     sparsified part co-purchase graph (partkey % 3 == 0): the
@@ -3782,8 +3792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- red r4 row) + 49 FIRST-TIME ids never driver-checked in
         # --- r1-r4: the r4-new ANN/k-means/semantic-dedup family, all
         # --- four scan formats, the window-function + subquery + set-op
-        # --- families, and the text-quality LLM ops. 62 ids then
-        # --- remain never-driver-checked (32 pre-r5 + the 30 new r5
+        # --- families, and the text-quality LLM ops. 63 ids then
+        # --- remain never-driver-checked (32 pre-r5 + the 31 new r5
         # --- ops below the marker) — they are the r6 window.
         "validate_expectations": q_validate_expectations,
         "kmeans_clusters": q_kmeans_clusters,
@@ -4014,6 +4024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps": q_funnel_steps,
         "collocations_pmi": q_collocations_pmi,
         "kcore": q_kcore,
+        "event_transitions": q_event_transitions,
     }
 
 
@@ -5994,6 +6005,22 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY t.doc_id
     """
 
+    # Replays q_event_transitions: identical lead window
+    # ((ts, event_id) order per user), pair counts, from-total
+    # row normalization at 6dp.
+    sql["event_transitions"] = """
+        WITH prs AS (
+          SELECT event_type AS from_type,
+                 LEAD(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS to_type
+          FROM events),
+        pc AS (SELECT from_type, to_type, COUNT(*) AS n FROM prs
+               WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        tt AS (SELECT from_type, SUM(n) AS t FROM pc GROUP BY 1)
+        SELECT pc.from_type, pc.to_type, pc.n,
+               ROUND(pc.n * 1.0 / tt.t, 6) AS prob
+        FROM pc JOIN tt USING (from_type)
+    """
     # Replays operators/graph.py:kcore with the SAME fixed peel rounds
     # unrolled as chained CTEs (the pagerank determinism contract):
     # final output is the degree table of the edge set restricted to

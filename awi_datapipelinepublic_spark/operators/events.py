@@ -84,6 +84,45 @@ def sessionize(
     )
 
 
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: (from_type, to_type, n, prob) where prob row-normalizes
+    by the from-type's outgoing total — the behavioral-flow / Sankey
+    input every product-analytics stack computes.
+
+    One key-partitioned window (lead over the user's time-ordered
+    stream — tie-broken by event id for determinism), then a (from,
+    to) groupBy with map-side combine and a from-total join-back (the
+    two-pass unigram_logprob shape; the totals table is
+    type-cardinality, tiny, AQE broadcasts it)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    pairs = (
+        events.select(
+            F.col(user_col), F.col(ts_col), F.col("event_id"), F.col(type_col)
+        )
+        .withColumn("to_type", F.lead(type_col).over(w))
+        .filter(F.col("to_type").isNotNull())
+        .select(F.col(type_col).alias("from_type"), "to_type")
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = pairs.groupBy("from_type").agg(F.count(F.lit(1)).alias("__t"))
+    return counts.join(totals, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.col("__t"), 6).alias("prob"),
+    )
+
+
 def sliding_distinct_users(
     events: DataFrame,
     user_col: str = "user_id",
