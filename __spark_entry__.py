@@ -3643,6 +3643,36 @@ def q_triangle_count(spark, sf_dir):
     return triangle_count(edges)
 
 
+def q_revenue_pareto(spark, sf_dir):
+    """Pareto / cumulative-share analysis: customers ranked by revenue
+    with running share of total and the 80%-coverage flag — the 80/20
+    report. The window runs over the AGGREGATED customer table
+    (bounded), never order rows; revenue pre-rounded at 4dp so the
+    running sum accumulates identical decimals in both engines;
+    (revenue desc, custkey asc) is a total order."""
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 4).alias("revenue")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_custkey").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # round the grand total too: its partial-agg accumulation order is
+    # engine-dependent, unlike the rank-ordered running sum (q11 lesson)
+    tot = rev.agg(F.round(F.sum("revenue"), 4).alias("__t"))
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .select(
+            "o_custkey",
+            "revenue",
+            F.round(F.sum("revenue").over(w) / F.col("__t"), 6).alias("cum_share"),
+        )
+        .withColumn("in_top80", (F.col("cum_share") <= 0.8).cast("int"))
+    )
+
+
 def q_event_transitions(spark, sf_dir):
     """Markov transition matrix over per-user event streams
     (operators/events.py:event_transitions): lead() over the
@@ -3792,8 +3822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- red r4 row) + 49 FIRST-TIME ids never driver-checked in
         # --- r1-r4: the r4-new ANN/k-means/semantic-dedup family, all
         # --- four scan formats, the window-function + subquery + set-op
-        # --- families, and the text-quality LLM ops. 63 ids then
-        # --- remain never-driver-checked (32 pre-r5 + the 31 new r5
+        # --- families, and the text-quality LLM ops. 64 ids then
+        # --- remain never-driver-checked (32 pre-r5 + the 32 new r5
         # --- ops below the marker) — they are the r6 window.
         "validate_expectations": q_validate_expectations,
         "kmeans_clusters": q_kmeans_clusters,
@@ -4025,6 +4055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations_pmi": q_collocations_pmi,
         "kcore": q_kcore,
         "event_transitions": q_event_transitions,
+        "revenue_pareto": q_revenue_pareto,
     }
 
 
@@ -6005,6 +6036,21 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY t.doc_id
     """
 
+    # Replays q_revenue_pareto: 4dp-rounded per-customer revenue, the
+    # rank-ordered running share (total order: revenue desc, custkey
+    # asc), 4dp-rounded grand total, INT 80%-coverage flag.
+    sql["revenue_pareto"] = """
+        WITH rev AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS revenue
+                     FROM orders GROUP BY 1),
+        tot AS (SELECT ROUND(SUM(revenue), 4) AS t FROM rev),
+        cs AS (SELECT o_custkey, revenue,
+                      ROUND(SUM(revenue) OVER (ORDER BY revenue DESC, o_custkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / tot.t, 6) AS cum_share
+               FROM rev, tot)
+        SELECT o_custkey, revenue, cum_share,
+               CAST(cum_share <= 0.8 AS INT) AS in_top80
+        FROM cs
+    """
     # Replays q_event_transitions: identical lead window
     # ((ts, event_id) order per user), pair counts, from-total
     # row normalization at 6dp.
