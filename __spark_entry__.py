@@ -1688,6 +1688,28 @@ def q_drift_psi(spark, sf_dir):
     return population_stability(ref, cur, "o_orderpriority")
 
 
+def q_drift_psi_numeric(spark, sf_dir):
+    """Numeric twin of drift_psi: the SAME population_stability
+    operator over fixed-width price bins (floor(price/500) — IEEE
+    division + floor, engine-deterministic). Injected drift: odd-key
+    snapshot inflates prices 10% for key%3==0."""
+    from awi_datapipelinepublic_spark.operators.quality import population_stability
+
+    o = _t(spark, sf_dir, "orders")
+    binify = lambda c: F.floor(c / F.lit(500.0)).cast("long")
+    ref = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        binify(F.col("o_totalprice")).alias("price_bin")
+    )
+    cur = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        binify(
+            F.when(
+                F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * F.lit(1.1)
+            ).otherwise(F.col("o_totalprice"))
+        ).alias("price_bin")
+    )
+    return population_stability(ref, cur, "price_bin")
+
+
 def q_normalize_accents(spark, sf_dir):
     """Accent folding (functions/text.py:fold_accents) for
     multilingual canonicalization: deterministic accented fragments
@@ -3822,8 +3844,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- red r4 row) + 49 FIRST-TIME ids never driver-checked in
         # --- r1-r4: the r4-new ANN/k-means/semantic-dedup family, all
         # --- four scan formats, the window-function + subquery + set-op
-        # --- families, and the text-quality LLM ops. 64 ids then
-        # --- remain never-driver-checked (32 pre-r5 + the 32 new r5
+        # --- families, and the text-quality LLM ops. 65 ids then
+        # --- remain never-driver-checked (32 pre-r5 + the 33 new r5
         # --- ops below the marker) — they are the r6 window.
         "validate_expectations": q_validate_expectations,
         "kmeans_clusters": q_kmeans_clusters,
@@ -4056,6 +4078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "event_transitions": q_event_transitions,
         "revenue_pareto": q_revenue_pareto,
+        "drift_psi_numeric": q_drift_psi_numeric,
     }
 
 
@@ -6036,6 +6059,28 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY t.doc_id
     """
 
+    # Replays q_drift_psi_numeric: same fixed-width binning and
+    # injected 10% inflation, identical smoothed-PSI expression.
+    sql["drift_psi_numeric"] = """
+        WITH ref AS (SELECT CAST(floor(o_totalprice / 500.0::DOUBLE) AS BIGINT) AS b
+                     FROM orders WHERE o_orderkey % 2 = 0),
+        cur AS (SELECT CAST(floor(CASE WHEN o_orderkey % 3 = 0
+                            THEN o_totalprice * 1.1::DOUBLE ELSE o_totalprice END / 500.0::DOUBLE) AS BIGINT) AS b
+                FROM orders WHERE o_orderkey % 2 = 1),
+        rc AS (SELECT b, COUNT(*) AS rc FROM ref GROUP BY b),
+        cc AS (SELECT b, COUNT(*) AS cc FROM cur GROUP BY b),
+        merged AS (SELECT COALESCE(rc.b, cc.b) AS b,
+                          COALESCE(rc, 0) AS rc, COALESCE(cc, 0) AS cc
+                   FROM rc FULL OUTER JOIN cc USING (b)),
+        tot AS (SELECT SUM(rc) AS rt, SUM(cc) AS ct, COUNT(*) AS nb FROM merged)
+        SELECT nb AS n_buckets,
+               ROUND(SUM(
+                 ((cc + 0.5) / (ct + 0.5 * nb) - (rc + 0.5) / (rt + 0.5 * nb))
+                 * LN(((cc + 0.5) / (ct + 0.5 * nb)) / ((rc + 0.5) / (rt + 0.5 * nb)))
+               ), 6) AS psi
+        FROM merged, tot
+        GROUP BY nb
+    """
     # Replays q_revenue_pareto: 4dp-rounded per-customer revenue, the
     # rank-ordered running share (total order: revenue desc, custkey
     # asc), 4dp-rounded grand total, INT 80%-coverage flag.
