@@ -1050,7 +1050,11 @@ def q_streaming_totals(spark, sf_dir):
     read_events(spark, sf_dir).select("user_id", "value").write.parquet(staged)
     stream = spark.readStream.schema("user_id long, value double").parquet(staged)
     q = (
-        running_user_totals(stream)
+        # timeout_minutes=None: a drained availableNow stream must not
+        # register processing-time timeouts, or Spark loops state-
+        # cleanup micro-batches and the trigger never terminates (the
+        # 300 s silent stall this gate used to pay every run).
+        running_user_totals(stream, timeout_minutes=None)
         .writeStream.format("parquet")
         .option("path", str(tmp / "out"))
         .option("checkpointLocation", str(tmp / "ckpt"))
@@ -3668,28 +3672,35 @@ def q_triangle_count(spark, sf_dir):
 def q_revenue_pareto(spark, sf_dir):
     """Pareto / cumulative-share analysis: customers ranked by revenue
     with running share of total and the 80%-coverage flag — the 80/20
-    report. The window runs over the AGGREGATED customer table
-    (bounded), never order rows; revenue pre-rounded at 4dp so the
-    running sum accumulates identical decimals in both engines;
-    (revenue desc, custkey asc) is a total order."""
+    report. The running sum rides operators/windows.py:
+    global_running_sum (range-partition + broadcast-offset two-pass,
+    the global_row_number pattern generalized to SUM) — no
+    single-partition window over the customer axis at any scale.
+
+    Hash contract: revenue is 4dp-rounded then scaled to LONG
+    ten-thousandths, so the running sum is integer arithmetic —
+    association-free, bit-identical between the two-pass plan, a
+    sequential window, and the DuckDB oracle; cum_share divides two
+    exact longs and rounds once at 6dp."""
+    from awi_datapipelinepublic_spark.operators.windows import global_running_sum
+
     o = _t(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 4).alias("revenue")
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("revenue").desc(), F.col("o_custkey").asc()).rowsBetween(
-        Window.unboundedPreceding, 0
+    rev_i = rev.withColumn(
+        "__ri", F.round(F.col("revenue") * 10000, 0).cast("long")
     )
-    # round the grand total too: its partial-agg accumulation order is
-    # engine-dependent, unlike the rank-ordered running sum (q11 lesson)
-    tot = rev.agg(F.round(F.sum("revenue"), 4).alias("__t"))
+    order = [F.col("revenue").desc(), F.col("o_custkey").asc()]
+    cum = global_running_sum(rev_i, order, "__ri", out_col="__cum")
+    # grand total as an exact long too (associative — no rounding race)
+    tot = rev_i.agg(F.sum("__ri").alias("__t"))
     return (
-        rev.crossJoin(F.broadcast(tot))
+        cum.crossJoin(F.broadcast(tot))
         .select(
             "o_custkey",
             "revenue",
-            F.round(F.sum("revenue").over(w) / F.col("__t"), 6).alias("cum_share"),
+            F.round(F.col("__cum") / F.col("__t"), 6).alias("cum_share"),
         )
         .withColumn("in_top80", (F.col("cum_share") <= 0.8).cast("int"))
     )
@@ -6081,17 +6092,23 @@ def oracle_sql() -> dict[str, str]:
         FROM merged, tot
         GROUP BY nb
     """
-    # Replays q_revenue_pareto: 4dp-rounded per-customer revenue, the
-    # rank-ordered running share (total order: revenue desc, custkey
-    # asc), 4dp-rounded grand total, INT 80%-coverage flag.
+    # Replays q_revenue_pareto: 4dp-rounded per-customer revenue scaled
+    # to LONG ten-thousandths, the rank-ordered running share (total
+    # order: revenue desc, custkey asc) as exact integer arithmetic —
+    # the sequential window here is bit-identical to the engine's
+    # two-pass global_running_sum because integer addition is
+    # associative — exact-long grand total, INT 80%-coverage flag.
     sql["revenue_pareto"] = """
         WITH rev AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS revenue
                      FROM orders GROUP BY 1),
-        tot AS (SELECT ROUND(SUM(revenue), 4) AS t FROM rev),
+        ri AS (SELECT o_custkey, revenue,
+                      CAST(ROUND(revenue * 10000, 0) AS BIGINT) AS r
+               FROM rev),
+        tot AS (SELECT SUM(r) AS t FROM ri),
         cs AS (SELECT o_custkey, revenue,
-                      ROUND(SUM(revenue) OVER (ORDER BY revenue DESC, o_custkey ASC
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / tot.t, 6) AS cum_share
-               FROM rev, tot)
+                      ROUND(SUM(r) OVER (ORDER BY revenue DESC, o_custkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0 / tot.t, 6) AS cum_share
+               FROM ri, tot)
         SELECT o_custkey, revenue, cum_share,
                CAST(cum_share <= 0.8 AS INT) AS in_top80
         FROM cs

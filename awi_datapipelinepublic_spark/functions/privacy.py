@@ -127,6 +127,16 @@ def dp_noisy_count(
     across releases of CHANGED data leaks the delta, which is
     documented here rather than hidden.
 
+    Domain caveat (also required for true ε-DP): this emits only
+    groups PRESENT in the data, so group presence/absence is released
+    exactly — a standard DP violation when the group domain is
+    data-dependent. A true release needs a fixed/public group domain
+    (outer-join the noisy counts onto the known key universe, noising
+    absent groups' zero counts too) or a noisy-threshold ("stability")
+    filter that drops small groups; neither is applied here because
+    the gate's contract is replayable audited output over observed
+    keys.
+
     Scale: one hash-partitioned groupBy with map-side combine, then a
     pure projection — the noise math never touches row data. Output:
     group_cols..., noisy_count DOUBLE (6dp), never the exact count.

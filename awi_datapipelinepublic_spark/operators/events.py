@@ -89,6 +89,7 @@ def event_transitions(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    id_col: str | None = "event_id",
 ) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     streams: (from_type, to_type, n, prob) where prob row-normalizes
@@ -96,16 +97,19 @@ def event_transitions(
     input every product-analytics stack computes.
 
     One key-partitioned window (lead over the user's time-ordered
-    stream — tie-broken by event id for determinism), then a (from,
-    to) groupBy with map-side combine and a from-total join-back (the
-    two-pass unigram_logprob shape; the totals table is
-    type-cardinality, tiny, AQE broadcasts it)."""
+    stream — tie-broken by ``id_col`` for determinism when the input
+    has one; pass ``id_col=None`` or a frame without the column to
+    order by ``ts_col`` alone), then a (from, to) groupBy with
+    map-side combine and a from-total join-back (the two-pass
+    unigram_logprob shape; the totals table is type-cardinality,
+    tiny, AQE broadcasts it)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    tie = [id_col] if id_col and id_col in events.columns else []
+    w = Window.partitionBy(user_col).orderBy(ts_col, *tie)
     pairs = (
         events.select(
-            F.col(user_col), F.col(ts_col), F.col("event_id"), F.col(type_col)
+            F.col(user_col), F.col(ts_col), *[F.col(c) for c in tie], F.col(type_col)
         )
         .withColumn("to_type", F.lead(type_col).over(w))
         .filter(F.col("to_type").isNotNull())

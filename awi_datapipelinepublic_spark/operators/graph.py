@@ -355,5 +355,9 @@ def kcore(
     out = degrees(ee).filter(F.col("d") >= k).select(
         F.col("n").alias("node"), F.col("d").alias("core_degree")
     )
+    # Materialize before dropping the edge cache: unpersisting e while
+    # `out` is still lazy would force the caller's action to recompute
+    # the whole upstream edge build, defeating the persist.
+    out = out.localCheckpoint()
     e.unpersist()
     return out

@@ -968,6 +968,18 @@ def pq_codebook_from_sample(
         .limit(ks)
         .collect()
     )
+    if len(rows) < ks:
+        # Sparse / non-contiguous ids can leave the modulo filter with
+        # fewer than ks donors; a short codebook would silently break
+        # pq_assign's code-range assumptions downstream. Re-sample by
+        # global rank (always dense) before giving up.
+        rows = emb.select(id_col, vec_col).orderBy(id_col).limit(ks).collect()
+        if len(rows) < ks:
+            raise ValueError(
+                f"pq_codebook_from_sample: corpus has only {len(rows)} "
+                f"vectors but ks={ks} codebook entries were requested — "
+                "lower ks or supply an explicit codebook"
+            )
     sub = dim // m
     M = np.asarray([[float(x) for x in r[vec_col]] for r in rows], dtype=float)
     return np.stack(

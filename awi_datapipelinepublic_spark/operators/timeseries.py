@@ -173,28 +173,30 @@ def multi_grain_rollup(
     only at the output edge — intermediate partials stay unrounded so
     coarser grains aggregate full-precision doubles.
 
-    The hour/day partial tables are MEMORY_ONLY-persisted: the output
-    union references each grain's lineage from two branches, and
-    without the cache Spark re-derives every branch from the raw scan
-    (measured: three full fact scans in the un-persisted plan). The
-    partials are bucket-cardinality rows — KBs — so the cache cost is
-    nil and the one-raw-scan contract holds in the physical plan
-    (PLANS.md shows branches 2-3 as InMemoryTableScan).
+    The hour/day partial tables are eagerly localCheckpoint-ed: the
+    output union references each grain's lineage from two branches,
+    and without materialization Spark re-derives every branch from
+    the raw scan (measured: three full fact scans in the naive plan).
+    The partials are bucket-cardinality rows — KBs — so the
+    materialization cost is nil and the one-raw-scan contract holds.
+    localCheckpoint (not persist) because this builder cannot see the
+    caller's action: a persist here would leak cached tables into a
+    long-lived session with no unpersist point, while checkpoint
+    blocks are released by the ContextCleaner once the returned
+    DataFrame is garbage-collected.
     """
-    from pyspark.storagelevel import StorageLevel
-
     hour = (
         events.groupBy(F.date_trunc("hour", F.col(ts_col)).alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(value_col).alias("__sum"),
         )
-        .persist(StorageLevel.MEMORY_ONLY)
+        .localCheckpoint()
     )
     day = (
         hour.groupBy(F.date_trunc("day", F.col("bucket")).alias("bucket"))
         .agg(F.sum("n_events").alias("n_events"), F.sum("__sum").alias("__sum"))
-        .persist(StorageLevel.MEMORY_ONLY)
+        .localCheckpoint()
     )
     month = (
         day.groupBy(F.date_trunc("month", F.col("bucket")).alias("bucket"))

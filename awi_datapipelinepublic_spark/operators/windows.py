@@ -45,6 +45,48 @@ def global_row_number(df: DataFrame, order_by: list, out_col: str = "Id") -> Dat
     )
 
 
+def global_running_sum(
+    df: DataFrame, order_by: list, value_col: str, out_col: str = "running_sum"
+) -> DataFrame:
+    """Scalable global running SUM over a total order —
+    :func:`global_row_number`'s two-pass pattern generalized from
+    COUNT to SUM: range-partition on the sort key, per-partition
+    running sum (no cross-partition movement), then broadcast each
+    partition's offset (the sum of all earlier partitions' totals).
+
+    The only single-partition window runs over the per-partition
+    totals table — one row per shuffle partition, bounded by
+    configuration, never by data volume. A bare
+    ``sum().over(Window.orderBy(...))`` drags every row through one
+    task; this plan keeps the running sum fully parallel at any scale.
+
+    Exactness: for integral/decimal ``value_col`` the result is
+    bit-identical to the sequential window (integer addition is
+    associative). For floating-point inputs the two-pass association
+    differs from strict sequential accumulation by O(ulp); callers
+    needing cross-engine hash-stable running sums should pre-scale to
+    a long (see q_revenue_pareto) rather than sum doubles.
+    """
+    ordered = df.repartitionByRange(*order_by).sortWithinPartitions(*order_by)
+    with_pid = ordered.withColumn("__pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = with_pid.withColumn("__ls", F.sum(value_col).over(w))
+    partials = local.groupBy("__pid").agg(F.sum(value_col).alias("__psum"))
+    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = partials.withColumn(
+        "__off", F.coalesce(F.sum("__psum").over(woff), F.lit(0))
+    )
+    return (
+        local.join(F.broadcast(offsets.select("__pid", "__off")), "__pid")
+        .withColumn(out_col, F.col("__ls") + F.col("__off"))
+        .drop("__pid", "__ls", "__off")
+    )
+
+
 def min_over_partition(df: DataFrame, part_col: str, val_col: str, out_col: str) -> DataFrame:
     """MIN(val) OVER (PARTITION BY part) — per-group min broadcast to
     every row (settings.yaml:92)."""

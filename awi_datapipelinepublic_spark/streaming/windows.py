@@ -66,7 +66,9 @@ RUNNING_OUT_SCHEMA = (
 )
 
 
-def running_user_totals(events: DataFrame, timeout_minutes: int = 60) -> DataFrame:
+def running_user_totals(
+    events: DataFrame, timeout_minutes: int | None = 60
+) -> DataFrame:
     """Custom stateful operator: per-user running totals across
     micro-batches via applyInPandasWithState.
 
@@ -74,7 +76,16 @@ def running_user_totals(events: DataFrame, timeout_minutes: int = 60) -> DataFra
     accumulating operator takes (fraud scores, rate limits, feature
     aggregates). Idle users are evicted by processing-time timeout so
     state stays bounded by the active-user set.
+
+    Pass ``timeout_minutes=None`` for drain-once (availableNow)
+    callers: with ProcessingTimeTimeout registered, Spark keeps
+    scheduling "no new data but cleaning up state" micro-batches until
+    the timeouts fire, so an availableNow trigger never terminates —
+    measured as a silent full-``awaitTermination`` stall (300 s per
+    gate run) before this parameter existed. Timeout eviction is a
+    continuous-deployment feature; a bounded drain doesn't need it.
     """
+    no_timeout = timeout_minutes is None
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -90,7 +101,8 @@ def running_user_totals(events: DataFrame, timeout_minutes: int = 60) -> DataFra
             n += len(pdf)
             total += float(pdf["value"].sum())
         state.update((total, n))
-        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        if not no_timeout:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
         yield pd.DataFrame(
             [
                 {
@@ -110,7 +122,11 @@ def running_user_totals(events: DataFrame, timeout_minutes: int = 60) -> DataFra
             outputStructType=RUNNING_OUT_SCHEMA,
             stateStructType=RUNNING_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if no_timeout
+                else GroupStateTimeout.ProcessingTimeTimeout
+            ),
         )
     )
 

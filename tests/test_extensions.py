@@ -146,6 +146,62 @@ def test_multimodal_decode_pluggable_decoder(spark, sf_dir):
         assert r["mode"] == "RGB"
 
 
+def _make_png(width: int, height: int, corrupt_crc: bool = False) -> bytes:
+    """Build a real, spec-valid 8-bit grayscale PNG byte string with
+    only the stdlib: signature + IHDR + IDAT (zlib-compressed filtered
+    scanlines) + IEND."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        if corrupt_crc and ctype == b"IDAT":
+            crc ^= 0xDEADBEEF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes((x * 7 + y) % 256 for x in range(width))
+                   for y in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decoder_real_format_through_map_in_pandas(spark):
+    """The shipped non-stub decoder: REAL PNG byte strings flow through
+    the identical mapInPandas seam and come back with their true IHDR
+    dimensions and a verified chunk CRC — plus the sentinel row for a
+    corrupt-CRC PNG and for a non-PNG payload in the same batch."""
+    from awi_datapipelinepublic_spark.operators.multimodal import (
+        PNG_SCHEMA,
+        png_decoder,
+    )
+
+    payloads = [
+        (1, _make_png(3, 2)),
+        (2, _make_png(640, 1)),
+        (3, _make_png(5, 5, corrupt_crc=True)),
+        (4, b"definitely not a png"),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    out = decode_media(df, decoder=png_decoder(), schema=PNG_SCHEMA)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 4
+    assert (rows[1]["width"], rows[1]["height"]) == (3, 2)
+    assert (rows[1]["bit_depth"], rows[1]["color_type"], rows[1]["crc_ok"]) == (8, 0, 1)
+    assert (rows[2]["width"], rows[2]["height"], rows[2]["crc_ok"]) == (640, 1, 1)
+    # corrupt IDAT CRC: geometry still parses, integrity flag drops
+    assert (rows[3]["width"], rows[3]["height"], rows[3]["crc_ok"]) == (5, 5, 0)
+    assert (rows[4]["width"], rows[4]["crc_ok"]) == (-1, 0)
+    # and plain-python replay agrees with the distributed path
+    dec = png_decoder()
+    assert dec(_make_png(3, 2))["width"] == 3
+    assert dec(b"")["width"] == -1
+
+
 def test_resize_stub_rewrites_payload_and_meta(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
     resized = resize_stub(attach_binary_payload(docs), 100, 100)

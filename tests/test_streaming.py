@@ -87,7 +87,10 @@ def test_streaming_session_windows(spark, events_stream_dir, tmp_path):
 def test_running_user_totals_stateful(spark, events_stream_dir, tmp_path):
     batch_events = spark.read.parquet(events_stream_dir)
     stream_events = spark.readStream.schema(batch_events.schema).parquet(events_stream_dir)
-    _drain(running_user_totals(stream_events), tmp_path, "running")
+    # timeout_minutes=None: availableNow + ProcessingTimeTimeout never
+    # terminates (state-cleanup batches loop) — this drain used to
+    # burn the full 180 s awaitTermination; now it finishes in seconds
+    _drain(running_user_totals(stream_events, timeout_minutes=None), tmp_path, "running")
     rows = spark.sql("SELECT * FROM running").collect()
     assert rows, "stateful op produced no rows"
     # the final emitted running_events per user == the batch count
