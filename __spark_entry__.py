@@ -3848,16 +3848,69 @@ def q_zorder_layout(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- Driver check window (round-5 rotation): the driver oracle-
+        # --- Driver check window (round-6 rotation): the driver oracle-
         # --- verifies the FIRST 50 entries each round (CORRECTNESS_r*).
-        # --- r5 window = validate_expectations (re-check after the
-        # --- canonicalization-proof INT/BIGINT output fix, the single
-        # --- red r4 row) + 49 FIRST-TIME ids never driver-checked in
-        # --- r1-r4: the r4-new ANN/k-means/semantic-dedup family, all
-        # --- four scan formats, the window-function + subquery + set-op
-        # --- families, and the text-quality LLM ops. 65 ids then
-        # --- remain never-driver-checked (32 pre-r5 + the 33 new r5
-        # --- ops below the marker) — they are the r6 window.
+        # --- r6 window = the 45 riskiest never-driver-checked ids (all
+        # --- the round-5 newcomers: graph census, PQ/IVF-PQ ANN, corpus
+        # --- LM stack, privacy audits, drift, curation pipeline, XML
+        # --- source, plus the remaining r4 analytics ids) + 5 repeat
+        # --- slots re-confirming the SURVEY §2 flagships whose last
+        # --- driver rows predate the r5 CDC/cache changes (VERDICT r5
+        # --- order #5). 20 never-checked ids remain — the oldest,
+        # --- simplest stragglers (cube/grouping-sets/having, json
+        # --- parse/serialize, scalar window/agg forms) — they are the
+        # --- r7 window.
+        "agg_approx": q_agg_approx,
+        "key_skew_profile": q_key_skew_profile,
+        "bpe_token_count": q_bpe_token_count,
+        "events_session_native": q_events_session_native,
+        "unigram_logprob": q_unigram_logprob,
+        "token_budget_select": q_token_budget_select,
+        "quality_calibrate": q_quality_calibrate,
+        "shard_stats": q_shard_stats,
+        "source_overlap": q_source_overlap,
+        "decontaminate_substring": q_decontaminate_substring,
+        "scan_xml": q_scan_xml,
+        "digest_prefilter_join": q_digest_prefilter_join,
+        "negative_sample": q_negative_sample,
+        "k_anonymity": q_k_anonymity,
+        "entropy_quality": q_entropy_quality,
+        "knn_pq": q_knn_pq,
+        "zorder_layout": q_zorder_layout,
+        "bloom_prefilter_join": q_bloom_prefilter_join,
+        "triangle_count": q_triangle_count,
+        "dp_noisy_count": q_dp_noisy_count,
+        "vocab_build": q_vocab_build,
+        "bigram_lm": q_bigram_lm,
+        "knn_ivfpq": q_knn_ivfpq,
+        "gopher_filter": q_gopher_filter,
+        "curation_pipeline": q_curation_pipeline,
+        "scan_schema_drift": q_scan_schema_drift,
+        "dedup_pr_eval": q_dedup_pr_eval,
+        "time_rollup": q_time_rollup,
+        "lang_id_multi": q_lang_id_multi,
+        "dedup_cluster_stats": q_dedup_cluster_stats,
+        "bigram_logprob": q_bigram_logprob,
+        "cohort_retention": q_cohort_retention,
+        "json_array_explode": q_json_array_explode,
+        "asof_join_tolerance": q_asof_join_tolerance,
+        "normalize_accents": q_normalize_accents,
+        "drift_psi": q_drift_psi,
+        "spatial_radius_join": q_spatial_radius_join,
+        "cumulative_adoption": q_cumulative_adoption,
+        "interval_coverage": q_interval_coverage,
+        "sliding_distinct_users": q_sliding_distinct_users,
+        "collocations_pmi": q_collocations_pmi,
+        "kcore": q_kcore,
+        "event_transitions": q_event_transitions,
+        "revenue_pareto": q_revenue_pareto,
+        "drift_psi_numeric": q_drift_psi_numeric,
+        "view_retention": q_view_retention,
+        "view_transactions": q_view_transactions,
+        "view_auto_optiom": q_view_auto_optiom,
+        "merge_time_window": q_merge_time_window,
+        "dedup_pipeline": q_dedup_pipeline,
+        # --- End of driver window; order below is not significant. ---
         "validate_expectations": q_validate_expectations,
         "kmeans_clusters": q_kmeans_clusters,
         "embedding_outliers": q_embedding_outliers,
@@ -3908,13 +3961,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "quantile_bins": q_quantile_bins,
         "balanced_sample": q_balanced_sample,
-        # --- End of driver window; order below is not significant. ---
         "streaming_pipeline": q_streaming_pipeline,
         "make_view": q_make_view,
-        "merge_time_window": q_merge_time_window,
-        "view_retention": q_view_retention,
-        "view_transactions": q_view_transactions,
-        "view_auto_optiom": q_view_auto_optiom,
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "tpch_q2_min_cost": q_tpch_q2_min_cost,
         "tpch_q3_topk": q_tpch_q3_topk,
@@ -3984,7 +4032,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fn_isnotnull": q_fn_isnotnull,
         "fn_date_cmp": q_fn_date_cmp,
         "fn_date_lt_param": q_fn_date_lt_param,
-        "dedup_pipeline": q_dedup_pipeline,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "connected_components": q_connected_components,
         "knn_cosine": q_knn_cosine,
@@ -4022,9 +4069,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_map_zscore": q_grouped_map_zscore,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "agg_approx": q_agg_approx,
-        "key_skew_profile": q_key_skew_profile,
-        "bpe_token_count": q_bpe_token_count,
         "cube_agg": q_cube_agg,
         "grouping_sets_agg": q_grouping_sets_agg,
         "topk_per_group": q_topk_per_group,
@@ -4037,7 +4081,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "unpivot_melt": q_unpivot_melt,
         "json_parse": q_json_parse,
-        "events_session_native": q_events_session_native,
         "vector_norm": q_vector_norm,
         "json_serialize": q_json_serialize,
         "except_all": q_except_all,
@@ -4046,50 +4089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_distance": q_string_distance,
         "knn_lsh": q_knn_lsh,
         "feature_hash": q_feature_hash,
-        "unigram_logprob": q_unigram_logprob,
-        "token_budget_select": q_token_budget_select,
-        "quality_calibrate": q_quality_calibrate,
-        "shard_stats": q_shard_stats,
-        "source_overlap": q_source_overlap,
-        "decontaminate_substring": q_decontaminate_substring,
-        "scan_xml": q_scan_xml,
-        "digest_prefilter_join": q_digest_prefilter_join,
-        "negative_sample": q_negative_sample,
-        # round-5 late additions (r6 driver-window candidates):
-        # privacy audit, entropy quality, PQ ANN, z-order layout audit
-        "k_anonymity": q_k_anonymity,
-        "entropy_quality": q_entropy_quality,
-        "knn_pq": q_knn_pq,
-        "zorder_layout": q_zorder_layout,
-        "bloom_prefilter_join": q_bloom_prefilter_join,
-        "triangle_count": q_triangle_count,
-        "dp_noisy_count": q_dp_noisy_count,
-        "vocab_build": q_vocab_build,
-        "bigram_lm": q_bigram_lm,
-        "knn_ivfpq": q_knn_ivfpq,
-        "gopher_filter": q_gopher_filter,
-        "curation_pipeline": q_curation_pipeline,
-        "scan_schema_drift": q_scan_schema_drift,
-        "dedup_pr_eval": q_dedup_pr_eval,
-        "time_rollup": q_time_rollup,
-        "lang_id_multi": q_lang_id_multi,
-        "dedup_cluster_stats": q_dedup_cluster_stats,
-        "bigram_logprob": q_bigram_logprob,
-        "cohort_retention": q_cohort_retention,
-        "json_array_explode": q_json_array_explode,
-        "asof_join_tolerance": q_asof_join_tolerance,
-        "normalize_accents": q_normalize_accents,
-        "drift_psi": q_drift_psi,
-        "spatial_radius_join": q_spatial_radius_join,
-        "cumulative_adoption": q_cumulative_adoption,
-        "interval_coverage": q_interval_coverage,
-        "sliding_distinct_users": q_sliding_distinct_users,
         "funnel_steps": q_funnel_steps,
-        "collocations_pmi": q_collocations_pmi,
-        "kcore": q_kcore,
-        "event_transitions": q_event_transitions,
-        "revenue_pareto": q_revenue_pareto,
-        "drift_psi_numeric": q_drift_psi_numeric,
     }
 
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from awi_datapipelinepublic_spark.functions import text as X
+from awi_datapipelinepublic_spark.operators.windows import global_row_number
 
 
 def heavy_hitters(
@@ -88,22 +89,25 @@ def sequence_pack(
     (real pipelines chunk first — operators/chunking.py).
 
     Scale design: ONE global ordering is required by the semantics
-    (same as any deterministic packer); it is a single range-partition
-    sort (Spark samples split points, no single-node bottleneck), then
-    a cumulative-sum window over that same range partitioning and one
-    groupBy(block) with bounded per-block collect_lists (≤ budget
-    tokens of text per block).
+    (same as any deterministic packer); it rides
+    operators/windows.py:global_running_sum — range-partition sort
+    (Spark samples split points, no single-node bottleneck),
+    per-partition cumulative sum, broadcast partition offsets — then
+    one groupBy(block) with bounded per-block collect_lists (≤ budget
+    tokens of text per block). Token counts are integers, so the
+    two-pass sum is bit-identical to a sequential window.
     """
-    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
+    from awi_datapipelinepublic_spark.operators.windows import global_running_sum
+
     toks = df.select(
         F.col(id_col),
         F.col(text_col),
         X.token_count(text_col).alias("__n_tok"),
     )
-    packed = toks.withColumn(
-        "block_id",
-        ((F.sum("__n_tok").over(w) - 1) / F.lit(block_tokens)).cast("bigint"),
-    )
+    cum = global_running_sum(toks, [F.col(id_col)], "__n_tok", out_col="__cum")
+    packed = cum.withColumn(
+        "block_id", ((F.col("__cum") - 1) / F.lit(block_tokens)).cast("bigint")
+    ).drop("__cum")
     return packed.groupBy("block_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("__n_tok").alias("n_tokens"),
@@ -261,11 +265,11 @@ def vocab_build(
     Scale: explode → one groupBy(term) with map-side combine (the
     Zipf head collapses within partitions) carrying both corpus freq
     and doc freq (count_distinct via per-doc dedup explode). The
-    row_number id is a single-partition window over the post-filter
-    vocab — bounded by max_size/min_count, not corpus size; for
-    billion-term raw spaces the two-pass zipWithIndex twin in
-    operators/windows.py applies, but a TRAINED vocab is ≤ a few
-    hundred thousand rows by construction.
+    ordered id assignment rides operators/windows.py:
+    global_row_number (range-partition + broadcast-offset two-pass) —
+    fully parallel even for billion-term raw spaces, identical values
+    to the sequential window because (freq DESC, term ASC) is a total
+    order.
     """
     toks = df.select(
         F.col(id_col).alias("__doc"),
@@ -276,9 +280,10 @@ def vocab_build(
         F.count_distinct("__doc").alias("doc_freq"),
     )
     kept = counts.filter(F.col("freq") >= min_count)
-    w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
-    out = kept.select(
-        (F.row_number().over(w) - 1).alias("token_id"), "term", "freq", "doc_freq"
+    out = global_row_number(
+        kept, [F.col("freq").desc(), F.col("term").asc()], out_col="__grn"
+    ).select(
+        (F.col("__grn") - 1).alias("token_id"), "term", "freq", "doc_freq"
     )
     if max_size is not None:
         out = out.filter(F.col("token_id") < max_size)

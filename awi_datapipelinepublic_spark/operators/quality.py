@@ -586,31 +586,26 @@ def negative_sample(
     dense rank ring — the contrastive-training primitive (one positive
     pair + k negatives) with no RNG state and engine-replayable draws.
 
-    Mechanics: rows get a dense 0..n-1 position by sorting ids (one
-    thin two-column window); each (id, i<k) pair hashes md5(id||'#'||i)
-    to a 32-bit draw, maps it to an OFFSET in 1..n-1 (never 0, so a row
-    can't draw itself), and the negative is the id at
-    (pos + offset) % n — a ring walk giving uniform negatives that are
-    never the anchor itself (two of a row's k draws may repeat; that
-    mirrors sampling WITH replacement, the standard contrastive
-    setup). The draw join is an equi-join
-    on the position key, shuffle-bounded by n x k rows of two longs.
-
-    At 100 TB the rank window is the scale hazard (global sort): for
-    corpus-scale inputs, rank within hash buckets instead (same trick
-    as operators/windows.py's two-pass row_number twin); the gate uses
-    the simple form — embedding tables at negative-sampling time are
-    model-vocabulary-sized, not corpus-sized.
+    Mechanics: rows get a dense 0..n-1 position by id rank via
+    operators/windows.py:global_row_number (range-partition +
+    broadcast-offset two-pass — fully parallel, identical values to a
+    sequential window because the id order is total); each (id, i<k)
+    pair hashes md5(id||'#'||i) to a 32-bit draw, maps it to an OFFSET
+    in 1..n-1 (never 0, so a row can't draw itself), and the negative
+    is the id at (pos + offset) % n — a ring walk giving uniform
+    negatives that are never the anchor itself (two of a row's k draws
+    may repeat; that mirrors sampling WITH replacement, the standard
+    contrastive setup). The draw join is an equi-join on the position
+    key, shuffle-bounded by n x k rows of two longs.
     """
-    from pyspark.sql import Window
+    from awi_datapipelinepublic_spark.operators.windows import global_row_number
 
     n_total = df.count()
     if n_total < 2:
         raise ValueError("negative_sample needs >= 2 rows")
-    pos = df.select(
-        F.col(id_col),
-        (F.row_number().over(Window.orderBy(F.col(id_col))) - 1).alias("__pos"),
-    )
+    pos = global_row_number(
+        df.select(id_col), [F.col(id_col)], out_col="__grn"
+    ).select(F.col(id_col), (F.col("__grn") - 1).alias("__pos"))
     draws = pos.select(
         F.col(id_col),
         "__pos",

@@ -162,9 +162,51 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "sentinels": _sentinel_ratios(sf_dir, timings),
             }
         )
     )
+
+
+# Three fixed queries re-run in DuckDB (min-of-2, same parquet) every
+# bench: cross-round BENCH_rN absolute totals drift with host weather
+# (r4→r5 measured a uniform ~1.3x inflation); the Spark/DuckDB ratio on
+# the SAME run is host-invariant, so rounds stay comparable. Chosen to
+# span the engine's regimes: columnar scan+agg (q1), shuffle join+agg
+# (q5), window+event-time bucketing (events_tumbling).
+SENTINELS = ["tpch_q1_pricing", "tpch_q5_revenue", "events_tumbling"]
+
+
+def _sentinel_ratios(sf_dir: str, timings: dict) -> dict:
+    import time
+
+    try:
+        import duckdb
+
+        import __spark_entry__ as em
+
+        oracles = em.oracle_sql()
+        con = duckdb.connect()
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings"]:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        out = {}
+        for name in SENTINELS:
+            if name not in oracles or name not in timings:
+                continue
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.execute(oracles[name]).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            out[name] = {
+                "spark": timings[name],
+                "duckdb": round(best, 3),
+                "ratio": round(timings[name] / best, 2) if best > 0 else None,
+            }
+        return out
+    except Exception:  # sentinel telemetry must never fail the bench
+        return {}
 
 
 if __name__ == "__main__":

@@ -7,6 +7,8 @@ import subprocess
 import sys
 from pathlib import Path
 
+import pytest
+
 REPO = Path(__file__).resolve().parents[1]
 
 
@@ -62,6 +64,28 @@ def _run_bench(sf_dir: str) -> dict:
     return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
+def _cpu_canary() -> float:
+    """Fixed pure-CPU workload timed on the host: the load-normalization
+    canary (VERDICT r5 order #3). Run immediately before each bench
+    subprocess; the big/small canary ratio measures how much MORE
+    contended the host was during the sf1 run than the sf0.1 run, so
+    per-query ratio bounds can be normalized to engine behavior instead
+    of host weather. min-of-3 absorbs single-timeslice spikes."""
+    import time
+
+    import numpy as np
+
+    a = np.random.default_rng(0).random((400, 400))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(12):
+            a = a @ a % 1.0 + 0.1
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+@pytest.mark.slow
 def test_whole_suite_sf1_scaling_envelope():
     """Pins the recorded volume-scaling envelope (BASELINE.md round-4
     closing totals: 35.8 s at sf0.1 / 82.5 s at sf1 = 2.3x whole-suite
@@ -73,42 +97,63 @@ def test_whole_suite_sf1_scaling_envelope():
     - whole-suite ratio <= 3.5x (recorded 2.3x; 1.5x margin)
     - per-query ratio <= 12x for queries costing >= 0.3 s at sf0.1
       (sub-0.3 s queries are scheduling-bound and their ratios are
-      noise, not volume), EXCEPT the documented-quadratic
-      verify-stage ops: dedup_containment's pair volume is quadratic
-      in duplicate multiplicity BY DESIGN (SCALING.md "Round-4
-      additions") and the sf1 corpus plants ~10 near-copies/doc, so
-      its ratio tracks true pair growth (~x8-x14, also inflated
-      because the round-5 persist made its sf0.1 denominator FASTER);
-      its real-scale bound is the pair-expansion guard
-      (dedup.py:_guard_pair_expansion), pinned by
-      test_ngram_pair_guard_refuses_degenerate_corpus and the
-      mega-bucket test below, not by this ratio.
+      noise, not volume), normalized by the CPU canary (a host busy
+      during the sf1 run inflates every ratio uniformly — the r5
+      adjudicated flake), EXCEPT the documented-quadratic ops where
+      the ratio tracks true quadratic growth BY DESIGN and an
+      ABSOLUTE sf1 time bound applies instead:
+      - dedup_containment: pair volume quadratic in duplicate
+        multiplicity (SCALING.md "Round-4 additions"); the sf1 corpus
+        plants ~10 near-copies/doc so its ratio is real pair growth;
+        its scale guard is dedup.py:_guard_pair_expansion, pinned by
+        test_ngram_pair_guard_refuses_degenerate_corpus and the
+        mega-bucket test below.
+      - knn_join: the exact brute-force all-pairs baseline — O(n²)
+        compute is its CONTRACT (similarity.py knn_join_brute, capped
+        by max_rows); 10x rows is lawfully ~100x FLOPs (measured 8.5x
+        wall quiet thanks to BLAS batching). Bounding it with the
+        generic 12x made the gate flake under load (r5 verdict).
     bench.py's min-of-2 per query already absorbs single-run spikes.
     """
-    quadratic_by_design = {"dedup_containment"}
+    quadratic_by_design = {"dedup_containment": 90.0, "knn_join": 120.0}
     sf1 = _ensure_sf1()
+    canary_small = _cpu_canary()
     small = _run_bench("/root/testdata/sf0.1")
+    canary_big = _cpu_canary()
     big = _run_bench(str(sf1))
-    ratio = big["value"] / small["value"]
+    # >1 when the host was more contended during the sf1 run
+    load_factor = max(1.0, canary_big / canary_small)
+    ratio = big["value"] / small["value"] / load_factor
     # surfaced with `pytest -s` so BASELINE.md records come from the
     # same run that enforced the envelope
-    print(f"\nsf0.1 total {small['value']}s  sf1 total {big['value']}s  ratio {ratio:.2f}x")
+    print(
+        f"\nsf0.1 total {small['value']}s  sf1 total {big['value']}s  "
+        f"ratio {ratio:.2f}x (load_factor {load_factor:.2f})"
+    )
     print({q: (small["queries"][q], big["queries"].get(q)) for q in small["queries"]})
     assert ratio <= 3.5, (
         f"whole-suite sf0.1->sf1 ratio {ratio:.2f}x exceeds the pinned "
         f"3.5x envelope (recorded 2.3x): {small['value']} -> {big['value']} s"
     )
     offenders = {
-        q: round(big["queries"][q] / small["queries"][q], 2)
+        q: round(big["queries"][q] / small["queries"][q] / load_factor, 2)
         for q in small["queries"]
         if small["queries"][q] >= 0.3
         and q in big["queries"]
         and q not in quadratic_by_design
-        and big["queries"][q] / small["queries"][q] > 12.0
+        and big["queries"][q] / small["queries"][q] / load_factor > 12.0
     }
     assert not offenders, f"super-linear queries at 10x rows: {offenders}"
+    # the by-design-quadratic ops get absolute sf1 wall bounds instead
+    over = {
+        q: big["queries"][q]
+        for q, bound in quadratic_by_design.items()
+        if q in big["queries"] and big["queries"][q] > bound * load_factor
+    }
+    assert not over, f"quadratic-by-design ops past their absolute sf1 bounds: {over}"
 
 
+@pytest.mark.slow
 def test_mega_bucket_boilerplate_at_sf1(tmp_path):
     """Integration proof of the bucket-cap path at sf1 scale: with 10%
     of a 50k-doc corpus replaced by BYTE-IDENTICAL boilerplate (the

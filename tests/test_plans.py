@@ -659,3 +659,72 @@ def test_bloom_prefilter_no_false_negatives_bounded_fp(spark):
     non_match = 40_000 - true_matches
     fp_rate = (survivors - true_matches) / non_match
     assert fp_rate < 0.05, fp_rate
+
+
+# ---------------------------------------------------------------------------
+# Repo-wide scale-hazard sweep: single-partition windows
+# ---------------------------------------------------------------------------
+
+# Gates whose empty-partitionSpec Window runs over a PROVABLY BOUNDED
+# axis — each entry documents the bound (the allowlist the VERDICT r5
+# sweep order calls for). Everything else must keep its global windows
+# off the data axis (the two-pass operators in operators/windows.py).
+BOUNDED_GLOBAL_WINDOW_GATES = {
+    # Parity form of the reference's global ROW_NUMBER()
+    # (settings.yaml:94), kept deliberately single-partition so the
+    # gate replays the reference's exact plan shape at report scale;
+    # global_row_number (windows.py:24) is the scalable twin and every
+    # scale-path caller uses it.
+    "win_row_number": 1,
+    # Both rank windows order LIMIT-50 candidate lists (bm25_topk k=50,
+    # knn_brute_force k=50) — input bounded by the limit, not the
+    # corpus.
+    "hybrid_search_rrf": 2,
+    # Running adoption over the per-day aggregate: the axis is calendar
+    # days (events.py:228 documents the bound).
+    "cumulative_adoption": 1,
+}
+
+# Gates that must drain a streaming query just to BUILD their result
+# DataFrame (the returned frame is a batch read of the sink — no batch
+# Window can hide there); excluded to keep the sweep test fast.
+_SWEEP_SKIP = {"streaming_pipeline", "streaming_totals"}
+
+
+def _global_window_orders(df) -> list:
+    """Order specs of every logical Window node with an EMPTY
+    partitionSpec in the optimized plan (py4j tree walk)."""
+    found = []
+
+    def walk(node):
+        if node.getClass().getSimpleName() == "Window" and node.partitionSpec().isEmpty():
+            found.append(node.orderSpec().toString())
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return found
+
+
+def test_no_unbounded_single_partition_window_in_any_gate(spark, sf_dir):
+    """Sweep EVERY gate's optimized plan: a Window with no partitionBy
+    drags all rows through one task, so any such node must either ride
+    the sanctioned two-pass offset table (orders solely by __pid — one
+    row per shuffle partition, bounded by config) or appear in
+    BOUNDED_GLOBAL_WINDOW_GATES with a documented bound. Catches the
+    revenue_pareto/sequence_pack class of scale hazard at plan-build
+    time, repo-wide."""
+    offenders = {}
+    for name, fn in entry_mod.queries().items():
+        if name in _SWEEP_SKIP:
+            continue
+        orders = [o for o in _global_window_orders(fn(spark, sf_dir)) if "__pid" not in o]
+        allowed = BOUNDED_GLOBAL_WINDOW_GATES.get(name, 0)
+        if len(orders) > allowed:
+            offenders[name] = orders
+    assert not offenders, (
+        "gates planning a single-partition Window over an unbounded "
+        f"axis (fix with operators/windows.py two-pass, or document the "
+        f"bound in BOUNDED_GLOBAL_WINDOW_GATES): {offenders}"
+    )
