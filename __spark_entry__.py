@@ -3846,6 +3846,161 @@ def q_zorder_layout(spark, sf_dir):
     )
 
 
+def q_ks_drift(spark, sf_dir):
+    """Exact two-sample Kolmogorov–Smirnov drift statistic
+    (operators/quality.py:ks_drift) between even-key reference prices
+    and odd-key current prices with deterministic injected drift
+    (key%3==0 inflated 10%) — the binning-free companion of
+    drift_psi_numeric. Prices enter as exact cents (round(·*100) →
+    LONG) so value grouping and the integer CDF-gap max replay
+    bit-identically in DuckDB."""
+    from awi_datapipelinepublic_spark.operators.quality import ks_drift
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    ref = li.filter(F.col("l_orderkey") % 2 == 0)
+    cur = li.filter(F.col("l_orderkey") % 2 == 1).withColumn(
+        "l_extendedprice",
+        F.when(
+            F.col("l_orderkey") % 3 == 0, F.col("l_extendedprice") * 1.1
+        ).otherwise(F.col("l_extendedprice")),
+    )
+    cents = lambda d: d.withColumn(  # noqa: E731
+        "cents", F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    )
+    return ks_drift(cents(ref), cents(cur), "cents")
+
+
+def q_attribution_last_touch(spark, sf_dir):
+    """Last-touch conversion attribution
+    (operators/events.py:attribution_last_touch): each purchase
+    credits the user's most recent preceding click/view/signup via ONE
+    user-partitioned window (the asof_join no-join trick), then
+    aggregates conversions and value by credited touch type."""
+    from awi_datapipelinepublic_spark.operators.events import attribution_last_touch
+
+    return attribution_last_touch(read_events(spark, sf_dir))
+
+
+def q_basket_pair_lift(spark, sf_dir):
+    """Market-basket association head (operators/affinity.py:
+    pair_lift): support/confidence/lift over order baskets of part
+    CATEGORIES (l_partkey % 100 — the category rollup that makes
+    co-occurrence dense enough to rank), min support 5, basket-size
+    cap 64 applied BEFORE pair expansion. Exact integer ratios
+    rounded at 6dp."""
+    from awi_datapipelinepublic_spark.operators.affinity import pair_lift
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_partkey") % 100).alias("cat")
+    )
+    return pair_lift(li, "l_orderkey", "cat", min_support=5, max_basket=64)
+
+
+def q_activity_churn(spark, sf_dir):
+    """Per-day churn report (operators/events.py:activity_churn): of
+    day-D actives, who had no activity in the next 7 days. Window math
+    runs on the deduplicated (user, day) activity table — one
+    user-partitioned lead(day), never raw-event windows."""
+    from awi_datapipelinepublic_spark.operators.events import activity_churn
+
+    return activity_churn(read_events(spark, sf_dir), churn_days=7)
+
+
+def q_readability_score(spark, sf_dir):
+    """Flesch reading-ease per document
+    (functions/text.py:readability_cols): sentence/word/vowel-group
+    counts as codegen regexp expressions, the published formula at
+    4dp — the readability quality gate web-corpus curation applies."""
+    cols = X.readability_cols("text")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        cols["n_words"].alias("n_words"),
+        cols["n_sentences"].alias("n_sentences"),
+        cols["n_syllables"].alias("n_syllables"),
+        cols["flesch"].alias("flesch"),
+    )
+
+
+def q_mixture_weights(spark, sf_dir):
+    """Temperature-scaled (α=0.7) per-source mixing weights
+    (operators/sampling.py:mixture_weights) — the data-mixture
+    planning table: token counts, normalized tokens^α weights, and the
+    implied epochs per source at a proportional budget."""
+    from awi_datapipelinepublic_spark.operators.sampling import mixture_weights
+
+    return mixture_weights(_t(spark, sf_dir, "documents"), alpha=0.7)
+
+
+def q_bpe_top_pairs(spark, sf_dir):
+    """One BPE merge round's candidate table (operators/corpus.py:
+    bpe_top_pairs): corpus-wide adjacent character-pair counts inside
+    words, weighted by word frequency via the distinct-word trick;
+    top-50 by count with pair-text tiebreak."""
+    from awi_datapipelinepublic_spark.operators.corpus import bpe_top_pairs
+
+    return bpe_top_pairs(_t(spark, sf_dir, "documents"), top_k=50)
+
+
+def q_label_propagation(spark, sf_dir):
+    """Community detection (operators/graph.py:label_propagation):
+    3 deterministic semi-synchronous LPA rounds (most-frequent
+    neighbor label, ties to the smallest) over the same sparsified
+    part co-purchase graph as kcore. Oracle unrolls the identical
+    rounds as chained CTEs (the pagerank/kcore contract)."""
+    from awi_datapipelinepublic_spark.operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").filter(
+        F.col("l_partkey") % 3 == 0
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ids")
+    )
+    edges = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (a, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), b -> struct(a AS src, b AS dst))))"
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst")
+    return label_propagation(edges, iterations=3)
+
+
+def q_url_host_stats(spark, sf_dir):
+    """Host-level corpus rollup (functions/text.py:url_parts): URLs
+    synthesized deterministically from document attributes (the
+    testdata ships no URL column — the attach_binary_payload fixture
+    convention), decomposed by regexp-only host/TLD/path-depth
+    expressions, aggregated per host — the host-reputation table
+    web-corpus curation filters against."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit("-"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example.org/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+    )
+    parts = X.url_parts(url)
+    return (
+        d.select(
+            parts["host"].alias("host"),
+            parts["tld"].alias("tld"),
+            parts["path_depth"].alias("depth"),
+            "n_chars",
+        )
+        .groupBy("host", "tld")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.max("depth").alias("max_depth"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- Driver check window (round-6 rotation): the driver oracle-
@@ -4090,6 +4245,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "feature_hash": q_feature_hash,
         "funnel_steps": q_funnel_steps,
+        # round-6 additions (r7 driver-window candidates): binning-free
+        # KS drift, last-touch attribution, market-basket lift
+        "ks_drift": q_ks_drift,
+        "attribution_last_touch": q_attribution_last_touch,
+        "basket_pair_lift": q_basket_pair_lift,
+        "activity_churn": q_activity_churn,
+        "readability_score": q_readability_score,
+        "mixture_weights": q_mixture_weights,
+        "bpe_top_pairs": q_bpe_top_pairs,
+        "label_propagation": q_label_propagation,
+        "url_host_stats": q_url_host_stats,
     }
 
 
@@ -6987,4 +7153,198 @@ def oracle_sql() -> dict[str, str]:
     sql["union_all"] = sql["align_union"]
     sql["concat_rows"] = sql["align_union"]
     sql["make_view"] = sql["view_retention"]
+    # Replays q_ks_drift: identical even/odd split + 10% injected
+    # inflation, exact-cent value grouping, merged-axis cumulative
+    # counts (the sequential window equals the engine's two-pass
+    # global_running_sums — integer sums are associative), and the
+    # integer CDF-gap max divided once.
+    sql["ks_drift"] = """
+        WITH src AS (
+          SELECT l_orderkey,
+                 CASE WHEN l_orderkey % 2 = 1 AND l_orderkey % 3 = 0
+                      THEN l_extendedprice * 1.1 ELSE l_extendedprice END AS price,
+                 l_orderkey % 2 AS side
+          FROM lineitem),
+        vals AS (SELECT side, CAST(ROUND(price * 100, 0) AS BIGINT) AS v FROM src),
+        a AS (SELECT v, COUNT(*) AS na FROM vals WHERE side = 0 GROUP BY 1),
+        b AS (SELECT v, COUNT(*) AS nb FROM vals WHERE side = 1 GROUP BY 1),
+        m AS (SELECT COALESCE(a.v, b.v) AS v,
+                     COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+              FROM a FULL OUTER JOIN b ON a.v = b.v),
+        c AS (SELECT v,
+                     SUM(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS ca,
+                     SUM(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cb
+              FROM m),
+        tot AS (SELECT SUM(na) AS Na, SUM(nb) AS Nb FROM m)
+        SELECT ROUND(MAX(ABS(ca * Nb - cb * Na)) * 1.0 / (Na * Nb), 6) AS ks_stat,
+               CAST(Na AS BIGINT) AS n_ref, CAST(Nb AS BIGINT) AS n_cur
+        FROM c, tot
+        GROUP BY Na, Nb
+    """
+    # Replays q_attribution_last_touch: the same carried-forward
+    # last-touch window ((ts, event_id) order per user), purchase
+    # filter, per-touch conversion counts + 4dp value sums.
+    sql["attribution_last_touch"] = """
+        WITH credited AS (
+          SELECT event_type, value,
+                 LAST_VALUE(CASE WHEN event_type IN ('click','view','signup')
+                                 THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS touch
+          FROM events)
+        SELECT COALESCE(touch, '(none)') AS touch_type,
+               COUNT(*) AS n_conversions,
+               ROUND(SUM(value), 4) AS total_value
+        FROM credited
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+    """
+    # Replays q_basket_pair_lift: distinct (order, category) baskets,
+    # size cap BEFORE pair expansion, pair counts via self-join
+    # (cat_a < cat_b), exact-long ratios rounded at 6dp.
+    sql["basket_pair_lift"] = """
+        WITH items AS (
+          SELECT DISTINCT l_orderkey AS b, l_partkey % 100 AS cat FROM lineitem),
+        sizes AS (SELECT b, COUNT(*) AS sz FROM items GROUP BY 1),
+        capped AS (SELECT i.b, i.cat FROM items i JOIN sizes s ON i.b = s.b
+                   WHERE s.sz BETWEEN 2 AND 64),
+        nb AS (SELECT COUNT(DISTINCT b) AS N FROM capped),
+        ic AS (SELECT cat, COUNT(*) AS n_item FROM capped GROUP BY 1),
+        pc AS (SELECT x.cat AS item_a, y.cat AS item_b, COUNT(*) AS n_ab
+               FROM capped x JOIN capped y ON x.b = y.b AND x.cat < y.cat
+               GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        SELECT item_a, item_b, n_ab,
+               ROUND(n_ab * 1.0 / N, 6) AS support,
+               ROUND(n_ab * 1.0 / ia.n_item, 6) AS confidence,
+               ROUND(n_ab * N * 1.0 / (ia.n_item * ib.n_item), 6) AS lift
+        FROM pc
+        JOIN ic ia ON pc.item_a = ia.cat
+        JOIN ic ib ON pc.item_b = ib.cat, nb
+    """
+    # Replays q_activity_churn: identical (user, day) dedup, per-user
+    # lead(day), the literal gap rule (absent or > D+7 ⇒ churned),
+    # per-day aggregates with a 6dp rate.
+    sql["activity_churn"] = """
+        WITH act AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+        flagged AS (
+          SELECT d,
+                 CASE WHEN LEAD(d) OVER (PARTITION BY u ORDER BY d) IS NULL
+                        OR LEAD(d) OVER (PARTITION BY u ORDER BY d)
+                           > d + INTERVAL 7 DAY
+                      THEN 1 ELSE 0 END AS churned
+          FROM act)
+        SELECT d AS day, COUNT(*) AS n_active,
+               CAST(SUM(churned) AS BIGINT) AS n_churned,
+               ROUND(SUM(churned) * 1.0 / COUNT(*), 6) AS churn_rate
+        FROM flagged
+        GROUP BY 1
+    """
+    # Replays q_readability_score: same regex counts (terminal-
+    # punctuation runs, whitespace tokens, vowel-group runs), same
+    # floor-at-1 guards, the Flesch formula with explicit DOUBLE
+    # literals (DuckDB bare numerics are DECIMAL).
+    sql["readability_score"] = f"""
+        WITH c AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '))
+                 END AS n_words,
+                 GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+                 GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS n_syllables
+          FROM documents)
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_sentences AS BIGINT) AS n_sentences,
+               CAST(n_syllables AS BIGINT) AS n_syllables,
+               ROUND(206.835::DOUBLE - 1.015::DOUBLE * (n_words * 1.0 / n_sentences)
+                     - 84.6::DOUBLE * (n_syllables * 1.0 / GREATEST(n_words, 1)), 4) AS flesch
+        FROM c
+    """
+    # Replays q_mixture_weights: per-source token counts over the SAME
+    # whitespace tokenizer, pow(tokens, 0.7), normalized weights and
+    # implied epochs at 6dp.
+    sql["mixture_weights"] = """
+        WITH per AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 SUM(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '))
+                     END) AS n_tokens
+          FROM documents GROUP BY 1),
+        p AS (SELECT *, pow(n_tokens, 0.7::DOUBLE) AS pp FROM per),
+        tot AS (SELECT SUM(pp) AS Z, SUM(n_tokens) AS T FROM p)
+        SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+               ROUND(pp / Z, 6) AS weight,
+               ROUND((pp / Z) * T / n_tokens, 6) AS epochs_at_budget
+        FROM p, tot
+    """
+    # Replays q_bpe_top_pairs: distinct-word frequency table over the
+    # normalized tokenizer, per-word adjacent char pairs via substr,
+    # weighted pair counts, top-50 with pair tiebreak.
+    sql["bpe_top_pairs"] = f"""
+        WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+        w AS (SELECT unnest(t) AS w FROM toks),
+        wc AS (SELECT w, COUNT(*) AS wc FROM w WHERE len(w) >= 2 GROUP BY 1),
+        pairs AS (
+          SELECT unnest(list_transform(range(1, len(w)),
+                   i -> substr(w, i, 1) || ' ' || substr(w, i + 1, 1))) AS pair,
+                 wc
+          FROM wc)
+        SELECT pair, CAST(SUM(wc) AS BIGINT) AS n
+        FROM pairs GROUP BY 1
+        ORDER BY n DESC, pair ASC
+        LIMIT 50
+    """
+    # Replays q_label_propagation: the SAME 3 LPA rounds unrolled as
+    # chained CTEs — per round, neighbor-label counts PLUS the node's
+    # own current label (the self-vote), then the (count DESC, label
+    # ASC) winner per node.
+    _lpa_round = """
+        c{i} AS (SELECT n, lbl, COUNT(*) AS c FROM (
+                   SELECT nb.n, l{p}.lbl
+                   FROM nb JOIN l{p} ON nb.nb = l{p}.n
+                   UNION ALL SELECT n, lbl FROM l{p}) GROUP BY 1, 2),
+        l{i} AS (SELECT n, lbl FROM (
+                   SELECT n, lbl,
+                          ROW_NUMBER() OVER (PARTITION BY n
+                            ORDER BY c DESC, lbl ASC) AS rn
+                   FROM c{i}) WHERE rn = 1)"""
+    sql["label_propagation"] = (
+        """
+        WITH e AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          WHERE a.l_partkey % 3 = 0 AND b.l_partkey % 3 = 0),
+        nb AS (SELECT u AS n, v AS nb FROM e
+               UNION ALL SELECT v AS n, u AS nb FROM e),
+        l0 AS (SELECT DISTINCT n, n AS lbl FROM nb),"""
+        + ",".join(_lpa_round.format(i=i, p=i - 1) for i in (1, 2, 3))
+        + """
+        SELECT n AS node, lbl AS label FROM l3
+    """
+    )
+    # Replays q_url_host_stats: identical URL synthesis and the same
+    # regexp host/TLD/path-depth decomposition, per-host aggregates.
+    sql["url_host_stats"] = """
+        WITH u AS (
+          SELECT 'https://' || source || '-' || CAST(doc_id % 20 AS VARCHAR)
+                 || '.example.org/' || lang || '/' || CAST(doc_id AS VARCHAR) AS url,
+                 n_chars
+          FROM documents),
+        p AS (
+          SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+                 regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)', 1) AS path,
+                 n_chars
+          FROM u)
+        SELECT host,
+               regexp_extract(host, '\\.([a-z0-9-]+)$', 1) AS tld,
+               COUNT(*) AS n_docs,
+               SUM(n_chars) AS total_chars,
+               MAX(CASE WHEN path = '' THEN 0
+                        ELSE len(regexp_extract_all(path, '/')) END) AS max_depth
+        FROM p
+        GROUP BY 1, 2
+    """
     return sql

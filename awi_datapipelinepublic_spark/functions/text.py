@@ -379,3 +379,52 @@ def gopher_rules(
         "n_stopwords": n_stop,
         "passes": passes,
     }
+
+
+def readability_cols(c: Column | str) -> dict[str, Column]:
+    """Flesch-reading-ease components as pure Column expressions:
+    sentence count (terminal-punctuation runs), word count (the
+    engine's whitespace tokenizer), and a syllable PROXY (vowel-group
+    runs per word — the standard cheap estimator; true syllabification
+    needs a dictionary). flesch = 206.835 − 1.015·(words/sentences)
+    − 84.6·(syllables/words), the published formula.
+
+    Everything is regexp_count / integer arithmetic inside codegen —
+    no UDF — and replays exactly in any engine with RE2-class regexes.
+    Sentences and syllables floor at 1 so degenerate docs stay finite.
+    """
+    col = _col(c)
+    n_words = token_count(col)
+    n_sents = F.greatest(F.regexp_count(col, F.lit(r"[.!?]+")), F.lit(1))
+    n_syll = F.greatest(
+        F.regexp_count(F.lower(col), F.lit(r"[aeiouy]+")), F.lit(1)
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words / n_sents)
+        - F.lit(84.6) * (n_syll / F.greatest(n_words, F.lit(1)))
+    )
+    return {
+        "n_words": n_words.cast("long"),
+        "n_sentences": n_sents.cast("long"),
+        "n_syllables": n_syll.cast("long"),
+        "flesch": F.round(flesch, 4),
+    }
+
+
+def url_parts(c: Column | str) -> dict[str, Column]:
+    """URL decomposition as pure regexp Column expressions — host,
+    registrable-suffix-ish TLD (last dot-label of the host), and path
+    depth — the fields web-corpus curation filters and aggregates on
+    (host-level quality rollups, TLD mixes, blocklists). Regexp-only
+    (no parse_url) so the identical expressions replay in any
+    RE2-class engine, DuckDB included; non-URL strings yield empty
+    host / tld and depth 0 rather than erroring."""
+    col = _col(c)
+    host = F.regexp_extract(col, r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    tld = F.regexp_extract(host, r"\.([a-z0-9-]+)$", 1)
+    path = F.regexp_extract(col, r"^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)", 1)
+    depth = F.when(path == "", F.lit(0)).otherwise(
+        F.regexp_count(path, F.lit("/"))
+    )
+    return {"host": host, "tld": tld, "path_depth": depth.cast("long")}

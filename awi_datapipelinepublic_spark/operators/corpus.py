@@ -403,3 +403,48 @@ def collocations_pmi(
         .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(top_k)
     )
+
+
+def bpe_top_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """The counting core of one BPE-training merge round: corpus-wide
+    adjacent CHARACTER-pair frequencies inside words, weighted by word
+    frequency — the table whose argmax is the next merge (Sennrich et
+    al. 2016, the public BPE algorithm).
+
+    Scale design — the word-frequency trick that makes BPE training
+    tractable: the corpus first collapses to its DISTINCT-word
+    frequency table (one groupBy; Zipf makes this orders of magnitude
+    smaller than the token stream), then each distinct word explodes
+    to its length−1 adjacent pairs exactly once, weighted by its
+    count. Pair extraction is a codegen transform over a character
+    sequence (substr — no UDF); the final top-k is
+    TakeOrderedAndProject. Integer counts end to end.
+
+    Output: (pair STRING 'a b', n BIGINT) — the top_k pairs by
+    weighted count, ties broken by pair text.
+    """
+    words = (
+        df.select(F.explode(X.tokens(X.normalize_text(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        "wc",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), "
+                "i -> concat(substr(w, i, 1), ' ', substr(w, i + 1, 1)))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(top_k)
+    )

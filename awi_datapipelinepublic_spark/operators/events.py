@@ -272,3 +272,97 @@ def cohort_retention(
         "active_users",
         F.round(F.col("active_users") / F.col("cohort_size"), 6).alias("retention"),
     )
+
+
+def attribution_last_touch(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple = ("click", "view", "signup"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Last-touch conversion attribution: every conversion event is
+    credited to the user's most recent preceding touch event (the
+    marketing-analytics staple; first-touch is the same window with
+    ``first`` semantics). Conversions with no prior touch credit
+    ``"(none)"``.
+
+    Scale design: the asof_join single-window trick — no join at all.
+    One user-partitioned window ordered by (ts, event id) carries the
+    last non-null touch type forward (``F.last(ignorenulls=True)``
+    over unbounded-preceding..current); conversions then aggregate by
+    credited touch. One shuffle on the user key, one on the
+    touch-type key (type-cardinality, tiny). A touch sharing a
+    conversion's timestamp attributes by event-id order —
+    deterministic in both engines.
+
+    Output: (touch_type, n_conversions BIGINT, total_value DOUBLE 4dp).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    touch = F.when(F.col(type_col).isin(list(touch_types)), F.col(type_col))
+    credited = (
+        events.select(user_col, ts_col, id_col, type_col, value_col)
+        .withColumn("__touch", F.last(touch, ignorenulls=True).over(w))
+        .filter(F.col(type_col) == conversion_type)
+    )
+    return (
+        credited.groupBy(
+            F.coalesce(F.col("__touch"), F.lit("(none)")).alias("touch_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.round(F.sum(value_col), 4).alias("total_value"),
+        )
+    )
+
+
+def activity_churn(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    churn_days: int = 7,
+) -> DataFrame:
+    """Per-day churn report: of the users active on day D, how many
+    had NO activity in the following ``churn_days`` days — the
+    retention/churn KPI every growth dashboard tracks.
+
+    Scale design: raw events dedupe to (user, activity-day) first (the
+    sliding_distinct_users contract — all window math runs on the
+    bounded activity table, never raw events); one user-partitioned
+    lead(day) finds each activity's successor; churned =
+    next activity absent or > D + churn_days. Right-censoring is the
+    gap rule applied literally: a user whose history ends inside the
+    horizon counts as churned — callers report only days with a full
+    horizon of data (day <= max_day - churn_days) when censoring
+    matters.
+
+    Output: (day, n_active, n_churned BIGINT, churn_rate DOUBLE 6dp).
+    """
+    from pyspark.sql import Window
+
+    day = F.to_date(F.col(ts_col))
+    activity = events.select(
+        F.col(user_col).alias("u"), day.alias("d")
+    ).distinct()
+    w = Window.partitionBy("u").orderBy("d")
+    flagged = activity.withColumn("__next", F.lead("d").over(w)).withColumn(
+        "__churned",
+        (
+            F.col("__next").isNull()
+            | (F.col("__next") > F.date_add(F.col("d"), churn_days))
+        ).cast("int"),
+    )
+    return flagged.groupBy(F.col("d").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum("__churned").cast("bigint").alias("n_churned"),
+        F.round(F.sum("__churned") / F.count(F.lit(1)), 6).alias("churn_rate"),
+    )

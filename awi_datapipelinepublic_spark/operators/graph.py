@@ -361,3 +361,55 @@ def kcore(
     out = out.localCheckpoint()
     e.unpersist()
     return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Community detection by semi-synchronous label propagation
+    (Raghavan et al. 2007): every node starts as its own label; each
+    round it adopts the most frequent label among its neighbors PLUS
+    its own current label (the self-vote damps the classic synchronous
+    two-coloring oscillation on bipartite structures — an isolated
+    edge converges to one community instead of swapping labels
+    forever), ties broken by the SMALLEST label — fully deterministic,
+    so the fixed round count is replayable in any engine (the
+    pagerank/kcore determinism contract).
+
+    Scale design: per round, one join of the (2·|E|)-row directed
+    neighbor list against the |V|-row label table (label table is the
+    small side — AQE broadcasts it when it fits), one groupBy
+    (node, neighbor_label) with map-side combine, and one argmax-
+    struct groupBy per node — edge-key shuffles only, no per-node
+    iteration state beyond the label vector. localCheckpoint each
+    round cuts the growing lineage exactly like the pagerank loop.
+
+    Returns (node, label) — nodes sharing a label form a community.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nbrs = e.select(F.col("u").alias("n"), F.col("v").alias("nb")).unionAll(
+        e.select(F.col("v").alias("n"), F.col("u").alias("nb"))
+    ).localCheckpoint()
+    labels = nbrs.select(F.col("n")).distinct().withColumn("lbl", F.col("n"))
+    for _ in range(iterations):
+        nl = nbrs.join(
+            labels.select(F.col("n").alias("nb"), F.col("lbl")), "nb"
+        ).select("n", "lbl").unionAll(labels.select("n", "lbl"))
+        cnt = nl.groupBy("n", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            cnt.groupBy("n")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))).alias("w"))
+            .select("n", (-F.col("w.neg")).alias("lbl"))
+            .localCheckpoint()
+        )
+    return labels.select(F.col("n").alias("node"), F.col("lbl").alias("label"))

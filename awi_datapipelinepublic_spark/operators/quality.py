@@ -821,3 +821,71 @@ def population_stability(
     return terms.groupBy("nb").agg(F.round(F.sum("term"), 6).alias("psi")).select(
         F.col("nb").alias("n_buckets"), "psi"
     )
+
+
+def ks_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance between a reference
+    and a current numeric column — the distribution-level drift alarm
+    that complements :func:`population_stability`: PSI needs a binning
+    choice; KS is binning-free (sup over the empirical CDF gap) and is
+    the standard two-sample drift test feature stores run.
+
+    Scale design: per-side value counts (two hash groupBys with
+    map-side combine — the exchange is DISTINCT-value-sized), a
+    full-outer merge on value, then BOTH cumulative counts in one
+    two-pass global_running_sums pass (one range-partition shuffle,
+    no single-partition window). The statistic itself is computed in
+    exact integer arithmetic — max |ca·Nb − cb·Na| over the merged
+    value axis, divided once by Na·Nb — so the result is bit-identical
+    across engines and association orders. Na·Nb overflows long only
+    past ~3·10⁹ rows per side; pre-aggregate or sample above that.
+
+    Output: one row (ks_stat DOUBLE round_dp, n_ref, n_cur BIGINT).
+    """
+    from awi_datapipelinepublic_spark.operators.windows import global_running_sums
+
+    a = (
+        ref.select(F.col(value_col).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("na"))
+    )
+    b = (
+        cur.select(F.col(value_col).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    merged = (
+        a.join(b, "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("na", F.lit(0)).alias("na"),
+            F.coalesce("nb", F.lit(0)).alias("nb"),
+        )
+    )
+    cums = global_running_sums(merged, [F.col("v").asc()], ["na", "nb"])
+    tot = merged.agg(
+        F.sum("na").alias("__Na"), F.sum("nb").alias("__Nb")
+    )
+    gap = F.abs(
+        F.col("na_run") * F.col("__Nb") - F.col("nb_run") * F.col("__Na")
+    )
+    return (
+        cums.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(gap).alias("__g"),
+            F.first("__Na").alias("n_ref"),
+            F.first("__Nb").alias("n_cur"),
+        )
+        .select(
+            F.round(
+                F.col("__g") / (F.col("n_ref") * F.col("n_cur")), round_dp
+            ).alias("ks_stat"),
+            "n_ref",
+            "n_cur",
+        )
+    )

@@ -290,3 +290,54 @@ def shard_stats(
             F.sum(F.col(token_count_col).cast("long")).alias("n_tokens"),
         )
     )
+
+
+def mixture_weights(
+    df,
+    source_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.7,
+    round_dp: int = 6,
+):
+    """Temperature-scaled corpus mixing weights: per-source sampling
+    weight ∝ (source tokens)^α, normalized — the multilingual/
+    multi-source rebalancing rule from the public mBERT/XLM-R and
+    data-mixture literature (α < 1 upsamples small sources, α = 1 is
+    proportional, α = 0 is uniform).
+
+    One groupBy(source) with map-side combine carries doc and token
+    counts (source cardinality is tiny — the shuffle is bytes); the
+    weight math is a projection over that bounded table plus one
+    broadcast scalar (Σ tokens^α). Output also reports
+    ``epochs_at_budget``: how many passes over the source one
+    budget-proportional draw implies (weight·T_total / t_s) — the
+    number a pretraining-data planner actually reads.
+
+    Output: (source, n_docs, n_tokens BIGINT, weight DOUBLE,
+    epochs_at_budget DOUBLE), both doubles at ``round_dp``.
+    """
+    from pyspark.sql import functions as F
+
+    from awi_datapipelinepublic_spark.functions import text as X
+
+    per_source = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(X.token_count(text_col)).alias("n_tokens"),
+    )
+    powed = per_source.withColumn("__p", F.pow(F.col("n_tokens"), F.lit(alpha)))
+    tot = powed.agg(
+        F.sum("__p").alias("__Z"), F.sum("n_tokens").alias("__T")
+    )
+    return (
+        powed.crossJoin(F.broadcast(tot))
+        .select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("__p") / F.col("__Z"), round_dp).alias("weight"),
+            F.round(
+                (F.col("__p") / F.col("__Z")) * F.col("__T") / F.col("n_tokens"),
+                round_dp,
+            ).alias("epochs_at_budget"),
+        )
+    )

@@ -172,3 +172,40 @@ def quantile_bins(
         .withColumn(out_col, bin_expr.cast("int"))
         .drop("__grn", "__N")
     )
+
+
+def global_running_sums(
+    df: DataFrame, order_by: list, value_cols: list, suffix: str = "_run"
+) -> DataFrame:
+    """Multi-column :func:`global_running_sum`: N running sums over ONE
+    total order in a single two-pass plan (one range-partition shuffle,
+    one per-partition window computing every sum, one broadcast offset
+    table with N offset columns) — for consumers like the two-sample
+    KS statistic that need two synchronized cumulative counts. Same
+    exactness contract: integral columns are bit-identical to the
+    sequential window.
+    """
+    ordered = df.repartitionByRange(*order_by).sortWithinPartitions(*order_by)
+    local = ordered.withColumn("__pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in value_cols:
+        local = local.withColumn(c + suffix, F.sum(c).over(w))
+    partials = local.groupBy("__pid").agg(
+        *[F.sum(c).alias(f"__ps_{c}") for c in value_cols]
+    )
+    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = partials.select(
+        "__pid",
+        *[
+            F.coalesce(F.sum(f"__ps_{c}").over(woff), F.lit(0)).alias(f"__off_{c}")
+            for c in value_cols
+        ],
+    )
+    out = local.join(F.broadcast(offsets), "__pid")
+    for c in value_cols:
+        out = out.withColumn(c + suffix, F.col(c + suffix) + F.col(f"__off_{c}"))
+    return out.drop("__pid", *[f"__off_{c}" for c in value_cols])

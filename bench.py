@@ -123,6 +123,20 @@ BENCH_QUERIES = [
     "cohort_retention",
     "bigram_logprob",
     "asof_join_tolerance",
+    # round-6 additions: binning-free KS drift (two-pass running CDFs),
+    # last-touch attribution (no-join window), market-basket lift
+    # (capped pair expansion), churn/readability/mixture-planning
+    # scans, BPE pair counting (distinct-word trick), 3-round LPA
+    # communities, host-level URL rollup
+    "ks_drift",
+    "attribution_last_touch",
+    "basket_pair_lift",
+    "activity_churn",
+    "readability_score",
+    "mixture_weights",
+    "bpe_top_pairs",
+    "label_propagation",
+    "url_host_stats",
 ]
 
 

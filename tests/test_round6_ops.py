@@ -1,0 +1,163 @@
+"""Unit tests for the round-6 operator batch: KS drift, attribution,
+market-basket lift, churn, readability, mixture weights, BPE pair
+counts, label propagation, URL decomposition — hand-computed
+expectations on toy data (the oracle suite covers the sf-scale gates)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from awi_datapipelinepublic_spark.operators.affinity import pair_lift
+from awi_datapipelinepublic_spark.operators.corpus import bpe_top_pairs
+from awi_datapipelinepublic_spark.operators.events import (
+    activity_churn,
+    attribution_last_touch,
+)
+from awi_datapipelinepublic_spark.operators.graph import label_propagation
+from awi_datapipelinepublic_spark.operators.quality import ks_drift
+from awi_datapipelinepublic_spark.operators.sampling import mixture_weights
+
+
+def test_ks_drift_identical_is_zero_and_disjoint_is_one(spark):
+    a = spark.createDataFrame([(v,) for v in [1, 2, 2, 3]], "x long")
+    same = ks_drift(a, a, "x").first()
+    assert same["ks_stat"] == 0.0
+    assert same["n_ref"] == 4 and same["n_cur"] == 4
+    b = spark.createDataFrame([(v,) for v in [10, 11]], "x long")
+    apart = ks_drift(a, b, "x").first()
+    assert apart["ks_stat"] == 1.0
+
+
+def test_ks_drift_hand_computed(spark):
+    # ref CDF at v=1: 1/2; cur CDF at v=1: 1/4 -> gap 0.25; at v=2 both 1
+    ref = spark.createDataFrame([(1,), (2,)], "x long")
+    cur = spark.createDataFrame([(1,), (2,), (2,), (2,)], "x long")
+    assert ks_drift(ref, cur, "x").first()["ks_stat"] == 0.25
+
+
+def _ev(uid, t, typ, eid, val=1.0):
+    return (eid, datetime.datetime(2024, 1, 1, 0, 0, t), uid, typ, val)
+
+
+def test_attribution_last_touch_credits_most_recent(spark):
+    rows = [
+        _ev(1, 1, "click", 10),
+        _ev(1, 2, "view", 11),
+        _ev(1, 3, "purchase", 12, 5.0),   # credited to view
+        _ev(2, 1, "purchase", 20, 7.0),   # no touch -> (none)
+        _ev(3, 1, "click", 30),
+        _ev(3, 2, "purchase", 31, 1.0),   # click
+        _ev(3, 3, "purchase", 32, 2.0),   # still click (carried forward)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {r["touch_type"]: r for r in attribution_last_touch(df).collect()}
+    assert got["view"]["n_conversions"] == 1 and got["view"]["total_value"] == 5.0
+    assert got["(none)"]["n_conversions"] == 1 and got["(none)"]["total_value"] == 7.0
+    assert got["click"]["n_conversions"] == 2 and got["click"]["total_value"] == 3.0
+
+
+def test_pair_lift_hand_computed_and_cap(spark):
+    # baskets: {a,b}, {a,b}, {a,c}, {b,c} -> N=4
+    # n_ab=2, n_a=3, n_b=3 -> lift = 2*4/9 = 0.888889, conf = 2/3
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"),
+            (3, "a"), (3, "c"), (4, "b"), (4, "c")]
+    df = spark.createDataFrame(rows, "b long, item string")
+    out = {(r["item_a"], r["item_b"]): r for r in
+           pair_lift(df, "b", "item", min_support=2, max_basket=64).collect()}
+    assert set(out) == {("a", "b")}
+    r = out[("a", "b")]
+    assert r["n_ab"] == 2 and r["support"] == 0.5
+    assert r["confidence"] == round(2 / 3, 6) and r["lift"] == round(8 / 9, 6)
+    # an oversized basket must be excluded BEFORE pair expansion
+    big = [(9, f"i{j}") for j in range(10)]
+    df2 = spark.createDataFrame(rows + big, "b long, item string")
+    capped = pair_lift(df2, "b", "item", min_support=2, max_basket=5).collect()
+    assert {(r["item_a"], r["item_b"]) for r in capped} == {("a", "b")}
+
+
+def test_activity_churn_gap_rule(spark):
+    def row(uid, day, eid):
+        return (eid, datetime.datetime(2024, 1, day, 12, 0, 0), uid, "view", 0.0)
+
+    rows = [row(1, 1, 1), row(1, 5, 2),    # day1: next within 7 -> retained
+            row(2, 1, 3),                   # day1: no next -> churned
+            row(1, 20, 4)]                  # day5 -> next on day20 > +7 -> churned
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {r["day"].isoformat(): r for r in activity_churn(df, churn_days=7).collect()}
+    assert got["2024-01-01"]["n_active"] == 2 and got["2024-01-01"]["n_churned"] == 1
+    assert got["2024-01-01"]["churn_rate"] == 0.5
+    assert got["2024-01-05"]["n_churned"] == 1
+    assert got["2024-01-20"]["n_churned"] == 1  # right-censored counts as churned
+
+
+def test_readability_cols_simple_text(spark):
+    from awi_datapipelinepublic_spark.functions.text import readability_cols
+
+    df = spark.createDataFrame([(1, "The cat sat. It purred!")], "doc_id long, text string")
+    cols = readability_cols("text")
+    r = df.select(*[v.alias(k) for k, v in cols.items()]).first()
+    assert r["n_words"] == 5 and r["n_sentences"] == 2
+    # vowel groups: e,a,a,i,u,e -> 6
+    assert r["n_syllables"] == 6
+    expected = round(206.835 - 1.015 * (5 / 2) - 84.6 * (6 / 5), 4)
+    assert abs(r["flesch"] - expected) < 1e-9
+
+
+def test_mixture_weights_alpha_one_is_proportional(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d", "s1"), (2, "a b", "s1"), (3, "x y", "s2")],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: r for r in mixture_weights(df, alpha=1.0).collect()}
+    assert got["s1"]["n_tokens"] == 6 and got["s2"]["n_tokens"] == 2
+    assert got["s1"]["weight"] == 0.75 and got["s2"]["weight"] == 0.25
+    # proportional draw => exactly one epoch of every source
+    assert got["s1"]["epochs_at_budget"] == 1.0 == got["s2"]["epochs_at_budget"]
+    # alpha<1 upsamples the small source
+    tempered = {r["source"]: r for r in mixture_weights(df, alpha=0.5).collect()}
+    assert tempered["s2"]["weight"] > 0.25
+
+
+def test_bpe_top_pairs_weighted_by_word_freq(spark):
+    df = spark.createDataFrame(
+        [(1, "abab abab zz"), (2, "abab")], "doc_id long, text string"
+    )
+    got = {r["pair"]: r["n"] for r in bpe_top_pairs(df, top_k=10).collect()}
+    # 'abab' x3: pairs a-b (x2 per word), b-a (x1 per word); 'zz' x1: z-z
+    assert got["a b"] == 6 and got["b a"] == 3 and got["z z"] == 1
+
+
+def test_label_propagation_two_components(spark):
+    # triangle {1,2,3} + isolated edge {10,11}: self-vote keeps the
+    # pair stable (no synchronous oscillation) and min-label ties win
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11)], "src long, dst long"
+    )
+    got = {r["node"]: r["label"] for r in label_propagation(edges, iterations=3).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == 10
+
+
+def test_url_parts_decomposition(spark):
+    from awi_datapipelinepublic_spark.functions.text import url_parts
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://sub.example.org/a/b/c?q=1"),
+            (2, "http://host.io/"),
+            (3, "not a url"),
+        ],
+        "id long, url string",
+    )
+    p = url_parts("url")
+    rows = {r["id"]: r for r in df.select(
+        "id", p["host"].alias("h"), p["tld"].alias("t"), p["path_depth"].alias("d")
+    ).collect()}
+    assert rows[1]["h"] == "sub.example.org" and rows[1]["t"] == "org" and rows[1]["d"] == 3
+    assert rows[2]["h"] == "host.io" and rows[2]["t"] == "io" and rows[2]["d"] == 1
+    assert rows[3]["h"] == "" and rows[3]["t"] == "" and rows[3]["d"] == 0

@@ -31,7 +31,7 @@ TARGETS = {
     "paragraph_dedup": "Skew-proof winner: groupBy-min(struct) partial agg, semi-join survivors, bounded reassembly",
     "merge_upsert": "Upsert as union + one groupBy-max(struct) - no join, no window",
     "heavy_hitters": "Zipf head collapses map-side; TakeOrderedAndProject for the top-k",
-    "sequence_pack": "One range-partition global sort; cumulative window rides the same partitioning",
+    "sequence_pack": "Two-pass packing: range-partition sort, per-partition cumulative window (partitioned by __pid), broadcast offsets - no single-partition window",
     "bm25_topk": "Only query-term hits shuffle; df + corpus scalars broadcast back",
     "knn_join": "Exact kNN join with ZERO join operator: broadcast matrix in a mapInPandas closure, one scan",
     "validate_expectations": "Whole rule suite = one scan + one partial/final HashAggregate pair, no joins",
@@ -58,6 +58,8 @@ TARGETS = {
     "knn_ivfpq": "IVF-PQ: cluster filter + per-cluster ADC lookup-sum branches - no shuffle, no join after the coarse filter",
     "bigram_lm": "Adjacent pairs via codegen zip_with; pair groupBy + context-total join-back, no window over raw pairs",
     "gopher_filter": "Gopher rule set: ONE codegen projection over the scan - no Exchange anywhere in the plan",
+    "revenue_pareto": "Running share via two-pass global_running_sum: rangepartitioning + __pid-partitioned window; only SinglePartition exchanges are the bounded offset table and the scalar total",
+    "vocab_build": "Ordered token ids via two-pass global_row_number - fully parallel id assignment over the surviving vocabulary",
     "curation_pipeline": "lang+gopher filters fused into the scan stage; the md5-fingerprint dedup groupBy is the only shuffle",
     "time_rollup": "ONE raw scan: day/month branches read the persisted hourly/daily partials (InMemoryTableScan), never the fact again",
     "cohort_retention": "Activity dedups to (user, day) BEFORE the cohort join - join input bounded by users x active-days, never raw events",
