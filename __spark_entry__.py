@@ -4001,6 +4001,92 @@ def q_url_host_stats(spark, sf_dir):
     )
 
 
+def q_overlap_join(spark, sf_dir):
+    """Interval-INTERVAL overlap join (operators/joins.py:
+    interval_overlap_join): click windows [t, t+600) × error windows
+    [t, t+900) that intersect, as a binned equi-join + residual
+    predicate with duplicate-free overlap-start-bin attribution —
+    never a nested loop. Integer epoch seconds end to end."""
+    from awi_datapipelinepublic_spark.operators.joins import interval_overlap_join
+
+    ev = read_events(spark, sf_dir)
+    secs = F.col("ts").cast("long")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        secs.alias("c_lo"),
+        (secs + 600).alias("c_hi"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        secs.alias("e_lo"),
+        (secs + 900).alias("e_hi"),
+    )
+    return interval_overlap_join(
+        clicks, errors, "c_lo", "c_hi", "e_lo", "e_hi", bin_width=900
+    ).select("click_id", "error_id")
+
+
+def q_t_closeness(spark, sf_dir):
+    """t-closeness audit (functions/privacy.py:t_closeness): total-
+    variation distance between each order-priority group's status
+    distribution and the global one, flagged at t=0.05 — the
+    distributional leak k-anonymity/l-diversity miss. Exact-long
+    cross-products divided once."""
+    from awi_datapipelinepublic_spark.functions.privacy import t_closeness
+
+    return t_closeness(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderpriority"],
+        "o_orderstatus",
+        t=0.05,
+    )
+
+
+def q_streaming_join(spark, sf_dir):
+    """§2.I stream-stream event-time interval join as a driver-gate
+    row (streaming/windows.py:streaming_click_view_join — previously
+    pytest-pinned only): each click ⋈ the same user's views from the
+    preceding hour, both sides watermarked, drained availableNow and
+    read back as batch. Oracle: the equivalent batch interval join —
+    stream == batch on a drained source."""
+    import tempfile
+    from pathlib import Path as _P
+
+    from awi_datapipelinepublic_spark.streaming.windows import (
+        streaming_click_view_join,
+    )
+
+    tmp = _P(tempfile.mkdtemp(prefix="awi_ssjoin_gate_"))
+    staged = str(tmp / "events")
+    read_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).write.parquet(staged)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).parquet(staged)
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("clicks_user"),
+        F.col("ts").alias("click_ts"),
+        "event_id",
+    )
+    views = stream.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("views_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    q = (
+        streaming_click_view_join(clicks, views)
+        .writeStream.format("parquet")
+        .option("path", str(tmp / "out"))
+        .option("checkpointLocation", str(tmp / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(str(tmp / "out"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- Driver check window (round-6 rotation): the driver oracle-
@@ -4256,6 +4342,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_top_pairs": q_bpe_top_pairs,
         "label_propagation": q_label_propagation,
         "url_host_stats": q_url_host_stats,
+        "overlap_join": q_overlap_join,
+        "t_closeness": q_t_closeness,
+        "streaming_join": q_streaming_join,
     }
 
 
@@ -7346,5 +7435,57 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(regexp_extract_all(path, '/')) END) AS max_depth
         FROM p
         GROUP BY 1, 2
+    """
+    # Replays q_overlap_join: identical integer windows and the exact
+    # overlap predicate — a plain theta join (DuckDB's IEJoin handles
+    # it natively; the ENGINE's binned plan must produce the same set).
+    sql["overlap_join"] = """
+        WITH c AS (SELECT event_id AS click_id,
+                          CAST(floor(epoch(ts)) AS BIGINT) AS c_lo,
+                          CAST(floor(epoch(ts)) AS BIGINT) + 600 AS c_hi
+                   FROM events WHERE event_type = 'click'),
+        e AS (SELECT event_id AS error_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS e_lo,
+                     CAST(floor(epoch(ts)) AS BIGINT) + 900 AS e_hi
+              FROM events WHERE event_type = 'error')
+        SELECT click_id, error_id
+        FROM c JOIN e ON c.c_lo < e.e_hi AND e.e_lo < c.c_hi
+    """
+    # Replays q_t_closeness: per-(QI, status) counts, global status
+    # distribution, the exact-long TV distance including absent-value
+    # mass, 6dp round, INT flag.
+    sql["t_closeness"] = """
+        WITH cell AS (SELECT o_orderpriority AS qi, o_orderstatus AS s,
+                             COUNT(*) AS c
+                      FROM orders GROUP BY 1, 2),
+        grp AS (SELECT qi, SUM(c) AS n FROM cell GROUP BY 1),
+        gdist AS (SELECT o_orderstatus AS s, COUNT(*) AS g FROM orders GROUP BY 1),
+        tot AS (SELECT COUNT(*) AS nt FROM orders),
+        per AS (SELECT cell.qi,
+                       SUM(ABS(cell.c * nt - gdist.g * grp.n)) AS present,
+                       SUM(gdist.g) AS gsum,
+                       ANY_VALUE(grp.n) AS n, ANY_VALUE(nt) AS nt
+                FROM cell JOIN gdist ON cell.s = gdist.s
+                JOIN grp ON cell.qi = grp.qi, tot
+                GROUP BY 1)
+        SELECT qi AS o_orderpriority,
+               CAST(n AS BIGINT) AS n_rows,
+               ROUND((present + (nt - gsum) * n) / (2.0 * n * nt), 6) AS tv_distance,
+               CAST(ROUND((present + (nt - gsum) * n) / (2.0 * n * nt), 6) > 0.05 AS INT) AS above_t
+        FROM per
+    """
+    # Replays q_streaming_join: the batch interval join a drained
+    # stream-stream join must equal — each click's same-user views
+    # from the preceding hour.
+    sql["streaming_join"] = """
+        SELECT c.user_id AS clicks_user,
+               c.event_id,
+               c.ts AS click_ts,
+               v.ts AS view_ts,
+               v.value AS view_value
+        FROM events c JOIN events v
+          ON c.user_id = v.user_id
+         AND c.event_type = 'click' AND v.event_type = 'view'
+         AND v.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts
     """
     return sql

@@ -159,3 +159,59 @@ def dp_noisy_count(
         *group_cols,
         F.round(F.col("__n") + noise, 6).alias(out_col),
     )
+
+
+def t_closeness(
+    df,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.3,
+    round_dp: int = 6,
+):
+    """t-closeness audit (Li et al. 2007) — the distributional
+    companion of :func:`k_anonymity`: a QI group whose SENSITIVE-value
+    distribution diverges from the global one leaks information even
+    when k-anonymous and l-diverse. For categorical sensitive
+    attributes the standard distance is total variation
+    (½ Σ |p_group − p_global|); groups with distance > t are flagged.
+
+    Scale design: one groupBy(QI, sensitive) count (map-side combine),
+    the global sensitive distribution aggregated once and broadcast
+    back, then a per-group sum over sensitive-cardinality rows —
+    exchanges are bounded by group × sensitive-value cardinality,
+    never row count. The distance is computed on exact long
+    cross-products (|cnt·N − gcnt·n| summed, divided once by 2·n·N) so
+    it replays bit-identically cross-engine. Output: quasi_cols...,
+    n_rows BIGINT, tv_distance DOUBLE round_dp, above_t INT 0/1.
+    """
+    cell = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    group = cell.groupBy(*quasi_cols).agg(F.sum("__c").alias("__n"))
+    glob = df.groupBy(sensitive_col).agg(F.count(F.lit(1)).alias("__g"))
+    total = df.agg(F.count(F.lit(1)).alias("__tot"))
+    # missing sensitive values in a group contribute |0·N − g·n|; a
+    # full outer per group is avoided by summing the PRESENT terms and
+    # adding the absent mass: Σ_absent g·n = (N − Σ_present g)·n
+    joined = (
+        cell.join(F.broadcast(glob), sensitive_col)
+        .join(group, quasi_cols)
+        .crossJoin(F.broadcast(total))
+    )
+    per_group = joined.groupBy(*quasi_cols).agg(
+        F.first("__n").alias("n_rows"),
+        F.first("__tot").alias("__Nt"),
+        F.sum(F.abs(F.col("__c") * F.col("__tot") - F.col("__g") * F.col("__n"))).alias(
+            "__present"
+        ),
+        F.sum(F.col("__g")).alias("__gsum"),
+    )
+    tv = (
+        F.col("__present")
+        + (F.col("__Nt") - F.col("__gsum")) * F.col("n_rows")
+    ) / (F.lit(2.0) * F.col("n_rows") * F.col("__Nt"))
+    return per_group.select(
+        *quasi_cols,
+        "n_rows",
+        F.round(tv, round_dp).alias("tv_distance"),
+    ).withColumn("above_t", (F.col("tv_distance") > t).cast("int"))

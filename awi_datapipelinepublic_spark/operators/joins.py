@@ -367,3 +367,63 @@ def bloom_prefilter_join(
         probe = term if probe is None else (probe & term)
     pre = big.filter(probe)
     return pre.join(selective, pre[big_key] == selective[sel_key], "inner")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: int,
+    key_cols: list | None = None,
+) -> DataFrame:
+    """Interval-INTERVAL overlap join: pairs whose half-open ranges
+    [lo, hi) intersect — the session-vs-incident / uptime-vs-deploy /
+    genomics shape that :func:`range_join_binned` (point-in-interval)
+    can't express.
+
+    Same scale path — binning turns the theta join into an equi-join:
+    both sides explode into the fixed-width bins they cover, equi-join
+    on the bin id, apply the exact overlap predicate
+    (l_lo < r_hi AND r_lo < l_hi) as a residual filter. Unlike the
+    point form, a pair can co-occupy MANY bins; attributing each pair
+    to the single bin holding max(l_lo, r_lo) — the overlap's start —
+    keeps the output duplicate-free without a distinct (both engines
+    compute the same attribution bin, so it's also hash-stable).
+    Cost is O((n+m)·avg_bins) through a hash join; pick ``bin_width``
+    near the typical interval length. Inputs are numeric (seconds /
+    positions) — cast timestamps upstream. ``key_cols`` (same names on
+    both sides) join alongside the bin — the per-machine / per-user
+    keyed form, which also shards hot bins across keys.
+    """
+    w = int(bin_width)
+    lbins = left.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(left_lo) / w), F.floor((F.col(left_hi) - 1) / w)
+            )
+        ),
+    )
+    rbins = right.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / w), F.floor((F.col(right_hi) - 1) / w)
+            )
+        ),
+    )
+    overlap_start_bin = F.floor(
+        F.greatest(F.col(left_lo), F.col(right_lo)) / w
+    )
+    return (
+        lbins.join(rbins, ["__bin"] + list(key_cols or []))
+        .filter(
+            (F.col(left_lo) < F.col(right_hi))
+            & (F.col(right_lo) < F.col(left_hi))
+            & (F.col("__bin") == overlap_start_bin)
+        )
+        .drop("__bin")
+    )

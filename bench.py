@@ -137,6 +137,10 @@ BENCH_QUERIES = [
     "bpe_top_pairs",
     "label_propagation",
     "url_host_stats",
+    # interval-interval overlap as binned equi-join; exact-long
+    # t-closeness privacy audit
+    "overlap_join",
+    "t_closeness",
 ]
 
 

@@ -161,3 +161,62 @@ def test_url_parts_decomposition(spark):
     assert rows[1]["h"] == "sub.example.org" and rows[1]["t"] == "org" and rows[1]["d"] == 3
     assert rows[2]["h"] == "host.io" and rows[2]["t"] == "io" and rows[2]["d"] == 1
     assert rows[3]["h"] == "" and rows[3]["t"] == "" and rows[3]["d"] == 0
+
+
+def test_interval_overlap_join_matches_naive_theta(spark):
+    from awi_datapipelinepublic_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 0, 10), (2, 5, 25), (3, 100, 140)], "lid long, lo long, hi long"
+    )
+    right = spark.createDataFrame(
+        [(10, 9, 20), (11, 10, 12), (12, 30, 101), (13, 200, 210)],
+        "rid long, rlo long, rhi long",
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, "lo", "hi", "rlo", "rhi", bin_width=7
+        ).collect()
+    }
+    naive = {
+        (r["lid"], r["rid"])
+        for r in left.crossJoin(right)
+        .filter((F.col("lo") < F.col("rhi")) & (F.col("rlo") < F.col("hi")))
+        .collect()
+    }
+    assert got == naive
+    # half-open boundaries: [0,10) does NOT overlap [10,12); [5,25) does
+    assert (1, 11) not in got and (2, 11) in got
+    # and no duplicate pairs despite multi-bin co-occupancy
+    rows = interval_overlap_join(left, right, "lo", "hi", "rlo", "rhi", bin_width=3).collect()
+    assert len(rows) == len({(r["lid"], r["rid"]) for r in rows}) and len(rows) == len(naive)
+
+
+def test_interval_overlap_join_keyed(spark):
+    from awi_datapipelinepublic_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame([("m1", 0, 10), ("m2", 0, 10)], "k string, lo long, hi long")
+    right = spark.createDataFrame([("m1", 5, 15)], "k string, rlo long, rhi long")
+    got = interval_overlap_join(
+        left, right, "lo", "hi", "rlo", "rhi", bin_width=8, key_cols=["k"]
+    ).collect()
+    assert len(got) == 1 and got[0]["k"] == "m1"
+
+
+def test_t_closeness_hand_computed(spark):
+    from awi_datapipelinepublic_spark.functions.privacy import t_closeness
+
+    # global: a x2, b x2. group g1 = {a,a}: TV = 0.5; g2 = {b,b}: 0.5
+    df = spark.createDataFrame(
+        [("g1", "a"), ("g1", "a"), ("g2", "b"), ("g2", "b")], "qi string, s string"
+    )
+    got = {r["qi"]: r for r in t_closeness(df, ["qi"], "s", t=0.3).collect()}
+    assert got["g1"]["tv_distance"] == 0.5 and got["g1"]["above_t"] == 1
+    assert got["g2"]["tv_distance"] == 0.5
+    # a group mirroring the global distribution has distance 0
+    df2 = spark.createDataFrame(
+        [("g1", "a"), ("g1", "b"), ("g2", "a"), ("g2", "b")], "qi string, s string"
+    )
+    got2 = {r["qi"]: r for r in t_closeness(df2, ["qi"], "s", t=0.3).collect()}
+    assert got2["g1"]["tv_distance"] == 0.0 and got2["g1"]["above_t"] == 0
