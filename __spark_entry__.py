@@ -4087,6 +4087,48 @@ def q_streaming_join(spark, sf_dir):
     return spark.read.parquet(str(tmp / "out"))
 
 
+def q_mad_outliers(spark, sf_dir):
+    """Robust per-group outlier report (operators/quality.py:
+    mad_outliers): median/MAD modified z-score over exact price cents
+    grouped by return flag — the outlier detector with a 50% breakdown
+    point. Integer inputs keep every intermediate an exact double."""
+    from awi_datapipelinepublic_spark.operators.quality import mad_outliers
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+    )
+    return mad_outliers(li, "l_returnflag", "cents")
+
+
+def q_funnel_timing(spark, sf_dir):
+    """Time-to-convert stats (operators/events.py:funnel_timing): per
+    user, first click → first at-or-after purchase; integer
+    epoch-second latencies aggregated exactly."""
+    from awi_datapipelinepublic_spark.operators.events import funnel_timing
+
+    return funnel_timing(read_events(spark, sf_dir))
+
+
+def q_ab_test_zscore(spark, sf_dir):
+    """Two-proportion experiment readout (operators/events.py:
+    ab_test_zscore): even- vs odd-user arms, per-user purchase
+    conversion, pooled z-score — exact long inputs through an
+    identically-ordered IEEE float chain."""
+    from awi_datapipelinepublic_spark.operators.events import ab_test_zscore
+
+    return ab_test_zscore(read_events(spark, sf_dir))
+
+
+def q_activity_heatmap(spark, sf_dir):
+    """Day-of-week × hour usage heatmap (operators/events.py:
+    activity_heatmap): fixed 7×24-cardinality output from one
+    map-side-combined groupBy."""
+    from awi_datapipelinepublic_spark.operators.events import activity_heatmap
+
+    return activity_heatmap(read_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- Driver check window (round-6 rotation): the driver oracle-
@@ -4345,6 +4387,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_join": q_overlap_join,
         "t_closeness": q_t_closeness,
         "streaming_join": q_streaming_join,
+        "mad_outliers": q_mad_outliers,
+        "funnel_timing": q_funnel_timing,
+        "ab_test_zscore": q_ab_test_zscore,
+        "activity_heatmap": q_activity_heatmap,
     }
 
 
@@ -7487,5 +7533,72 @@ def oracle_sql() -> dict[str, str]:
           ON c.user_id = v.user_id
          AND c.event_type = 'click' AND v.event_type = 'view'
          AND v.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts
+    """
+    # Replays q_mad_outliers: exact-cent values, quantile_cont medians
+    # (Spark's exact percentile interpolates identically), the same
+    # 3.5·1.4826 modified-z threshold on exact doubles.
+    sql["mad_outliers"] = """
+        WITH v AS (SELECT l_returnflag AS g,
+                          CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS x
+                   FROM lineitem),
+        med AS (SELECT g, quantile_cont(x, 0.5) AS m, COUNT(*) AS n
+                FROM v GROUP BY 1),
+        dev AS (SELECT v.g, ABS(v.x - med.m) AS adev, med.m, med.n
+                FROM v JOIN med ON v.g = med.g),
+        mad AS (SELECT g, quantile_cont(adev, 0.5) AS md FROM dev GROUP BY 1)
+        SELECT dev.g AS l_returnflag,
+               ANY_VALUE(dev.n) AS n_rows,
+               ROUND(ANY_VALUE(dev.m), 4) AS median,
+               ROUND(ANY_VALUE(mad.md), 4) AS mad,
+               CAST(SUM(CASE WHEN dev.adev > 3.5::DOUBLE * 1.4826::DOUBLE * mad.md
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev JOIN mad ON dev.g = mad.g
+        GROUP BY 1
+    """
+    # Replays q_funnel_timing: first click per user, first at-or-after
+    # purchase, truncated-epoch second diffs, exact-long mean.
+    sql["funnel_timing"] = """
+        WITH f AS (SELECT user_id, MIN(ts) AS t0 FROM events
+                   WHERE event_type = 'click' GROUP BY 1),
+        conv AS (SELECT p.user_id,
+                        CAST(floor(epoch(MIN(p.ts))) AS BIGINT)
+                          - CAST(floor(epoch(ANY_VALUE(f.t0))) AS BIGINT) AS secs
+                 FROM events p JOIN f ON p.user_id = f.user_id
+                 WHERE p.event_type = 'purchase' AND p.ts >= f.t0
+                 GROUP BY 1)
+        SELECT COUNT(*) AS n_converted,
+               ROUND(SUM(secs) * 1.0 / COUNT(*), 4) AS avg_seconds,
+               MIN(secs) AS min_seconds,
+               MAX(secs) AS max_seconds
+        FROM conv
+    """
+    # Replays q_ab_test_zscore: per-user conversion max, even/odd arms,
+    # the identical pooled-z float chain.
+    sql["ab_test_zscore"] = """
+        WITH pu AS (SELECT user_id AS u,
+                           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+                    FROM events GROUP BY 1),
+        arms AS (SELECT CAST(u % 2 AS INT) AS arm, COUNT(*) AS n,
+                        SUM(converted) AS conv
+                 FROM pu GROUP BY 1),
+        a AS (SELECT n AS n_a, conv AS conv_a FROM arms WHERE arm = 0),
+        b AS (SELECT n AS n_b, conv AS conv_b FROM arms WHERE arm = 1)
+        SELECT n_a, n_b, CAST(conv_a AS BIGINT) AS conv_a,
+               CAST(conv_b AS BIGINT) AS conv_b,
+               ROUND(conv_a * 1.0 / n_a, 6) AS p_a,
+               ROUND(conv_b * 1.0 / n_b, 6) AS p_b,
+               ROUND((conv_b * 1.0 / n_b - conv_a * 1.0 / n_a)
+                     / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                            * (1.0::DOUBLE - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                            * (1.0::DOUBLE / n_a + 1.0::DOUBLE / n_b)), 6) AS z_score
+        FROM a, b
+    """
+    # Replays q_activity_heatmap: DuckDB dayofweek is 0=Sunday..6 —
+    # +1 aligns it with Spark's 1=Sunday..7 convention.
+    sql["activity_heatmap"] = """
+        SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hour,
+               COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+        FROM events
+        GROUP BY 1, 2
     """
     return sql

@@ -366,3 +366,132 @@ def activity_churn(
         F.sum("__churned").cast("bigint").alias("n_churned"),
         F.round(F.sum("__churned") / F.count(F.lit(1)), 6).alias("churn_rate"),
     )
+
+
+def funnel_timing(
+    events: DataFrame,
+    from_type: str = "click",
+    to_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-to-convert report for one funnel edge: per user, the first
+    ``from_type`` event and the first ``to_type`` AT OR AFTER it;
+    aggregate conversion latency stats — the "how long does the funnel
+    take" companion of the step-count funnels.
+
+    Scale design: per-user firsts are map-side-combined min
+    aggregations (one shuffle each on the user key); the candidate
+    join is first-click ⋈ user's purchases filtered ts ≥ first-click
+    then min — every stage keyed on the user, no windows over raw
+    events. Latencies are integer epoch-second diffs, so the mean is
+    an exact-long sum divided once.
+
+    Output: one row (n_converted BIGINT, avg_seconds DOUBLE 4dp,
+    min_seconds BIGINT, max_seconds BIGINT).
+    """
+    first_from = (
+        events.filter(F.col(type_col) == from_type)
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("__t0"))
+    )
+    conv = (
+        events.filter(F.col(type_col) == to_type)
+        .select(user_col, F.col(ts_col).alias("__t1"))
+        .join(first_from, user_col)
+        .filter(F.col("__t1") >= F.col("__t0"))
+        .groupBy(user_col)
+        .agg(
+            (
+                F.min("__t1").cast("long") - F.first("__t0").cast("long")
+            ).alias("__secs")
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.sum("__secs") / F.count(F.lit(1)), 4).alias("avg_seconds"),
+        F.min("__secs").alias("min_seconds"),
+        F.max("__secs").alias("max_seconds"),
+    )
+
+
+def ab_test_zscore(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    conversion_type: str = "purchase",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Two-proportion z-test between the even-/odd-user-id arms: did
+    arm B convert at a different rate than arm A — the experiment
+    readout every product warehouse computes. z = (p_b − p_a) /
+    sqrt(p̂(1−p̂)(1/n_a + 1/n_b)) with p̂ the pooled rate.
+
+    Scale design: per-user conversion collapses via ONE distinct on
+    (user, converted?) — actually a groupBy(user) max(converted) with
+    map-side combine — then a two-row arm aggregate; the statistic is
+    a projection over two rows. All inputs are exact longs; the float
+    chain (divide, multiply, sqrt) is IEEE-correctly-rounded and
+    ordered identically cross-engine.
+
+    Output: one row (n_a, n_b, conv_a, conv_b BIGINT, p_a, p_b,
+    z_score DOUBLE round_dp).
+    """
+    per_user = (
+        events.select(
+            F.col(user_col).alias("u"),
+            (F.col(type_col) == conversion_type).cast("int").alias("c"),
+        )
+        .groupBy("u")
+        .agg(F.max("c").alias("converted"))
+        .withColumn("arm", (F.col("u") % 2).cast("int"))
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    a = arms.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a")
+    )
+    b = arms.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    p_a = F.col("conv_a") / F.col("n_a")
+    p_b = F.col("conv_b") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    z = (p_b - p_a) / F.sqrt(
+        pooled * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return j.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(p_a, round_dp).alias("p_a"),
+        F.round(p_b, round_dp).alias("p_b"),
+        F.round(z, round_dp).alias("z_score"),
+    )
+
+
+def activity_heatmap(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Day-of-week × hour-of-day usage heatmap (1=Sunday..7=Saturday,
+    the Spark dayofweek convention): event counts and 4dp value sums
+    per cell — the 168-row load-profile table behind every usage
+    dashboard. One map-side-combined groupBy; output cardinality is
+    fixed at 7×24 regardless of volume."""
+    return (
+        events.groupBy(
+            F.dayofweek(F.col(ts_col)).alias("dow"),
+            F.hour(F.col(ts_col)).alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 4).alias("sum_value"),
+        )
+    )

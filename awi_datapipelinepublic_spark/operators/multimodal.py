@@ -122,6 +122,91 @@ def png_decoder():
     return decode
 
 
+GIF_SCHEMA = "doc_id long, width long, height long, n_colors long, animated long"
+
+
+def gif_decoder():
+    """Second real format for the :func:`decode_media` seam: pure-stdlib
+    GIF header decode per the public GIF87a/89a spec — 6-byte
+    signature, little-endian logical-screen width/height, global-
+    color-table size from the packed flags byte, and an animation
+    probe (more than one image separator ``0x2C`` at block level is
+    approximated by counting graphic-control extensions). Nested def →
+    cloudpickled by value (the decode_media contract). Non-GIF
+    payloads yield the (-1, -1, -1, 0) sentinel."""
+
+    def decode(payload: bytes) -> dict:
+        import struct
+
+        if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+            return {"width": -1, "height": -1, "n_colors": -1, "animated": 0}
+        w, h, packed = struct.unpack("<HHB", payload[6:11])
+        n_colors = 2 ** ((packed & 0x07) + 1) if packed & 0x80 else 0
+        frames = payload.count(b"\x21\xf9")  # graphic control extensions
+        return {
+            "width": w,
+            "height": h,
+            "n_colors": n_colors,
+            "animated": 1 if frames > 1 else 0,
+        }
+
+    return decode
+
+
+WAV_SCHEMA = (
+    "doc_id long, n_channels long, sample_rate long, bits_per_sample long, "
+    "n_frames long"
+)
+
+
+def wav_decoder():
+    """Audio-side real decoder for the seam: RIFF/WAVE header parse per
+    the public WAV container spec — 'RIFF'+'WAVE' magic, then the
+    'fmt ' chunk (channels, sample rate, bits/sample) and the 'data'
+    chunk length → frame count. Walks chunks like the PNG decoder, so
+    extra chunks (LIST, fact) are skipped correctly. Nested def —
+    self-contained on executors. Non-WAV payloads yield the
+    (-1, -1, -1, -1) sentinel."""
+
+    def decode(payload: bytes) -> dict:
+        import struct
+
+        bad = {
+            "n_channels": -1,
+            "sample_rate": -1,
+            "bits_per_sample": -1,
+            "n_frames": -1,
+        }
+        if (
+            len(payload) < 44
+            or payload[:4] != b"RIFF"
+            or payload[8:12] != b"WAVE"
+        ):
+            return bad
+        pos, out, data_len = 12, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            body = payload[pos + 8 : pos + 8 + clen]
+            if cid == b"fmt " and len(body) >= 16:
+                _, ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+                out = {
+                    "n_channels": ch,
+                    "sample_rate": rate,
+                    "bits_per_sample": bits,
+                }
+            elif cid == b"data":
+                data_len = clen
+            pos += 8 + clen + (clen % 2)  # chunks are word-aligned
+        if out is None or data_len is None:
+            return bad
+        bytes_per_frame = out["n_channels"] * max(out["bits_per_sample"] // 8, 1)
+        out["n_frames"] = data_len // max(bytes_per_frame, 1)
+        return out
+
+    return decode
+
+
 def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Test-fixture helper: synthesize a binary payload column from text
     (the testdata ships no media table). Production inputs arrive as

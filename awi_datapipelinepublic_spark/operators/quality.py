@@ -889,3 +889,59 @@ def ks_drift(
             "n_cur",
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    z_threshold: float = 3.5,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Robust per-group outlier report via median absolute deviation —
+    the outlier detector that survives the outliers themselves (mean/
+    stddev z-scores are dragged by the very points they should flag;
+    median/MAD have a 50% breakdown point). A value is an outlier when
+    |x − median| > z_threshold · 1.4826 · MAD (1.4826 scales MAD to σ
+    under normality — the standard modified-z-score rule).
+
+    Scale design: two grouped EXACT percentile aggregations (median,
+    then median of |x − median| after one broadcast-back join) — each
+    is a single hash-partitioned shuffle; the flag count is a third
+    map-side-combined groupBy. Exact `percentile` is fine to ~10⁷ rows
+    per group; swap `percentile_approx` (t-digest, same call shape)
+    beyond that. Integer inputs make every intermediate an exact
+    binary double (medians are value-or-midpoint), so the report
+    replays bit-identically cross-engine.
+
+    Output: (group, n_rows BIGINT, median DOUBLE, mad DOUBLE,
+    n_outliers BIGINT), doubles at ``round_dp``.
+    """
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    dev = df.join(F.broadcast(med), group_col).withColumn(
+        "__adev", F.abs(F.col(value_col) - F.col("__med"))
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.expr("percentile(__adev, 0.5)").alias("__mad")
+    )
+    flagged = (
+        dev.join(F.broadcast(mad), group_col)
+        .withColumn(
+            "__out",
+            (
+                F.col("__adev")
+                > F.lit(z_threshold) * F.lit(1.4826) * F.col("__mad")
+            ).cast("int"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.first("n_rows").alias("n_rows"),
+            F.round(F.first("__med"), round_dp).alias("median"),
+            F.round(F.first("__mad"), round_dp).alias("mad"),
+            F.sum("__out").cast("bigint").alias("n_outliers"),
+        )
+    )
+    return flagged

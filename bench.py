@@ -141,6 +141,11 @@ BENCH_QUERIES = [
     # t-closeness privacy audit
     "overlap_join",
     "t_closeness",
+    # robust MAD outliers, funnel latency, A/B readout, usage heatmap
+    "mad_outliers",
+    "funnel_timing",
+    "ab_test_zscore",
+    "activity_heatmap",
 ]
 
 

@@ -220,3 +220,101 @@ def test_t_closeness_hand_computed(spark):
     )
     got2 = {r["qi"]: r for r in t_closeness(df2, ["qi"], "s", t=0.3).collect()}
     assert got2["g1"]["tv_distance"] == 0.0 and got2["g1"]["above_t"] == 0
+
+
+def test_mad_outliers_hand_computed(spark):
+    from awi_datapipelinepublic_spark.operators.quality import mad_outliers
+
+    # group g: values 1..9 plus a wild 1000 -> median 5.5, MAD 2.5
+    vals = list(range(1, 10)) + [1000]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, x long")
+    r = mad_outliers(df, "g", "x").first()
+    assert r["n_rows"] == 10 and r["median"] == 5.5 and r["mad"] == 2.5
+    # only 1000 exceeds 3.5 * 1.4826 * 2.5 = 12.97 from the median
+    assert r["n_outliers"] == 1
+
+
+def test_funnel_timing_and_ab_test(spark):
+    from awi_datapipelinepublic_spark.operators.events import (
+        ab_test_zscore,
+        funnel_timing,
+    )
+
+    rows = [
+        _ev(2, 10, "click", 1),
+        _ev(2, 40, "purchase", 2),    # converts in 30 s (user 2 = arm 0)
+        _ev(4, 5, "purchase", 3),     # purchase BEFORE any click: not funnel-converted
+        _ev(4, 50, "click", 4),
+        _ev(1, 1, "click", 5),        # arm 1, never converts
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    t = funnel_timing(df).first()
+    assert t["n_converted"] == 1 and t["avg_seconds"] == 30.0
+    assert t["min_seconds"] == 30 and t["max_seconds"] == 30
+
+    z = ab_test_zscore(df).first()
+    # arm0 = users 2,4 (both purchased) -> p_a = 1.0; arm1 = user 1 -> p_b = 0
+    assert z["n_a"] == 2 and z["conv_a"] == 2 and z["p_a"] == 1.0
+    assert z["n_b"] == 1 and z["conv_b"] == 0 and z["p_b"] == 0.0
+    assert z["z_score"] < 0  # arm B converts less
+
+
+def test_activity_heatmap_fixed_cardinality(spark):
+    from awi_datapipelinepublic_spark.operators.events import activity_heatmap
+
+    rows = [_ev(1, i % 60, "view", i) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = activity_heatmap(df).collect()
+    # all events on 2024-01-01 (Monday, Spark dow=2) at hour 0
+    assert len(out) == 1
+    assert (out[0]["dow"], out[0]["hour"], out[0]["n_events"]) == (2, 0, 50)
+
+
+def _make_gif(w, h, frames=1):
+    import struct
+
+    head = b"GIF89a" + struct.pack("<HHB", w, h, 0x91) + b"\x00\x00" + b"\x00" * 6
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    return head + gce * frames + b"\x3b"
+
+
+def _make_wav(channels, rate, bits, frames):
+    import struct
+
+    data = b"\x00" * (frames * channels * (bits // 8))
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * bits // 8,
+                      channels * bits // 8, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_gif_and_wav_decoders_through_seam(spark):
+    from awi_datapipelinepublic_spark.operators.multimodal import (
+        GIF_SCHEMA,
+        WAV_SCHEMA,
+        decode_media,
+        gif_decoder,
+        wav_decoder,
+    )
+
+    gifs = spark.createDataFrame(
+        [(1, _make_gif(320, 200)), (2, _make_gif(8, 8, frames=3)), (3, b"nope")],
+        "doc_id long, payload binary",
+    )
+    g = {r["doc_id"]: r for r in decode_media(gifs, decoder=gif_decoder(), schema=GIF_SCHEMA).collect()}
+    assert (g[1]["width"], g[1]["height"], g[1]["n_colors"], g[1]["animated"]) == (320, 200, 4, 0)
+    assert (g[2]["width"], g[2]["animated"]) == (8, 1)
+    assert g[3]["width"] == -1
+
+    wavs = spark.createDataFrame(
+        [(1, _make_wav(2, 44100, 16, 1000)), (2, b"RIFFnope")],
+        "doc_id long, payload binary",
+    )
+    w = {r["doc_id"]: r for r in decode_media(wavs, decoder=wav_decoder(), schema=WAV_SCHEMA).collect()}
+    assert (w[1]["n_channels"], w[1]["sample_rate"], w[1]["bits_per_sample"], w[1]["n_frames"]) == (2, 44100, 16, 1000)
+    assert w[2]["n_channels"] == -1
