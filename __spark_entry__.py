@@ -4129,6 +4129,110 @@ def q_activity_heatmap(spark, sf_dir):
     return activity_heatmap(read_events(spark, sf_dir))
 
 
+def q_group_percentiles(spark, sf_dir):
+    """Per-group exact percentile profile (p25/p50/p75/p95 of price
+    cents by return flag) — the grouped-quantile report every
+    warehouse ships. ONE grouped aggregation computes all four ranks
+    (Spark's percentile takes an array of fractions — one sort per
+    group, not four); integer cents keep the interpolated values
+    exact doubles. At 10⁸+ rows/group the same call shape swaps to
+    percentile_approx (t-digest)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr(
+                "percentile(cents, array(0.25D, 0.5D, 0.75D, 0.95D))"
+            ).alias("__ps"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            F.col("__ps")[0].alias("p25"),
+            F.col("__ps")[1].alias("p50"),
+            F.col("__ps")[2].alias("p75"),
+            F.col("__ps")[3].alias("p95"),
+        )
+    )
+
+
+def q_histogram2d(spark, sf_dir):
+    """2-D histogram (price × quantity bins over lineitem): fixed-width
+    floor binning on both axes + one map-side-combined groupBy — the
+    density grid behind every scatter-heatmap. Output cardinality is
+    bin-grid-bounded regardless of volume; bin edges are IEEE
+    division+floor, engine-deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_extendedprice") / 10000).cast("long").alias("price_bin"),
+            F.floor(F.col("l_quantity") / 10).cast("long").alias("qty_bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def q_ship_latency_stats(spark, sf_dir):
+    """Order-to-ship latency distribution per return flag: integer day
+    gaps (datediff(l_shipdate, o_orderdate) — exact), mean as
+    exact-long sum divided once, exact median via percentile on ints —
+    the Q12-family operational latency report. The orderdate rides a
+    broadcast of the orders key/date projection."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_shipdate")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_returnflag",
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("lag_days"),
+        )
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("lag_days") / F.count(F.lit(1)), 4).alias("avg_days"),
+        F.expr("percentile(lag_days, 0.5)").alias("median_days"),
+        F.max("lag_days").alias("max_days"),
+    )
+
+
+def q_share_of_parent(spark, sf_dir):
+    """Share-of-parent rollup: per-nation revenue as a share of its
+    region's total — the two-level BI ratio. Exact cents at both
+    levels (the region total re-aggregates the nation partials —
+    algebraic, one fact scan), broadcast join-back on the tiny region
+    table, division once at 6dp."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    per_nation = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("__cents")
+        )
+    )
+    per_region = per_nation.groupBy("r_name").agg(
+        F.sum("__cents").alias("__rcents")
+    )
+    return (
+        per_nation.join(F.broadcast(per_region), "r_name")
+        .select(
+            "r_name",
+            "n_name",
+            F.round(F.col("__cents") / 100, 2).alias("revenue"),
+            F.round(F.col("__cents") / F.col("__rcents"), 6).alias("share_of_region"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- Driver check window (round-6 rotation): the driver oracle-
@@ -4391,6 +4495,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_timing": q_funnel_timing,
         "ab_test_zscore": q_ab_test_zscore,
         "activity_heatmap": q_activity_heatmap,
+        "group_percentiles": q_group_percentiles,
+        "histogram2d": q_histogram2d,
+        "ship_latency_stats": q_ship_latency_stats,
+        "share_of_parent": q_share_of_parent,
     }
 
 
@@ -7600,5 +7708,54 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
         FROM events
         GROUP BY 1, 2
+    """
+    # Replays q_group_percentiles: quantile_cont interpolates the same
+    # rank positions as Spark's exact percentile over integer cents.
+    sql["group_percentiles"] = """
+        WITH v AS (SELECT l_returnflag,
+                          CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
+                   FROM lineitem)
+        SELECT l_returnflag, COUNT(*) AS n_rows,
+               quantile_cont(cents, 0.25) AS p25,
+               quantile_cont(cents, 0.5) AS p50,
+               quantile_cont(cents, 0.75) AS p75,
+               quantile_cont(cents, 0.95) AS p95
+        FROM v GROUP BY 1
+    """
+    # Replays q_histogram2d: identical floor bins on both axes.
+    sql["histogram2d"] = """
+        SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS price_bin,
+               CAST(floor(l_quantity / 10) AS BIGINT) AS qty_bin,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY 1, 2
+    """
+    # Replays q_ship_latency_stats: integer day gaps (order -> ship),
+    # exact-long mean, quantile_cont median.
+    sql["ship_latency_stats"] = """
+        WITH v AS (SELECT l.l_returnflag,
+                          datediff('day', o.o_orderdate, l.l_shipdate) AS lag_days
+                   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        SELECT l_returnflag, COUNT(*) AS n_rows,
+               ROUND(SUM(lag_days) * 1.0 / COUNT(*), 4) AS avg_days,
+               quantile_cont(lag_days, 0.5) AS median_days,
+               CAST(MAX(lag_days) AS INT) AS max_days
+        FROM v GROUP BY 1
+    """
+    # Replays q_share_of_parent: exact-cent nation totals, region total
+    # re-aggregated from nation partials, one 6dp division.
+    sql["share_of_parent"] = """
+        WITH pn AS (
+          SELECT r.r_name, n.n_name,
+                 SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS cents
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          GROUP BY 1, 2),
+        pr AS (SELECT r_name, SUM(cents) AS rcents FROM pn GROUP BY 1)
+        SELECT pn.r_name, pn.n_name,
+               ROUND(pn.cents / 100.0, 2) AS revenue,
+               ROUND(pn.cents * 1.0 / pr.rcents, 6) AS share_of_region
+        FROM pn JOIN pr ON pn.r_name = pr.r_name
     """
     return sql

@@ -146,6 +146,12 @@ BENCH_QUERIES = [
     "funnel_timing",
     "ab_test_zscore",
     "activity_heatmap",
+    # grouped exact percentiles, 2-D density grid, latency report,
+    # share-of-parent rollup
+    "group_percentiles",
+    "histogram2d",
+    "ship_latency_stats",
+    "share_of_parent",
 ]
 
 
