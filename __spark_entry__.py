@@ -31,6 +31,7 @@ from awi_datapipelinepublic_spark.functions.privacy import (
     SSN_RE,
 )
 from awi_datapipelinepublic_spark.functions.cleaning import strip_excel
+from awi_datapipelinepublic_spark.operators.quality import BENFORD_EXPECTED
 from awi_datapipelinepublic_spark.operators.dedup import (
     MINHASH_A,
     MINHASH_B,
@@ -4233,6 +4234,63 @@ def q_share_of_parent(spark, sf_dir):
     )
 
 
+def q_benford_test(spark, sf_dir):
+    """Benford first-digit audit (operators/quality.py:
+    benford_digit_test) over order totals — observed vs log10(1+1/d)
+    shares with per-digit chi-square terms; expectations are
+    Python-precomputed literals so no engine-side log10 ulp can
+    drift the hash. First digit extracted via the formatting-robust
+    strip-non-1-9 string projection."""
+    from awi_datapipelinepublic_spark.operators.quality import benford_digit_test
+
+    return benford_digit_test(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+def q_gini_coefficient(spark, sf_dir):
+    """Customer-revenue concentration (operators/quality.py:
+    gini_coefficient): exact Gini over per-customer revenue cents —
+    rank via the two-pass global_row_number, Σ i·xᵢ as exact
+    DECIMAL(38,0), one float division. The inequality twin of the
+    revenue_pareto 80/20 report."""
+    from awi_datapipelinepublic_spark.operators.quality import gini_coefficient
+
+    rev = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents")
+        )
+    )
+    return gini_coefficient(rev, "cents")
+
+
+def q_period_over_period(spark, sf_dir):
+    """Month-over-month revenue deltas: exact-cent monthly totals, lag
+    over the month axis (calendar-bounded — the cumulative_adoption
+    class, documented in BOUNDED_GLOBAL_WINDOW_GATES), 6dp pct
+    change. The period-comparison report every finance dashboard
+    opens with."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.trunc(F.col("o_orderdate"), "month").alias("month")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("__cents")
+    )
+    w = Window.orderBy("month")
+    return (
+        monthly.withColumn("__prev", F.lag("__cents").over(w))
+        .select(
+            "month",
+            F.round(F.col("__cents") / 100, 2).alias("revenue"),
+            F.round(
+                (F.col("__cents") - F.col("__prev")) / F.col("__prev"), 6
+            ).alias("mom_pct"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- Driver check window (round-6 rotation): the driver oracle-
@@ -4499,6 +4557,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram2d": q_histogram2d,
         "ship_latency_stats": q_ship_latency_stats,
         "share_of_parent": q_share_of_parent,
+        "benford_test": q_benford_test,
+        "gini_coefficient": q_gini_coefficient,
+        "period_over_period": q_period_over_period,
     }
 
 
@@ -7757,5 +7818,55 @@ def oracle_sql() -> dict[str, str]:
                ROUND(pn.cents / 100.0, 2) AS revenue,
                ROUND(pn.cents * 1.0 / pr.rcents, 6) AS share_of_region
         FROM pn JOIN pr ON pn.r_name = pr.r_name
+    """
+    # Replays q_benford_test: DuckDB regexp_replace needs the 'g' flag
+    # to match Spark's replace-all; expectations are the SAME Python
+    # literal doubles on both sides.
+    _benford_vals = ", ".join(
+        f"({d}, {p!r}::DOUBLE)" for d, p in BENFORD_EXPECTED.items()
+    )
+    sql["benford_test"] = f"""
+        WITH d AS (
+          SELECT CAST(substr(regexp_replace(CAST(o_totalprice AS VARCHAR),
+                                            '[^1-9]*', '', 'g'), 1, 1) AS INT) AS digit
+          FROM orders WHERE o_totalprice > 0),
+        g AS (SELECT digit, COUNT(*) AS n FROM d
+              WHERE digit IS NOT NULL GROUP BY 1),
+        e AS (SELECT * FROM (VALUES {_benford_vals}) AS t(digit, p)),
+        tot AS (SELECT SUM(n) AS nt FROM g)
+        SELECT g.digit, CAST(n AS BIGINT) AS n,
+               ROUND(n * 1.0 / nt, 6) AS observed_p,
+               ROUND(e.p, 6) AS expected_p,
+               ROUND((n - nt * e.p) * (n - nt * e.p) / (nt * e.p), 6) AS chi2_term
+        FROM g JOIN e ON g.digit = e.digit, tot
+    """
+    # Replays q_gini_coefficient: ROW_NUMBER ascending rank (tie
+    # assignment is irrelevant — a tie group's rank-set is fixed, so
+    # Σ i·x is invariant), HUGEINT exact Σ i·x, identical float chain.
+    sql["gini_coefficient"] = """
+        WITH rev AS (SELECT o_custkey,
+                            SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS x
+                     FROM orders GROUP BY 1),
+        ranked AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS i
+                   FROM rev WHERE x >= 0)
+        SELECT COUNT(*) AS n,
+               ROUND(2.0::DOUBLE * CAST(SUM(CAST(i AS HUGEINT) * x) AS DOUBLE)
+                       / (COUNT(*) * CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE))
+                     - (COUNT(*) + 1.0::DOUBLE) / COUNT(*), 6) AS gini
+        FROM ranked
+    """
+    # Replays q_period_over_period: exact-cent monthly totals, lag over
+    # the calendar-bounded month axis, 6dp MoM pct.
+    sql["period_over_period"] = """
+        WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,
+                          SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+                   FROM orders GROUP BY 1),
+        l AS (SELECT month, cents,
+                     LAG(cents) OVER (ORDER BY month) AS prev
+              FROM m)
+        SELECT CAST(month AS DATE) AS month,
+               ROUND(cents / 100.0, 2) AS revenue,
+               ROUND((cents - prev) * 1.0 / prev, 6) AS mom_pct
+        FROM l
     """
     return sql

@@ -945,3 +945,108 @@ def mad_outliers(
         )
     )
     return flagged
+
+
+# Benford first-digit expectations log10(1 + 1/d), precomputed in
+# Python and injected as LITERALS into both engines: log10 is not
+# guaranteed correctly-rounded, so evaluating it engine-side could
+# differ at 1 ulp between JVM and libm — identical literals cannot.
+BENFORD_EXPECTED = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def benford_digit_test(
+    df: DataFrame,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Benford's-law first-digit audit — the classic anomaly/fraud
+    screen for naturally-occurring amounts: observed first-digit
+    shares vs log10(1+1/d), with each digit's chi-square contribution
+    ((obs − n·e)²/(n·e)). Values ≤ 0 are excluded (Benford applies to
+    positive magnitudes).
+
+    Scale design: first digit is a string projection (no log/pow on
+    the data path), then one 9-ary groupBy with map-side combine —
+    the exchange is 9 rows. Expected shares are injected literals
+    (see BENFORD_EXPECTED) so both engines compute the identical
+    float chain from exact integer counts.
+
+    Output: (digit INT, n BIGINT, observed_p, expected_p, chi2_term
+    DOUBLE round_dp).
+    """
+    first = F.substring(
+        F.regexp_replace(F.col(value_col).cast("string"), r"[^1-9]*", ""), 1, 1
+    )
+    digits = (
+        df.filter(F.col(value_col) > 0)
+        .select(first.cast("int").alias("digit"))
+        .filter(F.col("digit").isNotNull())
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = digits.agg(F.sum("n").alias("__N"))
+    e = F.create_map(
+        *[x for d, p in BENFORD_EXPECTED.items() for x in (F.lit(d), F.lit(p))]
+    )[F.col("digit")]
+    return (
+        digits.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("__N"), round_dp).alias("observed_p"),
+            F.round(e, round_dp).alias("expected_p"),
+            F.round(
+                (F.col("n") - F.col("__N") * e)
+                * (F.col("n") - F.col("__N") * e)
+                / (F.col("__N") * e),
+                round_dp,
+            ).alias("chi2_term"),
+        )
+    )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact Gini concentration coefficient over a non-negative integer
+    value column: G = (2·Σᵢ i·xᵢ) / (n·Σx) − (n+1)/n with values
+    ranked ascending — the inequality/concentration metric paired with
+    the revenue_pareto 80/20 report (customer concentration, token
+    share across sources).
+
+    Scale design: the rank comes from the two-pass global_row_number
+    (range-partition + broadcast offsets — no single-partition
+    window); Σ i·xᵢ accumulates as DECIMAL(38,0) (i·x exceeds long
+    range around 10⁶ rows × 10¹⁰-scale values; decimal sums are exact
+    and associative in both engines, the BQ-NUMERIC lesson). One final
+    one-row projection does the float division.
+
+    Output: one row (n BIGINT, gini DOUBLE round_dp).
+    """
+    from awi_datapipelinepublic_spark.operators.windows import global_row_number
+
+    ranked = global_row_number(
+        df.select(F.col(value_col).alias("__x")).filter(F.col("__x") >= 0),
+        [F.col("__x").asc(), F.col("__x").asc()],
+        out_col="__i",
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__x").cast("decimal(38,0)")).alias("__sx"),
+        F.sum(
+            (F.col("__i").cast("decimal(19,0)") * F.col("__x").cast("decimal(19,0)")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("__six"),
+    )
+    return agg.select(
+        "n",
+        F.round(
+            F.lit(2.0) * F.col("__six").cast("double")
+            / (F.col("n") * F.col("__sx").cast("double"))
+            - (F.col("n") + F.lit(1.0)) / F.col("n"),
+            round_dp,
+        ).alias("gini"),
+    )

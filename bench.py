@@ -152,6 +152,10 @@ BENCH_QUERIES = [
     "histogram2d",
     "ship_latency_stats",
     "share_of_parent",
+    # Benford fraud screen, exact Gini concentration, MoM deltas
+    "benford_test",
+    "gini_coefficient",
+    "period_over_period",
 ]
 
 

@@ -683,6 +683,9 @@ BOUNDED_GLOBAL_WINDOW_GATES = {
     # Running adoption over the per-day aggregate: the axis is calendar
     # days (events.py:228 documents the bound).
     "cumulative_adoption": 1,
+    # MoM lag over the per-month aggregate: the axis is calendar
+    # months — the same bounded class as cumulative_adoption.
+    "period_over_period": 1,
 }
 
 # Gates that must drain a streaming query just to BUILD their result
@@ -728,3 +731,37 @@ def test_no_unbounded_single_partition_window_in_any_gate(spark, sf_dir):
         f"axis (fix with operators/windows.py two-pass, or document the "
         f"bound in BOUNDED_GLOBAL_WINDOW_GATES): {offenders}"
     )
+
+
+def test_ks_drift_rides_two_pass_running_sums(spark, sf_dir):
+    """The KS statistic's cumulative CDFs must range-partition (the
+    two-pass global_running_sums plan), never a data-axis
+    SinglePartition window; both running sums share ONE window node."""
+    plan = _plan(entry_mod.q_ks_drift(spark, sf_dir))
+    assert "rangepartitioning" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_pair_lift_broadcasts_item_counts_no_cartesian(spark, sf_dir):
+    """Market-basket lift: item-count join-backs broadcast; the only
+    wide work is the capped pair explode + pair groupBy."""
+    plan = _plan(entry_mod.q_basket_pair_lift(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_sequence_pack_two_pass_no_single_partition_data_window(spark, sf_dir):
+    """sequence_pack's cumulative token sum must ride the two-pass
+    range partitioning (the round-6 rewrite) — the only SinglePartition
+    exchange allowed is the per-partition offset table."""
+    plan = _plan(entry_mod.q_sequence_pack(spark, sf_dir))
+    assert "rangepartitioning" in plan, plan[:2000]
+
+
+def test_attribution_no_join_single_user_window(spark, sf_dir):
+    """Last-touch attribution is the asof no-join shape: zero join
+    operators; one user-partitioned window carries the touch."""
+    plan = _plan(entry_mod.q_attribution_last_touch(spark, sf_dir))
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" in plan

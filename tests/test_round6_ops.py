@@ -346,3 +346,37 @@ def test_kafka_connector_capability_probe(spark):
     df = spark.createDataFrame([("1", "done")], "key string, value string")
     with pytest.raises(Exception, match="(?i)kafka|topic|bootstrap"):
         df.write.format("kafka").save()
+
+
+def test_benford_digit_test_hand_computed(spark):
+    from awi_datapipelinepublic_spark.operators.quality import (
+        BENFORD_EXPECTED,
+        benford_digit_test,
+    )
+
+    # 19 ones, 1 nine; zero/negative values excluded; scientific and
+    # sub-1 magnitudes still yield their first SIGNIFICANT digit
+    vals = [1.5] * 10 + [10.0] * 5 + [0.0123] * 4 + [9e7] + [0.0, -5.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {r["digit"]: r for r in benford_digit_test(df, "x").collect()}
+    assert set(got) == {1, 9}
+    assert got[1]["n"] == 19 and got[9]["n"] == 1
+    assert got[1]["observed_p"] == 0.95
+    assert got[1]["expected_p"] == round(BENFORD_EXPECTED[1], 6)
+    # chi2 term for digit 1: (19 - 20*e)^2 / (20*e)
+    e = BENFORD_EXPECTED[1]
+    assert abs(got[1]["chi2_term"] - round((19 - 20 * e) ** 2 / (20 * e), 6)) < 1e-9
+
+
+def test_gini_coefficient_extremes(spark):
+    from awi_datapipelinepublic_spark.operators.quality import gini_coefficient
+
+    # perfect equality -> 0
+    eq = spark.createDataFrame([(100,)] * 5, "x long")
+    assert gini_coefficient(eq, "x").first()["gini"] == 0.0
+    # total concentration among n -> (n-1)/n
+    conc = spark.createDataFrame([(0,), (0,), (0,), (0,), (1000,)], "x long")
+    assert gini_coefficient(conc, "x").first()["gini"] == 0.8
+    # hand-computed: [1,2,3,4] -> G = 2*(1+4+9+16)/(4*10) - 5/4 = 0.25
+    h = spark.createDataFrame([(1,), (2,), (3,), (4,)], "x long")
+    assert gini_coefficient(h, "x").first()["gini"] == 0.25

@@ -58,8 +58,14 @@ TARGETS = {
     "knn_ivfpq": "IVF-PQ: cluster filter + per-cluster ADC lookup-sum branches - no shuffle, no join after the coarse filter",
     "bigram_lm": "Adjacent pairs via codegen zip_with; pair groupBy + context-total join-back, no window over raw pairs",
     "gopher_filter": "Gopher rule set: ONE codegen projection over the scan - no Exchange anywhere in the plan",
+    "overlap_join": "Interval-interval overlap: binned equi-join (hash join) + residual predicate + overlap-start-bin attribution - never a nested loop",
     "revenue_pareto": "Running share via two-pass global_running_sum: rangepartitioning + __pid-partitioned window; only SinglePartition exchanges are the bounded offset table and the scalar total",
     "vocab_build": "Ordered token ids via two-pass global_row_number - fully parallel id assignment over the surviving vocabulary",
+    "ks_drift": "Two-sample KS: distinct-value-sized exchanges, BOTH running CDFs in one range-partitioned two-pass window, exact-integer gap max",
+    "basket_pair_lift": "Capped pair explode + pair groupBy; item counts broadcast back twice; no cartesian, no SMJ",
+    "label_propagation": "Per-round neighbor-join + argmax-struct groupBy, edge-key shuffles only, checkpoint-cut lineage",
+    "attribution_last_touch": "No-join attribution: one user-partitioned carried-forward window, then a type-cardinality aggregate",
+    "mad_outliers": "Two grouped exact-percentile shuffles + broadcast join-backs; flag count map-side combined",
     "curation_pipeline": "lang+gopher filters fused into the scan stage; the md5-fingerprint dedup groupBy is the only shuffle",
     "time_rollup": "ONE raw scan: day/month branches read the persisted hourly/daily partials (InMemoryTableScan), never the fact again",
     "cohort_retention": "Activity dedups to (user, day) BEFORE the cohort join - join input bounded by users x active-days, never raw events",
