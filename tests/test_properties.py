@@ -489,3 +489,83 @@ def test_gopher_signals_match_python_reference(spark, data):
         norm = " ".join(words)
         symbols = norm.count("#") + len(re.findall(r"\.\.\.", norm))
         assert row["s"] == symbols / n, c
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.data())
+def test_interval_overlap_join_equals_theta_property(spark, data):
+    """Binned interval-interval overlap == the naive theta join on
+    random half-open integer intervals, for a random bin width — pairs
+    exactly once each (no duplicates from multi-bin co-occupancy)."""
+    from pyspark.sql import functions as F
+
+    from awi_datapipelinepublic_spark.operators.joins import interval_overlap_join
+
+    def iv(i):
+        lo = data.draw(st.integers(min_value=-50, max_value=200))
+        ln = data.draw(st.integers(min_value=1, max_value=60))
+        return (i, lo, lo + ln)
+
+    left = [iv(i) for i in range(data.draw(st.integers(min_value=1, max_value=25)))]
+    right = [iv(i) for i in range(data.draw(st.integers(min_value=1, max_value=25)))]
+    width = data.draw(st.integers(min_value=1, max_value=40))
+    ldf = spark.createDataFrame(left, "lid long, lo long, hi long")
+    rdf = spark.createDataFrame(right, "rid long, rlo long, rhi long")
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(ldf, rdf, "lo", "hi", "rlo", "rhi", width).collect()
+    )
+    want = sorted(
+        (a[0], b[0]) for a in left for b in right if a[1] < b[2] and b[1] < a[2]
+    )
+    assert got == want
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.data())
+def test_ks_drift_matches_pure_python_property(spark, data):
+    """Exact KS statistic == a pure-Python empirical-CDF sup computed
+    on the same random integer samples."""
+    from fractions import Fraction
+
+    from awi_datapipelinepublic_spark.operators.quality import ks_drift
+
+    a = data.draw(st.lists(st.integers(min_value=-20, max_value=20), min_size=1, max_size=60))
+    b = data.draw(st.lists(st.integers(min_value=-20, max_value=20), min_size=1, max_size=60))
+    ra = spark.createDataFrame([(v,) for v in a], "x long")
+    rb = spark.createDataFrame([(v,) for v in b], "x long")
+    got = ks_drift(ra, rb, "x").first()["ks_stat"]
+    vals = sorted(set(a) | set(b))
+    want = max(
+        abs(
+            Fraction(sum(1 for v in a if v <= t), len(a))
+            - Fraction(sum(1 for v in b if v <= t), len(b))
+        )
+        for t in vals
+    )
+    assert got == round(float(want), 6)
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.data())
+def test_gini_matches_pure_python_property(spark, data):
+    """Exact Gini == the rank-formula reference on random non-negative
+    integer values (computed in exact Fractions, rounded once)."""
+    from fractions import Fraction
+
+    from awi_datapipelinepublic_spark.operators.quality import gini_coefficient
+
+    xs = data.draw(
+        st.lists(st.integers(min_value=0, max_value=10_000), min_size=2, max_size=80)
+    )
+    df = spark.createDataFrame([(v,) for v in xs], "x long")
+    got = gini_coefficient(df, "x").first()
+    s = sorted(xs)
+    n = len(s)
+    if sum(s) == 0:
+        return  # degenerate: division by zero domain, not a contract
+    want = Fraction(2 * sum((i + 1) * v for i, v in enumerate(s)), n * sum(s)) - Fraction(
+        n + 1, n
+    )
+    assert got["n"] == n
+    assert abs(got["gini"] - float(want)) <= 1e-6
