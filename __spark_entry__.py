@@ -4291,6 +4291,22 @@ def q_period_over_period(spark, sf_dir):
     )
 
 
+def q_event_throttle(spark, sf_dir):
+    """Telemetry throttle/debounce (operators/events.py:
+    event_throttle): drop events within 600 s of the previous event in
+    the same (user, type) stream — one keyed lag window, gap measured
+    to the previous RAW event (throttling semantics). Gate returns
+    per-type kept/coverage counts so the hash pins the filter, not
+    15k raw rows."""
+    from awi_datapipelinepublic_spark.operators.events import event_throttle
+
+    kept = event_throttle(read_events(spark, sf_dir), min_gap_seconds=600)
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- Driver check window (round-6 rotation): the driver oracle-
@@ -4560,6 +4576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_test": q_benford_test,
         "gini_coefficient": q_gini_coefficient,
         "period_over_period": q_period_over_period,
+        "event_throttle": q_event_throttle,
     }
 
 
@@ -7868,5 +7885,20 @@ def oracle_sql() -> dict[str, str]:
                ROUND(cents / 100.0, 2) AS revenue,
                ROUND((cents - prev) * 1.0 / prev, 6) AS mom_pct
         FROM l
+    """
+    # Replays q_event_throttle: the same keyed lag window with
+    # double-second gap arithmetic (epoch(ts) keeps microseconds in
+    # DuckDB), per-type kept counts.
+    sql["event_throttle"] = """
+        WITH l AS (
+          SELECT user_id, event_type,
+                 epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id, event_type
+                                                 ORDER BY ts, event_id)) AS gap
+          FROM events)
+        SELECT event_type, COUNT(*) AS n_kept,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM l
+        WHERE gap IS NULL OR gap >= 600.0
+        GROUP BY 1
     """
     return sql

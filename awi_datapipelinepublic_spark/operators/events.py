@@ -495,3 +495,37 @@ def activity_heatmap(
             F.round(F.sum(value_col), 4).alias("sum_value"),
         )
     )
+
+
+def event_throttle(
+    events: DataFrame,
+    min_gap_seconds: int = 60,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Throttle/debounce duplicate-ish telemetry: within each
+    (user, event-type) stream, drop any event arriving within
+    ``min_gap_seconds`` of the PREVIOUS event in that stream — the
+    double-click / retry-storm suppressor in front of metering and
+    billing pipelines (throttling semantics: the gap is measured to
+    the previous raw event, so a sustained burst keeps one event per
+    gap window as it drifts — one lag window, no island closure).
+
+    One (user, type)-partitioned lag over (ts, id) order — a single
+    shuffle on the stream key, linear at any volume; the timestamp
+    math is double-seconds (sub-second gaps classify correctly, the
+    sessionize lesson).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col, type_col).orderBy(ts_col, id_col)
+    secs = F.col(ts_col).cast("double")
+    prev = F.lag(ts_col).over(w).cast("double")
+    return (
+        events.withColumn("__gap_ok",
+            prev.isNull() | (secs - prev >= float(min_gap_seconds)))
+        .filter(F.col("__gap_ok"))
+        .drop("__gap_ok")
+    )

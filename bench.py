@@ -156,6 +156,8 @@ BENCH_QUERIES = [
     "benford_test",
     "gini_coefficient",
     "period_over_period",
+    # telemetry debounce/throttle (keyed lag filter)
+    "event_throttle",
 ]
 
 

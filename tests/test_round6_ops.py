@@ -380,3 +380,30 @@ def test_gini_coefficient_extremes(spark):
     # hand-computed: [1,2,3,4] -> G = 2*(1+4+9+16)/(4*10) - 5/4 = 0.25
     h = spark.createDataFrame([(1,), (2,), (3,), (4,)], "x long")
     assert gini_coefficient(h, "x").first()["gini"] == 0.25
+
+
+def test_event_throttle_gap_semantics(spark):
+    from awi_datapipelinepublic_spark.operators.events import event_throttle
+
+    rows = [
+        _ev(1, 0, "view", 1),
+        _ev(1, 30, "view", 2),   # 30s after prev raw -> dropped
+        _ev(1, 50, "view", 3),   # 20s after prev RAW (id 2) -> dropped
+        _ev(2, 0, "view", 4),    # other user unaffected
+        _ev(1, 10, "click", 5),  # other type unaffected
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    kept = sorted(r["event_id"] for r in event_throttle(df, min_gap_seconds=60).collect())
+    assert kept == [1, 4, 5]
+    # boundary: a gap of exactly min_gap is KEPT (>=)
+    df2 = spark.createDataFrame(
+        [
+            _ev(1, 0, "view", 1),
+            (2, datetime.datetime(2024, 1, 1, 0, 1, 0), 1, "view", 1.0),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    kept2 = sorted(r["event_id"] for r in event_throttle(df2, min_gap_seconds=60).collect())
+    assert kept2 == [1, 2]
