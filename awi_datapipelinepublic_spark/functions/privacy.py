@@ -187,9 +187,14 @@ def t_closeness(
     cell = df.groupBy(*quasi_cols, sensitive_col).agg(
         F.count(F.lit(1)).alias("__c")
     )
+    # Everything below derives from the (QI × sensitive)-cardinality
+    # cell table: materialize it once (GC-owned localCheckpoint) so
+    # the fact is scanned exactly once; group/global/total counts
+    # re-aggregate cell partials exactly (algebraic sums).
+    cell = cell.localCheckpoint()
     group = cell.groupBy(*quasi_cols).agg(F.sum("__c").alias("__n"))
-    glob = df.groupBy(sensitive_col).agg(F.count(F.lit(1)).alias("__g"))
-    total = df.agg(F.count(F.lit(1)).alias("__tot"))
+    glob = cell.groupBy(sensitive_col).agg(F.sum("__c").alias("__g"))
+    total = cell.agg(F.sum("__c").alias("__tot"))
     # missing sensitive values in a group contribute |0·N − g·n|; a
     # full outer per group is avoided by summing the PRESENT terms and
     # adding the absent mass: Σ_absent g·n = (N − Σ_present g)·n

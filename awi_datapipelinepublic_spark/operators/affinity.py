@@ -50,6 +50,10 @@ def pair_lift(
         df.groupBy(F.col(basket_col).alias("__b"))
         .agg(F.array_sort(F.collect_set(F.col(item_col))).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_basket))
+        # four consumers (pairs, two item-count join-backs, N) — one
+        # eager materialization keeps the fact scan single; blocks are
+        # GC-owned (ContextCleaner), not a leaked persist
+        .localCheckpoint()
     )
     n_baskets = baskets.agg(F.count(F.lit(1)).alias("__N"))
     item_counts = (

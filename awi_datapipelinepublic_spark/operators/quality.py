@@ -983,6 +983,9 @@ def benford_digit_test(
         .filter(F.col("digit").isNotNull())
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
+        # 9 rows feeding two branches (total + report): materialize so
+        # the corpus is scanned once
+        .localCheckpoint()
     )
     total = digits.agg(F.sum("n").alias("__N"))
     e = F.create_map(
