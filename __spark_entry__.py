@@ -6718,7 +6718,7 @@ def oracle_sql() -> dict[str, str]:
         g AS (SELECT user_id, island, MIN(s) AS ms, MAX(e) AS me
               FROM isl GROUP BY 1, 2)
         SELECT user_id, COUNT(*) AS n_islands,
-               SUM(me - ms) AS covered_seconds
+               CAST(SUM(me - ms) AS BIGINT) AS covered_seconds
         FROM g GROUP BY user_id
     """
     # Replays q_cumulative_adoption: DuckDB CAN express the distinct
@@ -6733,8 +6733,9 @@ def oracle_sql() -> dict[str, str]:
         pd AS (SELECT d.day, COALESCE(nu.new_users, 0) AS new_users
                FROM days d LEFT JOIN nu USING (day))
         SELECT day, new_users,
-               SUM(new_users) OVER (ORDER BY day
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumulative_users
+               CAST(SUM(new_users) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cumulative_users
         FROM pd
     """
     # Replays q_spatial_radius_join with the PLAIN quadratic form —
@@ -7662,7 +7663,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT host,
                regexp_extract(host, '\\.([a-z0-9-]+)$', 1) AS tld,
                COUNT(*) AS n_docs,
-               SUM(n_chars) AS total_chars,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                MAX(CASE WHEN path = '' THEN 0
                         ELSE len(regexp_extract_all(path, '/')) END) AS max_depth
         FROM p

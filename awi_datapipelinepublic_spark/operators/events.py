@@ -505,13 +505,17 @@ def event_throttle(
     type_col: str = "event_type",
     id_col: str = "event_id",
 ) -> DataFrame:
-    """Throttle/debounce duplicate-ish telemetry: within each
-    (user, event-type) stream, drop any event arriving within
-    ``min_gap_seconds`` of the PREVIOUS event in that stream — the
-    double-click / retry-storm suppressor in front of metering and
-    billing pipelines (throttling semantics: the gap is measured to
-    the previous raw event, so a sustained burst keeps one event per
-    gap window as it drifts — one lag window, no island closure).
+    """Debounce duplicate-ish telemetry: within each (user,
+    event-type) stream, drop any event arriving within
+    ``min_gap_seconds`` of the PREVIOUS RAW event in that stream —
+    the double-click / retry-storm suppressor. These are
+    debounce-until-quiet semantics: because the gap is measured to
+    the previous raw event (kept or dropped), a sustained burst with
+    inter-arrival < min_gap keeps only its FIRST event and emits
+    nothing more until the stream goes quiet for a full gap — it is
+    NOT rate limiting (one-per-window throttling would measure the
+    gap to the previous KEPT event, which needs island closure, not
+    one lag). tests/test_round6_ops.py pins the raw-gap behavior.
 
     One (user, type)-partitioned lag over (ts, id) order — a single
     shuffle on the stream key, linear at any volume; the timestamp

@@ -406,10 +406,13 @@ def label_propagation(
             labels.select(F.col("n").alias("nb"), F.col("lbl")), "nb"
         ).select("n", "lbl").unionAll(labels.select("n", "lbl"))
         cnt = nl.groupBy("n", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        # argmax by (max count, smallest label) — negate the COUNT,
+        # never the label: unary minus on a string label casts to
+        # double and yields null (dedup graphs key on md5 strings).
         labels = (
             cnt.groupBy("n")
-            .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))).alias("w"))
-            .select("n", (-F.col("w.neg")).alias("lbl"))
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("lbl"))).alias("w"))
+            .select("n", F.col("w.lbl").alias("lbl"))
             .localCheckpoint()
         )
     return labels.select(F.col("n").alias("node"), F.col("lbl").alias("label"))

@@ -393,12 +393,34 @@ def interval_overlap_join(
     keeps the output duplicate-free without a distinct (both engines
     compute the same attribution bin, so it's also hash-stable).
     Cost is O((n+m)·avg_bins) through a hash join; pick ``bin_width``
-    near the typical interval length. Inputs are numeric (seconds /
-    positions) — cast timestamps upstream. ``key_cols`` (same names on
+    near the typical interval length. ``key_cols`` (same names on
     both sides) join alongside the bin — the per-machine / per-user
     keyed form, which also shards hot bins across keys.
+
+    Coordinates MUST be integral (seconds / positions — cast
+    timestamps upstream): the last covered bin is floor((hi-1)/w),
+    which is only the bin containing the interval's last covered
+    point when coordinates are integers. A fractional hi (e.g. left
+    [0, 10.5) vs right [10.2, 10.4) at width 10) would end the left
+    side's bin list one bin early and silently miss true overlaps, so
+    non-integral lo/hi column types raise. Empty and inverted
+    intervals (hi <= lo, which cover no points under the half-open
+    contract and would otherwise produce descending sequence() bin
+    arrays) are filtered from both sides before the explode.
     """
     w = int(bin_width)
+    _INTEGRAL = ("byte", "short", "int", "integer", "bigint", "long")
+    for df, lo, hi, side in ((left, left_lo, left_hi, "left"), (right, right_lo, right_hi, "right")):
+        for c in (lo, hi):
+            t = df.schema[c].dataType.simpleString()
+            if t not in _INTEGRAL:
+                raise TypeError(
+                    f"interval_overlap_join: {side}.{c} is {t}; coordinates must be "
+                    "integral (the floor((hi-1)/w) last-bin arithmetic misses overlaps "
+                    "for fractional endpoints) — pre-scale to integer units upstream"
+                )
+    left = left.filter(F.col(left_hi) > F.col(left_lo))
+    right = right.filter(F.col(right_hi) > F.col(right_lo))
     lbins = left.withColumn(
         "__bin",
         F.explode(

@@ -1030,9 +1030,11 @@ def gini_coefficient(
     """
     from awi_datapipelinepublic_spark.operators.windows import global_row_number
 
+    # Single sort key: ties share equal x, so Σ i·x is invariant to
+    # how row numbers land within a tie group — no tiebreak needed.
     ranked = global_row_number(
         df.select(F.col(value_col).alias("__x")).filter(F.col("__x") >= 0),
-        [F.col("__x").asc(), F.col("__x").asc()],
+        [F.col("__x").asc()],
         out_col="__i",
     )
     agg = ranked.agg(

@@ -324,7 +324,20 @@ def mixture_weights(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(X.token_count(text_col)).alias("n_tokens"),
     )
-    powed = per_source.withColumn("__p", F.pow(F.col("n_tokens"), F.lit(alpha)))
+    # tokens^alpha via driver-side libm, injected as literals (the
+    # BENFORD_EXPECTED pattern): JVM Math.pow tolerates 1 ulp of
+    # error, so an engine-side F.pow can differ from the DuckDB
+    # oracle's libm pow at exactly the 6dp rounding boundary. CPython
+    # ** calls the same C libm as DuckDB, killing the cross-engine
+    # hazard. The collect is bounded by source cardinality (tiny by
+    # contract — it's the mixture table a data planner reads).
+    import math
+
+    per_rows = per_source.collect()
+    powed = df.sparkSession.createDataFrame(
+        [(*r, math.pow(float(r["n_tokens"]), float(alpha))) for r in per_rows],
+        per_source.schema.add("__p", "double"),
+    )
     tot = powed.agg(
         F.sum("__p").alias("__Z"), F.sum("n_tokens").alias("__T")
     )

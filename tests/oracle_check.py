@@ -54,6 +54,37 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _num_kind(s: pd.Series) -> str | None:
+    """'i' for integral, 'f' for float, None otherwise."""
+    if pd.api.types.is_bool_dtype(s):
+        return None
+    if pd.api.types.is_integer_dtype(s):
+        return "i"
+    if pd.api.types.is_float_dtype(s):
+        return "f"
+    return None
+
+
+def kind_mismatches(spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> list[str]:
+    """Driver-strict check: the driver hashes raw .df()/toPandas()
+    values, so a Spark int64 column paired with a DuckDB float64
+    column (e.g. an uncast SUM -> HUGEINT -> float64) hash-mismatches
+    as 123 vs 123.0 even though normalize() would coerce them equal.
+    Flag every integer-vs-float pairing. Columns where EITHER side
+    has nulls are exempt: both pandas paths promote nullable ints to
+    float64, so kinds legitimately diverge only on the null-free path."""
+    bad = []
+    for c in spark_pd.columns:
+        if c not in duck_pd.columns:
+            continue
+        sk, dk = _num_kind(spark_pd[c]), _num_kind(duck_pd[c])
+        if sk and dk and sk != dk:
+            if spark_pd[c].isna().any() or duck_pd[c].isna().any():
+                continue
+            bad.append(f"{c}: spark={sk} duck={dk}")
+    return bad
+
+
 def compare_one(spark, con, name: str, qfn, sql: str | None, sf_dir: str) -> str | None:
     """Returns None if matching, else a mismatch description."""
     sdf = qfn(spark, sf_dir)
@@ -63,6 +94,9 @@ def compare_one(spark, con, name: str, qfn, sql: str | None, sf_dir: str) -> str
     duck_pd = con.execute(sql).df()
     if len(spark_pd) != len(duck_pd):
         return f"row count: spark={len(spark_pd)} duck={len(duck_pd)}"
+    kinds = kind_mismatches(spark_pd, duck_pd)
+    if kinds:
+        return f"dtype kind (driver-fatal int-vs-float): {kinds}"
     a, b = normalize(spark_pd), normalize(duck_pd)
     if list(a.columns) != list(b.columns):
         return f"columns: spark={list(a.columns)} duck={list(b.columns)}"

@@ -46,6 +46,23 @@ def test_oracle_coverage():
     assert not missing, f"queries without oracle: {missing}"
 
 
+def test_no_hugeint_in_any_oracle(con):
+    """DuckDB returns SUM(BIGINT) as HUGEINT, and duckdb's .df()
+    materializes HUGEINT as float64 — the driver then hashes 123.0
+    against Spark's int64 123 and fails (the exact r6 red rows:
+    cumulative_adoption, interval_coverage). Probe every oracle's
+    planned result types so an uncast SUM can never reach the driver
+    again; the paired int-vs-float check lives in
+    oracle_check.kind_mismatches and runs per-query below."""
+    bad = {}
+    for name, q in sorted(ORACLES.items()):
+        types = [str(t).upper() for t in con.sql(q).types]
+        hits = sorted({t for t in types if "HUGEINT" in t})
+        if hits:
+            bad[name] = hits
+    assert not bad, f"oracles emitting HUGEINT (driver hash-fatal): {bad}"
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, con, sf_dir, name):
     msg = compare_one(spark, con, name, QUERIES[name], ORACLES.get(name), sf_dir)

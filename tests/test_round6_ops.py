@@ -143,6 +143,20 @@ def test_label_propagation_two_components(spark):
     assert got[10] == got[11] == 10
 
 
+def test_label_propagation_string_node_ids(spark):
+    # ADVICE r6: the old tie-break negated the LABEL (-lbl), which for
+    # string ids (dedup graphs key on md5 fingerprints) casts to double
+    # and silently nulls every label. The struct tie-break negates the
+    # COUNT instead — (max count, smallest label) for any orderable id.
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("x", "y")], "src string, dst string"
+    )
+    got = {r["node"]: r["label"] for r in label_propagation(edges, iterations=3).collect()}
+    assert None not in got.values()
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert got["x"] == got["y"] == "x"
+
+
 def test_url_parts_decomposition(spark):
     from awi_datapipelinepublic_spark.functions.text import url_parts
 
@@ -191,6 +205,33 @@ def test_interval_overlap_join_matches_naive_theta(spark):
     # and no duplicate pairs despite multi-bin co-occupancy
     rows = interval_overlap_join(left, right, "lo", "hi", "rlo", "rhi", bin_width=3).collect()
     assert len(rows) == len({(r["lid"], r["rid"]) for r in rows}) and len(rows) == len(naive)
+
+
+def test_interval_overlap_join_rejects_fractional_and_drops_empty(spark):
+    # ADVICE r6: floor((hi-1)/w) last-bin arithmetic only covers the
+    # interval's final point for INTEGER coordinates — fractional
+    # endpoints (left [0,10.5) vs right [10.2,10.4) at width 10) would
+    # silently miss true overlaps, so non-integral lo/hi types raise.
+    from awi_datapipelinepublic_spark.operators.joins import interval_overlap_join
+
+    frac = spark.createDataFrame([(1, 0.0, 10.5)], "lid long, lo double, hi double")
+    right = spark.createDataFrame([(9, 8, 20)], "rid long, rlo long, rhi long")
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="integral"):
+        interval_overlap_join(frac, right, "lo", "hi", "rlo", "rhi", bin_width=10)
+    # empty [x,x) and inverted intervals cover no points under the
+    # half-open contract and are filtered before the explode (they
+    # used to produce descending sequence() bins and bogus matches)
+    left = spark.createDataFrame(
+        [(1, 5, 5), (2, 9, 3), (3, 4, 6)], "lid long, lo long, hi long"
+    )
+    r2 = spark.createDataFrame([(10, 4, 6), (11, 5, 5)], "rid long, rlo long, rhi long")
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(left, r2, "lo", "hi", "rlo", "rhi", bin_width=4).collect()
+    }
+    assert got == {(3, 10)}
 
 
 def test_interval_overlap_join_keyed(spark):
