@@ -4307,20 +4307,40 @@ def q_event_throttle(spark, sf_dir):
     )
 
 
+# Round-7 driver window: the driver oracle-verifies the FIRST 50
+# queries() entries each round (CORRECTNESS_r*). r7 clears ALL
+# remaining driver-verification debt: the 44 ids that have never
+# received a driver row (20 pre-r6 stragglers + 24 r6 additions),
+# the 2 r6 hash-fails being re-gated after their oracles' HUGEINT
+# casts (cumulative_adoption, interval_coverage — engine was correct,
+# DuckDB SUM(BIGINT)->HUGEINT->float64 broke the hash), and 4 §2
+# flagship repeats. After r7 every gate id has >=1 green driver row.
+_R7_WINDOW = [
+    # 20 pre-r6 never-driver-checked stragglers
+    "cube_agg", "grouping_sets_agg", "topk_per_group", "dedup_keep_first",
+    "histogram_numeric", "bool_bit_agg", "map_functions", "regr_agg",
+    "win_percent_rank", "frame_sample", "unpivot_melt", "json_parse",
+    "vector_norm", "json_serialize", "except_all", "agg_argmax",
+    "having_groups", "string_distance", "feature_hash", "funnel_steps",
+    # 24 r6 additions, never driver-checked
+    "ks_drift", "attribution_last_touch", "basket_pair_lift",
+    "activity_churn", "readability_score", "mixture_weights",
+    "bpe_top_pairs", "label_propagation", "url_host_stats",
+    "overlap_join", "t_closeness", "streaming_join", "mad_outliers",
+    "funnel_timing", "ab_test_zscore", "activity_heatmap",
+    "group_percentiles", "histogram2d", "ship_latency_stats",
+    "share_of_parent", "benford_test", "gini_coefficient",
+    "period_over_period", "event_throttle",
+    # r6 red rows, re-gated post-CAST
+    "cumulative_adoption", "interval_coverage",
+    # §2 flagship repeats
+    "view_retention", "view_transactions", "view_auto_optiom",
+    "merge_time_window",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        # --- Driver check window (round-6 rotation): the driver oracle-
-        # --- verifies the FIRST 50 entries each round (CORRECTNESS_r*).
-        # --- r6 window = the 45 riskiest never-driver-checked ids (all
-        # --- the round-5 newcomers: graph census, PQ/IVF-PQ ANN, corpus
-        # --- LM stack, privacy audits, drift, curation pipeline, XML
-        # --- source, plus the remaining r4 analytics ids) + 5 repeat
-        # --- slots re-confirming the SURVEY §2 flagships whose last
-        # --- driver rows predate the r5 CDC/cache changes (VERDICT r5
-        # --- order #5). 20 never-checked ids remain — the oldest,
-        # --- simplest stragglers (cube/grouping-sets/having, json
-        # --- parse/serialize, scalar window/agg forms) — they are the
-        # --- r7 window.
+    q = {
         "agg_approx": q_agg_approx,
         "key_skew_profile": q_key_skew_profile,
         "bpe_token_count": q_bpe_token_count,
@@ -4371,7 +4391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "view_auto_optiom": q_view_auto_optiom,
         "merge_time_window": q_merge_time_window,
         "dedup_pipeline": q_dedup_pipeline,
-        # --- End of driver window; order below is not significant. ---
+        # --- Declaration order below is not significant: the driver
+        # --- window is pulled to the front via _R7_WINDOW above. ---
         "validate_expectations": q_validate_expectations,
         "kmeans_clusters": q_kmeans_clusters,
         "embedding_outliers": q_embedding_outliers,
@@ -4578,6 +4599,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "period_over_period": q_period_over_period,
         "event_throttle": q_event_throttle,
     }
+    window = {k: q[k] for k in _R7_WINDOW}
+    window.update((k, v) for k, v in q.items() if k not in window)
+    return window
 
 
 _STOPWORDS_SQL = "(" + ",".join(f"'{w}'" for w in X.EN_STOPWORDS) + ")"

@@ -96,18 +96,24 @@ def sequence_pack(
     one groupBy(block) with bounded per-block collect_lists (≤ budget
     tokens of text per block). Token counts are integers, so the
     two-pass sum is bit-identical to a sequential window.
+
+    The running sum runs on a SLIM (id, n_tok) projection — the text
+    column never enters the range partitioner, so the global sort
+    moves ~16-byte rows instead of whole documents (at corpus scale
+    the sort's shuffle+spill is payload-bound; this halves text
+    movement to the single unavoidable groupBy(block) exchange). The
+    block map rejoins text by ``id_col``, which must therefore be
+    unique per row (true for any document table; duplicates would
+    fan out).
     """
     from awi_datapipelinepublic_spark.operators.windows import global_running_sum
 
-    toks = df.select(
-        F.col(id_col),
-        F.col(text_col),
-        X.token_count(text_col).alias("__n_tok"),
-    )
-    cum = global_running_sum(toks, [F.col(id_col)], "__n_tok", out_col="__cum")
-    packed = cum.withColumn(
+    slim = df.select(F.col(id_col), X.token_count(text_col).alias("__n_tok"))
+    cum = global_running_sum(slim, [F.col(id_col)], "__n_tok", out_col="__cum")
+    block_map = cum.withColumn(
         "block_id", ((F.col("__cum") - 1) / F.lit(block_tokens)).cast("bigint")
     ).drop("__cum")
+    packed = df.select(id_col, text_col).join(block_map, id_col)
     return packed.groupBy("block_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("__n_tok").alias("n_tokens"),

@@ -189,6 +189,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    sentinels = _sentinel_ratios(sf_dir, timings)
     print(
         json.dumps(
             {
@@ -197,8 +198,27 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "sentinels": _sentinel_ratios(sf_dir, timings),
+                "sentinels": sentinels,
             }
+        )
+    )
+    # The driver records only the LAST 2000 chars of stdout
+    # (BENCH_rN.json "tail"), which truncates the full line above and
+    # loses the total + early-query timings to external audit (r6
+    # judge order #9). This FINAL compact line always fits: per-query
+    # seconds at 2dp as an array aligned with BENCH_QUERIES order
+    # (stable in-repo), sentinels, and the total.
+    print(
+        json.dumps(
+            {
+                "compact": "t aligns with bench.py BENCH_QUERIES order",
+                "total_sec": total,
+                "sf": sf,
+                "n": len(timings),
+                "sentinels": sentinels,
+                "t": [round(timings[n], 2) for n in BENCH_QUERIES],
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -24,7 +24,10 @@ def test_bench_emits_single_json_line():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
-    assert len(lines) == 1, f"expected exactly one stdout line, got {len(lines)}: {lines[:3]}"
+    # line 1: the full contract JSON; line 2 (FINAL): the compact
+    # record that must survive the driver's last-2000-chars stdout
+    # truncation (r6 judge order #9)
+    assert len(lines) == 2, f"expected exactly two stdout lines, got {len(lines)}: {lines[:3]}"
     payload = json.loads(lines[0])
     assert payload["metric"] == "bench_total_wall"
     assert payload["unit"] == "sec"
@@ -32,6 +35,11 @@ def test_bench_emits_single_json_line():
     assert isinstance(payload["value"], (int, float)) and payload["value"] > 0
     assert payload["queries"] and all(v >= 0 for v in payload["queries"].values())
     assert abs(sum(payload["queries"].values()) - payload["value"]) < 0.05
+    compact = json.loads(lines[-1])
+    assert len(lines[-1]) < 1900, f"compact line too long to survive tail truncation: {len(lines[-1])}"
+    assert compact["total_sec"] == payload["value"]
+    assert compact["n"] == len(payload["queries"]) == len(compact["t"])
+    assert compact["sentinels"] == payload["sentinels"]
 
 
 def _ensure_sf1() -> Path:

@@ -36,7 +36,12 @@ QUERY_COVERED = {
 # Pipeline-level operators with no meaningful query form; covered by
 # the named test(s).
 TEST_COVERED = {
-    "scan_excel": "tests/test_cleaning.py (adapter) — no openpyxl in env; NotImplementedError path",
+    "scan_excel": "tests/test_cleaning.py::test_xlsx_roundtrip_two_sheets_align_union"
+    " / test_xlsx_reader_shared_strings_and_numbers /"
+    " test_xlsx_date_styled_cells_convert_to_iso +"
+    " tests/test_pipeline.py::test_excel_spec_end_to_end — pure-stdlib"
+    " reader (sources/xlsx.py), no openpyxl dependency; also"
+    " driver-verified (scan_excel green r2,r3)",
     "sink_csv": "tests/test_pipeline.py::test_run_file_then_incremental_merge (staging write)",
     "load_table": "tests/test_pipeline.py::test_run_file_then_incremental_merge",
     "source_event": "tests/test_pipeline.py::test_streaming_pipeline_available_now",
@@ -64,20 +69,31 @@ def test_alias_ids_share_oracles():
         assert oracles[alias] == oracles[impl]
 
 
-def test_excel_adapter_fails_loudly_without_openpyxl(spark, tmp_path):
-    """scan_excel: with no openpyxl the adapter must raise
-    NotImplementedError with conversion guidance, not silently skip."""
-    try:
-        import openpyxl  # noqa: F401
+def test_excel_adapter_is_stdlib_and_fails_loudly_on_garbage(spark, tmp_path):
+    """scan_excel rides the pure-stdlib xlsx reader (sources/xlsx.py) —
+    the engine must NOT depend on openpyxl at all, and a corrupt file
+    must raise, not silently yield an empty frame."""
+    import ast
 
-        return  # env has it; adapter is exercised implicitly elsewhere
-    except ImportError:
-        pass
     import pytest
 
-    from awi_datapipelinepublic_spark.sources.readers import read_excel_sheets
+    from awi_datapipelinepublic_spark.sources import readers, xlsx
+
+    for mod in (readers, xlsx):
+        tree = ast.parse(open(mod.__file__).read())
+        imported = {
+            n.name.split(".")[0]
+            for node in ast.walk(tree)
+            if isinstance(node, ast.Import)
+            for n in node.names
+        } | {
+            node.module.split(".")[0]
+            for node in ast.walk(tree)
+            if isinstance(node, ast.ImportFrom) and node.module
+        }
+        assert "openpyxl" not in imported, f"{mod.__name__} imports openpyxl"
 
     fake = tmp_path / "ProductionRpt.xlsx"
     fake.write_bytes(b"PK\x03\x04 not really xlsx")
-    with pytest.raises((NotImplementedError, Exception)):
-        read_excel_sheets(spark, str(fake), ["Prime Production Report"], [])
+    with pytest.raises(Exception):
+        readers.read_excel_sheets(spark, str(fake), ["Prime Production Report"], [])
