@@ -4307,6 +4307,99 @@ def q_event_throttle(spark, sf_dir):
     )
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """§2.I streaming dedup as a driver-gate row (streaming/
+    windows.py:streaming_dedup — previously pytest-pinned only):
+    events staged TWICE into the source dir (every event_id arrives
+    as a duplicate), watermarked dropDuplicatesWithinWatermark keeps
+    one arrival per id with bounded state, drained availableNow.
+    Gate returns per-type deduped counts; oracle: the batch distinct
+    over the original events — stream dedup == batch distinct on a
+    drained source."""
+    import tempfile
+    from pathlib import Path as _P
+
+    from awi_datapipelinepublic_spark.streaming.windows import streaming_dedup
+
+    tmp = _P(tempfile.mkdtemp(prefix="awi_sdedup_gate_"))
+    staged = str(tmp / "events")
+    ev = read_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev.write.parquet(staged)
+    ev.write.mode("append").parquet(staged)  # the duplicate arrivals
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).parquet(staged)
+    q = (
+        streaming_dedup(stream, ["event_id"], ts_col="ts")
+        .writeStream.format("parquet")
+        .option("path", str(tmp / "out"))
+        .option("checkpointLocation", str(tmp / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(str(tmp / "out"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def q_rolling_median(spark, sf_dir):
+    """Per-user exact rolling median of the trailing 7 event values
+    (operators/timeseries.py:rolling_median) — the robust smoother
+    next to ewma_smooth. True SQL window (percentile over a ROWS
+    frame), (ts, event_id) total order, 6dp round. Gate returns the
+    per-user LAST smoothed value + frame count so the hash pins the
+    whole trajectory's tail without 15k rows."""
+    from awi_datapipelinepublic_spark.operators.timeseries import rolling_median
+
+    ev = read_events(spark, sf_dir)
+    sm = rolling_median(ev, "user_id", "ts", "value", "event_id", preceding=6)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        sm.withColumn("__pick", F.row_number().over(w))
+        .filter(F.col("__pick") == 1)
+        .select(
+            "user_id",
+            F.col("rolling_median").alias("last_rolling_median"),
+        )
+    )
+
+
+def q_poisson_weighted_sample(spark, sf_dir):
+    """Quality-weighted Poisson downsample of documents, weight =
+    n_chars, expected 100 rows (operators/sampling.py:
+    poisson_weighted_sample). Exact integral Σw makes the inclusion
+    probability cross-engine bit-identical; keep-set is md5('ws#'||id)
+    — pure filter, zero shuffle."""
+    from awi_datapipelinepublic_spark.operators.sampling import poisson_weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return poisson_weighted_sample(d, "doc_id", "n_chars", target_rows=100).select(
+        "doc_id", "source", "n_chars", "p_include"
+    )
+
+
+def q_fuzzy_join_edit1(spark, sf_dir):
+    """Edit-distance-≤1 self-join of distinct customer names via
+    symmetric-delete blocking (operators/joins.py:fuzzy_join_edit1) —
+    linear blocking + residual levenshtein vs the oracle's quadratic
+    theta join; both produce the identical pair set."""
+    from awi_datapipelinepublic_spark.operators.joins import fuzzy_join_edit1
+
+    c = _t(spark, sf_dir, "customer").select("c_name")
+    return fuzzy_join_edit1(c, c, "c_name", "c_name")
+
+
 # Round-7 driver window: the driver oracle-verifies the FIRST 50
 # queries() entries each round (CORRECTNESS_r*). r7 clears ALL
 # remaining driver-verification debt: the 44 ids that have never
@@ -4598,6 +4691,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_coefficient": q_gini_coefficient,
         "period_over_period": q_period_over_period,
         "event_throttle": q_event_throttle,
+        # round-7 additions (r8 window seeds — deliberately outside
+        # the first-50 driver window this round)
+        "rolling_median": q_rolling_median,
+        "poisson_weighted_sample": q_poisson_weighted_sample,
+        "fuzzy_join_edit1": q_fuzzy_join_edit1,
+        "streaming_dedup": q_streaming_dedup,
     }
     window = {k: q[k] for k in _R7_WINDOW}
     window.update((k, v) for k, v in q.items() if k not in window)
@@ -7925,5 +8024,53 @@ def oracle_sql() -> dict[str, str]:
         FROM l
         WHERE gap IS NULL OR gap >= 600.0
         GROUP BY 1
+    """
+    # Replays q_rolling_median: DuckDB's windowed median (quantile_cont
+    # 0.5) over the identical (ts, event_id)-ordered 7-row frame —
+    # both engines interpolate even frames as lo + 0.5*(hi-lo); the
+    # gate hashes only each user's LAST smoothed value.
+    sql["rolling_median"] = """
+        WITH sm AS (
+          SELECT user_id, ts, event_id,
+                 ROUND(median(value) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS rm
+          FROM events),
+        r AS (SELECT user_id, rm,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM sm)
+        SELECT user_id, rm AS last_rolling_median FROM r WHERE rn = 1
+    """
+    # Replays q_poisson_weighted_sample: identical md5('ws#'||id)
+    # uniform, exact BIGINT Σw converted to double once, identical
+    # (100.0 * w) / W inclusion probability.
+    sql["poisson_weighted_sample"] = """
+        WITH tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS W FROM documents)
+        SELECT doc_id, source, n_chars,
+               ROUND(LEAST(1.0::DOUBLE,
+                     100.0::DOUBLE * n_chars / CAST(W AS DOUBLE)), 6) AS p_include
+        FROM documents, tot
+        WHERE ('0x' || substr(md5('ws#' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                / 4294967296.0
+              < LEAST(1.0::DOUBLE, 100.0::DOUBLE * n_chars / CAST(W AS DOUBLE))
+    """
+    # Replays q_fuzzy_join_edit1 with the PLAIN quadratic theta join —
+    # the symmetric-delete blocking is candidate generation only; the
+    # exact levenshtein residual makes the pair sets equal.
+    sql["fuzzy_join_edit1"] = """
+        WITH n AS (SELECT DISTINCT c_name AS nm FROM customer
+                   WHERE c_name IS NOT NULL)
+        SELECT x.nm AS name_a, y.nm AS name_b,
+               CAST(levenshtein(x.nm, y.nm) AS INT) AS dist
+        FROM n x JOIN n y ON x.nm < y.nm AND levenshtein(x.nm, y.nm) <= 1
+    """
+    # Replays q_streaming_dedup: the staged source holds every event
+    # twice; watermarked dropDuplicatesWithinWatermark on event_id must
+    # equal the batch per-type counts over the ORIGINAL events.
+    sql["streaming_dedup"] = """
+        SELECT event_type, COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1
     """
     return sql

@@ -449,3 +449,50 @@ def interval_overlap_join(
         )
         .drop("__bin")
     )
+
+
+def fuzzy_join_edit1(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+) -> DataFrame:
+    """Edit-distance-≤1 string join (typo-tolerant entity resolution /
+    spelling-variant linking) as an EQUI-join via symmetric-delete
+    blocking (the SymSpell construction): every string blocks on
+    itself plus each of its single-character-deletion variants. Two
+    strings within one edit (insert / delete / substitute) always
+    share a block key — equal strings share the identity key, an
+    insertion's longer side deletes down to the shorter, and a
+    substitution at position i shares the delete-at-i variant — so
+    the exact ``levenshtein ≤ 1`` predicate only runs as a residual
+    filter inside blocks, never across the full cross product.
+
+    Scale: keys per string = len+1, so candidate volume is
+    Σ|block|² over near-uniform md5-free blocks — linear-ish in rows
+    for natural key distributions vs. the O(n·m) theta join DuckDB's
+    IEJoin would brute-force. Both sides dedupe to distinct strings
+    before blocking (the join is string-level; re-attach row payloads
+    downstream by equi-joining on the string). Output is the distinct
+    matched pairs with the exact distance.
+    """
+
+    def blocked(df: DataFrame, col: str, out: str) -> DataFrame:
+        s = df.select(F.col(col).alias(out)).filter(F.col(out).isNotNull()).distinct()
+        variants = F.expr(
+            f"CASE WHEN length({out}) = 0 THEN array({out}) "
+            f"ELSE array_union(array({out}), transform(sequence(1, length({out})), "
+            f"i -> concat(substring({out}, 1, i - 1), substring({out}, i + 1)))) END"
+        )
+        return s.withColumn("__blk", F.explode(variants))
+
+    l = blocked(left, left_col, "name_a")
+    r = blocked(right, right_col, "name_b")
+    return (
+        l.join(r, "__blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("int"))
+        .filter(F.col("dist") <= 1)
+    )

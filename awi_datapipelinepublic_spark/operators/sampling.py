@@ -354,3 +354,60 @@ def mixture_weights(
             ).alias("epochs_at_budget"),
         )
     )
+
+
+def poisson_weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    target_rows: int,
+    seed_tag: str = "ws",
+    out_col: str = "p_include",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Deterministic weight-proportional POISSON sampling: each row
+    is kept independently with probability
+    ``min(1, target_rows · w / Σw)`` — the quality-weighted downsample
+    a pretraining-data pipeline applies after scoring (keep good docs
+    more often, EXPECTED output size ≈ ``target_rows``). The
+    fixed-size-k counterpart is :func:`weighted_sample`
+    (Efraimidis–Spirakis top-k); this form is the one that never
+    ranks — pure filter, so it composes with incremental ingest (a
+    new batch's keep-decisions don't depend on old rows beyond the
+    Σw refresh). Like every sampler in this module the draw is
+    ``md5(seed_tag # id)`` — no RNG state, identical keep-set on any
+    engine/cluster/re-run.
+
+    Scale: one exact Σw aggregate broadcast back as a 1-row frame
+    (integral weights stay exact — long/HUGEINT sums agree bit-for-bit
+    across engines and convert to the same double once, so the
+    inclusion probability is cross-engine bit-identical; float weights
+    would reintroduce summation-order ulps), then a pure filter
+    projection — no shuffle of the data, full pushdown upstream.
+
+    Output keeps the row plus ``out_col`` (the inclusion probability,
+    rounded) for inverse-probability reweighting downstream.
+    """
+    tot = df.agg(F.sum(weight_col).alias("__W"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed_tag + "#"), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    p = F.least(
+        F.lit(1.0),
+        F.lit(float(target_rows)) * F.col(weight_col) / F.col("__W").cast("double"),
+    )
+    return (
+        df.crossJoin(F.broadcast(tot))
+        .withColumn(out_col, F.round(p, round_dp))
+        .filter(u < p)
+        .drop("__W")
+    )

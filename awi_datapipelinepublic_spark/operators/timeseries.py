@@ -212,3 +212,41 @@ def multi_grain_rollup(
         )
 
     return out(hour, "hour").unionAll(out(day, "day")).unionAll(out(month, "month"))
+
+
+def rolling_median(
+    df: DataFrame,
+    key_col: str = "user_id",
+    order_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    preceding: int = 6,
+    round_dp: int = 6,
+    out_col: str = "rolling_median",
+) -> DataFrame:
+    """Per-key EXACT rolling median over the trailing ``preceding``+1
+    rows — the robust smoother dashboards reach for when EWMA's
+    outlier sensitivity is the problem (sensor despiking, latency
+    trend lines). Unlike :func:`ewma` this is a true SQL window: Spark
+    exposes exact ``percentile`` as a window aggregate, so the plan is
+    one shuffle on the key and a bounded ROWS frame per row — no
+    Python boundary, no state, linear at any key count. The frame is
+    rows-based, so ordering must be total: ``tiebreak_col`` breaks
+    ``order_col`` ties deterministically (the sessionize lesson).
+
+    Frame cost is O(frame log frame) per row JVM-side; for frames
+    beyond ~10³ rows switch to the two-heap streaming median in an
+    applyInPandas (not needed at dashboard frame sizes).
+
+    NULL values are ignored by the percentile (both engines agree);
+    an all-NULL frame yields NULL.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col, tiebreak_col)
+        .rowsBetween(-int(preceding), 0)
+    )
+    return df.withColumn(
+        out_col,
+        F.round(F.percentile(F.col(value_col), F.lit(0.5)).over(w), round_dp),
+    )

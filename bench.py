@@ -158,6 +158,12 @@ BENCH_QUERIES = [
     "period_over_period",
     # telemetry debounce/throttle (keyed lag filter)
     "event_throttle",
+    # round-7 additions: robust rolling median (windowed percentile),
+    # Poisson quality-weighted downsample (pure filter), edit-distance
+    # join via symmetric-delete blocking (linear vs theta-quadratic)
+    "rolling_median",
+    "poisson_weighted_sample",
+    "fuzzy_join_edit1",
 ]
 
 
