@@ -569,3 +569,75 @@ def test_gini_matches_pure_python_property(spark, data):
     )
     assert got["n"] == n
     assert abs(got["gini"] - float(want)) <= 1e-6
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.data())
+def test_fuzzy_join_edit1_equals_theta_property(spark, data):
+    """Symmetric-delete blocking == the naive levenshtein<=1 theta
+    join on random short strings (the blocking must generate EVERY
+    true pair as a candidate, including empty strings and repeated
+    characters whose deletion variants collide)."""
+    from awi_datapipelinepublic_spark.operators.joins import fuzzy_join_edit1
+
+    words = data.draw(
+        st.lists(
+            st.text(alphabet="ab c", min_size=0, max_size=6),
+            min_size=2,
+            max_size=30,
+        )
+    )
+    df = spark.createDataFrame([(w,) for w in words], "nm string")
+    got = sorted(
+        (r["name_a"], r["name_b"], r["dist"])
+        for r in fuzzy_join_edit1(df, df, "nm", "nm").collect()
+    )
+    uniq = sorted(set(words))
+    want = sorted(
+        (a, b, _lev_py(a, b))
+        for i, a in enumerate(uniq)
+        for b in uniq[i + 1 :]
+        if _lev_py(a, b) <= 1
+    )
+    assert got == want
+
+
+def _lev_py(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.data())
+def test_rolling_median_matches_pandas_property(spark, data):
+    """Window-percentile rolling median == pandas rolling(frame).median
+    on random per-key integer series (integers: both engines' median
+    of ints is exact, so the comparison is equality, not tolerance)."""
+    import pandas as pd
+
+    from awi_datapipelinepublic_spark.operators.timeseries import rolling_median
+
+    n_keys = data.draw(st.integers(min_value=1, max_value=3))
+    frame = data.draw(st.integers(min_value=1, max_value=5))
+    rows = []
+    series = {}
+    for k in range(n_keys):
+        vals = data.draw(
+            st.lists(st.integers(min_value=-100, max_value=100), min_size=1, max_size=25)
+        )
+        series[str(k)] = vals
+        rows += [(str(k), i, float(v), i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id string, ts long, value double, event_id long")
+    got = {
+        (r["user_id"], r["ts"]): r["rolling_median"]
+        for r in rolling_median(df, preceding=frame - 1).collect()
+    }
+    for k, vals in series.items():
+        want = pd.Series(vals, dtype="float64").rolling(frame, min_periods=1).median()
+        for i, w in enumerate(want):
+            assert got[(k, i)] == round(w, 6), (k, i, vals)

@@ -31,7 +31,7 @@ TARGETS = {
     "paragraph_dedup": "Skew-proof winner: groupBy-min(struct) partial agg, semi-join survivors, bounded reassembly",
     "merge_upsert": "Upsert as union + one groupBy-max(struct) - no join, no window",
     "heavy_hitters": "Zipf head collapses map-side; TakeOrderedAndProject for the top-k",
-    "sequence_pack": "Two-pass packing: range-partition sort, per-partition cumulative window (partitioned by __pid), broadcast offsets - no single-partition window",
+    "sequence_pack": "Two-pass packing on a SLIM (id, n_tok) projection: range-partition sort never carries text (r7); block map hash-joins text back; broadcast offsets - no single-partition window",
     "bm25_topk": "Only query-term hits shuffle; df + corpus scalars broadcast back",
     "knn_join": "Exact kNN join with ZERO join operator: broadcast matrix in a mapInPandas closure, one scan",
     "validate_expectations": "Whole rule suite = one scan + one partial/final HashAggregate pair, no joins",
@@ -71,6 +71,9 @@ TARGETS = {
     "cohort_retention": "Activity dedups to (user, day) BEFORE the cohort join - join input bounded by users x active-days, never raw events",
     "asof_join_tolerance": "Forward as-of: one key-partitioned window over the union - no range join, no Exchange beyond the key shuffle",
     "bigram_logprob": "Pair + context count tables join back on their keys - SMJ/AQE decides, nothing broadcast by hand",
+    "rolling_median": "ONE hash exchange on the key: the 7-row percentile frame, the last-row WindowGroupLimit and its window all ride the same partitioning",
+    "poisson_weighted_sample": "Pure filter: exact 1-row sum-of-weights broadcast (IdentityBroadcastMode), keep-decision inside the scan stage - the corpus never shuffles",
+    "fuzzy_join_edit1": "Edit-distance join as blocked equi-join: distinct + deletion-variant Generate on both sides, hash join on the block key with the exact levenshtein residual as join condition - no nested loop",
 }
 
 
