@@ -4307,6 +4307,45 @@ def q_event_throttle(spark, sf_dir):
     )
 
 
+def q_event_rate_limit(spark, sf_dir):
+    """TRUE one-per-window rate limiting (operators/events.py:
+    event_rate_limit) — the metering contract next to event_throttle's
+    debounce: first event of every 600s-aligned window per (user,
+    type). Gate returns per-type kept counts (the event_throttle
+    report shape)."""
+    from awi_datapipelinepublic_spark.operators.events import event_rate_limit
+
+    kept = event_rate_limit(read_events(spark, sf_dir), window_seconds=600)
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+def q_degree_assortativity(spark, sf_dir):
+    """Degree assortativity (operators/graph.py:degree_assortativity)
+    over the same sparsified co-purchase graph as kcore/LPA — Pearson
+    r of endpoint degrees assembled from six EXACT integer sums; the
+    oracle replays the identical integer algebra."""
+    from awi_datapipelinepublic_spark.operators.graph import degree_assortativity
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").filter(
+        F.col("l_partkey") % 3 == 0
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ids")
+    )
+    edges = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (a, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), b -> struct(a AS src, b AS dst))))"
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst")
+    return degree_assortativity(edges)
+
+
 def q_streaming_dedup(spark, sf_dir):
     """§2.I streaming dedup as a driver-gate row (streaming/
     windows.py:streaming_dedup — previously pytest-pinned only):
@@ -4697,6 +4736,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poisson_weighted_sample": q_poisson_weighted_sample,
         "fuzzy_join_edit1": q_fuzzy_join_edit1,
         "streaming_dedup": q_streaming_dedup,
+        "event_rate_limit": q_event_rate_limit,
+        "degree_assortativity": q_degree_assortativity,
     }
     window = {k: q[k] for k in _R7_WINDOW}
     window.update((k, v) for k, v in q.items() if k not in window)
@@ -8072,5 +8113,52 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, COUNT(*) AS n_events,
                COUNT(DISTINCT user_id) AS n_users
         FROM events GROUP BY 1
+    """
+    # Replays q_event_rate_limit: the same aligned-window bucket
+    # (floor of fractional epoch seconds / 600) and first-row-per-
+    # (user, type, bucket) filter, per-type kept counts.
+    sql["event_rate_limit"] = """
+        WITH r AS (
+          SELECT user_id, event_type,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type,
+                                floor(epoch(ts) / 600.0)
+                   ORDER BY ts, event_id) AS rl
+          FROM events)
+        SELECT event_type, COUNT(*) AS n_kept,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM r WHERE rl = 1
+        GROUP BY 1
+    """
+    # Replays q_degree_assortativity: identical co-purchase edges,
+    # symmetrized endpoint-degree pairs, and the SAME six exact
+    # integer sums assembled into Pearson r in one float projection.
+    sql["degree_assortativity"] = """
+        WITH e AS (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          WHERE a.l_partkey % 3 = 0 AND b.l_partkey % 3 = 0
+          GROUP BY 1, 2),
+        sym AS (SELECT u AS a, v AS b FROM e
+                UNION ALL SELECT v AS a, u AS b FROM e),
+        deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY a),
+        pairs AS (
+          SELECT dx.d AS x, dy.d AS y
+          FROM sym JOIN deg dx ON sym.a = dx.a
+                   JOIN deg dy ON sym.b = dy.a),
+        s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                     CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(y) AS BIGINT) AS sy,
+                     CAST(SUM(x * y) AS BIGINT) AS sxy,
+                     CAST(SUM(x * x) AS BIGINT) AS sxx,
+                     CAST(SUM(y * y) AS BIGINT) AS syy
+              FROM pairs)
+        SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+               ROUND(CAST(m * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                            * CAST(m * syy - sy * sy AS DOUBLE)), 6)
+                 AS assortativity
+        FROM s
     """
     return sql

@@ -533,3 +533,40 @@ def event_throttle(
         .filter(F.col("__gap_ok"))
         .drop("__gap_ok")
     )
+
+
+def event_rate_limit(
+    events: DataFrame,
+    window_seconds: int = 60,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """TRUE rate limiting — the one-per-aligned-window counterpart of
+    :func:`event_throttle`'s debounce-until-quiet: within each (user,
+    event-type) stream, keep exactly the FIRST event of every
+    ``window_seconds``-aligned window (floor(epoch/window)); a
+    sustained burst emits one event per window as time advances,
+    which is the metering/billing contract (a debounce would emit one
+    event total until the burst quiets).
+
+    The aligned window makes this a pure groupBy-free window filter —
+    one lag over (user, type, window bucket) order, no island
+    closure, no state: row survives iff it is the first in its
+    (user, type, bucket). Same single stream-key shuffle and linear
+    cost as the debounce; the semantics differ exactly where the
+    ADVICE r6 review drew the line. Epoch floor keeps sub-second
+    timestamps exact in both engines (the interval_coverage lesson).
+    """
+    from pyspark.sql import Window
+
+    bucket = F.floor(F.col(ts_col).cast("double") / float(window_seconds))
+    w = Window.partitionBy(user_col, type_col, bucket.alias("__b")).orderBy(
+        ts_col, id_col
+    )
+    return (
+        events.withColumn("__rl", F.row_number().over(w))
+        .filter(F.col("__rl") == 1)
+        .drop("__rl")
+    )

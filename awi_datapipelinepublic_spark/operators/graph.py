@@ -416,3 +416,63 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels.select(F.col("n").alias("node"), F.col("lbl").alias("label"))
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Degree assortativity of an undirected graph: the Pearson
+    correlation of endpoint degrees over the symmetrized edge list —
+    positive for hub-meets-hub networks (social), negative for
+    hub-meets-leaf (infrastructure, dedup star clusters). Completes
+    the graph census next to triangle_count / kcore / pagerank.
+
+    Exact-integer construction (the cross-engine hash contract):
+    degrees are integer counts, so n, Σx, Σy, Σxy, Σx², Σy² aggregate
+    EXACTLY (one groupBy for degrees, one broadcast join back to the
+    2|E|-row symmetrized list, one scalar agg); r is assembled from
+    those six integers in a single one-row float projection —
+    summation-order ulps cannot exist. At 10⁹+ edges swap the BIGINT
+    sums to DECIMAL(38,0) (Σx² bounds: |E|·deg_max²).
+
+    Self-loops are excluded; multi-edges dedupe. Returns one row
+    (n_edges BIGINT, assortativity DOUBLE) — NULL assortativity for
+    degree-regular graphs (zero variance).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    pairs = (
+        sym.join(deg.select(F.col("a"), F.col("d").alias("dx")), "a")
+        .join(deg.select(F.col("a").alias("b"), F.col("d").alias("dy")), "b")
+        .select("dx", "dy")
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        (F.col("m") / 2).cast("bigint").alias("n_edges"),
+        F.round(
+            num.cast("double") / F.sqrt(vx.cast("double") * vy.cast("double")), round_dp
+        ).alias("assortativity"),
+    )

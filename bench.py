@@ -164,6 +164,9 @@ BENCH_QUERIES = [
     "rolling_median",
     "poisson_weighted_sample",
     "fuzzy_join_edit1",
+    # true one-per-window rate limit; exact-integer graph census
+    "event_rate_limit",
+    "degree_assortativity",
 ]
 
 

@@ -46,6 +46,18 @@ def test_oracle_coverage():
     assert not missing, f"queries without oracle: {missing}"
 
 
+def test_driver_window_invariants():
+    """The driver oracle-verifies the FIRST 50 queries() entries. The
+    window list must be exactly 50 unique ids, every id must exist,
+    every windowed id must have an oracle (a rows-only id would waste
+    a hard-signal slot), and the dict must actually front-load it."""
+    win = entry_mod._R7_WINDOW
+    assert len(win) == 50 and len(set(win)) == 50
+    assert list(QUERIES)[:50] == win
+    assert not set(win) - set(QUERIES)
+    assert not set(win) - set(ORACLES), "windowed ids missing oracles"
+
+
 def test_no_hugeint_in_any_oracle(con):
     """DuckDB returns SUM(BIGINT) as HUGEINT, and duckdb's .df()
     materializes HUGEINT as float64 — the driver then hashes 123.0

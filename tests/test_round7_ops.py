@@ -111,3 +111,58 @@ def _lev(a: str, b: str) -> int:
             cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
         prev = cur
     return prev[-1]
+
+
+def test_event_rate_limit_one_per_window_vs_throttle_debounce(spark):
+    """A sustained burst: rate limiting keeps one event per aligned
+    window as time advances; event_throttle (debounce) keeps only the
+    burst's first event. This pins the semantic line the r6 ADVICE
+    review drew."""
+    from awi_datapipelinepublic_spark.operators.events import (
+        event_rate_limit,
+        event_throttle,
+    )
+
+    # one event every 10s for 100s: windows [0,60) and [60,120)
+    rows = [(i, "u", "click", float(t)) for i, t in enumerate(range(0, 101, 10))]
+    df = spark.createDataFrame(rows, "event_id long, user_id string, event_type string, v double").withColumn(
+        "ts", F.timestamp_seconds(F.col("v"))
+    )
+    limited = sorted(r["event_id"] for r in event_rate_limit(df, window_seconds=60).collect())
+    assert limited == [0, 6]  # t=0 and t=60: first of each window
+    debounced = sorted(r["event_id"] for r in event_throttle(df, min_gap_seconds=60).collect())
+    assert debounced == [0]  # gap to previous RAW event never reaches 60
+
+
+def test_event_rate_limit_key_isolation_and_subsecond(spark):
+    from awi_datapipelinepublic_spark.operators.events import event_rate_limit
+
+    rows = [
+        (1, "a", "x", 0.2), (2, "a", "x", 0.9),   # same sub-second window
+        (3, "a", "y", 0.5),                        # other type: own stream
+        (4, "b", "x", 0.5),                        # other user
+        (5, "a", "x", 1.1),                        # next 1s window
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id string, event_type string, v double").withColumn(
+        "ts", F.timestamp_seconds(F.col("v"))
+    )
+    kept = sorted(r["event_id"] for r in event_rate_limit(df, window_seconds=1).collect())
+    assert kept == [1, 3, 4, 5]
+
+
+def test_degree_assortativity_hand_computed(spark):
+    from awi_datapipelinepublic_spark.operators.graph import degree_assortativity
+
+    # star graph: hub 1 with leaves 2,3,4 -> perfectly disassortative
+    star = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "src long, dst long")
+    row = degree_assortativity(star).first()
+    assert row["n_edges"] == 3 and row["assortativity"] == -1.0
+    # 4-cycle: degree-regular -> zero variance -> NULL r
+    cyc = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long")
+    row = degree_assortativity(cyc).first()
+    assert row["n_edges"] == 4 and row["assortativity"] is None
+    # self-loops and duplicate/reversed edges are cleaned first
+    messy = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 1), (1, 3), (1, 4)], "src long, dst long"
+    )
+    assert degree_assortativity(messy).first()["n_edges"] == 3
