@@ -4,9 +4,10 @@
 (plus the engine's scale-path extensions: dedup, similarity search,
 text analysis, event windowing) to a (spark, sf_dir) → DataFrame
 callable built on awi_datapipelinepublic_spark. ``oracle_sql()`` gives
-the DuckDB-equivalent ANSI SQL for every id except ``agg_approx``
-(sketch estimates are engine-specific by nature; its accuracy is
-bounded in tests/). The hash-based families (minhash-LSH, simhash,
+the DuckDB-equivalent ANSI SQL for EVERY id (since r5 even
+``agg_approx``: the gate emits exact answers plus in-plan bounds
+flags for the sketch estimates, so nothing is rows-only). The
+hash-based families (minhash-LSH, simhash,
 sign-LSH ANN, IVF, SemDeDup) all replay exactly: every hash derives
 from md5 (bit-identical in both engines) and every float decision
 rounds at a documented precision before comparison.
