@@ -75,6 +75,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(str(Path(sf_dir) / f"{name}.parquet"))
 
 
+def _drain(q, seconds: int = 600) -> None:
+    """Await an availableNow streaming query's termination, LOUDLY.
+
+    ``awaitTermination(t)`` returns False on timeout without raising,
+    and a gate that then reads the sink sees a missing/partial path —
+    a confusing downstream error (observed under the parallel local
+    rehearsal harness, where 6 threads of queued jobs starved one
+    micro-batch past 300 s). Wait in slices up to ``seconds`` total,
+    then raise a clear timeout; a query FAILURE still raises its own
+    StreamingQueryException from inside awaitTermination."""
+    waited = 0
+    while waited < seconds:
+        if q.awaitTermination(60):
+            return
+        waited += 60
+    q.stop()
+    raise TimeoutError(
+        f"streaming gate query did not terminate within {seconds}s "
+        "(availableNow trigger; check scheduler contention or source glob)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.A — scans
 # ---------------------------------------------------------------------------
@@ -1064,7 +1086,7 @@ def q_streaming_totals(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     out = spark.read.parquet(str(tmp / "out"))
     return out.groupBy("user_id").agg(
         F.max("running_events").alias("n_events"),
@@ -2640,7 +2662,7 @@ def q_streaming_pipeline(spark, sf_dir):
         base_table_path=str(tmp / "base"),
     )
     q = stream_pipeline(spark, spec, str(tmp / "ckpt"))
-    q.awaitTermination(300)
+    _drain(q)
     out = spark.read.parquet(spec.base_table_path)
     return out.drop("_merge_month")
 
@@ -4085,7 +4107,7 @@ def q_streaming_join(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     return spark.read.parquet(str(tmp / "out"))
 
 
@@ -4380,7 +4402,7 @@ def q_streaming_dedup(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     return (
         spark.read.parquet(str(tmp / "out"))
         .groupBy("event_type")

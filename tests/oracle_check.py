@@ -107,7 +107,20 @@ def compare_one(spark, con, name: str, qfn, sql: str | None, sf_dir: str) -> str
     return None
 
 
-def main(sf_dir: str = "/root/testdata/sf0.001", only: list[str] | None = None) -> int:
+def main(
+    sf_dir: str = "/root/testdata/sf0.001",
+    only: list[str] | None = None,
+    jobs: int = 1,
+) -> int:
+    """Run gate-vs-oracle comparisons; ``jobs > 1`` runs them on a
+    thread pool — the SparkSession schedules concurrent jobs safely,
+    and each worker thread gets its own DuckDB cursor (connections
+    are not thread-safe; cursors over one connection are the cheap
+    isolation duckdb documents). Gates that register fixed-name temp
+    views (awi_orders, ...) race benignly: within one run every
+    registration binds the same sf_dir parquet, so replace-vs-read
+    interleavings always resolve to identical plans. Results print in
+    completion order; the exit code is identical to the serial run."""
     import __spark_entry__ as entry_mod
     from awi_datapipelinepublic_spark import get_spark
 
@@ -115,14 +128,44 @@ def main(sf_dir: str = "/root/testdata/sf0.001", only: list[str] | None = None) 
     con = duck_con(sf_dir)
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    failures = 0
-    for name, qfn in qs.items():
-        if only and name not in only:
-            continue
+    todo = [(n, f) for n, f in qs.items() if not only or n in only]
+
+    def run(item):
+        name, qfn = item
+        local_con = con.cursor() if jobs > 1 else con
         try:
-            msg = compare_one(spark, con, name, qfn, oracles.get(name), sf_dir)
+            msg = compare_one(spark, local_con, name, qfn, oracles.get(name), sf_dir)
         except Exception as e:  # noqa: BLE001
             msg = f"exception: {type(e).__name__}: {str(e)[:300]}"
+        finally:
+            if jobs > 1:
+                local_con.close()
+        return name, msg
+
+    failures = 0
+    if jobs > 1:
+        import inspect
+        from concurrent.futures import ThreadPoolExecutor, as_completed
+
+        # Streaming gates (writeStream + availableNow drain) starve
+        # when their micro-batch jobs queue behind a saturated pool of
+        # batch queries (measured: a 300 s awaitTermination timeout at
+        # jobs=6, and >25 min total with a patient drain). Run them
+        # SERIALLY after the pool drains — they are few and their wall
+        # time is dominated by their own stream lifecycle anyway.
+        def is_streaming(fn) -> bool:
+            src = inspect.getsource(fn)
+            return "writeStream" in src or "stream_pipeline" in src
+
+        pooled = [it for it in todo if not is_streaming(it[1])]
+        serial = [it for it in todo if is_streaming(it[1])]
+        with ThreadPoolExecutor(max_workers=jobs) as ex:
+            futures = [ex.submit(run, it) for it in pooled]
+            results = [f.result() for f in as_completed(futures)]
+        results += [run(it) for it in serial]
+    else:
+        results = [run(it) for it in todo]
+    for name, msg in results:
         tag = "rows-only" if name not in oracles else "oracle"
         if msg:
             failures += 1
@@ -134,5 +177,6 @@ def main(sf_dir: str = "/root/testdata/sf0.001", only: list[str] | None = None) 
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
-    sys.exit(1 if main(sf, only) else 0)
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 and sys.argv[2] else None
+    jobs = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    sys.exit(1 if main(sf, only, jobs) else 0)
