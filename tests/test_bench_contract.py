@@ -66,10 +66,12 @@ def _run_bench(sf_dir: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
     proc = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
-        capture_output=True, text=True, env=env, cwd=str(REPO), timeout=900,
+        capture_output=True, text=True, env=env, cwd=str(REPO), timeout=1800,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
-    return json.loads(proc.stdout.strip().splitlines()[-1])
+    # line 1 is the full contract JSON; the FINAL line is the compact
+    # tail record (no "value"/"queries" keys) — parse the first.
+    return json.loads(proc.stdout.strip().splitlines()[0])
 
 
 def _cpu_canary() -> float:
