@@ -2889,7 +2889,12 @@ def q_ewma_smooth(spark, sf_dir):
 def q_feature_hash(spark, sf_dir):
     """Hashing-trick categorical encoding (functions/features.py):
     md5-based bucket indices, reproducible cross-engine — the oracle
-    recomputes the identical indices in DuckDB."""
+    recomputes the identical indices in DuckDB. The gate serializes
+    the sorted index array to a comma-joined string: the driver's
+    canonicalizer sorts values via pandas and cannot hash a Python
+    list (r7 driver row failed with `unhashable type: 'list'`), so
+    the gate's OUTPUT is scalar while the operator keeps its native
+    array column."""
     from awi_datapipelinepublic_spark.functions.features import hash_features
 
     o = _t(spark, sf_dir, "orders").select(
@@ -2897,7 +2902,13 @@ def q_feature_hash(spark, sf_dir):
     )
     return hash_features(
         o, ["o_orderstatus", "o_orderpriority"], dim=1024
-    ).select("o_orderkey", "feature_indices")
+    ).select(
+        "o_orderkey",
+        F.array_join(
+            F.transform(F.col("feature_indices"), lambda x: x.cast("string")),
+            ",",
+        ).alias("feature_indices"),
+    )
 
 
 def q_unigram_logprob(spark, sf_dir):
@@ -4462,36 +4473,50 @@ def q_fuzzy_join_edit1(spark, sf_dir):
     return fuzzy_join_edit1(c, c, "c_name", "c_name")
 
 
-# Round-7 driver window: the driver oracle-verifies the FIRST 50
-# queries() entries each round (CORRECTNESS_r*). r7 clears ALL
-# remaining driver-verification debt: the 44 ids that have never
-# received a driver row (20 pre-r6 stragglers + 24 r6 additions),
-# the 2 r6 hash-fails being re-gated after their oracles' HUGEINT
-# casts (cumulative_adoption, interval_coverage — engine was correct,
-# DuckDB SUM(BIGINT)->HUGEINT->float64 broke the hash), and 4 §2
-# flagship repeats. After r7 every gate id has >=1 green driver row.
-_R7_WINDOW = [
-    # 20 pre-r6 never-driver-checked stragglers
-    "cube_agg", "grouping_sets_agg", "topk_per_group", "dedup_keep_first",
-    "histogram_numeric", "bool_bit_agg", "map_functions", "regr_agg",
-    "win_percent_rank", "frame_sample", "unpivot_melt", "json_parse",
-    "vector_norm", "json_serialize", "except_all", "agg_argmax",
-    "having_groups", "string_distance", "feature_hash", "funnel_steps",
-    # 24 r6 additions, never driver-checked
-    "ks_drift", "attribution_last_touch", "basket_pair_lift",
-    "activity_churn", "readability_score", "mixture_weights",
-    "bpe_top_pairs", "label_propagation", "url_host_stats",
-    "overlap_join", "t_closeness", "streaming_join", "mad_outliers",
-    "funnel_timing", "ab_test_zscore", "activity_heatmap",
-    "group_percentiles", "histogram2d", "ship_latency_stats",
-    "share_of_parent", "benford_test", "gini_coefficient",
-    "period_over_period", "event_throttle",
-    # r6 red rows, re-gated post-CAST
-    "cumulative_adoption", "interval_coverage",
+# Round-8 driver window: the driver oracle-verifies the FIRST 50
+# queries() entries each round (CORRECTNESS_r*). After r7, 9 gate ids
+# still had NO green driver row (r7's two red rows ab_test_zscore /
+# feature_hash — both fixed this round: ANSI try_divide in
+# operators/events.py, string-serialized indices in q_feature_hash —
+# knn_lsh whose only row was a stale r2 `no_oracle`, and the 6 r7
+# additions the window never reached). r8 fronts those 9, repeats the
+# 4 §2 flagships, and fills the rest with the least-recently-verified
+# ids (last green r1/r3) as staleness rotation.
+_R8_WINDOW = [
+    # 9 never-driver-green ids (r7 verdict item 4)
+    "ab_test_zscore", "feature_hash", "knn_lsh", "rolling_median",
+    "poisson_weighted_sample", "fuzzy_join_edit1", "streaming_dedup",
+    "event_rate_limit", "degree_assortativity",
     # §2 flagship repeats
     "view_retention", "view_transactions", "view_auto_optiom",
     "merge_time_window",
+    # rotation: last driver-green in r1
+    "union_all", "sort_desc", "fn_alias", "fn_select_star",
+    "join_dim_miss", "join_null_safe", "win_min_partition",
+    "grouped_agg", "concat_rows", "fn_expressions", "profile_columns",
+    "array_functions", "string_functions", "date_functions",
+    "conditional_functions", "explode_ordinality", "cross_join",
+    "grouped_map_zscore", "dedup_exact", "dedup_ngram_jaccard",
+    # rotation: §2 core ids last driver-green in r3
+    "scan_csv", "scan_excel", "project_prune", "fn_strip_excel",
+    "filter_notnull_date", "cast_date_coerce", "null_normalize",
+    "cast_schema", "with_literal", "align_union", "join_geo",
+    "join_channels", "join_agencies", "join_ttypes", "join_fact_fact",
+    "agg_min_scalar", "agg_min_windowed",
 ]
+_R7_WINDOW = _R8_WINDOW  # name kept so older tooling keeps working
+
+
+# Gates that drain a Structured Streaming query (writeStream +
+# availableNow). The parallel oracle harness (tests/oracle_check.py)
+# must run these SERIALLY after its thread pool drains — their
+# micro-batch jobs starve behind a saturated scheduler (measured 300 s
+# awaitTermination timeouts at jobs=6). An explicit set, not source-
+# text sniffing: a gate that drains via a helper owning the
+# writeStream call would evade a grep for "writeStream".
+STREAMING_GATES = frozenset(
+    {"streaming_totals", "streaming_pipeline", "streaming_join", "streaming_dedup"}
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4547,7 +4572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_time_window": q_merge_time_window,
         "dedup_pipeline": q_dedup_pipeline,
         # --- Declaration order below is not significant: the driver
-        # --- window is pulled to the front via _R7_WINDOW above. ---
+        # --- window is pulled to the front via _R8_WINDOW above. ---
         "validate_expectations": q_validate_expectations,
         "kmeans_clusters": q_kmeans_clusters,
         "embedding_outliers": q_embedding_outliers,
@@ -4762,7 +4787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_rate_limit": q_event_rate_limit,
         "degree_assortativity": q_degree_assortativity,
     }
-    window = {k: q[k] for k in _R7_WINDOW}
+    window = {k: q[k] for k in _R8_WINDOW}
     window.update((k, v) for k, v in q.items() if k not in window)
     return window
 
@@ -6726,10 +6751,10 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["feature_hash"] = """
         SELECT o_orderkey,
-               list_sort([
+               array_to_string(list_sort([
                  CAST(('0x' || substr(md5('o_orderstatus=' || coalesce(o_orderstatus, 'NULL')), 1, 8))::UBIGINT % 1024 AS BIGINT),
                  CAST(('0x' || substr(md5('o_orderpriority=' || coalesce(o_orderpriority, 'NULL')), 1, 8))::UBIGINT % 1024 AS BIGINT)
-               ]) AS feature_indices
+               ]), ',') AS feature_indices
         FROM orders
     """
     sql["unigram_logprob"] = f"""

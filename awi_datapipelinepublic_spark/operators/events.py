@@ -457,12 +457,26 @@ def ab_test_zscore(
         F.col("n").alias("n_b"), F.col("conv").alias("conv_b")
     )
     j = a.crossJoin(F.broadcast(b))
-    p_a = F.col("conv_a") / F.col("n_a")
-    p_b = F.col("conv_b") / F.col("n_b")
-    pooled = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
-    z = (p_b - p_a) / F.sqrt(
-        pooled * (F.lit(1.0) - pooled)
-        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    # try_divide everywhere a denominator is data-dependent: under an
+    # ANSI-enabled session (the external driver's default) a plain `/`
+    # hard-crashes with DIVIDE_BY_ZERO when an arm converts at exactly
+    # 0% or 100% (pooled*(1-pooled) == 0 → sqrt == 0). try_divide
+    # returns NULL there — identical to DuckDB's float x/0 → NULL, so
+    # the oracle stays bit-matched on degenerate data too.
+    p_a = F.try_divide(F.col("conv_a"), F.col("n_a"))
+    p_b = F.try_divide(F.col("conv_b"), F.col("n_b"))
+    pooled = F.try_divide(
+        F.col("conv_a") + F.col("conv_b"), F.col("n_a") + F.col("n_b")
+    )
+    z = F.try_divide(
+        p_b - p_a,
+        F.sqrt(
+            pooled * (F.lit(1.0) - pooled)
+            * (
+                F.try_divide(F.lit(1.0), F.col("n_a"))
+                + F.try_divide(F.lit(1.0), F.col("n_b"))
+            )
+        ),
     )
     return j.select(
         "n_a",

@@ -454,9 +454,19 @@ def degree_assortativity(
         e.select(F.col("v").alias("a"), F.col("u").alias("b"))
     )
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    # One row per NODE, not per edge — broadcast it so the join back
+    # to the 2|E|-row symmetrized list stays exchange-free even when
+    # Spark's size estimate of the post-agg side is too pessimistic
+    # for the auto threshold. (Node tables in the 10⁹-edge regime are
+    # typically ≤ tens of millions of (id, int) rows — if yours is
+    # genuinely bigger than the broadcast budget, AQE demotes the hint
+    # to shuffle join rather than OOMing the build side.)
     pairs = (
-        sym.join(deg.select(F.col("a"), F.col("d").alias("dx")), "a")
-        .join(deg.select(F.col("a").alias("b"), F.col("d").alias("dy")), "b")
+        sym.join(F.broadcast(deg.select(F.col("a"), F.col("d").alias("dx"))), "a")
+        .join(
+            F.broadcast(deg.select(F.col("a").alias("b"), F.col("d").alias("dy"))),
+            "b",
+        )
         .select("dx", "dy")
     )
     s = pairs.agg(
@@ -472,7 +482,15 @@ def degree_assortativity(
     vy = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
     return s.select(
         (F.col("m") / 2).cast("bigint").alias("n_edges"),
+        # try_divide: a degree-regular graph has zero variance →
+        # sqrt(0) divisor; plain `/` hard-crashes DIVIDE_BY_ZERO under
+        # the driver's ANSI-on session, try_divide yields the NULL the
+        # docstring promises (and DuckDB's x/0 → NULL matches).
         F.round(
-            num.cast("double") / F.sqrt(vx.cast("double") * vy.cast("double")), round_dp
+            F.try_divide(
+                num.cast("double"),
+                F.sqrt(vx.cast("double") * vy.cast("double")),
+            ),
+            round_dp,
         ).alias("assortativity"),
     )

@@ -410,10 +410,21 @@ def interval_overlap_join(
     """
     w = int(bin_width)
     _INTEGRAL = ("byte", "short", "int", "integer", "bigint", "long")
+
+    def _is_integral(dt) -> bool:
+        # DECIMAL(p, 0) is exactly integral too — the scale type this
+        # codebase recommends for big exact sums — so the floor
+        # arithmetic is safe; only scale > 0 can carry fractions.
+        from pyspark.sql.types import DecimalType
+
+        if isinstance(dt, DecimalType):
+            return dt.scale == 0
+        return dt.simpleString() in _INTEGRAL
+
     for df, lo, hi, side in ((left, left_lo, left_hi, "left"), (right, right_lo, right_hi, "right")):
         for c in (lo, hi):
             t = df.schema[c].dataType.simpleString()
-            if t not in _INTEGRAL:
+            if not _is_integral(df.schema[c].dataType):
                 raise TypeError(
                     f"interval_overlap_join: {side}.{c} is {t}; coordinates must be "
                     "integral (the floor((hi-1)/w) last-bin arithmetic misses overlaps "
@@ -421,11 +432,18 @@ def interval_overlap_join(
                 )
     left = left.filter(F.col(left_hi) > F.col(left_lo))
     right = right.filter(F.col(right_hi) > F.col(right_lo))
+
+    # .cast("long") after each floor: for DECIMAL(p, 0) coordinates
+    # floor() stays DECIMAL, which sequence() rejects; long bins also
+    # keep the equi-join key one fixed-width type on both sides.
+    def _bin(c):
+        return F.floor(c / w).cast("long")
+
     lbins = left.withColumn(
         "__bin",
         F.explode(
             F.sequence(
-                F.floor(F.col(left_lo) / w), F.floor((F.col(left_hi) - 1) / w)
+                _bin(F.col(left_lo)), _bin(F.col(left_hi) - 1)
             )
         ),
     )
@@ -433,12 +451,12 @@ def interval_overlap_join(
         "__bin",
         F.explode(
             F.sequence(
-                F.floor(F.col(right_lo) / w), F.floor((F.col(right_hi) - 1) / w)
+                _bin(F.col(right_lo)), _bin(F.col(right_hi) - 1)
             )
         ),
     )
-    overlap_start_bin = F.floor(
-        F.greatest(F.col(left_lo), F.col(right_lo)) / w
+    overlap_start_bin = _bin(
+        F.greatest(F.col(left_lo), F.col(right_lo))
     )
     return (
         lbins.join(rbins, ["__bin"] + list(key_cols or []))
@@ -456,6 +474,7 @@ def fuzzy_join_edit1(
     right: DataFrame,
     left_col: str,
     right_col: str,
+    self_join: bool = True,
 ) -> DataFrame:
     """Edit-distance-≤1 string join (typo-tolerant entity resolution /
     spelling-variant linking) as an EQUI-join via symmetric-delete
@@ -473,8 +492,17 @@ def fuzzy_join_edit1(
     for natural key distributions vs. the O(n·m) theta join DuckDB's
     IEJoin would brute-force. Both sides dedupe to distinct strings
     before blocking (the join is string-level; re-attach row payloads
-    downstream by equi-joining on the string). Output is the distinct
-    matched pairs with the exact distance.
+    downstream by equi-joining on the string).
+
+    ``self_join`` (default True) declares the UNORDERED-DISTINCT-PAIR
+    contract: the output is each distinct {a, b} pair of the two
+    sides' UNION exactly once, oriented name_a < name_b, with
+    identity pairs (dist=0) excluded — the semantics a near-dup
+    self-scan wants. For two genuinely different tables pass
+    ``self_join=False``: every (left, right) match keeps its
+    (name_a, name_b) orientation and exact-equal (dist=0) matches are
+    INCLUDED — with the default filter those would be silently
+    dropped whenever the left string sorts after the right one.
     """
 
     def blocked(df: DataFrame, col: str, out: str) -> DataFrame:
@@ -488,10 +516,11 @@ def fuzzy_join_edit1(
 
     l = blocked(left, left_col, "name_a")
     r = blocked(right, right_col, "name_b")
+    cand = l.join(r, "__blk")
+    if self_join:
+        cand = cand.filter(F.col("name_a") < F.col("name_b"))
     return (
-        l.join(r, "__blk")
-        .filter(F.col("name_a") < F.col("name_b"))
-        .select("name_a", "name_b")
+        cand.select("name_a", "name_b")
         .distinct()
         .withColumn("dist", F.levenshtein("name_a", "name_b").cast("int"))
         .filter(F.col("dist") <= 1)

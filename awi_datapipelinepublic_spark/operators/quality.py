@@ -882,8 +882,12 @@ def ks_drift(
             F.first("__Nb").alias("n_cur"),
         )
         .select(
+            # try_divide: an empty reference or current side makes the
+            # normalizer 0 — NULL (undefined KS) instead of an ANSI
+            # DIVIDE_BY_ZERO crash; matches DuckDB's x/0 → NULL.
             F.round(
-                F.col("__g") / (F.col("n_ref") * F.col("n_cur")), round_dp
+                F.try_divide(F.col("__g"), F.col("n_ref") * F.col("n_cur")),
+                round_dp,
             ).alias("ks_stat"),
             "n_ref",
             "n_cur",
@@ -1048,10 +1052,15 @@ def gini_coefficient(
     )
     return agg.select(
         "n",
+        # try_divide: an all-zero value column has Σx = 0 — plain `/`
+        # is a hard DIVIDE_BY_ZERO under the driver's ANSI session;
+        # NULL (undefined Gini) matches DuckDB's x/0.
         F.round(
-            F.lit(2.0) * F.col("__six").cast("double")
-            / (F.col("n") * F.col("__sx").cast("double"))
-            - (F.col("n") + F.lit(1.0)) / F.col("n"),
+            F.try_divide(
+                F.lit(2.0) * F.col("__six").cast("double"),
+                F.col("n") * F.col("__sx").cast("double"),
+            )
+            - F.try_divide(F.col("n") + F.lit(1.0), F.col("n")),
             round_dp,
         ).alias("gini"),
     )

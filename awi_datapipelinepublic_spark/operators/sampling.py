@@ -333,10 +333,19 @@ def mixture_weights(
     # contract — it's the mixture table a data planner reads).
     import math
 
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
     per_rows = per_source.collect()
+    # Fresh StructType, NOT per_source.schema.add(...): StructType.add
+    # mutates in place and DataFrame._schema is cached, so the .add
+    # form would permanently append a phantom __p field to
+    # per_source's schema object.
+    powed_schema = StructType(
+        per_source.schema.fields + [StructField("__p", DoubleType())]
+    )
     powed = df.sparkSession.createDataFrame(
         [(*r, math.pow(float(r["n_tokens"]), float(alpha))) for r in per_rows],
-        per_source.schema.add("__p", "double"),
+        powed_schema,
     )
     tot = powed.agg(
         F.sum("__p").alias("__Z"), F.sum("n_tokens").alias("__T")
@@ -347,9 +356,18 @@ def mixture_weights(
             source_col,
             "n_docs",
             "n_tokens",
-            F.round(F.col("__p") / F.col("__Z"), round_dp).alias("weight"),
+            # try_divide: a source whose documents are all empty has
+            # n_tokens = 0 (and if EVERY source is empty, Z = 0) —
+            # NULL weight/epochs instead of an ANSI DIVIDE_BY_ZERO
+            # crash under the driver session; DuckDB x/0 → NULL.
+            F.round(F.try_divide(F.col("__p"), F.col("__Z")), round_dp).alias(
+                "weight"
+            ),
             F.round(
-                (F.col("__p") / F.col("__Z")) * F.col("__T") / F.col("n_tokens"),
+                F.try_divide(
+                    F.try_divide(F.col("__p"), F.col("__Z")) * F.col("__T"),
+                    F.col("n_tokens"),
+                ),
                 round_dp,
             ).alias("epochs_at_budget"),
         )

@@ -8,6 +8,7 @@ fast iteration:  python tests/oracle_check.py [sf_dir]
 
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -122,9 +123,28 @@ def main(
     interleavings always resolve to identical plans. Results print in
     completion order; the exit code is identical to the serial run."""
     import __spark_entry__ as entry_mod
-    from awi_datapipelinepublic_spark import get_spark
 
-    spark = get_spark("oracle-check")
+    if os.environ.get("ORACLE_VANILLA") == "1":
+        # Replay the DRIVER's session shape: a vanilla Spark 4 builder
+        # (ANSI **on**, none of the engine's tuned confs). Round 7
+        # shipped two driver-red gates (ab_test_zscore DIVIDE_BY_ZERO,
+        # feature_hash array canon) that the tuned-session harness
+        # could not see — this mode is the local gate against that
+        # class. Run it from a foreign cwd via test_vanilla_session.py
+        # or: ORACLE_VANILLA=1 python tests/oracle_check.py <sf> '' 8
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName(
+            "oracle-check-vanilla"
+        ).getOrCreate()
+        spark.sparkContext.setLogLevel("ERROR")
+        assert spark.conf.get("spark.sql.ansi.enabled") == "true", (
+            "vanilla probe must run ANSI-on (the driver default)"
+        )
+    else:
+        from awi_datapipelinepublic_spark import get_spark
+
+        spark = get_spark("oracle-check")
     con = duck_con(sf_dir)
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
@@ -144,7 +164,6 @@ def main(
 
     failures = 0
     if jobs > 1:
-        import inspect
         from concurrent.futures import ThreadPoolExecutor, as_completed
 
         # Streaming gates (writeStream + availableNow drain) starve
@@ -153,12 +172,13 @@ def main(
         # jobs=6, and >25 min total with a patient drain). Run them
         # SERIALLY after the pool drains — they are few and their wall
         # time is dominated by their own stream lifecycle anyway.
-        def is_streaming(fn) -> bool:
-            src = inspect.getsource(fn)
-            return "writeStream" in src or "stream_pipeline" in src
-
-        pooled = [it for it in todo if not is_streaming(it[1])]
-        serial = [it for it in todo if is_streaming(it[1])]
+        # Membership comes from the EXPLICIT registry in
+        # __spark_entry__.STREAMING_GATES — source-text sniffing for
+        # "writeStream" misses a gate that drains via a helper owning
+        # the writeStream call.
+        streaming_ids = getattr(entry_mod, "STREAMING_GATES", frozenset())
+        pooled = [it for it in todo if it[0] not in streaming_ids]
+        serial = [it for it in todo if it[0] in streaming_ids]
         with ThreadPoolExecutor(max_workers=jobs) as ex:
             futures = [ex.submit(run, it) for it in pooled]
             results = [f.result() for f in as_completed(futures)]

@@ -51,11 +51,32 @@ def test_driver_window_invariants():
     window list must be exactly 50 unique ids, every id must exist,
     every windowed id must have an oracle (a rows-only id would waste
     a hard-signal slot), and the dict must actually front-load it."""
-    win = entry_mod._R7_WINDOW
+    win = entry_mod._R8_WINDOW
     assert len(win) == 50 and len(set(win)) == 50
     assert list(QUERIES)[:50] == win
     assert not set(win) - set(QUERIES)
     assert not set(win) - set(ORACLES), "windowed ids missing oracles"
+
+
+def test_streaming_gates_registry_complete():
+    """oracle_check's parallel runner serializes streaming gates by
+    the EXPLICIT entry_mod.STREAMING_GATES registry. Guard the
+    registry with the source sniff it replaced: any gate whose source
+    mentions writeStream/stream_pipeline but is missing from the set
+    would be pooled and can hit the documented 300 s micro-batch
+    starvation — and a registry entry that is not a real gate id is a
+    typo."""
+    import inspect
+
+    sniffed = {
+        name
+        for name, fn in QUERIES.items()
+        if "writeStream" in inspect.getsource(fn)
+        or "stream_pipeline" in inspect.getsource(fn)
+    }
+    reg = set(entry_mod.STREAMING_GATES)
+    assert sniffed <= reg, f"unregistered streaming gates: {sniffed - reg}"
+    assert reg <= set(QUERIES), f"registry ids not in queries(): {reg - set(QUERIES)}"
 
 
 def test_no_hugeint_in_any_oracle(con):

@@ -11,6 +11,7 @@ a stateful-ish multi-action op (triangle census), and an ANSI-
 sensitive cast path (cast_date_coerce's NULL-on-failure contract).
 """
 
+import pytest
 import subprocess
 import sys
 from pathlib import Path
@@ -27,7 +28,13 @@ assert spark.conf.get("spark.sql.ansi.enabled") == "true", "probe must run ANSI"
 import __spark_entry__ as em
 assert len(em.entry(spark).collect()) > 0
 qs = em.queries()
-for name in ["dedup_minhash_lsh", "triangle_count", "cast_date_coerce"]:
+for name in [
+    "dedup_minhash_lsh", "triangle_count", "cast_date_coerce",
+    # ANSI-divide hazards (the r7 driver-red class): these gates carry
+    # data-dependent denominators and must materialize under ANSI=true
+    "ab_test_zscore", "feature_hash", "degree_assortativity",
+    "gini_coefficient", "ks_drift", "mixture_weights",
+]:
     rows = qs[name](spark, "/root/testdata/sf0.001").collect()
     assert rows is not None
     print("ok", name, len(rows))
@@ -45,3 +52,27 @@ def test_gates_run_under_vanilla_ansi_session_from_foreign_cwd(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "VANILLA_PROBE_PASS" in proc.stdout, proc.stdout[-2000:]
+
+
+@pytest.mark.slow
+def test_full_inventory_under_vanilla_ansi_oracle(tmp_path):
+    """Nightly tier: the COMPLETE 259-id oracle differential under the
+    driver's session shape (ORACLE_VANILLA=1 → vanilla builder, ANSI
+    asserted on) from a foreign cwd at sf0.001. The fast tier's probe
+    covers the known-fragile gates; this closes the class."""
+    import os
+
+    env = dict(os.environ, ORACLE_VANILLA="1")
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "tests" / "oracle_check.py"),
+         "/root/testdata/sf0.001", "", "8"],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),
+        env=env,
+        timeout=3600,
+    )
+    fails = [l for l in proc.stdout.splitlines() if l.startswith("FAIL")]
+    assert proc.returncode == 0 and not fails, (
+        "\n".join(fails) or proc.stderr[-3000:]
+    )
