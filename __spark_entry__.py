@@ -4380,6 +4380,84 @@ def q_degree_assortativity(spark, sf_dir):
     return degree_assortativity(edges)
 
 
+def q_ann_recall_eval(spark, sf_dir):
+    """ANN quality harness as a hash-verified gate: per-query recall@5
+    of the IVF-bucketed kNN join (operators/similarity.py:knn_join_ivf)
+    against the exact brute-force join (knn_join_brute) — the
+    evaluation every ANN deployment runs before trusting its index.
+    Both sides are already deterministic cross-engine (modulo-step
+    centroids, 9dp assignment, 6dp (cos desc, id asc) ranking), so the
+    hit counts are exact integers and recall is one identical double
+    division. n_exact ≥ 1 whenever ≥2 vectors exist, and try_divide
+    keeps the expression ANSI-session-proof regardless."""
+    from awi_datapipelinepublic_spark.operators.similarity import (
+        knn_join_brute,
+        knn_join_ivf,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = knn_join_brute(emb, k=5).select("a_id", "b_id")
+    approx = knn_join_ivf(emb, k=5).select("a_id", "b_id")
+    hits = (
+        exact.join(approx, ["a_id", "b_id"], "left_semi")
+        .groupBy("a_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = exact.groupBy("a_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        base.join(hits, "a_id", "left")
+        .select(
+            "a_id",
+            "n_exact",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.try_divide(
+                    F.coalesce(F.col("n_hits"), F.lit(0)), F.col("n_exact")
+                ),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+def q_hard_negative_mine(spark, sf_dir):
+    """Contrastive hard-negative mining (operators/similarity.py:
+    hard_negative_mine): per anchor, the top-5 most-similar vectors
+    with a DIFFERENT label — knn_join_brute's kernel with same-label
+    candidates masked (a post-filter of the unmasked top-k would be
+    wrong when the nearest neighbors share the anchor's class).
+    Oracle: the brute theta-join with a label-inequality predicate."""
+    from awi_datapipelinepublic_spark.operators.similarity import hard_negative_mine
+
+    return hard_negative_mine(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Per-document 5-gram novelty (operators/quality.py:
+    ngram_novelty): distinct-shingle document frequency, exact integer
+    novel counts — the boilerplate/originality signal curators
+    threshold before the near-dup passes."""
+    from awi_datapipelinepublic_spark.operators.quality import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf_dir, "documents"))
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators/sampling.py:dsir_weights,
+    Xie et al. 2023): hashed unigram+bigram bucket distributions,
+    target = source 'src0' documents, raw = the rest. The per-bucket
+    log-ratios are CPython-libm floor-scaled BIGINT nano-units and the
+    per-doc weight is an exact integer Σ c_g·ratio_g, so the oracle
+    replays it bit-for-bit (no float accumulation order)."""
+    from awi_datapipelinepublic_spark.operators.sampling import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_weights(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+    )
+
+
 def q_streaming_dedup(spark, sf_dir):
     """§2.I streaming dedup as a driver-gate row (streaming/
     windows.py:streaming_dedup — previously pytest-pinned only):
@@ -4786,6 +4864,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "event_rate_limit": q_event_rate_limit,
         "degree_assortativity": q_degree_assortativity,
+        # round-8 additions (r9 window seeds — outside the first-50
+        # driver window this round; rehearsed under ORACLE_VANILLA)
+        "dsir_weights": q_dsir_weights,
+        "ann_recall_eval": q_ann_recall_eval,
+        "ngram_novelty": q_ngram_novelty,
+        "hard_negative_mine": q_hard_negative_mine,
     }
     window = {k: q[k] for k in _R8_WINDOW}
     window.update((k, v) for k, v in q.items() if k not in window)
@@ -8208,5 +8292,131 @@ def oracle_sql() -> dict[str, str]:
                             * CAST(m * syy - sy * sy AS DOUBLE)), 6)
                  AS assortativity
         FROM s
+    """
+    # Replays q_hard_negative_mine: knn_join's brute ranking with the
+    # label-inequality predicate in the join condition.
+    sql["hard_negative_mine"] = """
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings)
+        SELECT a_id, b_id, cos FROM (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                 ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 6) DESC,
+                            b.vec_id ASC) AS rk
+          FROM e a JOIN e b
+            ON a.vec_id <> b.vec_id AND a.label <> b.label) t
+        WHERE rk <= 5
+    """
+    # Replays q_ngram_novelty: identical shingling (5-grams over the
+    # normalized token list, DISTINCT per doc; shorter docs contribute
+    # their whole normalized text as one gram), document frequency per
+    # gram, exact integer novel counts. SUM cast to BIGINT pre-divide.
+    sql["ngram_novelty"] = f"""
+        WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        gr AS (
+          SELECT DISTINCT doc_id, array_to_string(t[i:i + 4], ' ') AS gram
+          FROM tok, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i)
+          WHERE len(t) >= 5
+          UNION
+          SELECT DISTINCT doc_id, array_to_string(t, ' ') AS gram
+          FROM tok WHERE len(t) < 5),
+        freq AS (SELECT gram, COUNT(*) AS d FROM gr GROUP BY 1)
+        SELECT gr.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN freq.d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+               ROUND(CAST(SUM(CASE WHEN freq.d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     / COUNT(*), 6) AS novelty
+        FROM gr JOIN freq ON gr.gram = freq.gram
+        GROUP BY 1
+    """
+    # Replays q_ann_recall_eval: the knn_join (exact) and knn_join_ivf
+    # (IVF) CTE chains verbatim, left-joined per (a_id, b_id);
+    # COUNT(match) is the integer hit count, recall one double divide.
+    sql["ann_recall_eval"] = """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        exact AS (
+          SELECT a_id, b_id FROM (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY a.vec_id
+                     ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 6) DESC,
+                              b.vec_id ASC) AS rk
+            FROM e a JOIN e b ON a.vec_id <> b.vec_id) t
+          WHERE rk <= 5),
+        params AS (
+          SELECT GREATEST(8, LEAST(65536, COUNT(*) // 64)) AS k_,
+                 GREATEST(1, COUNT(*) // GREATEST(8, LEAST(65536, COUNT(*) // 64))) AS s
+          FROM embeddings),
+        cents0 AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS c,
+                 ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ci
+          FROM embeddings, params WHERE vec_id % s = 0),
+        cents AS (SELECT c, ci FROM cents0, params WHERE ci < k_),
+        assigned AS (
+          SELECT e2.vec_id, CAST(e2.embedding AS DOUBLE[]) AS v,
+                 (SELECT c2.ci FROM cents c2
+                  ORDER BY ROUND(list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]), c2.c), 9) DESC,
+                           c2.ci ASC LIMIT 1) AS cluster
+          FROM embeddings e2),
+        approx AS (
+          SELECT a_id, b_id FROM (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY a.vec_id
+                     ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 6) DESC,
+                              b.vec_id ASC) AS rk
+            FROM assigned a JOIN assigned b
+              ON a.cluster = b.cluster AND a.vec_id <> b.vec_id) t
+          WHERE rk <= 5)
+        SELECT exact.a_id,
+               CAST(COUNT(*) AS BIGINT) AS n_exact,
+               CAST(COUNT(approx.b_id) AS BIGINT) AS n_hits,
+               ROUND(COUNT(approx.b_id) / COUNT(*), 6) AS recall
+        FROM exact LEFT JOIN approx
+          ON exact.a_id = approx.a_id AND exact.b_id = approx.b_id
+        GROUP BY 1
+    """
+    # Replays q_dsir_weights: identical tokenization (unigrams + space-
+    # joined bigrams), identical md5 bucket ids (feature_hash pattern),
+    # +0.5 Laplace smoothing over 1024 buckets, ln from the same libm
+    # as the engine's CPython driver pass, floor(x·1e9) nano-unit
+    # ratios, exact integer per-doc sums. SUMs cast to BIGINT (HUGEINT
+    # hash gotcha); totals cast to DOUBLE before the float chain.
+    sql["dsir_weights"] = f"""
+        WITH tok AS (
+          SELECT doc_id, source, {_TOKS} AS t FROM documents),
+        gr AS (
+          SELECT doc_id, source, unnest(t) AS g FROM tok
+          UNION ALL
+          SELECT doc_id, source, t[i] || ' ' || t[i + 1] AS g
+          FROM tok, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+          WHERE len(t) >= 2),
+        dc AS (
+          SELECT doc_id, source,
+                 CAST(('0x' || substr(md5(g), 1, 8))::UBIGINT % 1024 AS BIGINT) AS bkt,
+                 COUNT(*) AS c
+          FROM gr GROUP BY 1, 2, 3),
+        pside AS (SELECT bkt, CAST(SUM(c) AS BIGINT) AS n FROM dc
+                  WHERE source <> 'src0' GROUP BY 1),
+        qside AS (SELECT bkt, CAST(SUM(c) AS BIGINT) AS n FROM dc
+                  WHERE source = 'src0' GROUP BY 1),
+        ptot AS (SELECT CAST(COALESCE(SUM(n), 0) AS DOUBLE) + 0.5 * 1024 AS t FROM pside),
+        qtot AS (SELECT CAST(COALESCE(SUM(n), 0) AS DOUBLE) + 0.5 * 1024 AS t FROM qside),
+        allb AS (SELECT CAST(unnest(range(0, 1024)) AS BIGINT) AS bkt),
+        ratio AS (
+          SELECT allb.bkt,
+                 CAST(floor((ln((COALESCE(qside.n, 0) + 0.5) / qtot.t)
+                             - ln((COALESCE(pside.n, 0) + 0.5) / ptot.t)) * 1e9)
+                      AS BIGINT) AS rn
+          FROM allb LEFT JOIN pside ON allb.bkt = pside.bkt
+                    LEFT JOIN qside ON allb.bkt = qside.bkt, ptot, qtot)
+        SELECT dc.doc_id,
+               CAST(SUM(dc.c) AS BIGINT) AS n_grams,
+               CAST(SUM(dc.c * ratio.rn) AS BIGINT) AS log_weight_nano
+        FROM dc JOIN ratio ON dc.bkt = ratio.bkt
+        WHERE dc.source <> 'src0'
+        GROUP BY 1
     """
     return sql

@@ -1064,3 +1064,47 @@ def gini_coefficient(
             round_dp,
         ).alias("gini"),
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    DISTINCT word n-grams that occur in NO other document — high for
+    original prose, near zero for boilerplate/template/mirrored text.
+    The per-document complement of :func:`source_overlap`'s
+    group-level containment, and the cheap burstiness signal corpus
+    curators threshold before the expensive near-dup passes.
+
+    Scale shape: distinct (doc, gram) pairs via the Arrow-batched
+    shingler (one map pass, corpus collapses to its distinct-gram
+    surface), ONE groupBy(gram) document-frequency count with map-side
+    combine, then a co-partitioned shuffle join back on gram (fan-out
+    per gram = its document frequency — linear in the pair table) and
+    a final per-doc aggregate. No pair expansion, no driver state;
+    every stage is key-partitioned, so the plan is unchanged at 10⁹
+    documents.
+
+    Output: (id_col, n_grams BIGINT, n_novel BIGINT, novelty DOUBLE
+    round_dp). try_divide keeps the ratio ANSI-session-proof (n_grams
+    ≥ 1 by construction — short docs yield their whole text as one
+    gram — but the expression must not rely on that under ANSI).
+    """
+    grams = _grams(df, id_col, text_col, n, distinct=True)
+    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__docs"))
+    return (
+        grams.join(freq, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum((F.col("__docs") == 1).cast("int")).cast("bigint").alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.round(F.try_divide(F.col("n_novel"), F.col("n_grams")), round_dp),
+        )
+    )

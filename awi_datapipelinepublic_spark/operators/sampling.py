@@ -429,3 +429,111 @@ def poisson_weighted_sample(
         .filter(u < p)
         .drop("__W")
     )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al.
+    2023): per-document importance log-weights for selecting raw-pool
+    documents that look like a small target corpus. Features are
+    HASHED unigrams+bigrams (the hashing trick — no vocabulary, no
+    driver dictionary): bucket g's probability is estimated on each
+    corpus with +0.5 Laplace smoothing, and a raw document's weight is
+    Σ_g c_g · (ln q̂_g − ln p̂_g) over its bucket counts c_g (q̂ =
+    target, p̂ = raw). Resample raw docs ∝ exp(weight) downstream
+    (weighted_sample composes directly).
+
+    Scale design: one explode+groupBy((id, bucket)) per corpus with
+    map-side combine; the global bucket tables collapse to ≤n_buckets
+    rows each BEFORE the driver collect (bounded by a constant, same
+    contract as mixture_weights' source table); the per-bucket
+    log-ratios are computed in CPython (libm — bit-identical to
+    DuckDB's ln, the mixture_weights precedent) and broadcast back as
+    a LITERAL n_buckets-row table, so no log() runs engine-side.
+    EXACT-INTEGER output contract (the two-pass integer-exactness
+    rule): ratios ship as floor(x·1e9) BIGINT nano-units and the
+    per-doc aggregate is an exact integer Σ c_g·ratio_nano — no float
+    accumulation order to diverge cross-engine. md5-derived bucket ids
+    replay in any engine.
+
+    Output: (id_col, n_grams BIGINT, log_weight_nano BIGINT) for every
+    raw document with ≥1 token; divide by 1e9 for the natural-log
+    weight.
+    """
+    import math
+
+    from awi_datapipelinepublic_spark.functions import text as X
+
+    B = int(n_buckets)
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        toks = X.tokens(X.normalize_text(F.col(text_col)))
+        grams = F.concat(
+            toks,
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        )
+        g = df.select(F.col(id_col).alias("__id"), F.explode(grams).alias("__g"))
+        bucket = (
+            F.conv(F.substring(F.md5(F.col("__g")), 1, 8), 16, 10).cast("long") % B
+        )
+        return g.select("__id", bucket.alias("__b")).groupBy("__id", "__b").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+
+    # localCheckpoint: raw_doc feeds BOTH the p-distribution collect
+    # and the final per-doc join — without it the unigram+bigram
+    # explode+groupBy recomputes (measured 2× the operator's cost at
+    # sf0.1). The materialized table is the (doc, bucket) count
+    # surface: ≤ min(n_grams, n_buckets) rows per doc, far smaller
+    # than the gram stream it truncates.
+    raw_doc = bucketed(raw).localCheckpoint()
+    p_rows = raw_doc.groupBy("__b").agg(F.sum("__c").alias("n")).collect()
+    q_rows = bucketed(target).groupBy("__b").agg(F.sum("__c").alias("n")).collect()
+    p_cnt = {r["__b"]: r["n"] for r in p_rows}
+    q_cnt = {r["__b"]: r["n"] for r in q_rows}
+    p_tot = sum(p_cnt.values()) + 0.5 * B
+    q_tot = sum(q_cnt.values()) + 0.5 * B
+    ratio = [
+        (
+            b,
+            int(
+                math.floor(
+                    (
+                        math.log((q_cnt.get(b, 0) + 0.5) / q_tot)
+                        - math.log((p_cnt.get(b, 0) + 0.5) / p_tot)
+                    )
+                    * 1e9
+                )
+            ),
+        )
+        for b in range(B)
+    ]
+    spark = raw.sparkSession
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    rt = spark.createDataFrame(
+        ratio,
+        StructType(
+            [StructField("__b", LongType()), StructField("__r", LongType())]
+        ),
+    )
+    return (
+        raw_doc.join(F.broadcast(rt), "__b")
+        .groupBy("__id")
+        .agg(
+            F.sum("__c").cast("bigint").alias("n_grams"),
+            F.sum(F.col("__c") * F.col("__r")).cast("bigint").alias(
+                "log_weight_nano"
+            ),
+        )
+        .withColumnRenamed("__id", id_col)
+    )

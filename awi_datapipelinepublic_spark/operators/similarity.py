@@ -197,6 +197,7 @@ def knn_join_brute(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_rows: int = 200_000,
+    exclude_match_col: str | None = None,
 ) -> DataFrame:
     """Exact all-pairs kNN join: for EVERY vector, its top-k cosine
     neighbors (a_id, b_id, cos). Exact — so the comparison side must be
@@ -236,9 +237,17 @@ def knn_join_brute(
             "bound for the collected exact path — use knn_join_lsh for "
             "unbounded corpora (or raise max_rows deliberately)."
         )
-    rows = emb.select(id_col, vec_col).collect()
+    side_cols = [id_col, vec_col] + ([exclude_match_col] if exclude_match_col else [])
+    rows = emb.select(*side_cols).collect()
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     M = np.stack([np.asarray(r[vec_col], dtype=float) for r in rows])
+    # exclude_match_col values are mapped to integer codes driver-side
+    # (np.unique) so the kernel's mask is one int comparison plane —
+    # works for any value type without shipping objects to workers.
+    if exclude_match_col:
+        ex_vals = np.array([r[exclude_match_col] for r in rows])
+    else:
+        ex_vals = None
     # Right side sorted by id so a column index doubles as the id rank:
     # the (cos desc, b_id asc) ranking contract then collapses into ONE
     # int64 composite key, keyed top-k via argpartition — fully
@@ -247,6 +256,12 @@ def knn_join_brute(
     # measured it dominating the matmul ~7:1 at 20k×20k.)
     order0 = np.argsort(ids, kind="stable")
     ids, M = ids[order0], M[order0]
+    if ex_vals is not None:
+        uniq, ex_codes = np.unique(ex_vals[order0], return_inverse=True)
+        code_of = {v: i for i, v in enumerate(uniq.tolist())}
+        ex_codes = ex_codes.astype(np.int64)
+    else:
+        ex_codes, code_of = None, None
     Mn = np.linalg.norm(M, axis=1)
     Mn[Mn == 0] = 1.0
 
@@ -286,17 +301,29 @@ def knn_join_brute(
                 rix = np.arange(len(a_ids))
                 hit = (pos < nb) & (b_ids[np.minimum(pos, nb - 1)] == a_ids)
                 key[rix[hit], pos[hit]] = neg_inf
+                if ex_codes is not None:
+                    # mask every candidate sharing the anchor's
+                    # exclude value (hard-negative mining: same-label
+                    # neighbors are not negatives). Unseen anchor
+                    # values (-1) match no candidate code.
+                    a_codes = np.array(
+                        [code_of.get(v, -1) for v in chunk[exclude_match_col]],
+                        dtype=np.int64,
+                    )
+                    key[a_codes[:, None] == ex_codes[None, :]] = neg_inf
                 sel = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
                 sel = np.take_along_axis(
                     sel,
                     np.argsort(-np.take_along_axis(key, sel, axis=1), axis=1),
                     axis=1,
                 )
+                keys_sel = np.take_along_axis(key, sel, axis=1)
+                valid = (keys_sel > neg_inf).ravel()
                 yield pd.DataFrame(
                     {
-                        "a_id": np.repeat(a_ids, kk),
-                        "b_id": b_ids[sel].ravel(),
-                        "cos": np.take_along_axis(sims, sel, axis=1).ravel(),
+                        "a_id": np.repeat(a_ids, kk)[valid],
+                        "b_id": b_ids[sel].ravel()[valid],
+                        "cos": np.take_along_axis(sims, sel, axis=1).ravel()[valid],
                     }
                 )
 
@@ -310,7 +337,7 @@ def knn_join_brute(
     nparts = max(spark.sparkContext.defaultParallelism, 1)
     slices = max(1, min(nparts * 8, n // 128))
     return (
-        emb.select(id_col, vec_col)
+        emb.select(*side_cols)
         .repartition(slices)
         .mapInPandas(topk, schema="a_id long, b_id long, cos double")
     )
@@ -1098,4 +1125,37 @@ def knn_ivfpq(
         .select(id_col, F.round(adc, 6).alias("adc_dist"))
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def hard_negative_mine(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_rows: int = 200_000,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every anchor
+    vector, its top-k most-similar vectors with a DIFFERENT label —
+    the negatives that actually move a contrastive loss (easy random
+    negatives are already far away; the hard ones sit just across the
+    class boundary).
+
+    Exactly :func:`knn_join_brute` with same-label candidates masked
+    inside the scoring kernel (``exclude_match_col``): a label-masked
+    top-k can NOT be post-filtered from an unmasked top-k (the k
+    nearest overall may all share the anchor's label), so the mask
+    must live in the kernel. Same bounded-collect / broadcast-matmul /
+    no-pair-materialization plan, same (6dp cos desc, b_id asc)
+    cross-engine ranking contract. Anchors whose class covers the
+    whole collection yield no rows (no negatives exist).
+    """
+    return knn_join_brute(
+        emb,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_rows=max_rows,
+        exclude_match_col=label_col,
     )

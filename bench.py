@@ -167,6 +167,13 @@ BENCH_QUERIES = [
     # true one-per-window rate limit; exact-integer graph census
     "event_rate_limit",
     "degree_assortativity",
+    # round-8 additions: DSIR importance weights (hashed-ngram
+    # distribution ratio), ANN recall harness (IVF vs exact), per-doc
+    # 5-gram novelty, label-masked contrastive hard-negative mining
+    "dsir_weights",
+    "ann_recall_eval",
+    "ngram_novelty",
+    "hard_negative_mine",
 ]
 
 
