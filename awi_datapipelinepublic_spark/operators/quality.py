@@ -1081,24 +1081,29 @@ def ngram_novelty(
     curators threshold before the expensive near-dup passes.
 
     Scale shape: distinct (doc, gram) pairs via the Arrow-batched
-    shingler (one map pass, corpus collapses to its distinct-gram
-    surface), ONE groupBy(gram) document-frequency count with map-side
-    combine, then a co-partitioned shuffle join back on gram (fan-out
-    per gram = its document frequency — linear in the pair table) and
-    a final per-doc aggregate. No pair expansion, no driver state;
-    every stage is key-partitioned, so the plan is unchanged at 10⁹
-    documents.
+    shingler — then ONE count-over-window on the gram key instead of a
+    groupBy(gram) + join-back: the join form re-evaluates the shingle
+    UDF on BOTH sides (the .explain audit showed two ArrowEvalPython
+    passes over the same input), while the window form computes the
+    document frequency and keeps the (doc, gram) row in a single pass
+    and a single gram-keyed exchange. partitionBy with no orderBy =
+    whole-partition frame, so no sort is required. No pair expansion,
+    no driver state; every stage is key-partitioned, so the plan is
+    unchanged at 10⁹ documents.
 
     Output: (id_col, n_grams BIGINT, n_novel BIGINT, novelty DOUBLE
     round_dp). try_divide keeps the ratio ANSI-session-proof (n_grams
     ≥ 1 by construction — short docs yield their whole text as one
     gram — but the expression must not rely on that under ANSI).
     """
+    from pyspark.sql import Window
+
     grams = _grams(df, id_col, text_col, n, distinct=True)
-    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__docs"))
+    per = grams.withColumn(
+        "__docs", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    )
     return (
-        grams.join(freq, "gram")
-        .groupBy(id_col)
+        per.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_grams"),
             F.sum((F.col("__docs") == 1).cast("int")).cast("bigint").alias("n_novel"),
