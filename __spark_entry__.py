@@ -4396,7 +4396,9 @@ def q_ann_recall_eval(spark, sf_dir):
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    exact = knn_join_brute(emb, k=5).select("a_id", "b_id")
+    # localCheckpoint: exact feeds BOTH the hit semi-join and the
+    # per-query base count — without it the brute matmul runs twice.
+    exact = knn_join_brute(emb, k=5).select("a_id", "b_id").localCheckpoint()
     approx = knn_join_ivf(emb, k=5).select("a_id", "b_id")
     hits = (
         exact.join(approx, ["a_id", "b_id"], "left_semi")
