@@ -661,7 +661,15 @@ def curate_corpus(
         lang_id,
     )
 
+    from awi_datapipelinepublic_spark.functions.parallel import spread_small_input
+
     rules = gopher_rules(F.col(text_col), **gopher_bounds)
+    # spread: the rule projection is a dozen regexp_counts per row and
+    # a small parquet arrives as 1-2 input splits — serialized scoring
+    # (the same trap as the mapInPandas stages, just codegen-side).
+    # Measured sf1: 10.0 s unspread → 5.4 s spread; parallel recompute
+    # of the twice-consumed `kept` beats a localCheckpoint (6.4 s).
+    df = spread_small_input(df.select(id_col, text_col))
     scored = df.select(
         id_col,
         lang_id(text_col, threshold=lang_threshold).alias("lang_pred"),
@@ -745,9 +753,18 @@ def bigram_logprob(
     exploded pair stream on their keys (never broadcast by hand; AQE
     promotes small ones). Final per-doc mean is one groupBy.
     """
+    from awi_datapipelinepublic_spark.functions.parallel import spread_small_input
     from awi_datapipelinepublic_spark.functions.text import normalize_text, tokens
 
-    toks = df.select(id_col, tokens(normalize_text(text_col)).alias("t"))
+    # spread: a small parquet arrives as 1-2 input splits, which
+    # serializes the tokenize+explode scan that the three consumers
+    # below (pair counts, context counts, scored join) each recompute.
+    # Parallel recompute beats a localCheckpoint here (measured sf1:
+    # 12.0 s unspread, 3.5 s spread+checkpoint, 3.0 s spread-only —
+    # the checkpoint's blocking write costs more than the extra
+    # passes at these row counts).
+    spread = spread_small_input(df.select(id_col, text_col))
+    toks = spread.select(id_col, tokens(normalize_text(text_col)).alias("t"))
     pairs = toks.select(
         F.col(id_col),
         F.explode(
