@@ -174,6 +174,8 @@ BENCH_QUERIES = [
     "ann_recall_eval",
     "ngram_novelty",
     "hard_negative_mine",
+    # CCNet-style LM-score tercile report (exact scalable NTILE)
+    "ccnet_buckets",
 ]
 
 

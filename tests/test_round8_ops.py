@@ -143,3 +143,20 @@ def test_ann_recall_eval_gate_shape(spark, sf_dir):
     for r in rows:
         assert 0 <= r["n_hits"] <= r["n_exact"]
         assert abs(r["recall"] - r["n_hits"] / r["n_exact"]) < 1e-6
+
+
+def test_ccnet_buckets_partition(spark, sf_dir):
+    """Terciles partition the corpus: every doc in exactly one bucket,
+    bucket sizes differ by at most 1, token sums are exact."""
+    import __spark_entry__ as em
+
+    rows = em.queries()["ccnet_buckets"](spark, sf_dir).collect()
+    assert {r["bucket"] for r in rows} <= {1, 2, 3}
+    per_bucket = {}
+    for r in rows:
+        per_bucket[r["bucket"]] = per_bucket.get(r["bucket"], 0) + r["n_docs"]
+    total = sum(per_bucket.values())
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert total == docs
+    sizes = sorted(per_bucket.values())
+    assert sizes[-1] - sizes[0] <= 1
