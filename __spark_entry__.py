@@ -4583,6 +4583,141 @@ def q_fuzzy_join_edit1(spark, sf_dir):
     return fuzzy_join_edit1(c, c, "c_name", "c_name")
 
 
+def _daily_counts(spark, sf_dir):
+    """Shared input for the two series monitors: exact per-(type, day)
+    event counts — one groupBy with map-side combine."""
+    return (
+        read_events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def q_rolling_anomaly(spark, sf_dir):
+    """Trailing-7-day z-score volume monitor over per-type daily event
+    counts (operators/timeseries.py:rolling_anomaly): the z²-cleared
+    integer inequality evaluated in DOUBLE on exact window sums, so
+    the anomaly boolean replays bit-for-bit. Flag cast to INT for the
+    canonicalizer (the validate_expectations contract)."""
+    from awi_datapipelinepublic_spark.operators.timeseries import rolling_anomaly
+
+    out = rolling_anomaly(_daily_counts(spark, sf_dir))
+    return out.withColumn("is_anomaly", F.col("is_anomaly").cast("int"))
+
+
+def q_changepoint_scan(spark, sf_dir):
+    """Single-changepoint scan per event type (operators/
+    timeseries.py:changepoint_scan): argmax of the exact-integer
+    weighted mean-shift statistic |n·P_t − t·T| with earliest-split
+    tie-break — one prefix-sum window + one argmax groupBy."""
+    from awi_datapipelinepublic_spark.operators.timeseries import changepoint_scan
+
+    out = changepoint_scan(_daily_counts(spark, sf_dir))
+    return out.withColumn("split_idx", F.col("split_idx").cast("bigint"))
+
+
+def q_skyline_pareto(spark, sf_dir):
+    """2-D Pareto frontier of parts — min price, max size
+    (operators/spatial.py:skyline2d): the bucketed two-pass plan (no
+    global sort, no n² NOT EXISTS); the oracle IS the n² dominance
+    definition, so the gate proves the decomposition exact."""
+    from awi_datapipelinepublic_spark.operators.spatial import skyline2d
+
+    return skyline2d(_t(spark, sf_dir, "part"), "p_retailprice", "p_size").select(
+        F.col("x").alias("price"), F.col("y").alias("size"), "n_rows"
+    )
+
+
+def q_link_prediction(spark, sf_dir):
+    """Top-50 common-neighbor / Adamic–Adar link predictions over the
+    part co-purchase graph (operators/graph.py:link_prediction) —
+    wedge enumeration at degree-capped centers, nano-unit AA weights
+    (driver libm, the dsir contract), anti-join vs existing edges,
+    TakeOrderedAndProject top-k. Center cap 64: this graph is DENSE
+    (avg degree ~120·sf^⅓ — 148M wedges at cap 256 at sf0.1); the cap
+    is the operator's documented detonation guard and the oracle
+    replays it."""
+    from awi_datapipelinepublic_spark.operators.graph import link_prediction
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ids")
+    )
+    edges = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (a, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                "b -> struct(a AS src, b AS dst))))"
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    return link_prediction(edges, max_degree=64, k=50)
+
+
+def q_itemset_triples(spark, sf_dir):
+    """Frequent part-category 3-itemsets over order baskets
+    (operators/affinity.py:triple_support), min support 4, basket cap
+    64 — Apriori item-prune before the cubic expansion; the oracle
+    replays the unpruned 3-way self-join (pruning is result-neutral)."""
+    from awi_datapipelinepublic_spark.operators.affinity import triple_support
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_partkey") % 100).alias("cat")
+    )
+    return triple_support(li, "l_orderkey", "cat", min_support=4, max_basket=64)
+
+
+def q_mutual_information(spark, sf_dir):
+    """Contingency profile + per-cell PMI/MI of order priority ×
+    order status (operators/expectations.py:mutual_information):
+    exact joint/marginal counts from ONE groupBy pass; the single
+    transcendental per cell is driver-side libm floor-scaled to
+    BIGINT nano-units (Σ mi_contrib_nano / (N·1e9) = MI in nats)."""
+    from awi_datapipelinepublic_spark.operators.expectations import mutual_information
+
+    return mutual_information(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus"
+    ).select(
+        F.col("x").alias("priority"),
+        F.col("y").alias("status"),
+        "n_xy",
+        "n_x",
+        "n_y",
+        "pmi_nano",
+        "mi_contrib_nano",
+    )
+
+
+def q_random_projection(spark, sf_dir):
+    """Johnson–Lindenstrauss ±1 projection of the 64-d embeddings to
+    8 dims (operators/similarity.py:random_projection): literal
+    md5-parity sign matrix, strict left-to-right aggregate(zip_with)
+    inner sums (bit-matching DuckDB list_sum), wide columns (no array
+    output), pure codegen — zero shuffle."""
+    from awi_datapipelinepublic_spark.operators.similarity import random_projection
+
+    return random_projection(
+        _t(spark, sf_dir, "embeddings"), out_dim=8, dim=64
+    )
+
+
+def q_poisson_bootstrap(spark, sf_dir):
+    """Poisson-bootstrap CI for the per-type mean event value
+    (operators/sampling.py:poisson_bootstrap, Chamandy et al. 2012):
+    32 replicates via md5-uniform Poisson(1) weights, exact-integer
+    replicate sums, one grouped percentile — the single-pass
+    100 TB bootstrap layout."""
+    from awi_datapipelinepublic_spark.operators.sampling import poisson_bootstrap
+
+    return poisson_bootstrap(
+        read_events(spark, sf_dir), "event_type", "event_id", "value"
+    )
+
+
 # Round-8 driver window: the driver oracle-verifies the FIRST 50
 # queries() entries each round (CORRECTNESS_r*). After r7, 9 gate ids
 # still had NO green driver row (r7's two red rows ab_test_zscore /
@@ -4903,6 +5038,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "hard_negative_mine": q_hard_negative_mine,
         "ccnet_buckets": q_ccnet_buckets,
+        "rolling_anomaly": q_rolling_anomaly,
+        "changepoint_scan": q_changepoint_scan,
+        "skyline_pareto": q_skyline_pareto,
+        "link_prediction": q_link_prediction,
+        "itemset_triples": q_itemset_triples,
+        "mutual_information": q_mutual_information,
+        "random_projection": q_random_projection,
+        "poisson_bootstrap": q_poisson_bootstrap,
     }
     window = {k: q[k] for k in _R8_WINDOW}
     window.update((k, v) for k, v in q.items() if k not in window)
@@ -8474,5 +8617,203 @@ def oracle_sql() -> dict[str, str]:
         FROM dc JOIN ratio ON dc.bkt = ratio.bkt
         WHERE dc.source <> 'src0'
         GROUP BY 1
+    """
+    # Trailing-7-day z-score monitor: exact BIGINT window sums, the
+    # z²-cleared inequality in DOUBLE on exact integers (IEEE —
+    # bit-identical cross-engine), flag as INT.
+    sql["rolling_anomaly"] = """
+        WITH d AS (
+          SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        w AS (
+          SELECT event_type, day, n,
+                 SUM(n) OVER f AS s,
+                 SUM(n * n) OVER f AS q,
+                 COUNT(n) OVER f AS c
+          FROM d
+          WINDOW f AS (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        SELECT event_type, day, n,
+               CASE WHEN c = 7 THEN CAST(s AS BIGINT) END AS base_sum,
+               CASE WHEN c = 7 THEN CAST(q AS BIGINT) END AS base_sumsq,
+               CASE WHEN c = 7 THEN CAST(
+                 CAST(7 * n - s AS DOUBLE) * CAST(7 * n - s AS DOUBLE) * 6.0
+                 > 9.0 * 7.0 * CAST(7 * q - s * s AS DOUBLE) AS INT)
+               END AS is_anomaly
+        FROM w
+    """
+    # Changepoint: argmax_t |n·P_t − t·T| per type, earliest split on
+    # ties; exact BIGINT statistic, means rounded at 6dp from the same
+    # double division Spark runs.
+    sql["changepoint_scan"] = """
+        WITH d AS (
+          SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        s AS (
+          SELECT event_type, day, n,
+                 SUM(n) OVER (PARTITION BY event_type ORDER BY day) AS p,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t,
+                 SUM(n) OVER (PARTITION BY event_type) AS tot,
+                 COUNT(*) OVER (PARTITION BY event_type) AS nn
+          FROM d),
+        g AS (
+          SELECT *, CAST(ABS(nn * p - t * tot) AS BIGINT) AS gs,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY ABS(nn * p - t * tot) DESC, t ASC) AS rk
+          FROM s WHERE t < nn)
+        SELECT event_type,
+               CAST(nn AS BIGINT) AS n_points,
+               day AS split_day,
+               CAST(t AS BIGINT) AS split_idx,
+               ROUND(CAST(p AS DOUBLE) / CAST(t AS DOUBLE), 6) AS mean_before,
+               ROUND(CAST(tot - p AS DOUBLE) / CAST(nn - t AS DOUBLE), 6) AS mean_after,
+               gs AS g_stat
+        FROM g WHERE rk = 1
+    """
+    # Skyline: the oracle is the DEFINITION (quadratic NOT EXISTS over
+    # distinct pairs) — proving the engine's bucketed decomposition
+    # exact, not replaying it.
+    sql["skyline_pareto"] = """
+        WITH pairs AS (
+          SELECT p_retailprice AS x, p_size AS y, CAST(COUNT(*) AS BIGINT) AS n_rows
+          FROM part GROUP BY 1, 2)
+        SELECT x AS price, y AS size, n_rows
+        FROM pairs a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM pairs b
+          WHERE b.x <= a.x AND b.y >= a.y AND (b.x < a.x OR b.y > a.y))
+    """
+    # Link prediction: wedge join at ≤256-degree centers, AA weight
+    # floor(1e9/ln d) (libm — bit-identical to the engine's driver
+    # pass), anti-join vs edges, total-order top-50.
+    sql["link_prediction"] = """
+        WITH e AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        adj AS (SELECT u AS n, v AS nb FROM e UNION ALL SELECT v, u FROM e),
+        d AS (SELECT n, COUNT(*) AS d FROM adj GROUP BY n),
+        ctr AS (SELECT n, CAST(FLOOR(1e9 / LN(CAST(d AS DOUBLE))) AS BIGINT) AS w_nano
+                FROM d WHERE d BETWEEN 2 AND 64),
+        wedge AS (
+          SELECT p.nb AS item_a, q.nb AS item_b, ctr.w_nano
+          FROM adj p JOIN adj q ON p.n = q.n AND p.nb < q.nb
+          JOIN ctr ON ctr.n = p.n),
+        sc AS (
+          SELECT item_a, item_b, CAST(COUNT(*) AS BIGINT) AS cn,
+                 CAST(SUM(w_nano) AS BIGINT) AS aa_nano
+          FROM wedge GROUP BY 1, 2)
+        SELECT item_a, item_b, cn, aa_nano
+        FROM sc
+        WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = item_a AND e.v = item_b)
+        ORDER BY cn DESC, aa_nano DESC, item_a, item_b
+        LIMIT 50
+    """
+    # Frequent triples: the engine's Apriori prune is result-neutral,
+    # so the oracle is the plain 3-way self-join over capped baskets.
+    sql["itemset_triples"] = """
+        WITH sized AS (
+          SELECT l_orderkey AS bk, COUNT(DISTINCT l_partkey % 100) AS c
+          FROM lineitem GROUP BY 1),
+        capped AS (SELECT bk FROM sized WHERE c BETWEEN 2 AND 64),
+        items AS (
+          SELECT DISTINCT l.l_orderkey AS bk, l.l_partkey % 100 AS it
+          FROM lineitem l JOIN capped ON capped.bk = l.l_orderkey),
+        t AS (
+          SELECT a.it AS item_a, b.it AS item_b, c.it AS item_c,
+                 CAST(COUNT(*) AS BIGINT) AS n_abc
+          FROM items a
+          JOIN items b ON a.bk = b.bk AND a.it < b.it
+          JOIN items c ON b.bk = c.bk AND b.it < c.it
+          GROUP BY 1, 2, 3 HAVING COUNT(*) >= 4),
+        nb AS (SELECT COUNT(*) AS n FROM capped)
+        SELECT item_a, item_b, item_c, n_abc,
+               ROUND(CAST(n_abc AS DOUBLE) / CAST(nb.n AS DOUBLE), 6) AS support
+        FROM t, nb
+    """
+    # MI profile: exact joint/marginals, per-cell PMI floor-scaled
+    # from the literally mirrored double expression.
+    sql["mutual_information"] = """
+        WITH j AS (
+          SELECT o_orderpriority AS x, o_orderstatus AS y,
+                 CAST(COUNT(*) AS BIGINT) AS n_xy
+          FROM orders GROUP BY 1, 2),
+        m AS (
+          SELECT x, y, n_xy,
+                 CAST(SUM(n_xy) OVER (PARTITION BY x) AS BIGINT) AS n_x,
+                 CAST(SUM(n_xy) OVER (PARTITION BY y) AS BIGINT) AS n_y,
+                 CAST(SUM(n_xy) OVER () AS BIGINT) AS nn
+          FROM j)
+        SELECT x AS priority, y AS status, n_xy, n_x, n_y,
+               CAST(FLOOR(1e9 * LN(CAST(n_xy * nn AS DOUBLE)
+                                   / CAST(n_x * n_y AS DOUBLE))) AS BIGINT) AS pmi_nano,
+               CAST(n_xy * CAST(FLOOR(1e9 * LN(CAST(n_xy * nn AS DOUBLE)
+                                               / CAST(n_x * n_y AS DOUBLE)))
+                                AS BIGINT) AS BIGINT) AS mi_contrib_nano
+        FROM m
+    """
+    # JL projection: the identical ±1 literal matrix (md5 parity in
+    # CPython via rp_signs), indexed-lambda elementwise product,
+    # list_sum == Spark's left-to-right aggregate (probed).
+    from awi_datapipelinepublic_spark.operators.similarity import rp_signs
+
+    _rp = rp_signs(8, 64)
+    _rp_cols = ",\n               ".join(
+        "ROUND(list_sum(list_transform(CAST(embedding AS DOUBLE[]), "
+        f"(x, i) -> x * ([{', '.join(repr(v) for v in row)}]::DOUBLE[])[i])), 6) "
+        f"AS proj_{j}"
+        for j, row in enumerate(_rp)
+    )
+    sql["random_projection"] = f"""
+        SELECT vec_id,
+               {_rp_cols}
+        FROM embeddings
+    """
+    # Poisson bootstrap: md5-uniform Poisson(1) inverse CDF (libm
+    # threshold literals via repr — identical doubles), exact BIGINT
+    # replicate sums, quantile_cont == Spark percentile.
+    import math as _math
+
+    _cum, _term = [], _math.exp(-1.0)
+    _acc = _term
+    for _k in range(7):
+        _cum.append(_acc)
+        _term = _term / (_k + 1)
+        _acc += _term
+    _w_case = "CASE " + " ".join(
+        f"WHEN u < {t!r}::DOUBLE THEN {k}" for k, t in enumerate(_cum)
+    ) + " ELSE 7 END"
+    sql["poisson_bootstrap"] = f"""
+        WITH r AS (
+          SELECT event_type AS k, event_id,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+                 unnest(range(0, 32)) AS b
+          FROM events),
+        uu AS (
+          SELECT k, b, c,
+                 ('0x' || substr(md5('bs#' || b || '#' || event_id), 1, 8))::UBIGINT::DOUBLE
+                   / 4294967296.0 AS u
+          FROM r),
+        ww AS (SELECT k, b, c, {_w_case} AS w FROM uu),
+        rep AS (
+          SELECT k, b, CAST(SUM(w) AS BIGINT) AS n_eff,
+                 CAST(SUM(w * c) AS BIGINT) AS wsum,
+                 COUNT(*) AS n
+          FROM ww GROUP BY 1, 2),
+        m AS (
+          SELECT k,
+                 (CASE WHEN n_eff = 0 THEN NULL
+                       ELSE CAST(wsum AS DOUBLE) / CAST(n_eff AS DOUBLE) END)
+                   / (100.0::DOUBLE) AS m,
+                 n
+          FROM rep)
+        SELECT k AS event_type,
+               CAST(MAX(n) AS BIGINT) AS n_rows,
+               ROUND(quantile_cont(m, 0.5), 6) AS mean,
+               ROUND(quantile_cont(m, 0.025), 6) AS ci_lo,
+               ROUND(quantile_cont(m, 0.975), 6) AS ci_hi
+        FROM m GROUP BY 1
     """
     return sql

@@ -97,3 +97,77 @@ def pair_lift(
             ).alias("lift"),
         )
     )
+
+
+def triple_support(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_basket: int = 64,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Frequent 3-itemsets: (item_a < item_b < item_c, n_abc, support)
+    for every unordered item triple co-occurring in ≥ ``min_support``
+    baskets — Apriori's second expansion pass, the bundle/assortment
+    signal one hop past :func:`pair_lift`.
+
+    Plan — Apriori pruning BEFORE the cubic expansion: a frequent
+    triple's items are each frequent, so baskets are first projected
+    onto the frequent-item set (explode → broadcast semi-join on the
+    ≥min_support items → re-collect arrays). The pruned baskets then
+    explode their C(c,3) triples via a nested slice-transform
+    (codegen, no UDF) — Σ C(c,3) is bounded by ``max_basket``³/6 per
+    basket, and in practice by the pruned basket size, which is what
+    the pruning is FOR: at 100 TB the raw expansion is the detonation
+    risk, the pruned one is support-bounded. One final groupBy on the
+    triple key with map-side combine. Pruning never changes the
+    result, so the oracle replays the plain unpruned count.
+
+    N (the support denominator) is the basket count after the size
+    cap, matching pair_lift's contract.
+    """
+    baskets = (
+        df.groupBy(F.col(basket_col).alias("__b"))
+        .agg(F.array_sort(F.collect_set(F.col(item_col))).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_basket))
+        .localCheckpoint()  # N + item counts + triple expansion
+    )
+    n_baskets = baskets.agg(F.count(F.lit(1)).alias("__N"))
+    frequent = (
+        baskets.select(F.explode("ids").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("__n_item"))
+        .filter(F.col("__n_item") >= min_support)
+        .select("item")
+    )
+    pruned = (
+        baskets.select(F.col("__b"), F.explode("ids").alias("item"))
+        .join(F.broadcast(frequent), "item")
+        .groupBy("__b")
+        .agg(F.array_sort(F.collect_set("item")).alias("ids"))
+        .filter(F.size("ids") >= 3)
+    )
+    triples = pruned.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (a, i) -> "
+                "flatten(transform(slice(ids, i + 2, size(ids) - i - 1), (b, j) -> "
+                "transform(slice(ids, i + j + 3, size(ids) - i - j - 2), "
+                "c -> struct(a AS item_a, b AS item_b, c AS item_c))))))"
+            )
+        ).alias("t")
+    ).select("t.item_a", "t.item_b", "t.item_c")
+    return (
+        triples.groupBy("item_a", "item_b", "item_c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_abc"))
+        .filter(F.col("n_abc") >= min_support)
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "item_c",
+            "n_abc",
+            F.round(F.col("n_abc") / F.col("__N"), round_dp).alias("support"),
+        )
+    )

@@ -138,3 +138,76 @@ def violating_rows(df: DataFrame, rules: list[dict], id_cols: list[str]) -> Data
         lambda x: x.isNotNull(),
     )
     return df.select(F.explode(hits).alias("rule"), *id_cols)
+
+
+def mutual_information(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    max_cells: int = 10_000,
+) -> DataFrame:
+    """Column-association audit: the full contingency profile of two
+    categorical columns with per-cell PMI and mutual-information
+    contributions — the feature-redundancy / leakage check run before
+    a column ships as a model feature or a stratification key (MI ≈ 0
+    → independent; MI ≈ H(X) → X is a proxy for Y).
+
+    Output, one row per observed (x, y) cell:
+      (x, y, n_xy, n_x, n_y, pmi_nano, mi_contrib_nano) where
+      pmi_nano        = floor(1e9 · ln((n_xy·N)/(n_x·n_y)))
+      mi_contrib_nano = n_xy · pmi_nano  (Σ/(N·1e9) = MI in nats)
+
+    EXACT-INTEGER contract (the dsir_weights pattern): counts are
+    exact; the single transcendental per cell is computed driver-side
+    with CPython libm on ``float(n_xy·N) / float(n_x·n_y)`` — the
+    expression the oracle mirrors literally — floor-scaled to BIGINT
+    nano-units; the only aggregate over floats is avoided entirely.
+
+    Plan: ONE groupBy((x, y)) pass with map-side combine builds the
+    joint table — the only fact-table scan and the only shuffle. The
+    joint table (|X|·|Y| rows, tiny by contract) is collected to the
+    driver — bounded by ``max_cells`` (default 10⁴; a
+    categorical×categorical audit beyond that is a modeling smell, and
+    the guard raises rather than detonates, the _guard_pair_expansion
+    stance) — where the marginals and the libm step run on the
+    already-aggregated cells (no window, no second scan).
+    """
+    import math
+
+    joint = (
+        df.select(F.col(col_x).alias("x"), F.col(col_y).alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_xy"))
+    )
+    cells = joint.limit(max_cells + 1).collect()
+    if len(cells) > max_cells:
+        raise ValueError(
+            f"mutual_information: >{max_cells} joint cells "
+            f"(max_cells={max_cells}); this operator audits categorical "
+            "pairs, not high-cardinality keys"
+        )
+    nx: dict = {}
+    ny: dict = {}
+    N = 0
+    for r in cells:
+        nx[r["x"]] = nx.get(r["x"], 0) + r["n_xy"]
+        ny[r["y"]] = ny.get(r["y"], 0) + r["n_xy"]
+        N += r["n_xy"]
+    rows = []
+    for r in cells:
+        n_x, n_y = nx[r["x"]], ny[r["y"]]
+        pmi = math.floor(
+            1e9 * math.log(float(r["n_xy"] * N) / float(n_x * n_y))
+        )
+        rows.append(
+            (r["x"], r["y"], r["n_xy"], n_x, n_y, int(pmi), int(r["n_xy"] * pmi))
+        )
+    schema = (
+        joint.schema["x"].dataType.simpleString(),
+        joint.schema["y"].dataType.simpleString(),
+    )
+    return df.sparkSession.createDataFrame(
+        rows,
+        f"x {schema[0]}, y {schema[1]}, n_xy bigint, n_x bigint, n_y bigint, "
+        "pmi_nano bigint, mi_contrib_nano bigint",
+    )

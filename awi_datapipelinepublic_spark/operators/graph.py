@@ -494,3 +494,95 @@ def degree_assortativity(
             round_dp,
         ).alias("assortativity"),
     )
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int = 256,
+    k: int = 50,
+) -> DataFrame:
+    """Common-neighbor / Adamic–Adar link prediction: the top-``k``
+    NON-adjacent node pairs ranked by shared-neighbor evidence — the
+    candidate generator for "related items", knowledge-graph
+    completion, and near-dup cluster repair (pairs the LSH pass
+    missed but the neighborhood structure implies).
+
+    Scores, per candidate pair (a, b):
+      - ``cn``      = |N(a) ∩ N(b)| (exact integer);
+      - ``aa_nano`` = Σ_{w ∈ N(a)∩N(b)} floor(1e9 / ln d(w)) —
+        Adamic–Adar with each 1/ln(degree) floor-scaled to BIGINT
+        nano-units so the SUM is an exact integer (no float
+        accumulation order; the dsir_weights contract). The per-degree
+        reciprocal is computed once driver-side with CPython libm
+        (bit-identical to the oracle's LN — the mixture_weights
+        precedent) over the ≤``max_degree`` distinct degree values.
+
+    Plan: wedge enumeration at the shared neighbor. Candidate volume
+    is Σ_w C(d(w), 2) — quadratic in hub degree — so wedge CENTERS are
+    capped at ``max_degree`` (the pair_lift max_basket stance: refuse
+    to detonate, replayable in the oracle as a degree filter; a
+    1e6-degree hub's wedge set carries no ranking signal anyway).
+    One groupBy builds per-center sorted neighbor arrays (bounded at
+    max_degree ids each), a codegen slice-transform explodes each
+    array's unordered pairs with the center's weight attached, one
+    groupBy on the pair aggregates both scores, and a left_anti join
+    against the edge list drops already-linked pairs. Top-k is a
+    TakeOrderedAndProject on the total order
+    (cn desc, aa_nano desc, a, b) — never a global sort.
+
+    Cites reference behavior: none (beyond-reference LLM-pipeline op).
+    """
+    import math
+
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()  # consumed 3×: adj both directions + anti-join
+    )
+    adj = e.select(F.col("u").alias("n"), F.col("v").alias("nb")).unionAll(
+        e.select(F.col("v").alias("n"), F.col("u").alias("nb"))
+    )
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    centers = deg.filter((F.col("d") >= 2) & (F.col("d") <= int(max_degree)))
+    # ≤ max_degree-1 distinct degree values — a constant-bounded
+    # collect; 1/ln(d) in CPython libm, shipped back as literals.
+    spark = edges.sparkSession
+    dvals = [r["d"] for r in centers.select("d").distinct().collect()]
+    wtab = spark.createDataFrame(
+        [(int(d), int(math.floor(1e9 / math.log(d)))) for d in dvals],
+        "d bigint, w_nano bigint",
+    )
+    nbrs = (
+        adj.join(F.broadcast(centers), "n")
+        .groupBy("n", "d")
+        .agg(F.array_sort(F.collect_set("nb")).alias("ids"))
+        .join(F.broadcast(wtab), "d")
+    )
+    cand = nbrs.select(
+        F.col("w_nano"),
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (a, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                "b -> struct(a AS item_a, b AS item_b))))"
+            )
+        ).alias("p"),
+    ).select("p.item_a", "p.item_b", "w_nano")
+    scores = cand.groupBy("item_a", "item_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cn"),
+        F.sum("w_nano").alias("aa_nano"),
+    )
+    non_adj = scores.join(
+        e,
+        (F.col("item_a") == F.col("u")) & (F.col("item_b") == F.col("v")),
+        "left_anti",
+    )
+    return non_adj.orderBy(
+        F.col("cn").desc(), F.col("aa_nano").desc(), "item_a", "item_b"
+    ).limit(int(k))

@@ -553,3 +553,105 @@ def dsir_weights(
         )
         .withColumnRenamed("__id", id_col)
     )
+
+
+def poisson_bootstrap(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    value_col: str,
+    replicates: int = 32,
+    value_scale: int = 100,
+    seed: str = "bs",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Poisson-bootstrap confidence intervals for the per-key mean of
+    ``value_col`` — the single-pass, shuffle-light bootstrap for
+    massive data (Chamandy et al., "Estimating Uncertainty for
+    Massive Data Streams", 2012): instead of drawing B resamples
+    (B shuffles), each row gets an INDEPENDENT Poisson(1) weight per
+    replicate, and the B weighted means approximate the sampling
+    distribution.
+
+    Determinism contract: the per-(row, replicate) weight is the
+    Poisson(1) inverse CDF of the md5-derived dyadic-rational uniform
+    u = int(md5(seed#b#id)[:8], 16) / 2³² (bit-identical in any
+    engine); values are pre-scaled to exact integers
+    (floor(v·scale + 0.5) — floor, not round: Spark's F.round is
+    shortest-string HALF_UP, an oracle hazard), so every replicate
+    sum is an exact BIGINT and the replicate mean is ONE double
+    division on exact integers. CDF thresholds are CPython-libm
+    doubles; oracles embed their repr() literals.
+
+    Plan: the replicate axis is a ``sequence`` + ``explode`` (B× row
+    growth of a 3-column projection, no UDF), one groupBy
+    (key, replicate) with map-side combine, then a (key)-grouped
+    exact percentile over B replicate means — |keys|·B intermediate
+    rows total. No resampling shuffle, no driver loop: the classic
+    100 TB-bootstrap layout.
+
+    Output per key: n_rows, mean (the replicate-median point
+    estimate), ci_lo / ci_hi (2.5 / 97.5 percentiles), all at
+    ``round_dp``.
+    """
+    import math
+
+    B = int(replicates)
+    # Poisson(1) CDF thresholds P(X ≤ k), k = 0..6; weights cap at 7.
+    cum, term = [], math.exp(-1.0)
+    acc = term
+    for k in range(7):
+        cum.append(acc)
+        term = term / (k + 1)
+        acc += term
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(seed + "#"),
+                        F.col("__b").cast("string"),
+                        F.lit("#"),
+                        F.col(id_col).cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    w = F.when(u < F.lit(cum[0]), F.lit(0))
+    for k in range(1, 7):
+        w = w.when(u < F.lit(cum[k]), F.lit(k))
+    w = w.otherwise(F.lit(7)).cast("bigint")
+    cents = F.floor(F.col(value_col) * value_scale + F.lit(0.5)).cast("bigint")
+    exploded = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(id_col),
+        cents.alias("__c"),
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("__b"),
+    ).select("__k", "__b", w.alias("__w"), "__c")
+    rep = exploded.groupBy("__k", "__b").agg(
+        F.sum("__w").alias("__n_eff"),
+        F.sum(F.col("__w") * F.col("__c")).alias("__wsum"),
+        # every replicate slice holds each of the key's rows exactly
+        # once, so this count IS the key's raw row count
+        F.count(F.lit(1)).alias("__n"),
+    )
+    mean_b = (
+        F.try_divide(F.col("__wsum").cast("double"), F.col("__n_eff").cast("double"))
+        / F.lit(float(value_scale))
+    )
+    return (
+        rep.select("__k", mean_b.alias("__m"), "__n")
+        .groupBy(F.col("__k").alias(key_col))
+        .agg(
+            F.max("__n").alias("n_rows"),
+            F.round(F.percentile(F.col("__m"), F.lit(0.5)), round_dp).alias("mean"),
+            F.round(F.percentile(F.col("__m"), F.lit(0.025)), round_dp).alias("ci_lo"),
+            F.round(F.percentile(F.col("__m"), F.lit(0.975)), round_dp).alias("ci_hi"),
+        )
+    )

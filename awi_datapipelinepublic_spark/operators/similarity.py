@@ -1159,3 +1159,69 @@ def hard_negative_mine(
         max_rows=max_rows,
         exclude_match_col=label_col,
     )
+
+
+def rp_signs(out_dim: int, dim: int, seed: str = "rp") -> list:
+    """±1 sign matrix for :func:`random_projection`, derived from
+    md5(f"{seed}#{j}#{i}") parity in CPython — deterministic,
+    engine-independent, replayable as literals by any oracle."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{seed}#{j}#{i}".encode()).hexdigest()[:8], 16) & 1
+            else -1.0
+            for i in range(dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_dim: int = 8,
+    dim: int | None = None,
+    seed: str = "rp",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection with a ±1 (Achlioptas
+    2003) sign matrix: reduce ``vec_col`` from ``dim`` to ``out_dim``
+    dimensions, preserving pairwise distances within 1±ε — the
+    dimensionality-reduction front end for LSH bucketing, cheap
+    pre-filtering before exact kNN, and embedding-store compaction.
+
+    proj_j = Σ_i v_i · s_ij, with signs from md5 parity
+    (:func:`rp_signs` — CPython-side, shipped into the plan as
+    LITERAL arrays, so no engine hash function is involved and any
+    oracle replays the identical matrix). The inner sum is
+    ``aggregate(zip_with(v, s, *), 0.0, +)`` — strict left-to-right
+    IEEE order, bit-matching DuckDB's list_sum (probed: both are
+    sequential) — rounded at ``round_dp``.
+
+    Plan: a pure per-row projection — NO shuffle, no UDF, all inside
+    whole-stage codegen; out_dim wide columns, not an array (the
+    driver-canonicalizer array hazard). At 100 TB this is scan-bound;
+    ``dim`` is probed from one row when not given (a bounded
+    1-row collect).
+    """
+    if dim is None:
+        probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(probe["d"])
+    signs = rp_signs(out_dim, dim, seed)
+    cols = []
+    for j in range(out_dim):
+        s = F.array(*[F.lit(v) for v in signs[j]])
+        cols.append(
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col(vec_col), s, lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                round_dp,
+            ).alias(f"proj_{j}")
+        )
+    return df.select(id_col, *cols)

@@ -22,7 +22,7 @@ a grid much coarser than r degrades toward all-pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def grid_radius_join(
@@ -77,4 +77,99 @@ def grid_radius_join(
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(d2 <= F.lit(r * r))
         .select("id_a", "id_b", d2.alias("dist_sq"))
+    )
+
+
+def skyline2d(
+    df: DataFrame,
+    min_col: str,
+    max_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """2-D Pareto frontier (skyline): the coordinate pairs not
+    DOMINATED by any other row, where b dominates a iff
+    b.min_col ≤ a.min_col ∧ b.max_col ≥ a.max_col with at least one
+    strict — the price/quality efficient frontier (cheapest part per
+    size class, best quality-per-token document, fastest-per-dollar
+    config).
+
+    Plan — NO global sort, NO all-pairs join. The naive skyline is a
+    single-partition window over a total order (the win_row_number
+    parity trap) or an O(n²) NOT EXISTS; instead:
+
+    1. collapse to distinct (min_col, max_col) pairs with a count
+       (one partial-agg shuffle — dominance is coordinate-level);
+    2. bucket min_col into ``n_buckets`` fixed-width ranges from the
+       global min/max (a 1-row broadcast scalar);
+    3. WITHIN a bucket: one window per bucket ordered by
+       (min_col asc, max_col desc); a pair is bucket-dominated iff the
+       running max of max_col over STRICTLY PRECEDING rows ≥ its own
+       max_col (after the distinct-pair collapse every preceding row
+       is ≤ in min_col with one coordinate strict, so ≥ is exactly
+       dominance). Bucket partitions are occupancy-bounded, never a
+       global sort;
+    4. ACROSS buckets: per-bucket max of max_col (an n_buckets-row
+       table) + a running max over the strictly earlier buckets —
+       rows there have strictly smaller min_col, so prefix_max ≥ mine
+       is dominance. The n_buckets-row window is constant-sized.
+
+    Survivors are pairs dominated by neither pass. The two passes
+    together are exhaustive: any dominator is either in my bucket
+    (pass 3 catches it transitively via the running max) or an earlier
+    one (pass 4). Exact — uses only comparisons, no floats beyond the
+    bucket-width division, and bucketing only PARTITIONS the data (a
+    pair's skyline membership is bucket-assignment-independent).
+
+    At 100 TB: one groupBy shuffle on the pair, one on the bucket key;
+    the frontier itself is output-sized. Degenerate case (all rows one
+    bucket) degrades to one sorted partition of DISTINCT pairs —
+    bounded by value cardinality, not fact volume.
+    """
+    pairs = (
+        df.select(F.col(min_col).alias("x"), F.col(max_col).alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+    bounds = pairs.agg(
+        F.min("x").alias("__lo"), F.max("x").alias("__hi")
+    )
+    b = (
+        pairs.crossJoin(F.broadcast(bounds))
+        # width in DOUBLE; identical expression in the oracle replays
+        # the same bucket ids (IEEE determinism on exact inputs)
+        .withColumn(
+            "__bkt",
+            F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+                F.least(
+                    F.floor(
+                        (F.col("x") - F.col("__lo")).cast("double")
+                        / ((F.col("__hi") - F.col("__lo")).cast("double") / F.lit(float(n_buckets)))
+                    ).cast("int"),
+                    F.lit(int(n_buckets) - 1),
+                )
+            ),
+        )
+        .drop("__lo", "__hi")
+        # consumed twice (per-pair flagging + per-bucket max) — one
+        # eager materialization of the distinct-pair table (bounded by
+        # value cardinality, not fact volume; the pair_lift stance)
+        # instead of four source scans
+        .localCheckpoint()
+    )
+    in_bucket = Window.partitionBy("__bkt").orderBy(
+        F.col("x").asc(), F.col("y").desc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    flagged = b.withColumn("__runmax", F.max("y").over(in_bucket))
+    bucket_max = b.groupBy("__bkt").agg(F.max("y").alias("__bmax"))
+    prior = (
+        Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    )  # n_buckets rows — constant-sized single partition, not data-sized
+    bucket_prior = bucket_max.withColumn("__priormax", F.max("__bmax").over(prior))
+    return (
+        flagged.join(F.broadcast(bucket_prior.select("__bkt", "__priormax")), "__bkt")
+        .filter(
+            (F.col("__runmax").isNull() | (F.col("__runmax") < F.col("y")))
+            & (F.col("__priormax").isNull() | (F.col("__priormax") < F.col("y")))
+        )
+        .select("x", "y", "n_rows")
     )

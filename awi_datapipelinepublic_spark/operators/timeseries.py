@@ -250,3 +250,133 @@ def rolling_median(
         out_col,
         F.round(F.percentile(F.col(value_col), F.lit(0.5)).over(w), round_dp),
     )
+
+
+def rolling_anomaly(
+    df: DataFrame,
+    key_col: str = "event_type",
+    order_col: str = "day",
+    value_col: str = "n",
+    window: int = 7,
+    z: float = 3.0,
+) -> DataFrame:
+    """Trailing-window z-score anomaly flags over an integer-valued
+    series — the volume-spike monitor every ingestion pipeline runs
+    over its per-day/per-source event counts before a bad crawl batch
+    poisons a training mix.
+
+    Each row is scored against the ``window`` rows strictly BEFORE it
+    (its own value never contaminates the baseline); rows without a
+    full baseline get ``is_anomaly = NULL``. The test is the exact
+    STRICT z-score inequality (|z| > threshold) cleared of divisions::
+
+        (w·x − S)² · (w−1)  >  z² · w · (w·Q − S²)
+
+    with S = Σ baseline, Q = Σ baseline² (sample variance). S and Q
+    are exact BIGINT window sums; the inequality is evaluated in
+    DOUBLE on those exact integers — both engines round the identical
+    expression identically (IEEE), so the boolean replays bit-for-bit
+    in the oracle with no tolerance. A zero-variance baseline flags
+    any departure from the constant (the inequality does this
+    naturally: RHS = 0, any nonzero deviation wins the strict
+    inequality — while a zero-deviation row on a zero-variance
+    baseline is 0 > 0 = false, NOT an anomaly).
+
+    Plan: one shuffle on ``key_col``, two bounded ROWS-frame window
+    sums per row. Partitions are (key × time-grain) series — bounded
+    by the calendar, never by fact volume — so the window never
+    degenerates to a single-partition global sort. Linear at any key
+    count.
+    """
+    w = int(window)
+    win = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(-w, -1)
+    )
+    x = F.col(value_col).cast("bigint")
+    s = F.sum(x).over(win)
+    q = F.sum((x * x)).over(win)
+    n_base = F.count(x).over(win)
+    dev = (F.lit(w) * x - s).cast("double")
+    lhs = dev * dev * F.lit(float(w - 1))
+    rhs = (
+        F.lit(float(z) * float(z))
+        * F.lit(float(w))
+        * (F.lit(w) * q - s * s).cast("double")
+    )
+    return df.select(
+        key_col,
+        order_col,
+        x.alias(value_col),
+        F.when(n_base == w, s).alias("base_sum"),
+        F.when(n_base == w, q).alias("base_sumsq"),
+        F.when(n_base == w, lhs > rhs).alias("is_anomaly"),
+    )
+
+
+def changepoint_scan(
+    df: DataFrame,
+    key_col: str = "event_type",
+    order_col: str = "day",
+    value_col: str = "n",
+) -> DataFrame:
+    """Single-changepoint scan per key: the split point t maximizing
+    the weighted mean-shift statistic G_t = |n·P_t − t·T| over an
+    integer series x_1..x_n (P_t = prefix sum, T = total). G_t equals
+    t·(n−t)·|mean(1..t) − mean(t+1..n)| — the least-squares
+    changepoint objective up to variance normalization — so the argmax
+    is the classic CUSUM-family break detector, computed EXACTLY in
+    integers (no recursion, no sqrt): distribution drift, crawler
+    regime changes, source cutovers.
+
+    Plan: one shuffle on ``key_col``, a running prefix sum + row
+    number per partition (series length is calendar-bounded per key,
+    never fact-volume-bounded), then one groupBy argmax via max(struct)
+    with the deterministic tie-break (earliest split wins). G_t is a
+    BIGINT product — exact to |n·P| < 2⁶³, i.e. any series shorter
+    than ~10⁹ points whose total stays under 2⁶³/n; beyond that cast
+    the two factors to double (the comparison stays cross-engine
+    deterministic on exact integer inputs).
+
+    Output: one row per key — (key, n_points, split point, the two
+    segment means at 6 dp, g_stat).
+    """
+    win = Window.partitionBy(key_col).orderBy(order_col)
+    x = F.col(value_col).cast("bigint")
+    scored = (
+        df.select(key_col, order_col, x.alias("__x"))
+        .withColumn("__p", F.sum("__x").over(win.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("__t", F.row_number().over(win))
+        .withColumn("__tot", F.sum("__x").over(Window.partitionBy(key_col)))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(key_col)))
+        .filter(F.col("__t") < F.col("__n"))
+        .withColumn("__g", F.abs(F.col("__n") * F.col("__p") - F.col("__t") * F.col("__tot")))
+    )
+    # argmax via max(struct(g, -t)): ties take the EARLIEST split —
+    # negate the row number so the struct max prefers smaller t.
+    best = scored.groupBy(key_col).agg(
+        F.max(
+            F.struct(
+                F.col("__g").alias("g"),
+                (-F.col("__t")).alias("negt"),
+                F.col(order_col).alias("split"),
+                F.col("__p").alias("p"),
+                F.col("__tot").alias("tot"),
+                F.col("__n").alias("n"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        key_col,
+        F.col("b.n").alias("n_points"),
+        F.col("b.split").alias("split_" + order_col),
+        (-F.col("b.negt")).alias("split_idx"),
+        F.round(F.col("b.p").cast("double") / (-F.col("b.negt")).cast("double"), 6).alias("mean_before"),
+        F.round(
+            (F.col("b.tot") - F.col("b.p")).cast("double")
+            / (F.col("b.n") + F.col("b.negt")).cast("double"),
+            6,
+        ).alias("mean_after"),
+        F.col("b.g").alias("g_stat"),
+    )

@@ -176,6 +176,18 @@ BENCH_QUERIES = [
     "hard_negative_mine",
     # CCNet-style LM-score tercile report (exact scalable NTILE)
     "ccnet_buckets",
+    # round-8 second batch: series monitors (trailing z-score flags,
+    # exact changepoint scan), bucketed 2-D skyline, wedge-join link
+    # prediction, Apriori triple mining, contingency MI audit
+    "rolling_anomaly",
+    "changepoint_scan",
+    "skyline_pareto",
+    "link_prediction",
+    "itemset_triples",
+    "mutual_information",
+    # zero-shuffle JL projection; single-pass Poisson-bootstrap CI
+    "random_projection",
+    "poisson_bootstrap",
 ]
 
 

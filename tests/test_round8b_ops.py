@@ -1,0 +1,283 @@
+"""Round-8 second-batch operators: semantics pinned on adversarial
+tiny fixtures (the oracle gates prove sf-scale parity; these prove the
+CONTRACTS — baseline exclusion, tie-breaks, prune-neutrality, guards).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- timeseries
+
+
+def _series(spark, vals, key="a"):
+    rows = [(key, i, int(v)) for i, v in enumerate(vals)]
+    return spark.createDataFrame(rows, "event_type string, day int, n bigint")
+
+
+def test_rolling_anomaly_flags_spike_not_baseline(spark):
+    from awi_datapipelinepublic_spark.operators.timeseries import rolling_anomaly
+
+    # 7 flat days then a spike: the spike is anomalous, the flat rows
+    # before it have no full baseline (NULL), a flat row AFTER a full
+    # flat baseline is not anomalous.
+    out = rolling_anomaly(_series(spark, [5] * 8 + [50])).orderBy("day").collect()
+    assert [r["is_anomaly"] for r in out[:7]] == [None] * 7
+    assert out[7]["is_anomaly"] is False  # 8th flat day, flat baseline
+    assert out[8]["is_anomaly"] is True  # the spike
+
+
+def test_rolling_anomaly_baseline_is_strictly_prior(spark):
+    from awi_datapipelinepublic_spark.operators.timeseries import rolling_anomaly
+
+    out = {
+        r["day"]: r
+        for r in rolling_anomaly(_series(spark, [5] * 8 + [50])).collect()
+    }
+    # day 8's own value (50) must NOT contaminate its baseline
+    assert out[8]["base_sum"] == 35
+    assert out[8]["base_sumsq"] == 7 * 25
+
+
+def test_rolling_anomaly_zero_variance_flags_any_departure(spark):
+    from awi_datapipelinepublic_spark.operators.timeseries import rolling_anomaly
+
+    out = {
+        r["day"]: r["is_anomaly"]
+        for r in rolling_anomaly(_series(spark, [5] * 7 + [6])).collect()
+    }
+    assert out[7] is True  # σ=0 baseline: any departure flags
+
+
+def test_changepoint_scan_finds_level_shift(spark):
+    from awi_datapipelinepublic_spark.operators.timeseries import changepoint_scan
+
+    # 10 then 100: shift after index 5 (1-based t=5)
+    r = changepoint_scan(_series(spark, [10] * 5 + [100] * 5)).collect()[0]
+    assert r["split_idx"] == 5
+    assert r["mean_before"] == 10.0
+    assert r["mean_after"] == 100.0
+    assert r["n_points"] == 10
+    # G at t=5: |10·50 − 5·550| = 2250
+    assert r["g_stat"] == 2250
+
+
+def test_changepoint_scan_tie_takes_earliest(spark):
+    from awi_datapipelinepublic_spark.operators.timeseries import changepoint_scan
+
+    # constant series: every split has G = 0 — earliest (t=1) wins
+    r = changepoint_scan(_series(spark, [7, 7, 7, 7])).collect()[0]
+    assert r["g_stat"] == 0
+    assert r["split_idx"] == 1
+
+
+# ------------------------------------------------------------------ skyline
+
+
+def _brute_skyline(pts):
+    out = []
+    for a in set(pts):
+        if not any(
+            b[0] <= a[0] and b[1] >= a[1] and (b[0] < a[0] or b[1] > a[1])
+            for b in set(pts)
+        ):
+            out.append(a)
+    return sorted(out)
+
+
+@pytest.mark.parametrize("n_buckets", [1, 3, 64])
+def test_skyline2d_matches_definition(spark, n_buckets):
+    from awi_datapipelinepublic_spark.operators.spatial import skyline2d
+
+    pts = [
+        (1.0, 5), (1.0, 5),  # duplicate coord: kept once, n_rows=2
+        (1.0, 4),            # same x, smaller y → dominated
+        (2.0, 9), (3.0, 9),  # (3,9) dominated by (2,9)
+        (0.5, 1), (4.0, 10), (4.0, 2),
+    ]
+    df = spark.createDataFrame(pts, "x double, y int")
+    got = sorted(
+        (r["x"], r["y"]) for r in skyline2d(df, "x", "y", n_buckets=n_buckets).collect()
+    )
+    assert got == _brute_skyline(pts)
+    dup = {
+        (r["x"], r["y"]): r["n_rows"]
+        for r in skyline2d(df, "x", "y", n_buckets=n_buckets).collect()
+    }
+    assert dup[(1.0, 5)] == 2
+
+
+def test_skyline2d_degenerate_single_x(spark):
+    from awi_datapipelinepublic_spark.operators.spatial import skyline2d
+
+    df = spark.createDataFrame([(1.0, i) for i in range(5)], "x double, y int")
+    got = [(r["x"], r["y"]) for r in skyline2d(df, "x", "y").collect()]
+    assert got == [(1.0, 4)]  # only the max-y survives at equal x
+
+
+# ---------------------------------------------------------------- link pred
+
+
+def test_link_prediction_scores_and_excludes_edges(spark):
+    import math
+
+    from awi_datapipelinepublic_spark.operators.graph import link_prediction
+
+    # path graph 1-2-3 plus 1-4, 3-4: candidates include (1,3) with
+    # common neighbors {2, 4}; (2,4) with common neighbors {1, 3};
+    # existing edges must not appear.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 4), (3, 4)], "src int, dst int"
+    )
+    out = {(r["item_a"], r["item_b"]): r for r in link_prediction(edges, k=10).collect()}
+    assert set(out) == {(1, 3), (2, 4)}
+    assert out[(1, 3)]["cn"] == 2
+    # deg(2)=2, deg(4)=2 → aa = 2·floor(1e9/ln 2)
+    assert out[(1, 3)]["aa_nano"] == 2 * math.floor(1e9 / math.log(2))
+
+
+def test_link_prediction_degree_cap_drops_hub_centers(spark):
+    from awi_datapipelinepublic_spark.operators.graph import link_prediction
+
+    # star: hub 0 with leaves 1..5 — all wedges center on the hub;
+    # capping below its degree leaves no candidates.
+    edges = spark.createDataFrame([(0, i) for i in range(1, 6)], "src int, dst int")
+    assert link_prediction(edges, max_degree=4, k=10).count() == 0
+    assert link_prediction(edges, max_degree=5, k=10).count() == 10  # C(5,2)
+
+
+# ------------------------------------------------------------------ triples
+
+
+def test_triple_support_counts_and_prunes_neutrally(spark):
+    from awi_datapipelinepublic_spark.operators.affinity import triple_support
+
+    rows = []
+    for b in range(3):
+        for it in ("a", "b", "c"):
+            rows.append((f"bk{b}", it))
+    rows += [("bk0", "rare")]  # infrequent item — pruned, result-neutral
+    df = spark.createDataFrame(rows, "bk string, it string")
+    out = triple_support(df, "bk", "it", min_support=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["item_a"], r["item_b"], r["item_c"], r["n_abc"]) == ("a", "b", "c", 3)
+    assert r["support"] == 1.0  # 3 of 3 capped baskets
+
+
+def test_triple_support_basket_cap_excludes_megabasket(spark):
+    from awi_datapipelinepublic_spark.operators.affinity import triple_support
+
+    rows = [("big", f"i{k}") for k in range(10)] + [
+        ("s1", x) for x in ("a", "b", "c")
+    ] + [("s2", x) for x in ("a", "b", "c")]
+    df = spark.createDataFrame(rows, "bk string, it string")
+    out = triple_support(df, "bk", "it", min_support=2, max_basket=5).collect()
+    # the 10-item basket is excluded BEFORE expansion and from N
+    assert len(out) == 1 and out[0]["n_abc"] == 2
+    assert out[0]["support"] == 1.0
+
+
+# ----------------------------------------------------------------------- MI
+
+
+def test_mutual_information_independent_columns_zero_pmi(spark):
+    from awi_datapipelinepublic_spark.operators.expectations import mutual_information
+
+    # perfectly independent 2×2: pmi = ln(1) = 0 in every cell
+    rows = [("x1", "y1"), ("x1", "y2"), ("x2", "y1"), ("x2", "y2")] * 5
+    out = mutual_information(
+        spark.createDataFrame(rows, "a string, b string"), "a", "b"
+    ).collect()
+    assert len(out) == 4
+    assert all(r["pmi_nano"] == 0 and r["mi_contrib_nano"] == 0 for r in out)
+    assert all(r["n_xy"] == 5 and r["n_x"] == 10 and r["n_y"] == 10 for r in out)
+
+
+def test_mutual_information_dependent_columns_positive_mi(spark):
+    import math
+
+    from awi_datapipelinepublic_spark.operators.expectations import mutual_information
+
+    # perfect dependence: y == x ⇒ MI = ln(2) for 2 symbols
+    rows = [("x1", "y1")] * 4 + [("x2", "y2")] * 4
+    out = mutual_information(
+        spark.createDataFrame(rows, "a string, b string"), "a", "b"
+    ).collect()
+    total = sum(r["mi_contrib_nano"] for r in out)
+    assert total == 8 * math.floor(1e9 * math.log(float(4 * 8) / float(4 * 4)))
+
+
+def test_mutual_information_guard_raises_on_high_cardinality(spark):
+    from awi_datapipelinepublic_spark.operators.expectations import mutual_information
+
+    df = spark.range(100).select(
+        F.col("id").alias("a"), F.col("id").alias("b")
+    )
+    with pytest.raises(ValueError, match="joint cells"):
+        mutual_information(df, "a", "b", max_cells=50)
+
+
+# -------------------------------------------------------- random projection
+
+
+def test_random_projection_matches_manual_dot(spark):
+    from awi_datapipelinepublic_spark.operators.similarity import (
+        random_projection,
+        rp_signs,
+    )
+
+    vec = [1.0, 2.0, 3.0, 4.0]
+    df = spark.createDataFrame([(1, vec)], "vec_id int, embedding array<double>")
+    out = random_projection(df, out_dim=3, dim=4).collect()[0]
+    signs = rp_signs(3, 4)
+    for j in range(3):
+        assert out[f"proj_{j}"] == round(
+            sum(v * s for v, s in zip(vec, signs[j])), 6
+        )
+
+
+def test_random_projection_plan_has_no_exchange(spark, sf_dir):
+    from awi_datapipelinepublic_spark.operators.similarity import random_projection
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = random_projection(e, out_dim=4, dim=64)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure projection: zero shuffle
+
+
+def test_rp_signs_deterministic_and_balanced():
+    from awi_datapipelinepublic_spark.operators.similarity import rp_signs
+
+    a, b = rp_signs(4, 64), rp_signs(4, 64)
+    assert a == b
+    flat = [v for row in a for v in row]
+    assert set(flat) == {1.0, -1.0}
+    # md5 parity should be roughly balanced (not a constant matrix)
+    assert 0.3 < (flat.count(1.0) / len(flat)) < 0.7
+
+
+# -------------------------------------------------------- poisson bootstrap
+
+
+def test_poisson_bootstrap_constant_value_degenerate_ci(spark):
+    from awi_datapipelinepublic_spark.operators.sampling import poisson_bootstrap
+
+    rows = [("k", i, 7.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string, id int, v double")
+    out = poisson_bootstrap(df, "k", "id", "v").collect()[0]
+    # every weighted mean of a constant IS the constant
+    assert out["mean"] == out["ci_lo"] == out["ci_hi"] == 7.0
+    assert out["n_rows"] == 200
+
+
+def test_poisson_bootstrap_ci_brackets_mean(spark):
+    from awi_datapipelinepublic_spark.operators.sampling import poisson_bootstrap
+
+    rows = [("k", i, float(i % 10)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k string, id int, v double")
+    out = poisson_bootstrap(df, "k", "id", "v").collect()[0]
+    true_mean = sum(i % 10 for i in range(1000)) / 1000
+    assert out["ci_lo"] <= out["mean"] <= out["ci_hi"]
+    assert out["ci_lo"] < true_mean < out["ci_hi"]
+    # CI of a 1000-row mean of values in [0,9] should be tight-ish
+    assert out["ci_hi"] - out["ci_lo"] < 1.0
