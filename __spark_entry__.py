@@ -8793,7 +8793,8 @@ def oracle_sql() -> dict[str, str]:
           FROM events),
         uu AS (
           SELECT k, b, c,
-                 ('0x' || substr(md5('bs#' || b || '#' || event_id), 1, 8))::UBIGINT::DOUBLE
+                 ('0x' || substr(md5('bs#' || (b // 4) || '#' || event_id),
+                                 1 + 8 * (b % 4), 8))::UBIGINT::DOUBLE
                    / 4294967296.0 AS u
           FROM r),
         ww AS (SELECT k, b, c, {_w_case} AS w FROM uu),

@@ -574,17 +574,24 @@ def poisson_bootstrap(
     distribution.
 
     Determinism contract: the per-(row, replicate) weight is the
-    Poisson(1) inverse CDF of the md5-derived dyadic-rational uniform
-    u = int(md5(seed#b#id)[:8], 16) / 2³² (bit-identical in any
-    engine); values are pre-scaled to exact integers
-    (floor(v·scale + 0.5) — floor, not round: Spark's F.round is
-    shortest-string HALF_UP, an oracle hazard), so every replicate
-    sum is an exact BIGINT and the replicate mean is ONE double
-    division on exact integers. CDF thresholds are CPython-libm
-    doubles; oracles embed their repr() literals.
+    Poisson(1) inverse CDF of an md5-derived dyadic-rational uniform
+    (bit-identical in any engine); values are pre-scaled to exact
+    integers (floor(v·scale + 0.5) — floor, not round: Spark's
+    F.round is shortest-string HALF_UP, an oracle hazard), so every
+    replicate sum is an exact BIGINT and the replicate mean is ONE
+    double division on exact integers. CDF thresholds are
+    CPython-libm doubles; oracles embed their repr() literals.
 
-    Plan: the replicate axis is a ``sequence`` + ``explode`` (B× row
-    growth of a 3-column projection, no UDF), one groupBy
+    Hash economy: one md5 digest is 128 bits = FOUR independent
+    32-bit uniforms, so replicate b reads 8 hex chars at offset
+    8·(b mod 4) of md5(seed#⌊b/4⌋#id) — 4× fewer digests than
+    hash-per-replicate (measured hash-bound: 32 replicates at ~the
+    cost of 8). The plan stages this as explode(groups) → one md5
+    per (row, group) → explode(4 slices), so the digest is computed
+    once per group, not re-evaluated per replicate row.
+
+    Plan: the replicate axis is ``sequence`` + two ``explode``s (B×
+    row growth of a 4-column projection, no UDF), one groupBy
     (key, replicate) with map-side combine, then a (key)-grouped
     exact percentile over B replicate means — |keys|·B intermediate
     rows total. No resampling shuffle, no driver loop: the classic
@@ -604,36 +611,43 @@ def poisson_bootstrap(
         cum.append(acc)
         term = term / (k + 1)
         acc += term
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(seed + "#"),
-                        F.col("__b").cast("string"),
-                        F.lit("#"),
-                        F.col(id_col).cast("string"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("double")
-        / F.lit(4294967296.0)
+    if B % 4:
+        raise ValueError("poisson_bootstrap: replicates must be a multiple of 4")
+    cents = F.floor(F.col(value_col) * value_scale + F.lit(0.5)).cast("bigint")
+    grouped = df.select(
+        F.col(key_col).alias("__k"),
+        cents.alias("__c"),
+        F.explode(F.sequence(F.lit(0), F.lit(B // 4 - 1))).alias("__g"),
+        F.col(id_col).cast("string").alias("__id"),
+    ).select(
+        "__k",
+        "__c",
+        "__g",
+        F.md5(
+            F.concat(F.lit(seed + "#"), F.col("__g").cast("string"), F.lit("#"), F.col("__id"))
+        ).alias("__h"),
     )
+    sliced = grouped.select(
+        "__k",
+        "__c",
+        "__g",
+        "__h",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("__s"),
+    ).select(
+        "__k",
+        "__c",
+        (F.col("__g") * 4 + F.col("__s")).alias("__b"),
+        (
+            F.conv(F.expr("substring(__h, 1 + 8 * __s, 8)"), 16, 10).cast("double")
+            / F.lit(4294967296.0)
+        ).alias("__u"),
+    )
+    u = F.col("__u")
     w = F.when(u < F.lit(cum[0]), F.lit(0))
     for k in range(1, 7):
         w = w.when(u < F.lit(cum[k]), F.lit(k))
     w = w.otherwise(F.lit(7)).cast("bigint")
-    cents = F.floor(F.col(value_col) * value_scale + F.lit(0.5)).cast("bigint")
-    exploded = df.select(
-        F.col(key_col).alias("__k"),
-        F.col(id_col),
-        cents.alias("__c"),
-        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("__b"),
-    ).select("__k", "__b", w.alias("__w"), "__c")
+    exploded = sliced.select("__k", "__b", w.alias("__w"), "__c")
     rep = exploded.groupBy("__k", "__b").agg(
         F.sum("__w").alias("__n_eff"),
         F.sum(F.col("__w") * F.col("__c")).alias("__wsum"),
