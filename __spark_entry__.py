@@ -4718,6 +4718,20 @@ def q_poisson_bootstrap(spark, sf_dir):
     )
 
 
+def q_packing_efficiency(spark, sf_dir):
+    """Sequence-length decision table (operators/chunking.py:
+    packing_efficiency): pad-to-max vs concat-packed waste at
+    L ∈ {512, 1024, 2048} over whitespace token counts — one scan,
+    the L axis a literal explode, exact-integer ceils (BIGINT DIV)."""
+    from awi_datapipelinepublic_spark.functions import text as X
+    from awi_datapipelinepublic_spark.operators.chunking import packing_efficiency
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.size(X.tokens(X.normalize_text(F.col("text")))).alias("n_tokens")
+    )
+    return packing_efficiency(d, "n_tokens")
+
+
 # Round-8 driver window: the driver oracle-verifies the FIRST 50
 # queries() entries each round (CORRECTNESS_r*). After r7, 9 gate ids
 # still had NO green driver row (r7's two red rows ab_test_zscore /
@@ -5046,6 +5060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_information": q_mutual_information,
         "random_projection": q_random_projection,
         "poisson_bootstrap": q_poisson_bootstrap,
+        "packing_efficiency": q_packing_efficiency,
     }
     window = {k: q[k] for k in _R8_WINDOW}
     window.update((k, v) for k, v in q.items() if k not in window)
@@ -8816,5 +8831,29 @@ def oracle_sql() -> dict[str, str]:
                ROUND(quantile_cont(m, 0.025), 6) AS ci_lo,
                ROUND(quantile_cont(m, 0.975), 6) AS ci_hi
         FROM m GROUP BY 1
+    """
+    # Packing decision table: whitespace token counts via the shared
+    # _TOKS normalization, exact-integer ceils ((t+L-1)//L), one
+    # division per waste ratio.
+    sql["packing_efficiency"] = f"""
+        WITH d AS (
+          SELECT CAST(len({_TOKS}) AS BIGINT) AS t FROM documents),
+        e AS (
+          SELECT t, unnest([512, 1024, 2048]) AS seq_len FROM d),
+        a AS (
+          SELECT CAST(seq_len AS INT) AS seq_len,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(t) AS BIGINT) AS total_tokens,
+                 CAST(SUM((t + seq_len - 1) // seq_len) AS BIGINT) AS n_chunks
+          FROM e GROUP BY 1)
+        SELECT seq_len, n_docs, total_tokens, n_chunks,
+               CAST(n_chunks * seq_len AS BIGINT) AS padded_slots,
+               ROUND(1.0::DOUBLE - CAST(total_tokens AS DOUBLE)
+                     / CAST(n_chunks * seq_len AS DOUBLE), 6) AS pad_waste,
+               CAST((total_tokens + seq_len - 1) // seq_len AS BIGINT) AS concat_sequences,
+               ROUND(1.0::DOUBLE - CAST(total_tokens AS DOUBLE)
+                     / CAST(((total_tokens + seq_len - 1) // seq_len) * seq_len AS DOUBLE), 6)
+                 AS concat_waste
+        FROM a
     """
     return sql

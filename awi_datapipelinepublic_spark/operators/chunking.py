@@ -64,3 +64,65 @@ def chunk_documents(
         F.array_join(piece, " ").alias("chunk_text"),
         F.size(piece).cast("long").alias("n_chunk_tokens"),
     )
+
+
+def packing_efficiency(
+    df: DataFrame,
+    token_col: str,
+    seq_lens: tuple = (512, 1024, 2048),
+    round_dp: int = 6,
+) -> DataFrame:
+    """Sequence-length decision table for training prep: for each
+    candidate ``seq_len`` L, the padding waste of the two standard
+    batch layouts over the corpus' per-document token counts —
+
+    - chunked pad-to-max (one document per sequence, long docs split):
+      n_chunks  = Σ ⌈t/L⌉ and pad_waste = 1 − Σt / (n_chunks·L);
+    - concat packing (documents packed back-to-back, the
+      :func:`sequence_pack` layout) lower bound:
+      concat_sequences = ⌈Σt / L⌉, concat_waste likewise.
+
+    The spread between the two columns is exactly what switching to
+    packed sequences buys at that L — the table a training team reads
+    before locking max_seq_len.
+
+    Exact-integer contract: ⌈t/L⌉ = (t + L − 1) DIV L on BIGINTs (no
+    float ceils), waste ratios are one double division rounded at
+    ``round_dp``. Plan: the L axis is a 3-element literal explode, so
+    the whole table is ONE scan + one (L)-grouped map-side-combined
+    aggregate — no per-L jobs.
+    """
+    ls = F.explode(F.array(*[F.lit(int(l)) for l in seq_lens])).alias("seq_len")
+    t = F.col(token_col).cast("bigint")
+    per = df.select(t.alias("__t"), ls)
+    # integer DIV inside the aggregate (the Column / operator is float
+    # division — the expr form keeps the ceil exact on BIGINTs)
+    agg = per.groupBy("seq_len").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__t").alias("total_tokens"),
+        F.sum(F.expr("(__t + seq_len - 1) DIV seq_len")).cast("bigint").alias("n_chunks"),
+    )
+    return agg.select(
+        "seq_len",
+        "n_docs",
+        "total_tokens",
+        "n_chunks",
+        (F.col("n_chunks") * F.col("seq_len")).alias("padded_slots"),
+        F.round(
+            F.lit(1.0)
+            - F.col("total_tokens").cast("double")
+            / (F.col("n_chunks") * F.col("seq_len")).cast("double"),
+            round_dp,
+        ).alias("pad_waste"),
+        F.expr("(total_tokens + seq_len - 1) DIV seq_len").cast("bigint").alias(
+            "concat_sequences"
+        ),
+        F.round(
+            F.lit(1.0)
+            - F.col("total_tokens").cast("double")
+            / (
+                F.expr("(total_tokens + seq_len - 1) DIV seq_len") * F.col("seq_len")
+            ).cast("double"),
+            round_dp,
+        ).alias("concat_waste"),
+    )

@@ -188,6 +188,8 @@ BENCH_QUERIES = [
     # zero-shuffle JL projection; single-pass Poisson-bootstrap CI
     "random_projection",
     "poisson_bootstrap",
+    # one-scan seq-length decision table (exact-integer ceils)
+    "packing_efficiency",
 ]
 
 

@@ -281,3 +281,22 @@ def test_poisson_bootstrap_ci_brackets_mean(spark):
     assert out["ci_lo"] < true_mean < out["ci_hi"]
     # CI of a 1000-row mean of values in [0,9] should be tight-ish
     assert out["ci_hi"] - out["ci_lo"] < 1.0
+
+
+# ------------------------------------------------------- packing efficiency
+
+
+def test_packing_efficiency_exact_ceils(spark):
+    from awi_datapipelinepublic_spark.operators.chunking import packing_efficiency
+
+    # tokens: 100, 512, 513, 0-token docs must cost zero chunks
+    df = spark.createDataFrame([(100,), (512,), (513,), (0,)], "n_tokens int")
+    out = {r["seq_len"]: r for r in packing_efficiency(df, "n_tokens").collect()}
+    r = out[512]
+    assert r["n_docs"] == 4 and r["total_tokens"] == 1125
+    assert r["n_chunks"] == 1 + 1 + 2 + 0  # ceil(100/512)+1+ceil(513/512)+0
+    assert r["padded_slots"] == 4 * 512
+    assert r["concat_sequences"] == 3  # ceil(1125/512)
+    assert r["pad_waste"] == round(1 - 1125 / 2048, 6)
+    # bigger L: fewer chunks, more padding
+    assert out[2048]["n_chunks"] == 3 and out[2048]["pad_waste"] > r["pad_waste"]
