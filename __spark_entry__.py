@@ -4732,6 +4732,17 @@ def q_packing_efficiency(spark, sf_dir):
     return packing_efficiency(d, "n_tokens")
 
 
+def q_spearman_corr(spark, sf_dir):
+    """Exact tie-aware Spearman ρ of quantity vs extended price
+    (operators/quality.py:spearman_corr): average ranks via the
+    two-pass running-sum layout (no global row window), DECIMAL(38,0)
+    moment sums, one IEEE formula evaluation — bit-replayable."""
+    from awi_datapipelinepublic_spark.operators.quality import spearman_corr
+
+    li = _t(spark, sf_dir, "lineitem")
+    return spearman_corr(li, "l_quantity", "l_extendedprice")
+
+
 # Round-8 driver window: the driver oracle-verifies the FIRST 50
 # queries() entries each round (CORRECTNESS_r*). After r7, 9 gate ids
 # still had NO green driver row (r7's two red rows ab_test_zscore /
@@ -5061,6 +5072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_projection": q_random_projection,
         "poisson_bootstrap": q_poisson_bootstrap,
         "packing_efficiency": q_packing_efficiency,
+        "spearman_corr": q_spearman_corr,
     }
     window = {k: q[k] for k in _R8_WINDOW}
     window.update((k, v) for k, v in q.items() if k not in window)
@@ -8855,5 +8867,32 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(((total_tokens + seq_len - 1) // seq_len) * seq_len AS DOUBLE), 6)
                  AS concat_waste
         FROM a
+    """
+    # Spearman: rank2 = 2·cum − c + 1 (twice the tie-averaged rank,
+    # exact integer; the 2× cancels), moment sums exact, formula in
+    # DOUBLE — identical expression shape to the engine.
+    sql["spearman_corr"] = """
+        WITH xc AS (SELECT l_quantity AS v, COUNT(*) AS c FROM lineitem GROUP BY 1),
+        xr AS (SELECT v, 2 * SUM(c) OVER (ORDER BY v) - c + 1 AS r2 FROM xc),
+        yc AS (SELECT l_extendedprice AS v, COUNT(*) AS c FROM lineitem GROUP BY 1),
+        yr AS (SELECT v, 2 * SUM(c) OVER (ORDER BY v) - c + 1 AS r2 FROM yc),
+        j AS (
+          SELECT xr.r2 AS rx, yr.r2 AS ry
+          FROM lineitem l
+          JOIN xr ON l.l_quantity = xr.v
+          JOIN yr ON l.l_extendedprice = yr.v),
+        s AS (
+          SELECT COUNT(*) AS n, SUM(rx) AS sx, SUM(ry) AS sy,
+                 SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy,
+                 SUM(rx * ry) AS sxy
+          FROM j)
+        SELECT CAST(n AS BIGINT) AS n_rows,
+               ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS rho
+        FROM s
     """
     return sql

@@ -1130,3 +1130,81 @@ def ngram_novelty(
             F.round(F.try_divide(F.col("n_novel"), F.col("n_grams")), round_dp),
         )
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact Spearman rank correlation between two numeric columns —
+    the monotonic-association audit that survives outliers and
+    nonlinearity where Pearson lies (price↔quantity sanity checks,
+    quality-score↔human-label agreement, feature screening).
+
+    Ranks are AVERAGE ranks with exact tie handling, computed WITHOUT
+    a global row-number: per-column distinct-value counts (exchange is
+    distinct-value-sized) + the two-pass :func:`global_running_sums`
+    prefix (the ks_drift layout), giving each value
+    rank2 = 2·cum − c + 1 — TWICE the average rank, an exact integer
+    (the 2× cancels in ρ). Rows join back to their two rank tables;
+    the five moment sums accumulate as DECIMAL(38,0) (per-row products
+    are BIGINT-exact to ~2·10⁹ rows; decimal accumulation is exact at
+    any scale), and
+
+        ρ = (n·Sxy − Sx·Sy) / √((n·Sxx − Sx²) · (n·Syy − Sy²))
+
+    is evaluated in DOUBLE on those exact sums — correctly-rounded
+    casts, IEEE ·/−/√ — so the rounded result replays bit-for-bit in
+    any engine. A constant column (denominator 0) yields NULL via
+    try_divide, matching SQL x/0 → NULL.
+
+    Output: one row (n_rows BIGINT, rho DOUBLE at ``round_dp``).
+    """
+    from awi_datapipelinepublic_spark.operators.windows import global_running_sums
+
+    def rank2_table(col: str, vout: str, rout: str) -> DataFrame:
+        counts = (
+            df.select(F.col(col).alias(vout))
+            .groupBy(vout)
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        cums = global_running_sums(counts, [F.col(vout).asc()], ["__c"])
+        return cums.select(
+            vout,
+            (F.lit(2) * F.col("__c_run") - F.col("__c") + 1).alias(rout),
+        )
+
+    rx = rank2_table(col_x, "__vx", "__rx")
+    ry = rank2_table(col_y, "__vy", "__ry")
+    joined = (
+        df.select(F.col(col_x).alias("__vx"), F.col(col_y).alias("__vy"))
+        .join(rx, "__vx")
+        .join(ry, "__vy")
+    )
+    s = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("__rx").cast("decimal(38,0)")).alias("__sx"),
+        F.sum(F.col("__ry").cast("decimal(38,0)")).alias("__sy"),
+        F.sum((F.col("__rx") * F.col("__rx")).cast("decimal(38,0)")).alias("__sxx"),
+        F.sum((F.col("__ry") * F.col("__ry")).cast("decimal(38,0)")).alias("__syy"),
+        F.sum((F.col("__rx") * F.col("__ry")).cast("decimal(38,0)")).alias("__sxy"),
+    )
+    n = F.col("n_rows").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("__sxx").cast("double"),
+        F.col("__syy").cast("double"),
+        F.col("__sxy").cast("double"),
+    )
+    return s.select(
+        "n_rows",
+        F.round(
+            F.try_divide(
+                n * sxy - sx * sy,
+                F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            ),
+            round_dp,
+        ).alias("rho"),
+    )

@@ -190,6 +190,8 @@ BENCH_QUERIES = [
     "poisson_bootstrap",
     # one-scan seq-length decision table (exact-integer ceils)
     "packing_efficiency",
+    # exact tie-aware Spearman via two-pass running-sum ranks
+    "spearman_corr",
 ]
 
 

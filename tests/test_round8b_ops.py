@@ -300,3 +300,51 @@ def test_packing_efficiency_exact_ceils(spark):
     assert r["pad_waste"] == round(1 - 1125 / 2048, 6)
     # bigger L: fewer chunks, more padding
     assert out[2048]["n_chunks"] == 3 and out[2048]["pad_waste"] > r["pad_waste"]
+
+
+# ------------------------------------------------------------------ spearman
+
+
+def test_spearman_matches_scipy_free_reference(spark):
+    from awi_datapipelinepublic_spark.operators.quality import spearman_corr
+
+    # hand-checkable: y monotone in x → rho = 1; reversed → -1
+    up = spark.createDataFrame([(i, i * 2.0) for i in range(20)], "x int, y double")
+    assert spearman_corr(up, "x", "y").collect()[0]["rho"] == 1.0
+    down = spark.createDataFrame([(i, -i * 2.0) for i in range(20)], "x int, y double")
+    assert spearman_corr(down, "x", "y").collect()[0]["rho"] == -1.0
+
+
+def test_spearman_tie_averaged_ranks(spark):
+    import math
+
+    from awi_datapipelinepublic_spark.operators.quality import spearman_corr
+
+    # data with ties; compare against a driver-side average-rank Spearman
+    xs = [1, 2, 2, 3, 3, 3, 9]
+    ys = [4, 4, 5, 6, 7, 7, 1]
+
+    def avg_ranks(vals):
+        out = []
+        for v in vals:
+            out.append(sum(1 for w in vals if w < v) + (sum(1 for w in vals if w == v) + 1) / 2)
+        return out
+
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(xs)
+    sx, sy = sum(rx), sum(ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    sxx = sum(a * a for a in rx)
+    syy = sum(b * b for b in ry)
+    expect = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    df = spark.createDataFrame(list(zip(xs, ys)), "x int, y int")
+    got = spearman_corr(df, "x", "y").collect()[0]
+    assert got["n_rows"] == n
+    assert abs(got["rho"] - round(expect, 6)) <= 1e-6
+
+
+def test_spearman_constant_column_null(spark):
+    from awi_datapipelinepublic_spark.operators.quality import spearman_corr
+
+    df = spark.createDataFrame([(1, 5.0), (2, 5.0), (3, 5.0)], "x int, y double")
+    assert spearman_corr(df, "x", "y").collect()[0]["rho"] is None
