@@ -108,10 +108,14 @@ def packing_efficiency(
         "total_tokens",
         "n_chunks",
         (F.col("n_chunks") * F.col("seq_len")).alias("padded_slots"),
+        # try_divide: an all-empty-token corpus has n_chunks = 0 —
+        # waste is undefined (NULL), not an ANSI DIVIDE_BY_ZERO
         F.round(
             F.lit(1.0)
-            - F.col("total_tokens").cast("double")
-            / (F.col("n_chunks") * F.col("seq_len")).cast("double"),
+            - F.try_divide(
+                F.col("total_tokens").cast("double"),
+                (F.col("n_chunks") * F.col("seq_len")).cast("double"),
+            ),
             round_dp,
         ).alias("pad_waste"),
         F.expr("(total_tokens + seq_len - 1) DIV seq_len").cast("bigint").alias(
@@ -119,10 +123,13 @@ def packing_efficiency(
         ),
         F.round(
             F.lit(1.0)
-            - F.col("total_tokens").cast("double")
-            / (
-                F.expr("(total_tokens + seq_len - 1) DIV seq_len") * F.col("seq_len")
-            ).cast("double"),
+            - F.try_divide(
+                F.col("total_tokens").cast("double"),
+                (
+                    F.expr("(total_tokens + seq_len - 1) DIV seq_len")
+                    * F.col("seq_len")
+                ).cast("double"),
+            ),
             round_dp,
         ).alias("concat_waste"),
     )

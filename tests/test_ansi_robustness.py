@@ -188,3 +188,62 @@ def test_conversion_time_no_conversions(spark):
         row = funnel_timing(df).first()
     assert row["n_converted"] == 0
     assert row["avg_seconds"] is None
+
+
+def test_packing_efficiency_all_empty_corpus(spark):
+    """n_chunks = 0 (every doc has zero tokens): waste is NULL, not a
+    DIVIDE_BY_ZERO under ANSI."""
+    from awi_datapipelinepublic_spark.operators.chunking import packing_efficiency
+
+    df = spark.createDataFrame([(0,), (0,)], "n_tokens int")
+    with ansi(spark):
+        rows = packing_efficiency(df, "n_tokens").collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["n_chunks"] == 0
+        assert r["pad_waste"] is None and r["concat_waste"] is None
+
+
+def test_spearman_empty_and_constant_inputs(spark):
+    """Empty input → one row with NULL rho; constant column → NULL rho
+    (zero denominator through try_divide) — no ANSI crash."""
+    from awi_datapipelinepublic_spark.operators.quality import spearman_corr
+
+    empty = spark.createDataFrame([], "x int, y double")
+    const = spark.createDataFrame([(1, 2.0), (2, 2.0)], "x int, y double")
+    with ansi(spark):
+        r0 = spearman_corr(empty, "x", "y").collect()[0]
+        r1 = spearman_corr(const, "x", "y").collect()[0]
+    assert r0["n_rows"] == 0 and r0["rho"] is None
+    assert r1["rho"] is None
+
+
+def test_changepoint_scan_single_point_series(spark):
+    """A 1-point series has NO valid split (t < n never holds): the
+    key drops out entirely instead of dividing by n - t = 0."""
+    from awi_datapipelinepublic_spark.operators.timeseries import changepoint_scan
+
+    df = spark.createDataFrame([("a", 1, 5)], "event_type string, day int, n bigint")
+    with ansi(spark):
+        assert changepoint_scan(df).count() == 0
+
+
+def test_triple_support_empty_baskets_no_crash(spark):
+    """No basket survives the size cap: empty result, the support
+    division never evaluates on a row."""
+    from awi_datapipelinepublic_spark.operators.affinity import triple_support
+
+    df = spark.createDataFrame([("b1", "only")], "bk string, it string")
+    with ansi(spark):
+        assert triple_support(df, "bk", "it").count() == 0
+
+
+def test_skyline2d_constant_x_under_ansi(spark):
+    """All x equal: bucket width is the guarded __hi == __lo branch —
+    no division by zero."""
+    from awi_datapipelinepublic_spark.operators.spatial import skyline2d
+
+    df = spark.createDataFrame([(2.0, 1), (2.0, 9)], "x double, y int")
+    with ansi(spark):
+        got = [(r["x"], r["y"]) for r in skyline2d(df, "x", "y").collect()]
+    assert got == [(2.0, 9)]
