@@ -4743,6 +4743,21 @@ def q_spearman_corr(spark, sf_dir):
     return spearman_corr(li, "l_quantity", "l_extendedprice")
 
 
+def q_target_encode(spark, sf_dir):
+    """Leave-one-out smoothed target encoding of customer market
+    segment against account balance (functions/features.py:
+    target_encode_loo): exact-integer numerator/denominator, one
+    category-sized groupBy broadcast back — the fact never shuffles."""
+    from awi_datapipelinepublic_spark.functions.features import target_encode_loo
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    return target_encode_loo(c, "c_mktsegment", "c_acctbal").select(
+        "c_custkey", "c_mktsegment", "te"
+    )
+
+
 # Round-8 driver window: the driver oracle-verifies the FIRST 50
 # queries() entries each round (CORRECTNESS_r*). After r7, 9 gate ids
 # still had NO green driver row (r7's two red rows ab_test_zscore /
@@ -5073,6 +5088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poisson_bootstrap": q_poisson_bootstrap,
         "packing_efficiency": q_packing_efficiency,
         "spearman_corr": q_spearman_corr,
+        "target_encode": q_target_encode,
     }
     window = {k: q[k] for k in _R8_WINDOW}
     window.update((k, v) for k, v in q.items() if k not in window)
@@ -8894,5 +8910,23 @@ def oracle_sql() -> dict[str, str]:
                             * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS rho
         FROM s
+    """
+    # LOO target encoding: exact-integer numerator/denominator cleared
+    # of the float global mean, one double division.
+    sql["target_encode"] = """
+        WITH b AS (
+          SELECT c_custkey, c_mktsegment,
+                 CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS y
+          FROM customer),
+        cat AS (
+          SELECT c_mktsegment AS cs, CAST(SUM(y) AS BIGINT) AS s_cat,
+                 CAST(COUNT(*) AS BIGINT) AS n_cat
+          FROM b GROUP BY 1),
+        g AS (SELECT CAST(SUM(y) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n FROM b)
+        SELECT b.c_custkey, b.c_mktsegment,
+               ROUND(CAST((cat.s_cat - b.y) * g.n + 20 * g.s AS DOUBLE)
+                     / (CAST((cat.n_cat - 1 + 20) * g.n AS DOUBLE) * 100.0::DOUBLE),
+                     6) AS te
+        FROM b JOIN cat ON b.c_mktsegment = cat.cs, g
     """
     return sql

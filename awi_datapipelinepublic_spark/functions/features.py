@@ -45,3 +45,57 @@ def hash_features(
         feature_hash_index(c, dim, salt=f"{c}=") for c in feature_cols
     ]
     return df.withColumn(out_col, F.array_sort(F.array(*idxs)))
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    smoothing: int = 20,
+    target_scale: int = 100,
+    round_dp: int = 6,
+    out_col: str = "te",
+) -> DataFrame:
+    """Leave-one-out smoothed target encoding — the standard
+    high-cardinality categorical encoder for gradient-boosted /
+    linear models, with the two production safeguards built in:
+    each row's OWN target is excluded from its category mean (the
+    leakage fix) and the mean is shrunk toward the global mean by
+    ``smoothing`` pseudo-observations (the rare-category fix):
+
+        te_i = ((S_cat − y_i)·N + m·S) / ((n_cat − 1 + m)·N)
+
+    with S_cat/n_cat the category target-sum/count, S/N the global
+    ones, m = smoothing. The formula is the textbook
+    (S_cat − y_i + m·μ)/(n_cat − 1 + m) cleared of the float global
+    mean: every product is an exact integer (targets pre-scaled by
+    ``target_scale`` via floor(v·scale + 0.5)), so the single double
+    division replays bit-for-bit in any engine. Integer range:
+    (S_cat − y_i)·N < 2⁶³ holds to ~10⁸ rows at cent scale; cast the
+    two products to DECIMAL(38,0) beyond (documented escape hatch).
+
+    Plan: ONE groupBy on the category (map-side combine, exchange is
+    category-sized) broadcast-joined back, plus a 1-row global
+    aggregate broadcast — the fact table itself never shuffles. A
+    singleton category (n_cat = 1) has no leave-one-out evidence:
+    te = pure prior m·S/(m·N), which the formula yields naturally.
+    """
+    y = F.floor(F.col(target_col) * target_scale + F.lit(0.5)).cast("bigint")
+    base = df.withColumn("__y", y)
+    cat = base.groupBy(F.col(cat_col).alias("__cat")).agg(
+        F.sum("__y").alias("__S_cat"), F.count(F.lit(1)).alias("__n_cat")
+    )
+    glob = base.agg(F.sum("__y").alias("__S"), F.count(F.lit(1)).alias("__N"))
+    m = int(smoothing)
+    num = (
+        (F.col("__S_cat") - F.col("__y")) * F.col("__N") + F.lit(m) * F.col("__S")
+    ).cast("double")
+    den = (
+        (F.col("__n_cat") - 1 + F.lit(m)) * F.col("__N")
+    ).cast("double") * F.lit(float(target_scale))
+    return (
+        base.join(F.broadcast(cat), F.col(cat_col) == F.col("__cat"))
+        .crossJoin(F.broadcast(glob))
+        .withColumn(out_col, F.round(F.try_divide(num, den), round_dp))
+        .drop("__y", "__cat", "__S_cat", "__n_cat", "__S", "__N")
+    )

@@ -192,6 +192,8 @@ BENCH_QUERIES = [
     "packing_efficiency",
     # exact tie-aware Spearman via two-pass running-sum ranks
     "spearman_corr",
+    # leakage-safe LOO target encoding (fact never shuffles)
+    "target_encode",
 ]
 
 

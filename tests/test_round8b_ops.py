@@ -348,3 +348,23 @@ def test_spearman_constant_column_null(spark):
 
     df = spark.createDataFrame([(1, 5.0), (2, 5.0), (3, 5.0)], "x int, y double")
     assert spearman_corr(df, "x", "y").collect()[0]["rho"] is None
+
+
+# ------------------------------------------------------------ target encode
+
+
+def test_target_encode_loo_excludes_own_row_and_smooths(spark):
+    from awi_datapipelinepublic_spark.functions.features import target_encode_loo
+
+    # category "a": targets 10, 20; global also includes "b": 40
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 40.0)], "id int, c string, t double"
+    )
+    out = {r["id"]: r["te"] for r in target_encode_loo(df, "c", "t", smoothing=2).collect()}
+    S, N, m, scale = 7000, 3, 2, 100
+    # row 1 (cat a, y=1000): (S_cat - y)*N + m*S over (n_cat-1+m)*N*scale
+    assert out[1] == round(((3000 - 1000) * N + m * S) / ((2 - 1 + m) * N * scale), 6)
+    # singleton category b: numerator has no own-category evidence left
+    assert out[3] == round(((4000 - 4000) * N + m * S) / ((1 - 1 + m) * N * scale), 6)
+    # the singleton's encoding IS the smoothed prior (global mean)
+    assert out[3] == round(S / (N * scale), 6)

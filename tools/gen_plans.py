@@ -74,6 +74,15 @@ TARGETS = {
     "rolling_median": "ONE hash exchange on the key: the 7-row percentile frame, the last-row WindowGroupLimit and its window all ride the same partitioning",
     "poisson_weighted_sample": "Pure filter: exact 1-row sum-of-weights broadcast (IdentityBroadcastMode), keep-decision inside the scan stage - the corpus never shuffles",
     "fuzzy_join_edit1": "Edit-distance join as blocked equi-join: distinct + deletion-variant Generate on both sides, hash join on the block key with the exact levenshtein residual as join condition - no nested loop",
+    "skyline_pareto": "Pareto frontier without a global sort: checkpointed distinct-pair table, bucket-partitioned running-max window, constant-64-row cross-bucket prefix broadcast back - no NOT-EXISTS join",
+    "link_prediction": "Wedge explode at degree-capped centers (codegen slice-transform) + one pair groupBy + LEFT ANTI vs the edge list + TakeOrderedAndProject top-k - no global sort, no nested loop",
+    "random_projection": "JL projection is a pure codegen projection - NO Exchange anywhere in the plan",
+    "poisson_bootstrap": "explode(digest groups) -> one md5 per (row, group) -> explode(4 slices): replicate sums combine map-side; only exchanges are (key, replicate)- and key-sized",
+    "spearman_corr": "Ranks from two distinct-value-sized count tables + two-pass running sums; DECIMAL(38,0) moment aggregate collapses to one scalar row",
+    "packing_efficiency": "The seq-len axis is a 3-element literal explode: ONE scan, one grouped aggregate, exact BIGINT DIV ceils",
+    "rolling_anomaly": "One hash exchange on the key; both bounded ROWS-frame sums ride the same Window operator",
+    "changepoint_scan": "Prefix-sum + row-number in one key-partitioned Window, argmax via max(struct) groupBy - series length is calendar-bounded per key",
+    "itemset_triples": "Apriori item-prune (broadcast semi-join) BEFORE the capped cubic explode; one triple-key groupBy with map-side combine",
 }
 
 
