@@ -559,7 +559,9 @@ def link_prediction(
         "d bigint, w_nano bigint",
     )
     nbrs = (
-        adj.join(F.broadcast(centers), "n")
+        # centers is |V|-sized — no forced broadcast (AQE demotes or
+        # promotes by measured size; at 10⁹ nodes this must shuffle)
+        adj.join(centers, "n")
         .groupBy("n", "d")
         .agg(F.array_sort(F.collect_set("nb")).alias("ids"))
         .join(F.broadcast(wtab), "d")
