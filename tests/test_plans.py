@@ -686,6 +686,10 @@ BOUNDED_GLOBAL_WINDOW_GATES = {
     # MoM lag over the per-month aggregate: the axis is calendar
     # months — the same bounded class as cumulative_adoption.
     "period_over_period": 1,
+    # Cross-bucket prefix max over the n_buckets-row per-bucket-max
+    # table: the axis is the CONSTANT bucket count (64), never data
+    # (spatial.py:skyline2d step 4).
+    "skyline_pareto": 1,
 }
 
 # Gates that must drain a streaming query just to BUILD their result
