@@ -4758,6 +4758,17 @@ def q_target_encode(spark, sf_dir):
     )
 
 
+def q_weighted_quantiles(spark, sf_dir):
+    """Quantity-weighted price quartiles (operators/quality.py:
+    weighted_quantiles): exact inverse-CDF lower quantiles via the
+    integer predicate den·cumW ≥ num·W over two-pass running weight
+    sums — no float CDF, no interpolation, no global window."""
+    from awi_datapipelinepublic_spark.operators.quality import weighted_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return weighted_quantiles(li, "l_extendedprice", "l_quantity")
+
+
 # Round-8 driver window: the driver oracle-verifies the FIRST 50
 # queries() entries each round (CORRECTNESS_r*). After r7, 9 gate ids
 # still had NO green driver row (r7's two red rows ab_test_zscore /
@@ -5089,6 +5100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_efficiency": q_packing_efficiency,
         "spearman_corr": q_spearman_corr,
         "target_encode": q_target_encode,
+        "weighted_quantiles": q_weighted_quantiles,
     }
     window = {k: q[k] for k in _R8_WINDOW}
     window.update((k, v) for k, v in q.items() if k not in window)
@@ -8928,5 +8940,20 @@ def oracle_sql() -> dict[str, str]:
                      / (CAST((cat.n_cat - 1 + 20) * g.n AS DOUBLE) * 100.0::DOUBLE),
                      6) AS te
         FROM b JOIN cat ON b.c_mktsegment = cat.cs, g
+    """
+    # Weighted quantiles: integer inverse-CDF predicate over the
+    # value-ordered cumulative weight — q labels are n/d doubles.
+    sql["weighted_quantiles"] = """
+        WITH c AS (
+          SELECT l_extendedprice AS v, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+          FROM lineitem GROUP BY 1),
+        r AS (SELECT v, SUM(w) OVER (ORDER BY v) AS cw FROM c),
+        t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM c),
+        q AS (SELECT * FROM (VALUES (1, 4, 0.25), (1, 2, 0.5), (3, 4, 0.75))
+              AS q(num, den, q))
+        SELECT q.q AS q, MIN(r.v) AS l_extendedprice
+        FROM r, t, q
+        WHERE q.den * r.cw >= q.num * t.tw
+        GROUP BY 1
     """
     return sql

@@ -1208,3 +1208,63 @@ def spearman_corr(
             round_dp,
         ).alias("rho"),
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    qs: list | None = None,
+) -> DataFrame:
+    """EXACT weighted quantiles: for each q the smallest value v with
+    cumulative weight ≥ q·W (the inverse-CDF lower convention) — the
+    size-weighted median/quartiles a curation report needs when rows
+    are not equal (token-weighted doc-quality median, spend-weighted
+    latency percentiles), which plain ``percentile`` cannot express.
+
+    Determinism contract: quantile fractions are RATIONALS
+    (num, den) and the defining predicate is the integer inequality
+    den·cumW ≥ num·W — no float CDF, no interpolation, bit-identical
+    in any engine. Weights are cast to BIGINT (integral weights are
+    the exactness contract, the weighted_sample precedent).
+
+    Plan: one groupBy collapses to distinct values (the exchange is
+    value-cardinality-sized), cumW rides the two-pass
+    :func:`global_running_sums` (no single-partition window), the
+    scalar W broadcasts, and each q is answered by a min-aggregate
+    over the satisfying suffix — one small shuffle regardless of
+    |qs|. Output: (q DOUBLE label, value) per requested quantile.
+    """
+    from awi_datapipelinepublic_spark.operators.windows import global_running_sums
+
+    if qs is None:
+        qs = [(1, 4), (1, 2), (3, 4)]
+    counts = (
+        df.select(
+            F.col(value_col).alias("__v"),
+            F.col(weight_col).cast("bigint").alias("__w"),
+        )
+        .groupBy("__v")
+        .agg(F.sum("__w").alias("__w"))
+    )
+    cums = global_running_sums(counts, [F.col("__v").asc()], ["__w"])
+    tot = counts.agg(F.sum("__w").alias("__tw"))
+    qtab = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(int(n)).alias("num"),
+                    F.lit(int(d)).alias("den"),
+                    F.lit(n / d).alias("q"),
+                )
+                for n, d in qs
+            ]
+        )
+    ).alias("__q")
+    return (
+        cums.crossJoin(F.broadcast(tot))
+        .select("__v", "__w_run", "__tw", qtab)
+        .filter(F.col("__q.den") * F.col("__w_run") >= F.col("__q.num") * F.col("__tw"))
+        .groupBy(F.col("__q.q").alias("q"))
+        .agg(F.min("__v").alias(value_col))
+    )

@@ -194,6 +194,8 @@ BENCH_QUERIES = [
     "spearman_corr",
     # leakage-safe LOO target encoding (fact never shuffles)
     "target_encode",
+    # exact integer-predicate weighted quantiles (two-pass cumW)
+    "weighted_quantiles",
 ]
 
 

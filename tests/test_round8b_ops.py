@@ -368,3 +368,34 @@ def test_target_encode_loo_excludes_own_row_and_smooths(spark):
     assert out[3] == round(((4000 - 4000) * N + m * S) / ((1 - 1 + m) * N * scale), 6)
     # the singleton's encoding IS the smoothed prior (global mean)
     assert out[3] == round(S / (N * scale), 6)
+
+
+# -------------------------------------------------------- weighted quantiles
+
+
+def test_weighted_quantiles_exact_lower_convention(spark):
+    from awi_datapipelinepublic_spark.operators.quality import weighted_quantiles
+
+    # values 1..4 with weights 1,1,1,7 → W=10: q=.25→cum 2.5 first v
+    # with cumw>=2.5 is 3 (cum 1,2,3,10)... cum(1)=1, cum(2)=2,
+    # cum(3)=3, cum(4)=10: q=.25 needs cumw>=2.5 → v=3; q=.5 needs
+    # >=5 → v=4; q=.75 needs >=7.5 → v=4.
+    df = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (3.0, 1), (4.0, 7)], "v double, w int"
+    )
+    out = {r["q"]: r["v"] for r in weighted_quantiles(df, "v", "w").collect()}
+    assert out == {0.25: 3.0, 0.5: 4.0, 0.75: 4.0}
+
+
+def test_weighted_quantiles_unit_weights_match_lower_percentile(spark):
+    from awi_datapipelinepublic_spark.operators.quality import weighted_quantiles
+
+    vals = [float(v) for v in [9, 1, 5, 3, 7, 2, 8, 4, 6, 10]]
+    df = spark.createDataFrame([(v, 1) for v in vals], "v double, w int")
+    out = {r["q"]: r["v"] for r in weighted_quantiles(df, "v", "w").collect()}
+    s = sorted(vals)
+    import math
+
+    for q in (0.25, 0.5, 0.75):
+        # lower convention: smallest v with rank >= ceil(q*n)
+        assert out[q] == s[math.ceil(q * len(s)) - 1]
