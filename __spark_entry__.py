@@ -4769,6 +4769,21 @@ def q_weighted_quantiles(spark, sf_dir):
     return weighted_quantiles(li, "l_extendedprice", "l_quantity")
 
 
+def q_semantic_decontaminate(spark, sf_dir):
+    """Embedding-level decontamination (operators/dedup.py:
+    semantic_decontaminate): corpus = vec_id % 20 ≠ 0, test = the
+    rest; drop corpus vectors with 9dp cosine ≥ 0.2 to any same-IVF-
+    cluster test vector. Cluster-bounded cogrouped matmul; the union
+    equals the full table so the oracle replays knn_join_ivf's
+    deterministic centroid/assignment CTEs verbatim."""
+    from awi_datapipelinepublic_spark.operators.dedup import semantic_decontaminate
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 20 != 0)
+    test = emb.filter(F.col("vec_id") % 20 == 0)
+    return semantic_decontaminate(corpus, test, threshold=0.2)
+
+
 # Round-8 driver window: the driver oracle-verifies the FIRST 50
 # queries() entries each round (CORRECTNESS_r*). After r7, 9 gate ids
 # still had NO green driver row (r7's two red rows ab_test_zscore /
@@ -5101,6 +5116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman_corr": q_spearman_corr,
         "target_encode": q_target_encode,
         "weighted_quantiles": q_weighted_quantiles,
+        "semantic_decontaminate": q_semantic_decontaminate,
     }
     window = {k: q[k] for k in _R8_WINDOW}
     window.update((k, v) for k, v in q.items() if k not in window)
@@ -8955,5 +8971,32 @@ def oracle_sql() -> dict[str, str]:
         FROM r, t, q
         WHERE q.den * r.cw >= q.num * t.tw
         GROUP BY 1
+    """
+    # Semantic decontamination: knn_join_ivf's deterministic IVF CTEs
+    # (the operator's corpus ∪ test IS the full table), NOT EXISTS over
+    # same-cluster test vectors at the 9dp-rounded threshold.
+    sql["semantic_decontaminate"] = """
+        WITH params AS (
+          SELECT GREATEST(8, LEAST(65536, COUNT(*) // 64)) AS k_,
+                 GREATEST(1, COUNT(*) // GREATEST(8, LEAST(65536, COUNT(*) // 64))) AS s
+          FROM embeddings),
+        cents0 AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS c,
+                 ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ci
+          FROM embeddings, params WHERE vec_id % s = 0),
+        cents AS (SELECT c, ci FROM cents0, params WHERE ci < k_),
+        assigned AS (
+          SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+                 (SELECT c2.ci FROM cents c2
+                  ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c2.c), 9) DESC,
+                           c2.ci ASC LIMIT 1) AS cluster
+          FROM embeddings e)
+        SELECT a.vec_id
+        FROM assigned a
+        WHERE a.vec_id % 20 <> 0
+          AND NOT EXISTS (
+            SELECT 1 FROM assigned b
+            WHERE b.vec_id % 20 = 0 AND b.cluster = a.cluster
+              AND ROUND(list_cosine_similarity(a.v, b.v), 9) >= 0.2::DOUBLE)
     """
     return sql

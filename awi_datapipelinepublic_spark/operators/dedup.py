@@ -861,3 +861,80 @@ def dedup_cluster_stats(
         .agg(F.count(F.lit(1)).alias("n_clusters"))
         .withColumn("n_docs", (F.col("cluster_size") * F.col("n_clusters")).cast("long"))
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    test: DataFrame,
+    threshold: float = 0.2,
+    n_clusters: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_cluster_rows: int = 64,
+) -> DataFrame:
+    """Embedding-level decontamination: drop every corpus row whose
+    vector has cosine ≥ ``threshold`` to ANY benchmark/test vector —
+    the semantic twin of the n-gram `decontaminate` family, catching
+    paraphrased test-set leakage that token overlap misses. Returns
+    the surviving corpus ids.
+
+    Candidate generation is CLUSTER-bounded like :func:`semantic_dedup`
+    (the SemDeDup recipe): corpus ∪ test share one deterministic IVF
+    assignment (``ivf_assign`` — ids must be unique across the two
+    inputs), and comparisons happen only corpus-row × test-row WITHIN
+    a cluster, so the check is Σ|cluster_c|·|cluster_t| instead of
+    |corpus|·|test|. Cross-cluster leaks are missed BY DESIGN (the
+    published approximation); cluster count auto-scales to hold
+    E[|cluster|] ≈ ``target_cluster_rows`` — linear, never n².
+
+    Per cluster the flag is ONE cogrouped blocked matmul (vectors
+    cross the Arrow boundary once per row, the knn_join_lsh lesson);
+    sims round to 9dp before the ≥ comparison (the ivf_assign
+    determinism contract), so the contaminated set replays exactly in
+    a DuckDB oracle.
+    """
+    import pandas as pd
+
+    from awi_datapipelinepublic_spark.operators.similarity import ivf_assign
+
+    u = corpus.select(
+        F.col(id_col), F.col(vec_col), F.lit(0).alias("__side")
+    ).unionAll(test.select(F.col(id_col), F.col(vec_col), F.lit(1).alias("__side")))
+    if n_clusters is None:
+        n_clusters = min(65536, max(8, u.count() // target_cluster_rows))
+    assigned, _ = ivf_assign(u, n_clusters, id_col, vec_col, out_col="__cluster")
+    a = assigned.filter(F.col("__side") == 0).select(
+        "__cluster", F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec")
+    )
+    b = assigned.filter(F.col("__side") == 1).select(
+        "__cluster", F.col(vec_col).alias("b_vec")
+    )
+    thr = float(threshold)
+
+    def flag_contaminated(lpdf, rpdf):
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame({"a_id": np.empty(0, dtype=np.int64)})
+        B = np.stack(rpdf["b_vec"].values).astype(float)
+        Bn = np.linalg.norm(B, axis=1)
+        Bn[Bn == 0] = 1.0
+        hits = []
+        blk = max(1, min(4096, (4 << 20) // B.shape[0]))
+        for lo in range(0, len(lpdf), blk):
+            chunk = lpdf.iloc[lo : lo + blk]
+            A = np.stack(chunk["a_vec"].values).astype(float)
+            An = np.linalg.norm(A, axis=1)
+            An[An == 0] = 1.0
+            sims = np.round((A @ B.T) / (An[:, None] * Bn[None, :]), 9)
+            bad = (sims >= thr).any(axis=1)
+            hits.append(chunk["a_id"].to_numpy(dtype=np.int64)[bad])
+        return pd.DataFrame({"a_id": np.concatenate(hits)})
+
+    contaminated = (
+        a.groupBy("__cluster")
+        .cogroup(b.groupBy("__cluster"))
+        .applyInPandas(flag_contaminated, schema="a_id long")
+    )
+    return (
+        corpus.select(F.col(id_col))
+        .join(contaminated, F.col(id_col) == F.col("a_id"), "left_anti")
+    )

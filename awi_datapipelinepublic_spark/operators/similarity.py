@@ -500,6 +500,16 @@ def ivf_assign(
         .limit(n_clusters)
         .collect()
     )
+    if not cent_rows:
+        # ids with no multiple of step (sparse/offset key spaces): the
+        # modulo pick is the cross-engine replay contract, so fail
+        # loudly rather than silently changing the centroid rule.
+        raise ValueError(
+            "ivf_assign: no id divisible by the centroid step "
+            f"({step}) — the deterministic pick needs dense-ish integer "
+            "ids (testdata contract); remap ids or pass explicit "
+            "n_clusters <= distinct ids"
+        )
     centroids = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(sorted(cent_rows, key=lambda r: r[id_col]))]
 
     # Nearest-centroid argmax as ONE Arrow matmul against the (k, dim)

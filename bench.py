@@ -196,6 +196,8 @@ BENCH_QUERIES = [
     "target_encode",
     # exact integer-predicate weighted quantiles (two-pass cumW)
     "weighted_quantiles",
+    # cluster-bounded embedding decontamination (cogrouped matmul)
+    "semantic_decontaminate",
 ]
 
 

@@ -399,3 +399,41 @@ def test_weighted_quantiles_unit_weights_match_lower_percentile(spark):
     for q in (0.25, 0.5, 0.75):
         # lower convention: smallest v with rank >= ceil(q*n)
         assert out[q] == s[math.ceil(q * len(s)) - 1]
+
+
+# ------------------------------------------------- semantic decontamination
+
+
+def test_semantic_decontaminate_drops_near_test_vectors(spark):
+    from awi_datapipelinepublic_spark.operators.dedup import semantic_decontaminate
+
+    # corpus: id 1 is (almost) the test vector, id 2 is orthogonal
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.01]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id int, embedding array<double>",
+    )
+    test = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0])], "vec_id int, embedding array<double>"
+    )
+    # one cluster forces the pair comparison (no IVF miss in this test)
+    out = [
+        r["vec_id"]
+        for r in semantic_decontaminate(
+            corpus, test, threshold=0.9, n_clusters=1
+        ).collect()
+    ]
+    assert out == [1]
+
+
+def test_semantic_decontaminate_empty_test_keeps_everything(spark):
+    from awi_datapipelinepublic_spark.operators.dedup import semantic_decontaminate
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id int, embedding array<double>"
+    )
+    test = spark.createDataFrame([], "vec_id int, embedding array<double>")
+    got = sorted(
+        r["vec_id"]
+        for r in semantic_decontaminate(corpus, test, n_clusters=1).collect()
+    )
+    assert got == [0, 1]
