@@ -1219,6 +1219,11 @@ def random_projection(
     """
     if dim is None:
         probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if probe is None:
+            raise ValueError(
+                "random_projection: cannot probe the vector dimension "
+                "of an empty DataFrame — pass dim explicitly"
+            )
         dim = int(probe["d"])
     signs = rp_signs(out_dim, dim, seed)
     cols = []
