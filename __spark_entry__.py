@@ -4784,6 +4784,16 @@ def q_semantic_decontaminate(spark, sf_dir):
     return semantic_decontaminate(corpus, test, threshold=0.2)
 
 
+def q_session_paths(spark, sf_dir):
+    """Top-20 session journeys (operators/events.py:session_paths):
+    gap-based sessions, (ts, event_id)-ordered type paths joined with
+    '>', path-cardinality count, deterministic top-k. The funnel-
+    discovery twin of events_session/funnel_steps."""
+    from awi_datapipelinepublic_spark.operators.events import session_paths
+
+    return session_paths(read_events(spark, sf_dir))
+
+
 # Round-8 driver window: the driver oracle-verifies the FIRST 50
 # queries() entries each round (CORRECTNESS_r*). After r7, 9 gate ids
 # still had NO green driver row (r7's two red rows ab_test_zscore /
@@ -5117,6 +5127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode": q_target_encode,
         "weighted_quantiles": q_weighted_quantiles,
         "semantic_decontaminate": q_semantic_decontaminate,
+        "session_paths": q_session_paths,
     }
     window = {k: q[k] for k in _R8_WINDOW}
     window.update((k, v) for k, v in q.items() if k not in window)
@@ -8998,5 +9009,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT 1 FROM assigned b
             WHERE b.vec_id % 20 = 0 AND b.cluster = a.cluster
               AND ROUND(list_cosine_similarity(a.v, b.v), 9) >= 0.2::DOUBLE)
+    """
+    # Session paths: the events_session CTE with the (ts, event_id)
+    # tiebreak, ordered string_agg, size cap, top-20 total order.
+    sql["session_paths"] = """
+        WITH g AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        s AS (
+          SELECT user_id, ts, event_id, event_type,
+                 SUM(new_s) OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC
+                                  ROWS UNBOUNDED PRECEDING) AS sno
+          FROM g),
+        p AS (
+          SELECT string_agg(event_type, '>' ORDER BY ts ASC, event_id ASC) AS path,
+                 COUNT(*) AS len
+          FROM s GROUP BY user_id, sno),
+        c AS (
+          SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+          FROM p WHERE len <= 64 GROUP BY path)
+        SELECT path, n_sessions FROM c
+        ORDER BY n_sessions DESC, path ASC
+        LIMIT 20
     """
     return sql

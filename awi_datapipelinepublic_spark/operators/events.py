@@ -584,3 +584,82 @@ def event_rate_limit(
         .filter(F.col("__rl") == 1)
         .drop("__rl")
     )
+
+
+def session_paths(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    gap_minutes: int = 30,
+    k: int = 20,
+    max_path_events: int = 64,
+) -> DataFrame:
+    """Top-``k`` session journeys: the ordered event-type path of each
+    gap-based session ('view>click>purchase'), counted across all
+    sessions — the navigation-mining report behind funnel DISCOVERY
+    (funnels verify a hypothesized path; this surfaces which paths
+    exist).
+
+    Ordering inside a session is the total order (ts, tiebreak) — the
+    sessionize determinism lesson: equal timestamps would otherwise
+    make the path string engine-dependent. Sessions longer than
+    ``max_path_events`` are dropped BEFORE path assembly (a
+    degenerate bot session's path is noise and its array is the only
+    unbounded thing here — the refuse-to-detonate stance).
+
+    Plan: one shuffle on the user (lag + running boundary sum in one
+    window spec), one groupBy (user, session) assembling the path via
+    sort_array(collect_list(struct)) — codegen, per-session bounded —
+    then a path-cardinality groupBy and TakeOrderedAndProject top-k on
+    (n desc, path asc). No global sort.
+    """
+    w_user = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    secs = F.col(ts_col).cast("double")
+    gap_s = float(gap_minutes * 60)
+    with_id = (
+        events.withColumn("__prev", F.lag(ts_col).over(w_user))
+        .withColumn(
+            "__new_s",
+            F.when(
+                F.col("__prev").isNull()
+                | (secs - F.col("__prev").cast("double") > gap_s),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "__sno",
+            F.sum("__new_s").over(w_user.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    paths = (
+        with_id.groupBy(F.col(user_col), F.col("__sno"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col(ts_col).alias("t"),
+                                F.col(tiebreak_col).alias("i"),
+                                F.col(type_col).alias("e"),
+                            )
+                        )
+                    ),
+                    lambda x: x["e"],
+                ),
+                ">",
+            ).alias("path"),
+            F.count(F.lit(1)).alias("__len"),
+        )
+        .filter(F.col("__len") <= max_path_events)
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(int(k))
+    )

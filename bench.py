@@ -198,6 +198,8 @@ BENCH_QUERIES = [
     "weighted_quantiles",
     # cluster-bounded embedding decontamination (cogrouped matmul)
     "semantic_decontaminate",
+    # gap-session journey mining (deterministic path top-k)
+    "session_paths",
 ]
 
 

@@ -437,3 +437,34 @@ def test_semantic_decontaminate_empty_test_keeps_everything(spark):
         for r in semantic_decontaminate(corpus, test, n_clusters=1).collect()
     )
     assert got == [0, 1]
+
+
+# -------------------------------------------------------------- session paths
+
+
+def test_session_paths_order_gap_and_cap(spark):
+    from awi_datapipelinepublic_spark.operators.events import session_paths
+
+    rows = [
+        # user A: one session view>click (same ts ties broken by id),
+        # then a 1h gap → new session purchase
+        ("A", "2024-01-01 10:00:00", 1, "view"),
+        ("A", "2024-01-01 10:00:00", 2, "click"),
+        ("A", "2024-01-01 11:30:00", 3, "purchase"),
+        # user B: same view>click shape
+        ("B", "2024-01-02 09:00:00", 4, "view"),
+        ("B", "2024-01-02 09:10:00", 5, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts string, event_id int, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["path"]: r["n_sessions"] for r in session_paths(df, k=10).collect()}
+    assert out == {"view>click": 2, "purchase": 1}
+
+    # cap: a 3-event session vanishes when max_path_events=2
+    capped = {
+        r["path"]: r["n_sessions"]
+        for r in session_paths(df, k=10, gap_minutes=120, max_path_events=2).collect()
+    }
+    # with a 2h gap user A is ONE 3-event session → dropped by the cap
+    assert capped == {"view>click": 1}
