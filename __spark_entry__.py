@@ -4794,6 +4794,19 @@ def q_session_paths(spark, sf_dir):
     return session_paths(read_events(spark, sf_dir))
 
 
+def q_bipartite_project(spark, sf_dir):
+    """Weighted co-purchase projection of (order, part-category)
+    (operators/graph.py:bipartite_project): capped basket arrays +
+    codegen pair explode + one weight groupBy, min co-occurrence 3 —
+    the named form of the edge constructor the graph gates inline."""
+    from awi_datapipelinepublic_spark.operators.graph import bipartite_project
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_partkey") % 100).alias("cat")
+    )
+    return bipartite_project(li, "l_orderkey", "cat", min_weight=3)
+
+
 # Round-8 driver window: the driver oracle-verifies the FIRST 50
 # queries() entries each round (CORRECTNESS_r*). After r7, 9 gate ids
 # still had NO green driver row (r7's two red rows ab_test_zscore /
@@ -5128,6 +5141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_quantiles": q_weighted_quantiles,
         "semantic_decontaminate": q_semantic_decontaminate,
         "session_paths": q_session_paths,
+        "bipartite_project": q_bipartite_project,
     }
     window = {k: q[k] for k in _R8_WINDOW}
     window.update((k, v) for k, v in q.items() if k not in window)
@@ -9036,5 +9050,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT path, n_sessions FROM c
         ORDER BY n_sessions DESC, path ASC
         LIMIT 20
+    """
+    # Bipartite projection: plain distinct-pair self-join with the
+    # size cap replayed as a HAVING on the group.
+    sql["bipartite_project"] = """
+        WITH sized AS (
+          SELECT l_orderkey AS g, COUNT(DISTINCT l_partkey % 100) AS c
+          FROM lineitem GROUP BY 1),
+        capped AS (SELECT g FROM sized WHERE c BETWEEN 2 AND 64),
+        items AS (
+          SELECT DISTINCT l.l_orderkey AS g, l.l_partkey % 100 AS it
+          FROM lineitem l JOIN capped ON capped.g = l.l_orderkey)
+        SELECT a.it AS item_a, b.it AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS weight
+        FROM items a JOIN items b ON a.g = b.g AND a.it < b.it
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
     """
     return sql

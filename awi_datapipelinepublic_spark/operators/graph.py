@@ -588,3 +588,47 @@ def link_prediction(
     return non_adj.orderBy(
         F.col("cn").desc(), F.col("aa_nano").desc(), "item_a", "item_b"
     ).limit(int(k))
+
+
+def bipartite_project(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_weight: int = 1,
+    max_group: int = 64,
+) -> DataFrame:
+    """Weighted one-mode projection of a bipartite (group, item)
+    relation: an (item_a < item_b, weight) edge per item pair sharing
+    ≥ ``min_weight`` groups — THE graph constructor behind
+    co-purchase, co-author, co-click and shared-near-dup-bucket
+    graphs (triangle_count / link_prediction / pagerank gates all
+    build this shape inline; this is the reusable named form).
+
+    Plan: one groupBy collapses each group to its sorted distinct
+    item array; groups larger than ``max_group`` are dropped BEFORE
+    pair expansion (Σ C(|g|,2) is the only super-linear term — the
+    pair_lift cap stance, and a group containing everything carries
+    no co-occurrence signal); a codegen slice-transform explodes the
+    pairs; one map-side-combined groupBy counts edge weights. Two
+    shuffles total, both key-hashed — no self-join of the fact, which
+    would shuffle and sort it twice.
+    """
+    groups = (
+        df.groupBy(F.col(group_col).alias("__g"))
+        .agg(F.array_sort(F.collect_set(F.col(item_col))).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= int(max_group)))
+    )
+    pairs = groups.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (a, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                "b -> struct(a AS item_a, b AS item_b))))"
+            )
+        ).alias("p")
+    ).select("p.item_a", "p.item_b")
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("weight"))
+        .filter(F.col("weight") >= int(min_weight))
+    )

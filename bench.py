@@ -200,6 +200,8 @@ BENCH_QUERIES = [
     "semantic_decontaminate",
     # gap-session journey mining (deterministic path top-k)
     "session_paths",
+    # named weighted one-mode projection (the graph-gate edge builder)
+    "bipartite_project",
 ]
 
 

@@ -468,3 +468,23 @@ def test_session_paths_order_gap_and_cap(spark):
     }
     # with a 2h gap user A is ONE 3-event session → dropped by the cap
     assert capped == {"view>click": 1}
+
+
+# --------------------------------------------------------- bipartite project
+
+
+def test_bipartite_project_weights_and_cap(spark):
+    from awi_datapipelinepublic_spark.operators.graph import bipartite_project
+
+    rows = [("g1", "a"), ("g1", "b"), ("g2", "a"), ("g2", "b"), ("g2", "c"),
+            ("g3", "x")]  # singleton group: no pairs
+    df = spark.createDataFrame(rows, "g string, it string")
+    out = {(r["item_a"], r["item_b"]): r["weight"]
+           for r in bipartite_project(df, "g", "it").collect()}
+    assert out == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+    # min_weight prunes; max_group drops g2 entirely
+    assert {(r["item_a"], r["item_b"])
+            for r in bipartite_project(df, "g", "it", min_weight=2).collect()} == {("a", "b")}
+    capped = {(r["item_a"], r["item_b"]): r["weight"]
+              for r in bipartite_project(df, "g", "it", max_group=2).collect()}
+    assert capped == {("a", "b"): 1}
