@@ -4807,6 +4807,18 @@ def q_bipartite_project(spark, sf_dir):
     return bipartite_project(li, "l_orderkey", "cat", min_weight=3)
 
 
+def q_reshard_movement(spark, sf_dir):
+    """Rendezvous-hash reshard audit 8→9 shards (operators/
+    sampling.py:reshard_movement): the (from, to, n) transition matrix
+    of a consistent-hashing fleet resize — codegen array_max argmax
+    per row, zero shuffle before the final count groupBy."""
+    from awi_datapipelinepublic_spark.operators.sampling import reshard_movement
+
+    return reshard_movement(
+        _t(spark, sf_dir, "orders").select("o_orderkey"), "o_orderkey", 8, 9
+    )
+
+
 # Round-8 driver window: the driver oracle-verifies the FIRST 50
 # queries() entries each round (CORRECTNESS_r*). After r7, 9 gate ids
 # still had NO green driver row (r7's two red rows ab_test_zscore /
@@ -5142,6 +5154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontaminate": q_semantic_decontaminate,
         "session_paths": q_session_paths,
         "bipartite_project": q_bipartite_project,
+        "reshard_movement": q_reshard_movement,
     }
     window = {k: q[k] for k in _R8_WINDOW}
     window.update((k, v) for k, v in q.items() if k not in window)
@@ -9065,5 +9078,26 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS BIGINT) AS weight
         FROM items a JOIN items b ON a.g = b.g AND a.it < b.it
         GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    """
+    # Rendezvous reshard: per-id argmax of md5('rdv#s#'||id) over the
+    # shard set, ties toward the larger shard (mirrors the engine's
+    # lexicographic (hash, shard) struct max).
+    sql["reshard_movement"] = """
+        WITH ids AS (SELECT o_orderkey AS id FROM orders),
+        h AS (
+          SELECT id, s,
+                 ('0x' || substr(md5('rdv#' || s || '#' || id), 1, 8))::UBIGINT AS hv
+          FROM ids, (SELECT unnest(range(0, 9)) AS s)),
+        a AS (
+          SELECT id,
+                 (SELECT s FROM h h2 WHERE h2.id = h0.id AND h2.s < 8
+                  ORDER BY hv DESC, s DESC LIMIT 1) AS shard_from,
+                 (SELECT s FROM h h3 WHERE h3.id = h0.id
+                  ORDER BY hv DESC, s DESC LIMIT 1) AS shard_to
+          FROM (SELECT DISTINCT id FROM h) h0)
+        SELECT CAST(shard_from AS INT) AS shard_from,
+               CAST(shard_to AS INT) AS shard_to,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM a GROUP BY 1, 2
     """
     return sql

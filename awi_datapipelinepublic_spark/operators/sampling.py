@@ -669,3 +669,70 @@ def poisson_bootstrap(
             F.round(F.percentile(F.col("__m"), F.lit(0.975)), round_dp).alias("ci_hi"),
         )
     )
+
+
+def rendezvous_shard(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    out_col: str = "shard",
+    seed: str = "rdv",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment: each row
+    goes to argmax_s md5(seed#s#id) over the shard ids — the
+    consistent-hashing scheme where growing the fleet from k to k+1
+    shards moves EXACTLY the rows the new shard wins (≈ 1/(k+1) of
+    them) and nothing else, unlike ``id % k`` which reshuffles almost
+    everything.
+
+    The argmax is a codegen ``array_max`` over k (hash, shard)
+    structs — no explode, no shuffle, a pure projection; md5 makes
+    the placement engine-independent (any system that can hash a
+    string reproduces the layout bit-for-bit). Struct comparison
+    breaks hash ties toward the larger shard id in any engine
+    (lexicographic on (hash, shard)).
+    """
+    structs = [
+        F.struct(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{seed}#{s}#"), F.col(id_col).cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+            F.lit(s).alias("s"),
+        )
+        for s in range(int(n_shards))
+    ]
+    return df.withColumn(out_col, F.array_max(F.array(*structs))["s"])
+
+
+def reshard_movement(
+    df: DataFrame,
+    id_col: str,
+    k_from: int,
+    k_to: int,
+    seed: str = "rdv",
+) -> DataFrame:
+    """Reshard-movement audit: the (shard_from, shard_to, n_rows)
+    transition matrix of a rendezvous fleet resize — the capacity-
+    planning report proving (or disproving) that a resize only moves
+    the minimal set. For k→k+1 the matrix is diagonal except one
+    column: ≈ 1/(k+1) of each shard drains to the new one. One scan,
+    two pure projections, one map-side-combined groupBy.
+    """
+    a = rendezvous_shard(df.select(id_col), id_col, k_from, "shard_from", seed)
+    b = rendezvous_shard(a, id_col, k_to, "shard_to", seed)
+    return (
+        b.groupBy("shard_from", "shard_to")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )

@@ -202,6 +202,8 @@ BENCH_QUERIES = [
     "session_paths",
     # named weighted one-mode projection (the graph-gate edge builder)
     "bipartite_project",
+    # consistent-hashing reshard audit (zero-shuffle argmax placement)
+    "reshard_movement",
 ]
 
 

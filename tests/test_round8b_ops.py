@@ -488,3 +488,27 @@ def test_bipartite_project_weights_and_cap(spark):
     capped = {(r["item_a"], r["item_b"]): r["weight"]
               for r in bipartite_project(df, "g", "it", max_group=2).collect()}
     assert capped == {("a", "b"): 1}
+
+
+# ------------------------------------------------------------ rendezvous hash
+
+
+def test_reshard_movement_minimal_disruption(spark):
+    from awi_datapipelinepublic_spark.operators.sampling import (
+        rendezvous_shard,
+        reshard_movement,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id bigint")
+    moves = reshard_movement(df, "id", 8, 9).collect()
+    moved = sum(r["n_rows"] for r in moves if r["shard_from"] != r["shard_to"])
+    stayed = sum(r["n_rows"] for r in moves if r["shard_from"] == r["shard_to"])
+    assert moved + stayed == 2000
+    # rendezvous guarantee: ALL movement lands on the NEW shard
+    assert all(r["shard_to"] == 8 for r in moves if r["shard_from"] != r["shard_to"])
+    # expected movement ≈ 1/9 ≈ 222; allow generous hash noise
+    assert 130 <= moved <= 330
+    # assignment is deterministic
+    a = {r["id"]: r["shard"] for r in rendezvous_shard(df, "id", 8).collect()}
+    b = {r["id"]: r["shard"] for r in rendezvous_shard(df, "id", 8).collect()}
+    assert a == b and set(a.values()) == set(range(8))
