@@ -75,8 +75,10 @@ def target_encode_loo(
     two products to DECIMAL(38,0) beyond (documented escape hatch).
 
     Plan: ONE groupBy on the category (map-side combine, exchange is
-    category-sized) broadcast-joined back, plus a 1-row global
-    aggregate broadcast — the fact table itself never shuffles. A
+    category-sized) joined back (AQE broadcasts when the category
+    table measures small — never forced: target encoding exists FOR
+    high-cardinality categoricals, where the stats table is big and
+    must shuffle), plus a 1-row global aggregate broadcast. A
     singleton category (n_cat = 1) has no leave-one-out evidence:
     te = pure prior m·S/(m·N), which the formula yields naturally.
     """
@@ -94,7 +96,7 @@ def target_encode_loo(
         (F.col("__n_cat") - 1 + F.lit(m)) * F.col("__N")
     ).cast("double") * F.lit(float(target_scale))
     return (
-        base.join(F.broadcast(cat), F.col(cat_col) == F.col("__cat"))
+        base.join(cat, F.col(cat_col) == F.col("__cat"))
         .crossJoin(F.broadcast(glob))
         .withColumn(out_col, F.round(F.try_divide(num, den), round_dp))
         .drop("__y", "__cat", "__S_cat", "__n_cat", "__S", "__N")
