@@ -4828,29 +4828,32 @@ def q_reshard_movement(spark, sf_dir):
 # additions the window never reached). r8 fronts those 9, repeats the
 # 4 §2 flagships, and fills the rest with the least-recently-verified
 # ids (last green r1/r3) as staleness rotation.
-_R8_WINDOW = [
-    # 9 never-driver-green ids (r7 verdict item 4)
-    "ab_test_zscore", "feature_hash", "knn_lsh", "rolling_median",
-    "poisson_weighted_sample", "fuzzy_join_edit1", "streaming_dedup",
-    "event_rate_limit", "degree_assortativity",
+_R9_WINDOW = [
+    # 21 never-driver-windowed ids (r8 verdict item 1): the round-8
+    # additions were judge-verified under ORACLE_VANILLA but have no
+    # driver-signed CORRECTNESS row yet — front all of them.
+    "dsir_weights", "ann_recall_eval", "ngram_novelty",
+    "hard_negative_mine", "ccnet_buckets", "rolling_anomaly",
+    "changepoint_scan", "skyline_pareto", "link_prediction",
+    "itemset_triples", "mutual_information", "random_projection",
+    "poisson_bootstrap", "packing_efficiency", "spearman_corr",
+    "target_encode", "weighted_quantiles", "semantic_decontaminate",
+    "session_paths", "bipartite_project", "reshard_movement",
     # §2 flagship repeats
     "view_retention", "view_transactions", "view_auto_optiom",
     "merge_time_window",
-    # rotation: last driver-green in r1
-    "union_all", "sort_desc", "fn_alias", "fn_select_star",
-    "join_dim_miss", "join_null_safe", "win_min_partition",
-    "grouped_agg", "concat_rows", "fn_expressions", "profile_columns",
-    "array_functions", "string_functions", "date_functions",
-    "conditional_functions", "explode_ordinality", "cross_join",
-    "grouped_map_zscore", "dedup_exact", "dedup_ngram_jaccard",
-    # rotation: §2 core ids last driver-green in r3
-    "scan_csv", "scan_excel", "project_prune", "fn_strip_excel",
-    "filter_notnull_date", "cast_date_coerce", "null_normalize",
-    "cast_schema", "with_literal", "align_union", "join_geo",
-    "join_channels", "join_agencies", "join_ttypes", "join_fact_fact",
-    "agg_min_scalar", "agg_min_windowed",
+    # rotation: least-recently driver-green (last green r3)
+    "asof_join", "chunk_documents", "connected_components",
+    "dedup_minhash_lsh", "derive_is_new", "events_funnel",
+    "events_session", "fn_case_eq", "fn_coalesce", "fn_date_cmp",
+    "fn_date_lt_param", "fn_isnotnull", "knn_cosine", "knn_ivf",
+    "limit_topk", "merge_upsert", "multimodal_decode", "pagerank",
+    "paragraph_dedup", "range_join_binned", "scd2_merge",
+    "sequence_pack", "text_stats", "train_test_split",
+    "win_row_number",
 ]
-_R7_WINDOW = _R8_WINDOW  # name kept so older tooling keeps working
+_R8_WINDOW = _R9_WINDOW  # names kept so older tooling keeps working
+_R7_WINDOW = _R9_WINDOW
 
 
 # Gates that drain a Structured Streaming query (writeStream +
@@ -5156,7 +5159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bipartite_project": q_bipartite_project,
         "reshard_movement": q_reshard_movement,
     }
-    window = {k: q[k] for k in _R8_WINDOW}
+    window = {k: q[k] for k in _R9_WINDOW}
     window.update((k, v) for k, v in q.items() if k not in window)
     return window
 
@@ -8794,7 +8797,9 @@ def oracle_sql() -> dict[str, str]:
           SELECT 1 FROM pairs b
           WHERE b.x <= a.x AND b.y >= a.y AND (b.x < a.x OR b.y > a.y))
     """
-    # Link prediction: wedge join at ≤256-degree centers, AA weight
+    # Link prediction: wedge join at ≤64-degree centers (the same
+    # max_degree=64 the driver call passes — keep all three in sync),
+    # AA weight
     # floor(1e9/ln d) (libm — bit-identical to the engine's driver
     # pass), anti-join vs edges, total-order top-50.
     sql["link_prediction"] = """
@@ -8856,10 +8861,11 @@ def oracle_sql() -> dict[str, str]:
                  CAST(SUM(n_xy) OVER () AS BIGINT) AS nn
           FROM j)
         SELECT x AS priority, y AS status, n_xy, n_x, n_y,
-               CAST(FLOOR(1e9 * LN(CAST(n_xy * nn AS DOUBLE)
-                                   / CAST(n_x * n_y AS DOUBLE))) AS BIGINT) AS pmi_nano,
-               CAST(n_xy * CAST(FLOOR(1e9 * LN(CAST(n_xy * nn AS DOUBLE)
-                                               / CAST(n_x * n_y AS DOUBLE)))
+               CAST(FLOOR(1e9 * LN((CAST(n_xy AS DOUBLE) * CAST(nn AS DOUBLE))
+                                   / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))))
+                    AS BIGINT) AS pmi_nano,
+               CAST(n_xy * CAST(FLOOR(1e9 * LN((CAST(n_xy AS DOUBLE) * CAST(nn AS DOUBLE))
+                                               / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))))
                                 AS BIGINT) AS BIGINT) AS mi_contrib_nano
         FROM m
     """
@@ -8997,10 +9003,14 @@ def oracle_sql() -> dict[str, str]:
     """
     # Weighted quantiles: integer inverse-CDF predicate over the
     # value-ordered cumulative weight — q labels are n/d doubles.
+    # Weights go through the explicit half-up rule floor(w + 0.5)
+    # (NOT a bare decimal→BIGINT cast: Spark truncates, DuckDB rounds
+    # — the rule makes both engines agree by construction).
     sql["weighted_quantiles"] = """
         WITH c AS (
-          SELECT l_extendedprice AS v, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
-          FROM lineitem GROUP BY 1),
+          SELECT l_extendedprice AS v,
+                 CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS w
+          FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
         r AS (SELECT v, SUM(w) OVER (ORDER BY v) AS cw FROM c),
         t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM c),
         q AS (SELECT * FROM (VALUES (1, 4, 0.25), (1, 2, 0.5), (3, 4, 0.75))

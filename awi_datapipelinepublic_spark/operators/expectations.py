@@ -162,6 +162,11 @@ def mutual_information(
     with CPython libm on ``float(n_xy·N) / float(n_x·n_y)`` — the
     expression the oracle mirrors literally — floor-scaled to BIGINT
     nano-units; the only aggregate over floats is avoided entirely.
+    Cross-engine N bound: the oracle multiplies factor-wise in DOUBLE
+    (never a BIGINT product, which would overflow at N ≈ 3·10⁹), so
+    engine and oracle stay bit-identical while every factor and the
+    per-cell product stay below 2⁵³ — i.e. up to N ≈ 9·10¹⁵ rows,
+    far past the max_cells contract's audit scale.
 
     Plan: ONE groupBy((x, y)) pass with map-side combine builds the
     joint table — the only fact-table scan and the only shuffle. The

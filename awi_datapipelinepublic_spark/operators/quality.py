@@ -1165,8 +1165,15 @@ def spearman_corr(
     from awi_datapipelinepublic_spark.operators.windows import global_running_sums
 
     def rank2_table(col: str, vout: str, rout: str) -> DataFrame:
+        # NULLs are excluded EXPLICITLY (not left to engine sort order):
+        # Spark windows sort NULLS FIRST, DuckDB's SUM() OVER defaults
+        # NULLS LAST — an implicit null group would shift every non-null
+        # rank by the null count in one engine but not the other.
+        # Spearman is defined over observed (non-null) pairs anyway; the
+        # inner join back to rows drops null rows in both engines.
         counts = (
             df.select(F.col(col).alias(vout))
+            .filter(F.col(vout).isNotNull())
             .groupBy(vout)
             .agg(F.count(F.lit(1)).alias("__c"))
         )
@@ -1225,8 +1232,12 @@ def weighted_quantiles(
     Determinism contract: quantile fractions are RATIONALS
     (num, den) and the defining predicate is the integer inequality
     den·cumW ≥ num·W — no float CDF, no interpolation, bit-identical
-    in any engine. Weights are cast to BIGINT (integral weights are
-    the exactness contract, the weighted_sample precedent).
+    in any engine. Weights are rounded half-up (floor(w + 1/2)) and
+    cast to BIGINT — an explicit rule both engines apply identically,
+    rather than relying on engine-specific decimal→int cast semantics
+    (Spark truncates, DuckDB rounds; integral weights agree by luck,
+    fractional ones would silently diverge). NULL values are excluded
+    explicitly — a weighted quantile is over observed values.
 
     Plan: one groupBy collapses to distinct values (the exchange is
     value-cardinality-sized), cumW rides the two-pass
@@ -1242,8 +1253,9 @@ def weighted_quantiles(
     counts = (
         df.select(
             F.col(value_col).alias("__v"),
-            F.col(weight_col).cast("bigint").alias("__w"),
+            F.floor(F.col(weight_col) + F.lit(0.5)).cast("bigint").alias("__w"),
         )
+        .filter(F.col("__v").isNotNull())
         .groupBy("__v")
         .agg(F.sum("__w").alias("__w"))
     )
