@@ -31,28 +31,96 @@ def write_csv(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").option("header", True).csv(path)
 
 
-def overwrite_table(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
-    """Staged overwrite: materialize to a temp sibling, then swap.
+def _version_dirs(target: Path) -> list[Path]:
+    """Hidden versioned snapshots of ``target``, oldest-first (the
+    zero-padded counter in the name is the sort key)."""
+    return sorted(target.parent.glob(f".{target.name}.v-*"))
 
-    This is the engine's CREATE OR REPLACE TABLE: ``df`` may read from
-    ``path`` (as the time-window merge does — it unions old history
-    with the new batch, reference config.py:193-198), so we must fully
-    materialize before touching the target.
+
+def _is_complete(vdir: Path) -> bool:
+    """A snapshot is publishable iff the committer's _SUCCESS marker
+    landed — a crash mid-write leaves a marker-less dir that recovery
+    and GC treat as garbage, never as data."""
+    return (vdir / "_SUCCESS").exists()
+
+
+def _point_at(target: Path, vdir: Path) -> None:
+    """Atomically (re)point the ``target`` symlink at ``vdir``:
+    symlink-create at a temp name + ``os.replace`` — a single rename
+    syscall, so every reader (and any crash) sees either the previous
+    pointer or the new one, never an absent or half-written table."""
+    tmp = target.parent / f".{target.name}.link-{uuid.uuid4().hex[:8]}"
+    os.symlink(vdir.name, tmp)
+    os.replace(tmp, target)
+
+
+def recover_table(path: str) -> None:
+    """Roll a crashed publish forward/back: if ``path`` is missing but
+    versioned snapshots exist (the only non-atomic step is the one-time
+    legacy-dir migration below), re-point at the newest COMPLETE
+    snapshot. Idempotent; no-op for healthy or never-written tables."""
+    target = Path(path)
+    if target.is_symlink() or target.exists():
+        return
+    complete = [d for d in _version_dirs(target) if _is_complete(d)]
+    if complete:
+        _point_at(target, complete[-1])
+
+
+def overwrite_table(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """ATOMIC staged overwrite — the engine's CREATE OR REPLACE TABLE
+    (the reference's BQ CTAS, config.py:190-199, is atomic; so is
+    this). ``df`` may read from ``path`` (the time-window merge unions
+    old history with the new batch, reference config.py:193-198), so
+    the new snapshot fully materializes to a hidden versioned sibling
+    ``.{name}.v-{n}-{uuid}`` first; ``path`` itself is a SYMLINK
+    re-pointed with one atomic rename. A kill at ANY step leaves the
+    pointer on a complete old or complete new snapshot — never a mix,
+    never a missing table: an interrupted data write leaves a
+    _SUCCESS-less dir that GC removes; an interrupted swap leaves the
+    old pointer; post-swap GC failure leaves only reclaimable garbage.
+
+    Production analog: on Delta/Iceberg this is the transaction-log
+    commit (`replaceWhere` for the merge); on HDFS the same
+    version-dir + pointer-file scheme rides atomic NN renames. The
+    one-time migration of a pre-versioning plain directory is the only
+    non-atomic step (dir-away + link-in, two renames); `recover_table`
+    rolls that window forward on next touch. Single-writer per table,
+    like the reference's per-type Cloud Functions.
     """
     target = Path(path)
-    tmp = target.parent / f".{target.name}.staging-{uuid.uuid4().hex[:8]}"
+    recover_table(path)
+    existing = _version_dirs(target)
+    n = (
+        max((int(d.name.rsplit(".v-", 1)[1].split("-")[0]) for d in existing), default=0)
+        + 1
+    )
+    migrate_legacy = target.exists() and not target.is_symlink()
+    if migrate_legacy:
+        n += 1  # reserve n-1 for the migrated legacy dir, below the new snapshot
+    vdir = target.parent / f".{target.name}.v-{n:08d}-{uuid.uuid4().hex[:8]}"
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
-    w.parquet(str(tmp))
-    # Swap: atomic-enough for a single-writer pipeline (the reference's
-    # Cloud Functions are single-writer per data type too).
-    backup = target.parent / f".{target.name}.old-{uuid.uuid4().hex[:8]}"
-    if target.exists():
-        os.rename(target, backup)
-    os.rename(tmp, target)
-    if backup.exists():
-        shutil.rmtree(backup, ignore_errors=True)
+    w.parquet(str(vdir))
+    (vdir / "_SUCCESS").touch()  # belt-and-braces if the committer marker is off
+    if migrate_legacy:
+        # Pre-versioning plain-dir table: fold it into the version
+        # scheme (its _SUCCESS makes it recoverable) so the swap is a
+        # pointer flip from now on. The dir-away rename opens the one
+        # window where `path` is briefly absent; recover_table rolls it
+        # forward (both snapshots are complete, newest wins).
+        os.rename(target, target.parent / f".{target.name}.v-{n - 1:08d}-legacy")
+    _point_at(target, vdir)
+    # GC: every snapshot the pointer does not reference is garbage
+    # (superseded, rolled-past, or crash debris). Best-effort — a kill
+    # here strands reclaimable dirs that the next publish sweeps.
+    current = os.readlink(target)
+    for d in _version_dirs(target):
+        if d.name != current:
+            shutil.rmtree(d, ignore_errors=True)
+    for leftover in target.parent.glob(f".{target.name}.link-*"):
+        leftover.unlink(missing_ok=True)
 
 
 def compact_table(spark, path: str, target_file_mb: int = 256, partition_by: list[str] | None = None) -> int:

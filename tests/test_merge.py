@@ -151,3 +151,241 @@ def test_dataset_diff_statuses_and_null_safety(spark):
         5: "unchanged", # NULL -> NULL
         6: "added",
     }
+
+
+# ---------------------------------------------------------------------------
+# Atomic-swap writer: crash recovery at every fault point + multi-batch
+# ownership at scale. The reference's base-table replace is a BigQuery
+# CREATE OR REPLACE TABLE (config.py:190-199) — atomic by the warehouse
+# contract. The engine analog (sources/writers.overwrite_table) stages
+# each snapshot to a hidden versioned sibling and re-points a symlink
+# with one rename; a kill at ANY step must leave a reader seeing a
+# complete old or complete new snapshot — never a mix, never a missing
+# table.
+# ---------------------------------------------------------------------------
+
+import pathlib
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from awi_datapipelinepublic_spark.sources import writers
+from awi_datapipelinepublic_spark.sources.writers import overwrite_table, recover_table
+
+
+def _rows(spark, path):
+    return sorted((r["pk"], r["d"]) for r in spark.read.parquet(str(path)).collect())
+
+
+def _mk(spark, lo, hi):
+    dates = [dt.date(2024, 1 + (i % 6), 1 + (i % 27)) for i in range(lo, hi)]
+    return spark.createDataFrame(
+        [(i, d) for i, d in zip(range(lo, hi), dates)], "pk long, d date"
+    )
+
+
+@pytest.fixture()
+def published(spark, tmp_path):
+    """A healthy symlink-published table with known contents."""
+    path = tmp_path / "t"
+    old = _mk(spark, 0, 50)
+    overwrite_table(old, str(path))
+    return path, _rows(spark, path)
+
+
+def test_crash_during_data_write_reads_old(spark, published, tmp_path):
+    """Kill mid-materialization: a _SUCCESS-less version dir is debris —
+    the pointer still serves the old snapshot and the next publish
+    sweeps the junk."""
+    path, old_rows = published
+    junk = tmp_path / f".{path.name}.v-99999999-dead"
+    junk.mkdir()
+    (junk / "part-00000.parquet").write_bytes(b"not parquet")
+    recover_table(str(path))  # must not roll onto an incomplete dir
+    assert _rows(spark, path) == old_rows
+    overwrite_table(_mk(spark, 100, 120), str(path))
+    assert not junk.exists(), "incomplete crash debris must be GC'd"
+    assert _rows(spark, path) == _rows(spark, path)  # readable post-GC
+
+
+def test_crash_before_swap_reads_old_then_next_publish_wins(
+    spark, published, monkeypatch
+):
+    """Kill between materialization and the pointer flip: the complete
+    but unreferenced snapshot is invisible (old rows served) and the
+    next publish supersedes it."""
+    path, old_rows = published
+
+    def boom(target, vdir):
+        raise RuntimeError("killed before swap")
+
+    monkeypatch.setattr(writers, "_point_at", boom)
+    with pytest.raises(RuntimeError):
+        overwrite_table(_mk(spark, 100, 130), str(path))
+    monkeypatch.undo()
+    assert _rows(spark, path) == old_rows
+    recover_table(str(path))  # healthy pointer → no-op
+    assert _rows(spark, path) == old_rows
+    new = _mk(spark, 200, 210)
+    overwrite_table(new, str(path))
+    assert _rows(spark, path) == sorted((r["pk"], r["d"]) for r in new.collect())
+    # exactly one referenced snapshot remains
+    assert len(list(path.parent.glob(f".{path.name}.v-*"))) == 1
+
+
+def test_crash_mid_legacy_migration_rolls_forward(spark, tmp_path, monkeypatch):
+    """The ONE non-atomic window: migrating a pre-versioning plain dir
+    (dir renamed away, symlink not yet in place). recover_table must
+    re-point at the newest complete snapshot — old or new, never
+    absent, never a mix."""
+    path = tmp_path / "legacy"
+    old = _mk(spark, 0, 40)
+    old.write.parquet(str(path))  # plain dir, pre-versioning layout
+    new = _mk(spark, 500, 560)
+
+    calls = {"n": 0}
+    real = writers._point_at
+
+    def boom(target, vdir):
+        calls["n"] += 1
+        raise RuntimeError("killed mid-migration")
+
+    monkeypatch.setattr(writers, "_point_at", boom)
+    with pytest.raises(RuntimeError):
+        overwrite_table(new, str(path))
+    monkeypatch.undo()
+    assert calls["n"] == 1
+    assert not path.exists() and not path.is_symlink()  # the crash window
+    recover_table(str(path))
+    got = _rows(spark, path)
+    old_rows = sorted((r["pk"], r["d"]) for r in old.collect())
+    new_rows = sorted((r["pk"], r["d"]) for r in new.collect())
+    assert got in (old_rows, new_rows), "must be exactly one full snapshot"
+    assert got == new_rows, "newest complete snapshot wins (roll forward)"
+    # table is healthy again: a further publish works and GCs history
+    overwrite_table(_mk(spark, 900, 910), str(path))
+    assert len(list(path.parent.glob(f".{path.name}.v-*"))) == 1
+
+
+def test_crash_during_gc_is_self_healing(spark, published, monkeypatch):
+    """Kill mid-GC: the new snapshot is already live; stranded old
+    dirs are swept by the next publish."""
+    path, _ = published
+    new = _mk(spark, 300, 330)
+
+    def boom(*a, **k):
+        raise RuntimeError("killed during GC")
+
+    monkeypatch.setattr(writers.shutil, "rmtree", boom)
+    with pytest.raises(RuntimeError):
+        overwrite_table(new, str(path))
+    monkeypatch.undo()
+    assert _rows(spark, path) == sorted((r["pk"], r["d"]) for r in new.collect())
+    overwrite_table(_mk(spark, 400, 410), str(path))
+    assert len(list(path.parent.glob(f".{path.name}.v-*"))) == 1
+
+
+def _merge_expected(batches):
+    """Reference semantics replayed in Python: each batch owns
+    [min(batch.d), ∞) over the accumulated base."""
+    base: list = []
+    for batch in batches:
+        cutoff = min(d for _, d in batch)
+        base = [(pk, d) for pk, d in base if d < cutoff] + list(batch)
+    return sorted(base)
+
+
+@settings(max_examples=3, deadline=None)
+@given(data=st.data())
+def test_multibatch_ownership_invariant_property(spark, tmp_path_factory, data):
+    """SURVEY §5.3: after ANY sequence of merges, every time window is
+    owned by the LATEST batch whose range covers it — base rows at or
+    past a later batch's cutoff never survive. Random batch sequence,
+    month-partitioned storage, Python replay as the oracle."""
+    tmp = tmp_path_factory.mktemp("multibatch")
+    path = str(tmp / "base")
+    months = [dt.date(2024, m, day) for m in range(1, 7) for day in (3, 14, 25)]
+    n_batches = data.draw(st.integers(2, 4))
+    batches = []
+    next_pk = 0
+    for _ in range(n_batches):
+        rows = data.draw(
+            st.lists(st.sampled_from(months), min_size=1, max_size=30)
+        )
+        batch = [(next_pk + i, d) for i, d in enumerate(rows)]
+        next_pk += len(rows)
+        batches.append(batch)
+        merge_into_path(
+            spark,
+            path,
+            spark.createDataFrame(batch, "pk long, d date"),
+            "d",
+            partition_by_month=True,
+        )
+    got = sorted(
+        (r["pk"], r["d"])
+        for r in spark.read.parquet(path).select("pk", "d").collect()
+    )
+    assert got == _merge_expected(batches)
+
+
+def test_merged_base_scan_is_partition_pruned(spark, tmp_path):
+    """The point of month partitioning: a month filter over the merged
+    base must prune at scan time (PartitionFilters in the scan node),
+    including through the atomic writer's symlink indirection."""
+    path = str(tmp_path / "base")
+    rows = [(i, dt.date(2024, 1 + i % 6, 5)) for i in range(600)]
+    merge_into_path(
+        spark, path, spark.createDataFrame(rows, "pk long, d date"), "d"
+    )
+    # second merge so the base went through the symlink read+publish path
+    rows2 = [(1000 + i, dt.date(2024, 6, 20)) for i in range(50)]
+    merge_into_path(
+        spark, path, spark.createDataFrame(rows2, "pk long, d date"), "d"
+    )
+    scan = spark.read.parquet(path).filter(F.col("_merge_month") == "2024-02")
+    txt = scan._sc._jvm.PythonSQLUtils.explainString(
+        scan._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in txt
+    head = txt.split("PartitionFilters")[1].splitlines()[0]
+    assert "_merge_month" in head, head
+    assert scan.count() == 100
+
+
+@pytest.mark.slow
+def test_multibatch_merge_sf01_scale(spark, tmp_path):
+    """Month-partitioned multi-batch merge at sf0.1 volume (600k
+    lineitem rows): ownership invariant holds and the month scan stays
+    partition-pruned at real data size."""
+    li = (
+        spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        .select(
+            F.col("l_orderkey").alias("pk"),
+            F.col("l_shipdate").cast("date").alias("d"),
+            "l_quantity",
+        )
+    )
+    path = str(tmp_path / "base")
+    # batch 1: everything; batch 2 restates 1995+ with bumped quantity
+    merge_into_path(spark, path, li, "d")
+    restate = li.filter(F.col("d") >= F.lit("1995-01-01").cast("date")).withColumn(
+        "l_quantity", F.col("l_quantity") + 100
+    )
+    merge_into_path(spark, path, restate, "d")
+    base = spark.read.parquet(path)
+    pre = base.filter(F.col("d") < "1995-01-01")
+    post = base.filter(F.col("d") >= "1995-01-01")
+    # ownership: restated rows all carry the +100 quantities (>100 every row)
+    assert post.filter(F.col("l_quantity") <= 100).count() == 0
+    assert pre.filter(F.col("l_quantity") > 100).count() == 0
+    expected_pre = li.filter(F.col("d") < "1995-01-01").count()
+    assert pre.count() == expected_pre
+    assert post.count() == restate.count()
+    scan = base.filter(F.col("_merge_month") == "1996-03")
+    txt = scan._sc._jvm.PythonSQLUtils.explainString(
+        scan._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in txt
+    assert "_merge_month" in txt.split("PartitionFilters")[1].splitlines()[0]
