@@ -328,6 +328,106 @@ def streaming_click_view_left_join(
     ).select("clicks_user", "event_id", "click_ts", "view_ts", "view_value")
 
 
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """Per-user running (count, sum) on the Spark 4 arbitrary-state
+    API. Module-level (not a closure) so its state-transition logic is
+    unit-testable with a fake handle where the transformWithState wire
+    protocol can't start — the semantics contract is the SAME batch
+    oracle :func:`running_user_totals` is pinned to."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState("totals", "total double, n bigint")
+
+    def handleInputRows(self, key, rows, timerValues):
+        total, n = self._totals.get() if self._totals.exists() else (0.0, 0)
+        batch_n = 0
+        for pdf in rows:
+            batch_n += len(pdf)
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._totals.update((total, n))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "batch_events": batch_n,
+                    "running_events": n,
+                    "running_value": total,
+                }
+            ]
+        )
+
+    def close(self) -> None:
+        pass
+
+
+class EwmaProcessor(StatefulProcessor):
+    """Per-user EWMA on the arbitrary-state API — the
+    :func:`running_user_ewma` recursion (sort by ``__ord`` within the
+    batch, NaN/None holds the previous value, cumulative ``seen``
+    carried in state) re-expressed as a typed ValueState. Same
+    unit-testability stance as :class:`RunningTotalsProcessor`."""
+
+    def __init__(self, alpha: float = 0.3) -> None:
+        self._a = float(alpha)
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("ewma", "ewma double, seen bigint")
+
+    def handleInputRows(self, key, rows, timerValues):
+        prev, seen = self._state.get() if self._state.exists() else (None, 0)
+        n = 0
+        for pdf in rows:
+            pdf = pdf.sort_values("__ord", kind="mergesort")
+            for x in pdf["value"].tolist():
+                n += 1
+                if x is None or x != x:  # NaN/None: hold previous
+                    continue
+                prev = x if prev is None else (1.0 - self._a) * prev + self._a * x
+        seen += n
+        if prev is not None:
+            self._state.update((float(prev), seen))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "batch_events": n,
+                    "seen_events": seen,
+                    "ewma": prev,
+                }
+            ]
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_ewma_tws(
+    events: DataFrame, alpha: float = 0.3, order_col: str = "event_id"
+) -> DataFrame:
+    """``transformWithStateInPandas`` twin of :func:`running_user_ewma`
+    — same recursion, modern state API (per-variable ValueState,
+    RocksDB-backed on a real cluster; idle-key eviction becomes a
+    processing-time timer instead of GroupStateTimeout). Same
+    environment note as :func:`running_user_totals_tws`."""
+    return (
+        events.select("user_id", F.col(order_col).alias("__ord"), "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            EwmaProcessor(alpha),
+            outputStructType=EWMA_OUT_SCHEMA,
+            outputMode="append",
+            timeMode="None",
+        )
+    )
+
+
 def running_user_totals_tws(events: DataFrame) -> DataFrame:
     """Spark 4 ``transformWithStateInPandas`` twin of
     :func:`running_user_totals` — same per-user running totals, on the
@@ -342,47 +442,21 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
     same batch oracle.
 
     Environment note: the transformWithState protocol needs
-    ``google.protobuf`` in the Python workers (its state-server wire
-    format); clusters without it fail at stream start with
+    ``google.protobuf`` ≥ the pyspark gencode version (6.33 for
+    pyspark 4.1) in the Python workers (its state-server wire format);
+    clusters without it fail at stream start with
     STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE — the equivalence
-    test skips in that case (this container lacks protobuf).
+    test skips the wire run in that case (this container lacks
+    protobuf entirely) and pins the processor's LOGIC against the
+    batch oracle through a fake handle instead
+    (tests/test_streaming.py), so the semantics stay verified even
+    where the protocol cannot start.
     """
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
-
-    class RunningTotals(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._totals = handle.getValueState("totals", "total double, n bigint")
-
-        def handleInputRows(self, key, rows, timerValues):
-            total, n = self._totals.get() if self._totals.exists() else (0.0, 0)
-            batch_n = 0
-            for pdf in rows:
-                batch_n += len(pdf)
-                n += len(pdf)
-                total += float(pdf["value"].sum())
-            self._totals.update((total, n))
-            yield pd.DataFrame(
-                [
-                    {
-                        "user_id": key[0],
-                        "batch_events": batch_n,
-                        "running_events": n,
-                        "running_value": total,
-                    }
-                ]
-            )
-
-        def close(self) -> None:
-            pass
-
     return (
         events.select("user_id", "value")
         .groupBy("user_id")
         .transformWithStateInPandas(
-            RunningTotals(),
+            RunningTotalsProcessor(),
             outputStructType=RUNNING_OUT_SCHEMA,
             outputMode="append",
             timeMode="None",

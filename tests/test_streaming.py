@@ -498,3 +498,117 @@ def test_cdc_upserts_classify_and_replay_exactly_once(spark, tmp_path):
     shutil.move(snap, snap + "__old")
     handle(b1, 1)
     assert state() == full
+
+
+class _FakeValueState:
+    """Minimal ValueState double: the three methods the processors use."""
+
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema):
+        s = self.states.setdefault(name, _FakeValueState())
+        return s
+
+
+def _drive_processor(proc, key, batches):
+    """Replay micro-batches through a StatefulProcessor with a fake
+    handle — the state-transition semantics, minus the wire protocol
+    (which needs google.protobuf ≥ the pyspark gencode version and
+    cannot start in this container; the wire-level loud-fail contract
+    is pinned by test_transform_with_state_matches_legacy_stateful)."""
+    import pandas as _pd
+
+    proc.init(_FakeHandle())
+    out = []
+    for b in batches:
+        out.extend(proc.handleInputRows(key, iter([b]), None))
+    return _pd.concat(out, ignore_index=True)
+
+
+def test_tws_totals_processor_logic_matches_batch(spark, events_stream_dir):
+    """RunningTotalsProcessor (the transformWithStateInPandas twin's
+    state logic) drained over arbitrary micro-batch splits must equal
+    the batch groupBy — and be split-invariant."""
+    from awi_datapipelinepublic_spark.streaming.windows import RunningTotalsProcessor
+
+    pdf = (
+        spark.read.parquet(events_stream_dir)
+        .select("user_id", "value")
+        .toPandas()
+    )
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in spark.read.parquet(events_stream_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    got = {}
+    for uid, grp in pdf.groupby("user_id"):
+        grp = grp.reset_index(drop=True)
+        for cut in ({len(grp)}, {max(1, len(grp) // 3), max(2, 2 * len(grp) // 3)}):
+            bounds = sorted(cut | {len(grp)})
+            batches, lo = [], 0
+            for hi in bounds:
+                if hi > lo:
+                    batches.append(grp.iloc[lo:hi])
+                    lo = hi
+            out = _drive_processor(RunningTotalsProcessor(), (uid,), batches)
+            final = out.iloc[-1]
+            key = (int(final["running_events"]), round(float(final["running_value"]), 6))
+            got.setdefault(uid, set()).add(key)
+    assert set(got) == set(want)
+    for uid, results in got.items():
+        assert len(results) == 1, f"batch-split changed user {uid}: {results}"
+        assert next(iter(results)) == want[uid]
+
+
+def test_tws_ewma_processor_logic_matches_batch(spark, events_stream_dir):
+    """EwmaProcessor must reproduce the batch EWMA recursion
+    (operators/timeseries.ewma) for every user, independent of how the
+    stream is split into micro-batches."""
+    from awi_datapipelinepublic_spark.operators.timeseries import ewma
+    from awi_datapipelinepublic_spark.streaming.windows import EwmaProcessor
+    from pyspark.sql import Window
+
+    batch = spark.read.parquet(events_stream_dir).filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    want = {
+        r["user_id"]: round(r["y"], 9)
+        for r in ewma(
+            batch.select("user_id", "event_id", "value"),
+            "user_id", "event_id", "value", alpha=0.3, out_col="y",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    pdf = (
+        batch.select("user_id", F.col("event_id").alias("__ord"), "value")
+        .orderBy("user_id", "__ord")
+        .toPandas()
+    )
+    got = {}
+    for uid, grp in pdf.groupby("user_id"):
+        grp = grp.reset_index(drop=True)
+        mid = max(1, len(grp) // 2)
+        out = _drive_processor(
+            EwmaProcessor(0.3), (uid,), [grp.iloc[:mid], grp.iloc[mid:]]
+        )
+        got[uid] = round(float(out.iloc[-1]["ewma"]), 9)
+    assert got == want and len(want) > 0
