@@ -91,6 +91,26 @@ def _clear_orphan_location(spark, table: str) -> None:
         shutil.rmtree(loc, ignore_errors=True)
 
 
+def _recover_staged_swap(spark, table: str) -> None:
+    """Roll a crashed metastore swap forward: a surviving
+    ``{table}__staging`` entry means a previous merge fully
+    materialized its result but died before (or during) the
+    DROP+RENAME. The staging table IS the complete merged state —
+    finish the swap so the caller reads it, instead of stranding a
+    whole batch's merge. Idempotent; no-op when no staging entry
+    exists (an orphan staging *location* with no catalog entry is
+    handled by :func:`_clear_orphan_location` — dead data, not a
+    recoverable swap)."""
+    staging = f"{table}__staging"
+    if not spark.catalog.tableExists(staging):
+        return
+    if spark.catalog.tableExists(table):
+        spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    if "_merge_month" in spark.table(table).columns:
+        spark.sql(f"MSCK REPAIR TABLE {table}")
+
+
 def merge_into_table(
     spark,
     table: str,
@@ -120,6 +140,9 @@ def merge_into_table(
         new_batch = new_batch.withColumn(
             "_merge_month", F.date_format(F.col(date_col), "yyyy-MM")
         )
+    # Crash recovery first: a cataloged staging table is a fully
+    # materialized merge whose swap never finished — complete it.
+    _recover_staged_swap(spark, table)
     # In-memory catalogs (tests, ad-hoc sessions) forget table entries
     # across sessions while their warehouse dirs persist; Spark then
     # refuses the managed-table create (LOCATION_ALREADY_EXISTS). The

@@ -67,7 +67,40 @@ def recover_table(path: str) -> None:
         _point_at(target, complete[-1])
 
 
-def overwrite_table(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+def list_versions(path: str) -> list[tuple[int, str]]:
+    """COMPLETE retained snapshots of ``path``, oldest-first, as
+    (version_number, directory) pairs — the engine's answer to
+    ``DESCRIBE HISTORY``. Only snapshots kept by ``keep_versions``
+    survive; the pointer's target is always last."""
+    target = Path(path)
+    out = []
+    for d in _version_dirs(target):
+        if _is_complete(d):
+            out.append((int(d.name.rsplit(".v-", 1)[1].split("-")[0]), str(d)))
+    return out
+
+
+def read_version(spark, path: str, version: int) -> "DataFrame":
+    """Time travel: read a specific retained snapshot (a
+    ``list_versions`` number) — the Delta ``VERSION AS OF`` analog.
+    Current data is just ``spark.read.parquet(path)`` (the pointer);
+    this resolves a historical dir. Raises KeyError for a version
+    that was never written or has been retention-GC'd."""
+    for n, d in list_versions(path):
+        if n == version:
+            return spark.read.parquet(d)
+    raise KeyError(
+        f"version {version} of {path} not retained "
+        f"(have: {[n for n, _ in list_versions(path)]})"
+    )
+
+
+def overwrite_table(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    keep_versions: int = 1,
+) -> None:
     """ATOMIC staged overwrite — the engine's CREATE OR REPLACE TABLE
     (the reference's BQ CTAS, config.py:190-199, is atomic; so is
     this). ``df`` may read from ``path`` (the time-window merge unions
@@ -87,6 +120,11 @@ def overwrite_table(df: DataFrame, path: str, partition_by: list[str] | None = N
     non-atomic step (dir-away + link-in, two renames); `recover_table`
     rolls that window forward on next touch. Single-writer per table,
     like the reference's per-type Cloud Functions.
+
+    ``keep_versions`` retains that many newest complete snapshots
+    (current included) for time travel via :func:`read_version` /
+    :func:`list_versions` — the Delta ``VERSION AS OF`` analog; the
+    default 1 keeps only the live snapshot (no storage growth).
     """
     target = Path(path)
     recover_table(path)
@@ -112,12 +150,20 @@ def overwrite_table(df: DataFrame, path: str, partition_by: list[str] | None = N
         # forward (both snapshots are complete, newest wins).
         os.rename(target, target.parent / f".{target.name}.v-{n - 1:08d}-legacy")
     _point_at(target, vdir)
-    # GC: every snapshot the pointer does not reference is garbage
-    # (superseded, rolled-past, or crash debris). Best-effort — a kill
-    # here strands reclaimable dirs that the next publish sweeps.
+    # GC: keep the pointer's target plus the newest complete snapshots
+    # up to keep_versions; everything else — superseded history past
+    # retention, rolled-past dirs, _SUCCESS-less crash debris — is
+    # garbage. Best-effort: a kill here strands reclaimable dirs that
+    # the next publish sweeps.
     current = os.readlink(target)
+    keep = {current}
+    for d in reversed(_version_dirs(target)):
+        if len(keep) >= max(1, keep_versions):
+            break
+        if _is_complete(d):
+            keep.add(d.name)
     for d in _version_dirs(target):
-        if d.name != current:
+        if d.name not in keep:
             shutil.rmtree(d, ignore_errors=True)
     for leftover in target.parent.glob(f".{target.name}.link-*"):
         leftover.unlink(missing_ok=True)

@@ -389,3 +389,73 @@ def test_multibatch_merge_sf01_scale(spark, tmp_path):
     )
     assert "PartitionFilters" in txt
     assert "_merge_month" in txt.split("PartitionFilters")[1].splitlines()[0]
+
+
+def test_keep_versions_time_travel(spark, tmp_path):
+    """Retention + time travel on the atomic writer: keep_versions=3
+    retains the last three complete snapshots, read_version resolves
+    them, GC'd versions raise, and the default keeps only the live
+    snapshot."""
+    from awi_datapipelinepublic_spark.sources.writers import (
+        list_versions,
+        read_version,
+    )
+
+    path = str(tmp_path / "tt")
+    for lo in (0, 100, 200, 300):
+        overwrite_table(_mk(spark, lo, lo + 10), path, keep_versions=3)
+    kept = list_versions(path)
+    assert [n for n, _ in kept] == [2, 3, 4]  # v1 retention-GC'd
+    assert {r["pk"] for r in read_version(spark, path, 2).collect()} == set(
+        range(100, 110)
+    )
+    assert {r["pk"] for r in read_version(spark, path, 4).collect()} == set(
+        range(300, 310)
+    )
+    assert _rows(spark, path) == _rows(spark, pathlib.Path(kept[-1][1]))
+    with pytest.raises(KeyError):
+        read_version(spark, path, 1)
+    # default retention: next publish collapses history to the live one
+    overwrite_table(_mk(spark, 400, 410), path)
+    assert [n for n, _ in list_versions(path)] == [5]
+
+
+def test_managed_merge_swap_crash_rolls_forward(spark, tmp_path):
+    """merge_into_table: a cataloged __staging table is a fully
+    materialized merge whose DROP+RENAME swap died — the next call
+    must finish that swap first (never strand or re-lose the batch),
+    for both crash points: before the DROP (both tables exist) and
+    after it (only staging exists)."""
+    from awi_datapipelinepublic_spark.operators.merge import (
+        merge_into_table,
+        merge_time_window,
+    )
+
+    t = "t_swap_crash"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    spark.sql(f"DROP TABLE IF EXISTS {t}__staging")
+    b1 = _df(spark, [(1, dt.date(2024, 1, 10), "a"), (2, dt.date(2024, 3, 10), "a")])
+    merge_into_table(spark, t, b1, "d", partition_by_month=False)
+
+    # crash point A: staging written, DROP never ran
+    b2 = _df(spark, [(3, dt.date(2024, 2, 1), "b")])
+    merged = merge_time_window(spark.table(t), b2, "d")
+    merged.write.mode("overwrite").format("parquet").saveAsTable(f"{t}__staging")
+    b3 = _df(spark, [(4, dt.date(2024, 3, 1), "c")])
+    merge_into_table(spark, t, b3, "d", partition_by_month=False)
+    got = {r["pk"]: r["v"] for r in spark.table(t).collect()}
+    # sequential semantics: b1 then b2 (recovered) then b3
+    assert got == {1: "a", 3: "b", 4: "c"}
+    assert not spark.catalog.tableExists(f"{t}__staging")
+
+    # crash point B: DROP ran, RENAME didn't — only staging remains
+    snapshot = spark.table(t)
+    snapshot.write.mode("overwrite").format("parquet").saveAsTable(f"{t}__staging")
+    spark.sql(f"DROP TABLE {t}")
+    b4 = _df(spark, [(5, dt.date(2024, 3, 20), "d4")])
+    merge_into_table(spark, t, b4, "d", partition_by_month=False)
+    got = {r["pk"]: r["v"] for r in spark.table(t).collect()}
+    # recovered snapshot {1,3,4} then b4 (cutoff 2024-03-20, nothing at
+    # or past it in the base) appends pk5
+    assert got == {1: "a", 3: "b", 4: "c", 5: "d4"}
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
