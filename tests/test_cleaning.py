@@ -286,3 +286,41 @@ def test_numeric_as_decimal_schema_mode():
     assert st["a"].dataType == T.DecimalType(38, 9)
     assert st["b"].dataType == T.DoubleType()     # only NUMERIC switches
     assert to_struct_type(fields)["a"].dataType == T.DoubleType()
+
+
+def test_xlsx_phonetic_runs_excluded_from_strings(tmp_path):
+    """Japanese workbooks carry furigana as <rPh> phonetic runs inside
+    shared-string items; their <t> is annotation, NOT cell text — a
+    blind .iter('t') would emit '東京トウキョウ'. Both shared and
+    inline strings must keep visible runs only."""
+    import zipfile
+
+    from awi_datapipelinepublic_spark.sources.xlsx import read_xlsx
+
+    path = str(tmp_path / "phonetic.xlsx")
+    ct = """<?xml version="1.0"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/><Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/></Types>"""
+    wb = """<?xml version="1.0"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="S1" sheetId="1" r:id="rId1"/></sheets></workbook>"""
+    rels = """<?xml version="1.0"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>"""
+    # si 0: plain header; si 1: visible text + phonetic run + phoneticPr
+    ss = """<?xml version="1.0"?>
+<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="2" uniqueCount="2"><si><t>city</t></si><si><r><t>東京</t></r><rPh sb="0" eb="2"><t>トウキョウ</t></rPh><phoneticPr fontId="1"/></si></sst>"""
+    # inline string with the same shape
+    sheet = """<?xml version="1.0"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+<row r="1"><c r="A1" t="s"><v>0</v></c></row>
+<row r="2"><c r="A2" t="s"><v>1</v></c></row>
+<row r="3"><c r="A3" t="inlineStr"><is><r><t>大阪</t></r><rPh sb="0" eb="2"><t>オオサカ</t></rPh></is></c></row>
+</sheetData></worksheet>"""
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("[Content_Types].xml", ct)
+        zf.writestr("_rels/.rels", "<Relationships xmlns='http://schemas.openxmlformats.org/package/2006/relationships'/>")
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/sharedStrings.xml", ss)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    header, rows = read_xlsx(path, "S1")
+    assert header == ["city"]
+    assert rows == [["東京"], ["大阪"]]
