@@ -769,3 +769,29 @@ def test_attribution_no_join_single_user_window(spark, sf_dir):
     plan = _plan(entry_mod.q_attribution_last_touch(spark, sf_dir))
     assert "Join" not in plan, plan[:2000]
     assert "Window" in plan
+
+
+def test_no_cartesian_product_in_any_gate(spark, sf_dir):
+    """Sweep EVERY gate's PHYSICAL plan: a CartesianProduct is the
+    O(n·m) shuffle-everything plan no gate may reach — at 100 TB it is
+    the difference between a query and an outage. Current census: 0
+    hits; the allowlist is EMPTY and should stay that way (the
+    legitimate scalar-combine pattern — crossJoin against a 1-row
+    aggregate — plans as BroadcastNestedLoopJoin over a broadcast
+    scalar, which this sweep deliberately permits; ~30 gates use it).
+    Streaming-draining gates are excluded as in the window sweep."""
+    allowlist: set = set()
+    offenders = {}
+    for name, fn in entry_mod.queries().items():
+        if name in _SWEEP_SKIP or name in entry_mod.STREAMING_GATES:
+            continue
+        df = fn(spark, sf_dir)
+        txt = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        if "CartesianProduct" in txt and name not in allowlist:
+            offenders[name] = txt.count("CartesianProduct")
+    assert not offenders, (
+        f"gates planning CartesianProduct (fix the join condition or "
+        f"broadcast a genuinely scalar side): {offenders}"
+    )
