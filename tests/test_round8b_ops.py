@@ -512,3 +512,42 @@ def test_reshard_movement_minimal_disruption(spark):
     a = {r["id"]: r["shard"] for r in rendezvous_shard(df, "id", 8).collect()}
     b = {r["id"]: r["shard"] for r in rendezvous_shard(df, "id", 8).collect()}
     assert a == b and set(a.values()) == set(range(8))
+
+
+def test_weighted_quantiles_nulls_excluded_and_fractional_weights_round_half_up(spark):
+    """The round-9 determinism hardening: NULL values are excluded by
+    rule (not by engine sort-order accident), and fractional weights
+    follow the explicit half-up rule floor(w + 0.5) — 2.5 counts as 3,
+    2.4 as 2 — instead of Spark's truncating decimal→bigint cast (which
+    would read 2.5 as 2 while DuckDB's rounding cast reads 3)."""
+    from awi_datapipelinepublic_spark.operators.quality import weighted_quantiles
+
+    df = spark.createDataFrame(
+        [(None, 100.0), (1.0, 1.4), (2.0, 2.5), (3.0, 0.6)],
+        "v double, w double",
+    )
+    # half-up weights: 1, 3, 1 → W=5, cum: 1(v=1), 4(v=2), 5(v=3)
+    # q=.25 needs cum>=1.25 → 2; q=.5 needs >=2.5 → 2; q=.75 >=3.75 → 2
+    out = {r["q"]: r["v"] for r in weighted_quantiles(df, "v", "w").collect()}
+    assert out == {0.25: 2.0, 0.5: 2.0, 0.75: 2.0}
+    # truncation semantics would give weights 1,2,0 → W=3: q=.75 needs
+    # cum>=2.25 → v=2 as well, so pin q=.25 where they differ:
+    # truncated cum would be 1(v=1) → q=.25 needs >=0.75 → v=1. The
+    # half-up answer above (2.0) proves rounding, not truncation.
+
+
+def test_spearman_ignores_null_rows_in_ranks(spark):
+    """NULLs must not shift non-null ranks (the Spark-NULLS-FIRST vs
+    DuckDB-NULLS-LAST divergence): rho over a table with NULL noise
+    rows equals rho over the clean subset."""
+    from awi_datapipelinepublic_spark.operators.quality import spearman_corr
+
+    clean = [(1.0, 2.0), (2.0, 1.0), (3.0, 4.0), (4.0, 3.0), (5.0, 5.0)]
+    noisy = clean + [(None, 9.0), (9.0, None), (None, None)]
+    a = spearman_corr(
+        spark.createDataFrame(clean, "x double, y double"), "x", "y"
+    ).first()
+    b = spearman_corr(
+        spark.createDataFrame(noisy, "x double, y double"), "x", "y"
+    ).first()
+    assert a["rho"] == b["rho"] and a["n_rows"] == b["n_rows"] == 5
