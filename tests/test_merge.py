@@ -459,3 +459,64 @@ def test_managed_merge_swap_crash_rolls_forward(spark, tmp_path):
     # or past it in the base) appends pk5
     assert got == {1: "a", 3: "b", 4: "c", 5: "d4"}
     spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+@settings(max_examples=3, deadline=None)
+@given(data=st.data())
+def test_atomic_writer_random_crash_sequences(spark, tmp_path_factory, data):
+    """Hypothesis over random publish/crash interleavings: after ANY
+    sequence of successful publishes and crashes injected at the
+    pointer flip or the GC step, the table always reads as exactly ONE
+    complete published snapshot — never a mix, never a half-write —
+    and a final clean publish always succeeds and collapses history.
+
+    Visibility model (the writer's contract):
+    - clean publish → new snapshot visible;
+    - crash at the pointer flip → old snapshot still visible; EXCEPT
+      on a first-ever publish, where recover_table legitimately rolls
+      the complete orphan forward (WAL-redo semantics — the data was
+      fully materialized, only the pointer was missing);
+    - crash during GC → new snapshot already visible (GC may also have
+      nothing to delete, in which case the publish simply succeeds).
+    """
+    tmp = tmp_path_factory.mktemp("crash_seq")
+    path = tmp / "t"
+    import unittest.mock as mock
+
+    committed = None  # rows the reader must see (None = no table yet)
+    gen = 0
+    for step in range(data.draw(st.integers(2, 5))):
+        gen += 1
+        df = _mk(spark, gen * 1000, gen * 1000 + 5)
+        fault = data.draw(
+            st.sampled_from(["none", "before_swap", "during_gc"]),
+            label=f"fault_{step}",
+        )
+        rows = sorted((r["pk"], r["d"]) for r in df.collect())
+        if fault == "none":
+            overwrite_table(df, str(path))
+            committed = rows
+        elif fault == "before_swap":
+            with mock.patch.object(
+                writers, "_point_at", side_effect=RuntimeError("crash")
+            ):
+                with pytest.raises(RuntimeError):
+                    overwrite_table(df, str(path))
+            recover_table(str(path))
+            if committed is None:
+                committed = rows  # first-publish roll-forward
+        else:  # during_gc — snapshot live before the (possible) crash
+            with mock.patch.object(
+                writers.shutil, "rmtree", side_effect=RuntimeError("crash")
+            ):
+                try:
+                    overwrite_table(df, str(path))
+                except RuntimeError:
+                    pass  # GC had work and "crashed"; publish is live
+            committed = rows
+        recover_table(str(path))  # idempotent; must never corrupt
+        assert _rows(spark, path) == committed
+    final = _mk(spark, 99000, 99007)
+    overwrite_table(final, str(path))
+    assert _rows(spark, path) == sorted((r["pk"], r["d"]) for r in final.collect())
+    assert len(list(path.parent.glob(f".{path.name}.v-*"))) == 1
