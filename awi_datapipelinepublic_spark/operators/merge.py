@@ -33,7 +33,11 @@ def merge_cutoff(new_batch: DataFrame, date_col: str):
 
 
 def merge_time_window(
-    base: DataFrame, new_batch: DataFrame, date_col: str, cutoff=None
+    base: DataFrame,
+    new_batch: DataFrame,
+    date_col: str,
+    cutoff=None,
+    allow_schema_evolution: bool = False,
 ) -> DataFrame:
     """Pure logical-plan form of the merge: callers that own storage
     pass the result to writers.overwrite_table.
@@ -41,24 +45,42 @@ def merge_time_window(
     NULL date rows never survive in the new batch (the clean stage
     drops them — reference config.py:138) and NULL < cutoff is NULL →
     filtered, matching BigQuery's behavior for base rows.
+
+    ``allow_schema_evolution`` is the Delta ``mergeSchema`` analog: a
+    batch may ADD columns (history reads NULL for them) or OMIT
+    columns (the batch's rows read NULL) — name-based union padding,
+    the same align_union semantics the clean stage applies across
+    report files (reference config.py:98-118). Default OFF: the
+    reference pipeline casts every batch to the declared schema before
+    merging, so a mismatch there is a data bug and must stay loud.
     """
     if cutoff is None:
         cutoff = merge_cutoff(new_batch, date_col)
     if cutoff is None:
         # Empty new batch: merge is the identity on base.
         return base
-    return base.filter(F.col(date_col) < F.lit(cutoff)).unionByName(new_batch)
+    return base.filter(F.col(date_col) < F.lit(cutoff)).unionByName(
+        new_batch, allowMissingColumns=allow_schema_evolution
+    )
 
 
 def merge_into_path(
-    spark, base_path: str, new_batch: DataFrame, date_col: str, partition_by_month: bool = True
+    spark,
+    base_path: str,
+    new_batch: DataFrame,
+    date_col: str,
+    partition_by_month: bool = True,
+    allow_schema_evolution: bool = False,
 ) -> None:
-    """Storage-level merge: read base, merge, staged-overwrite back.
+    """Storage-level merge: read base, merge, atomic-publish back
+    (writers.overwrite_table — versioned snapshot + pointer flip).
 
     Partitioning by month(date_col) makes both sides of the merge
     cheap: the ``< cutoff`` filter prunes partitions at scan time, and
     the rewrite only produces files for months ≥ cutoff plus
-    pass-through of older months.
+    pass-through of older months. ``allow_schema_evolution`` passes
+    through to :func:`merge_time_window` (added/omitted batch columns
+    pad with NULLs instead of failing the union).
     """
     from pathlib import Path
 
@@ -71,7 +93,9 @@ def merge_into_path(
         base = spark.read.parquet(base_path)
         if partition_by_month and "_merge_month" not in base.columns:
             base = base.withColumn("_merge_month", F.date_format(F.col(date_col), "yyyy-MM"))
-        merged = merge_time_window(base, new_batch, date_col)
+        merged = merge_time_window(
+            base, new_batch, date_col, allow_schema_evolution=allow_schema_evolution
+        )
     else:
         merged = new_batch
     overwrite_table(merged, base_path, partition_by=part_cols)

@@ -54,6 +54,47 @@ def _point_at(target: Path, vdir: Path) -> None:
     os.replace(tmp, target)
 
 
+class ConcurrentPublishError(RuntimeError):
+    """A second writer tried to publish a table mid-publish. The
+    engine's contract is single-writer per table (the reference's
+    per-type Cloud Functions, main.py:39-41); this error makes a
+    violated contract LOUD instead of letting two writers race the
+    pointer (last-flip-wins would silently drop a whole publish)."""
+
+
+_LOCK_STALE_SECONDS = 3600.0
+
+
+def _acquire_publish_lock(target: Path) -> Path:
+    """Advisory per-table publish lock: O_EXCL-create a sibling
+    ``.{name}.lock`` (atomic on POSIX and HDFS; on S3 use a
+    conditional PUT). A crashed writer's lock goes stale after
+    ``_LOCK_STALE_SECONDS`` (its publish can never complete — the
+    pointer flip it was heading for never happened) and is taken
+    over; a FRESH foreign lock raises ConcurrentPublishError."""
+    lock = target.parent / f".{target.name}.lock"
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, f"pid={os.getpid()}\n".encode())
+            os.close(fd)
+            return lock
+        except FileExistsError:
+            import time
+
+            try:
+                age = time.time() - lock.stat().st_mtime
+            except FileNotFoundError:
+                continue  # holder released between our open and stat
+            if age < _LOCK_STALE_SECONDS:
+                raise ConcurrentPublishError(
+                    f"another writer holds {lock} (age {age:.0f}s); "
+                    "the engine is single-writer per table — serialize "
+                    "publishes upstream"
+                ) from None
+            lock.unlink(missing_ok=True)  # stale: crashed writer
+
+
 def recover_table(path: str) -> None:
     """Roll a crashed publish forward/back: if ``path`` is missing but
     versioned snapshots exist (the only non-atomic step is the one-time
@@ -127,6 +168,20 @@ def overwrite_table(
     default 1 keeps only the live snapshot (no storage growth).
     """
     target = Path(path)
+    lock = _acquire_publish_lock(target)
+    try:
+        _publish_locked(df, target, partition_by, keep_versions)
+    finally:
+        lock.unlink(missing_ok=True)
+
+
+def _publish_locked(
+    df: DataFrame,
+    target: Path,
+    partition_by: list[str] | None,
+    keep_versions: int,
+) -> None:
+    path = str(target)
     recover_table(path)
     existing = _version_dirs(target)
     n = (

@@ -520,3 +520,71 @@ def test_atomic_writer_random_crash_sequences(spark, tmp_path_factory, data):
     overwrite_table(final, str(path))
     assert _rows(spark, path) == sorted((r["pk"], r["d"]) for r in final.collect())
     assert len(list(path.parent.glob(f".{path.name}.v-*"))) == 1
+
+
+def test_publish_lock_rejects_concurrent_and_takes_over_stale(spark, published):
+    """Single-writer contract made loud: a FRESH foreign lock refuses
+    the publish (table untouched); a STALE lock (crashed writer — its
+    pointer flip can never come) is taken over and the publish lands."""
+    import os
+    import time
+
+    from awi_datapipelinepublic_spark.sources.writers import ConcurrentPublishError
+
+    path, old_rows = published
+    lock = path.parent / f".{path.name}.lock"
+    lock.write_text("pid=99999\n")
+    with pytest.raises(ConcurrentPublishError):
+        overwrite_table(_mk(spark, 700, 705), str(path))
+    assert _rows(spark, path) == old_rows
+    # age the lock past the staleness horizon → takeover
+    stale = time.time() - (writers._LOCK_STALE_SECONDS + 5)
+    os.utime(lock, (stale, stale))
+    new = _mk(spark, 800, 805)
+    overwrite_table(new, str(path))
+    assert _rows(spark, path) == sorted((r["pk"], r["d"]) for r in new.collect())
+    assert not lock.exists(), "lock must be released after publish"
+
+
+def test_merge_schema_evolution_pads_with_nulls(spark, tmp_path):
+    """allow_schema_evolution (the mergeSchema analog): a batch may add
+    a column (history reads NULL) or omit one (batch rows read NULL);
+    without the flag the mismatch stays a loud error."""
+    from awi_datapipelinepublic_spark.operators.merge import (
+        merge_into_path,
+        merge_time_window,
+    )
+    from pyspark.sql.utils import AnalysisException
+
+    base = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 1), "a")], "pk long, d date, v string"
+    )
+    widened = spark.createDataFrame(
+        [(2, dt.date(2024, 2, 1), "b", 7.5)],
+        "pk long, d date, v string, score double",
+    )
+    with pytest.raises(AnalysisException):
+        merge_time_window(base, widened, "d").collect()
+    rows = {
+        r["pk"]: (r["v"], r["score"])
+        for r in merge_time_window(
+            base, widened, "d", allow_schema_evolution=True
+        ).collect()
+    }
+    assert rows == {1: ("a", None), 2: ("b", 7.5)}
+    narrowed = spark.createDataFrame(
+        [(3, dt.date(2024, 3, 1))], "pk long, d date"
+    )
+    rows = {
+        r["pk"]: r["v"]
+        for r in merge_time_window(
+            base, narrowed, "d", allow_schema_evolution=True
+        ).collect()
+    }
+    assert rows == {1: "a", 3: None}
+    # storage level: evolved merge lands and reads back with the union schema
+    path = str(tmp_path / "evolve")
+    merge_into_path(spark, path, base, "d")
+    merge_into_path(spark, path, widened, "d", allow_schema_evolution=True)
+    out = {r["pk"]: r["score"] for r in spark.read.parquet(path).collect()}
+    assert out == {1: None, 2: 7.5}
