@@ -76,12 +76,15 @@ def pair_lift(
         .filter(F.col("n_ab") >= min_support)
     )
     return (
+        # item_counts is VOCABULARY-sized (one row per distinct item) —
+        # no forced broadcast; AQE promotes by measured size when the
+        # catalog is actually small, and shuffles when it isn't.
         pair_counts.join(
-            F.broadcast(item_counts.select(F.col("item").alias("item_a"), F.col("__n_item").alias("__na"))),
+            item_counts.select(F.col("item").alias("item_a"), F.col("__n_item").alias("__na")),
             "item_a",
         )
         .join(
-            F.broadcast(item_counts.select(F.col("item").alias("item_b"), F.col("__n_item").alias("__nb"))),
+            item_counts.select(F.col("item").alias("item_b"), F.col("__n_item").alias("__nb")),
             "item_b",
         )
         .crossJoin(F.broadcast(n_baskets))
@@ -143,7 +146,10 @@ def triple_support(
     )
     pruned = (
         baskets.select(F.col("__b"), F.explode("ids").alias("item"))
-        .join(F.broadcast(frequent), "item")
+        # frequent is vocabulary-sized (min-support bounds it only
+        # loosely) — unhinted; AQE broadcasts the semi-join side when
+        # its measured size allows.
+        .join(frequent, "item")
         .groupBy("__b")
         .agg(F.array_sort(F.collect_set("item")).alias("ids"))
         .filter(F.size("ids") >= 3)

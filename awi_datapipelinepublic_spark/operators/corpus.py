@@ -200,7 +200,10 @@ def tfidf_keywords(
     n_docs = df.select(F.count(F.lit(1)).alias("__N"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        # dfreq is vocabulary-sized (one row per distinct term in the
+        # corpus) — unhinted join; AQE broadcasts by measured size at
+        # small vocab, shuffles on term otherwise. n_docs is 1 row.
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf", F.round(F.col("tf") * F.log(F.col("__N") / F.col("df")), 6)

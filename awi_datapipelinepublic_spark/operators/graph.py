@@ -454,17 +454,15 @@ def degree_assortativity(
         e.select(F.col("v").alias("a"), F.col("u").alias("b"))
     )
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
-    # One row per NODE, not per edge — broadcast it so the join back
-    # to the 2|E|-row symmetrized list stays exchange-free even when
-    # Spark's size estimate of the post-agg side is too pessimistic
-    # for the auto threshold. (Node tables in the 10⁹-edge regime are
-    # typically ≤ tens of millions of (id, int) rows — if yours is
-    # genuinely bigger than the broadcast budget, AQE demotes the hint
-    # to shuffle join rather than OOMing the build side.)
+    # deg is |V|-sized — one row per NODE. No forced broadcast: a hint
+    # overrides size estimation outright, so a 10⁸-node table would be
+    # built on the driver. Unhinted, AQE promotes the post-agg side to
+    # broadcast from its MEASURED size when small and shuffles when
+    # not (same class as the r8 link_prediction/target_encode fixes).
     pairs = (
-        sym.join(F.broadcast(deg.select(F.col("a"), F.col("d").alias("dx"))), "a")
+        sym.join(deg.select(F.col("a"), F.col("d").alias("dx")), "a")
         .join(
-            F.broadcast(deg.select(F.col("a").alias("b"), F.col("d").alias("dy"))),
+            deg.select(F.col("a").alias("b"), F.col("d").alias("dy")),
             "b",
         )
         .select("dx", "dy")

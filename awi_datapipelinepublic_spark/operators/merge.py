@@ -84,7 +84,15 @@ def merge_into_path(
     """
     from pathlib import Path
 
-    from awi_datapipelinepublic_spark.sources.writers import overwrite_table
+    from awi_datapipelinepublic_spark.sources.writers import overwrite_table, recover_table
+
+    # Crash recovery FIRST: a kill inside overwrite_table's one-time
+    # legacy-dir migration window leaves the pointer absent while a
+    # complete snapshot exists. Without this, the exists() check below
+    # reads the table as empty, the merge publishes new_batch alone,
+    # and keep_versions GC then deletes the old snapshot — silent loss
+    # of all history. Mirrors merge_into_table's _recover_staged_swap.
+    recover_table(base_path)
 
     part_cols = ["_merge_month"] if partition_by_month else None
     if partition_by_month:
@@ -101,16 +109,25 @@ def merge_into_path(
     overwrite_table(merged, base_path, partition_by=part_cols)
 
 
+def _table_location(spark, table: str):
+    """Managed-table directory under the session warehouse — used both
+    for orphan cleanup and as the anchor for the per-table publish
+    lock (the lock file is a warehouse-dir sibling, so every writer of
+    the same catalog name contends on the same path)."""
+    from pathlib import Path
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    return Path(warehouse.removeprefix("file:")) / table.lower()
+
+
 def _clear_orphan_location(spark, table: str) -> None:
     """Remove a managed-table location that has no catalog entry (see
     merge_into_table — only possible with a non-persistent catalog)."""
     if spark.catalog.tableExists(table):
         return
     import shutil
-    from pathlib import Path
 
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    loc = Path(warehouse.removeprefix("file:")) / table.lower()
+    loc = _table_location(spark, table)
     if loc.exists():
         shutil.rmtree(loc, ignore_errors=True)
 
@@ -160,10 +177,39 @@ def merge_into_table(
     affected partitions rewrite; the monthly partitioning below is what
     makes that cheap.
     """
+    from awi_datapipelinepublic_spark.sources.writers import (
+        _acquire_publish_lock,
+        _LockHeartbeat,
+        _release_publish_lock,
+    )
+
     if partition_by_month:
         new_batch = new_batch.withColumn(
             "_merge_month", F.date_format(F.col(date_col), "yyyy-MM")
         )
+    # Same advisory publish lock as the path writer (writers.py), keyed
+    # on the managed-table location so every writer of this catalog
+    # name contends on one file: without it two concurrent catalog
+    # merges race the `__staging` create/DROP/RENAME and one batch's
+    # merge silently vanishes. Held across recovery + read + staging +
+    # swap; heartbeat keeps a slow writer's lock fresh.
+    loc = _table_location(spark, table)
+    loc.parent.mkdir(parents=True, exist_ok=True)
+    lock, token = _acquire_publish_lock(loc)
+    try:
+        with _LockHeartbeat(lock):
+            _merge_into_table_locked(spark, table, new_batch, date_col, partition_by_month)
+    finally:
+        _release_publish_lock(lock, token)
+
+
+def _merge_into_table_locked(
+    spark,
+    table: str,
+    new_batch: DataFrame,
+    date_col: str,
+    partition_by_month: bool,
+) -> None:
     # Crash recovery first: a cataloged staging table is a fully
     # materialized merge whose swap never finished — complete it.
     _recover_staged_swap(spark, table)

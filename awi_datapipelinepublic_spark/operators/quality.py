@@ -938,18 +938,23 @@ def mad_outliers(
     Output: (group, n_rows BIGINT, median DOUBLE, mad DOUBLE,
     n_outliers BIGINT), doubles at ``round_dp``.
     """
+    # No forced broadcast on the per-group med/mad tables: they are
+    # GROUP-cardinality-sized, and the operator API admits arbitrary
+    # group keys — at 100 TB a high-cardinality key would OOM the
+    # driver under a hint. AQE promotes to broadcast by MEASURED size
+    # when the group count is actually small (the gate's 3 groups are).
     med = df.groupBy(group_col).agg(
         F.expr(f"percentile({value_col}, 0.5)").alias("__med"),
         F.count(F.lit(1)).alias("n_rows"),
     )
-    dev = df.join(F.broadcast(med), group_col).withColumn(
+    dev = df.join(med, group_col).withColumn(
         "__adev", F.abs(F.col(value_col) - F.col("__med"))
     )
     mad = dev.groupBy(group_col).agg(
         F.expr("percentile(__adev, 0.5)").alias("__mad")
     )
     flagged = (
-        dev.join(F.broadcast(mad), group_col)
+        dev.join(mad, group_col)
         .withColumn(
             "__out",
             (

@@ -138,7 +138,16 @@ def mixture_resample(
     wmap = F.create_map(
         *[F.lit(x) for kv in sorted(weights.items()) for x in (kv[0], float(kv[1]))]
     )
-    counts = df.groupBy(category_col).agg(F.count(F.lit(1)).alias("__n"))
+    # Bound the broadcast to the CALLER's category list (len(weights)
+    # rows — contract-small) instead of the corpus's full category
+    # vocabulary; categories outside the weight map are dropped by the
+    # wmap-NULL filter below anyway, so pre-filtering here changes the
+    # plan, not the result.
+    counts = (
+        df.filter(F.col(category_col).isin(list(weights.keys())))
+        .groupBy(category_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
     u = (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
         .cast("double")

@@ -63,36 +63,121 @@ class ConcurrentPublishError(RuntimeError):
 
 
 _LOCK_STALE_SECONDS = 3600.0
+_HEARTBEAT_SECONDS = _LOCK_STALE_SECONDS / 4
 
 
-def _acquire_publish_lock(target: Path) -> Path:
+def _acquire_publish_lock(target: Path) -> tuple[Path, str]:
     """Advisory per-table publish lock: O_EXCL-create a sibling
-    ``.{name}.lock`` (atomic on POSIX and HDFS; on S3 use a
-    conditional PUT). A crashed writer's lock goes stale after
-    ``_LOCK_STALE_SECONDS`` (its publish can never complete — the
-    pointer flip it was heading for never happened) and is taken
-    over; a FRESH foreign lock raises ConcurrentPublishError."""
+    ``.{name}.lock`` stamped with a per-acquisition token (atomic on
+    POSIX and HDFS; on S3 use a conditional PUT). Returns
+    ``(lock_path, token)`` — release with :func:`_release_publish_lock`
+    which compares the token so a writer can only ever remove its OWN
+    lock. A FRESH foreign lock raises ConcurrentPublishError.
+
+    Liveness vs staleness: a LIVE holder heartbeat-touches the lock
+    every ``_HEARTBEAT_SECONDS`` (see :class:`_LockHeartbeat`), so its
+    mtime never ages past ``_LOCK_STALE_SECONDS`` no matter how long
+    the publish runs — a stale mtime therefore means a crashed writer,
+    not a slow one. The stale horizon must exceed the heartbeat
+    interval plus worst-case scheduler pause, NOT the write duration.
+
+    Takeover is an atomic ``os.rename`` of the observed stale inode to
+    a private claim name: when N racers observe the same stale lock,
+    exactly one rename succeeds (losers get FileNotFoundError and
+    retry, then see the winner's fresh lock and raise). The winner
+    re-stats the claimed file and, if the inode changed or the mtime
+    was refreshed between its stat and its rename (a heartbeat landed),
+    restores it via ``os.link`` (create-if-absent, atomic) and backs
+    off — it never destroys a live writer's lock, closing the
+    unlink-a-fresh-lock race of the naive unlink-and-recreate scheme.
+    """
+    import time
+
     lock = target.parent / f".{target.name}.lock"
     while True:
+        token = uuid.uuid4().hex
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, f"pid={os.getpid()}\n".encode())
+            os.write(fd, f"pid={os.getpid()} token={token}\n".encode())
             os.close(fd)
-            return lock
+            return lock, token
         except FileExistsError:
-            import time
-
             try:
-                age = time.time() - lock.stat().st_mtime
+                st = lock.stat()
             except FileNotFoundError:
                 continue  # holder released between our open and stat
+            age = time.time() - st.st_mtime
             if age < _LOCK_STALE_SECONDS:
                 raise ConcurrentPublishError(
                     f"another writer holds {lock} (age {age:.0f}s); "
                     "the engine is single-writer per table — serialize "
                     "publishes upstream"
                 ) from None
-            lock.unlink(missing_ok=True)  # stale: crashed writer
+            claim = target.parent / f".{target.name}.lock.claim-{token[:8]}"
+            try:
+                os.rename(lock, claim)
+            except FileNotFoundError:
+                continue  # another racer claimed (or holder released) first
+            cst = claim.stat()
+            if cst.st_ino != st.st_ino or time.time() - cst.st_mtime < _LOCK_STALE_SECONDS:
+                # Between our stat and our rename the lock was replaced
+                # or heartbeat-refreshed: we grabbed a LIVE writer's
+                # lock. Put it back (link = create-only, never clobbers
+                # a newer lock) and treat the table as held.
+                try:
+                    os.link(claim, lock)
+                except FileExistsError:
+                    pass
+                claim.unlink(missing_ok=True)
+                raise ConcurrentPublishError(
+                    f"another writer holds {lock} (refreshed mid-takeover); "
+                    "the engine is single-writer per table"
+                ) from None
+            claim.unlink()  # stale inode confirmed ours alone — retry create
+
+
+def _release_publish_lock(lock: Path, token: str) -> None:
+    """Remove the lock ONLY if it still carries our token — after a
+    (theoretical) takeover, the thief's lock survives our release, so
+    two release paths can never unlink each other's fresh locks."""
+    try:
+        if f"token={token}" in lock.read_text():
+            lock.unlink(missing_ok=True)
+    except FileNotFoundError:
+        pass
+
+
+class _LockHeartbeat:
+    """Daemon thread that touches the lock's mtime every
+    ``_HEARTBEAT_SECONDS`` while a publish runs, so a slow-but-alive
+    writer (plausible for 100 TB-scale snapshot writes) is never
+    mistaken for a crashed one and never has its lock taken over
+    mid-publish. Crash semantics are unchanged: a dead process stops
+    touching, the mtime ages out, takeover proceeds."""
+
+    def __init__(self, lock: Path, interval: float = _HEARTBEAT_SECONDS):
+        import threading
+
+        self._lock = lock
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._run, args=(interval,), daemon=True
+        )
+
+    def _run(self, interval: float) -> None:
+        while not self._stop.wait(interval):
+            try:
+                os.utime(self._lock)
+            except OSError:
+                pass  # lock gone (release raced the timer): nothing to refresh
+
+    def __enter__(self):
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._thread.join(timeout=5)
 
 
 def recover_table(path: str) -> None:
@@ -168,11 +253,12 @@ def overwrite_table(
     default 1 keeps only the live snapshot (no storage growth).
     """
     target = Path(path)
-    lock = _acquire_publish_lock(target)
+    lock, token = _acquire_publish_lock(target)
     try:
-        _publish_locked(df, target, partition_by, keep_versions)
+        with _LockHeartbeat(lock):
+            _publish_locked(df, target, partition_by, keep_versions)
     finally:
-        lock.unlink(missing_ok=True)
+        _release_publish_lock(lock, token)
 
 
 def _publish_locked(
@@ -233,15 +319,27 @@ def compact_table(spark, path: str, target_file_mb: int = 256, partition_by: lis
     """
     from pathlib import Path as _P
 
-    total_bytes = sum(f.stat().st_size for f in _P(path).rglob("*.parquet"))
-    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
-    df = spark.read.parquet(path)
-    if partition_by:
-        compacted = df.repartition(n_files, *[df[c] for c in partition_by])
-    else:
-        compacted = df.repartition(n_files)
-    overwrite_table(compacted, path, partition_by=partition_by)
-    return len(list(_P(path).rglob("*.parquet")))
+    # The publish lock is held across the READ as well as the rewrite:
+    # compaction republishes what it read, so a merge that landed
+    # between an unlocked read and the pointer flip would be silently
+    # erased by the compacted (stale) snapshot. Holding the lock for
+    # the whole read-repartition-publish serializes compaction against
+    # concurrent merges instead of losing their batches.
+    target = _P(path)
+    lock, token = _acquire_publish_lock(target)
+    try:
+        with _LockHeartbeat(lock):
+            total_bytes = sum(f.stat().st_size for f in target.rglob("*.parquet"))
+            n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+            df = spark.read.parquet(path)
+            if partition_by:
+                compacted = df.repartition(n_files, *[df[c] for c in partition_by])
+            else:
+                compacted = df.repartition(n_files)
+            _publish_locked(compacted, target, partition_by, keep_versions=1)
+    finally:
+        _release_publish_lock(lock, token)
+    return len(list(target.rglob("*.parquet")))
 
 
 def quarantine(src_path: str, error_dir: str) -> str:

@@ -588,3 +588,230 @@ def test_merge_schema_evolution_pads_with_nulls(spark, tmp_path):
     merge_into_path(spark, path, widened, "d", allow_schema_evolution=True)
     out = {r["pk"]: r["score"] for r in spark.read.parquet(path).collect()}
     assert out == {1: None, 2: 7.5}
+
+
+# ---------------------------------------------------------------------------
+# Round-10 concurrency hardening: rename-claim takeover, heartbeat
+# liveness, catalog-merge locking, lost-history recovery ordering, and
+# compaction-vs-merge serialization.
+# ---------------------------------------------------------------------------
+
+
+def test_merge_into_path_recovers_crashed_migration_before_merge(
+    spark, tmp_path, monkeypatch
+):
+    """A crash in the legacy-migration window leaves the pointer absent
+    while complete snapshots exist. merge_into_path must run
+    recover_table BEFORE its exists() check — otherwise it reads the
+    table as empty, publishes the new batch alone, and GC deletes the
+    old snapshot: silent loss of all history."""
+    from awi_datapipelinepublic_spark.operators.merge import merge_into_path
+
+    path = tmp_path / "t"
+    old = _mk(spark, 0, 40)  # dates span 2024-01..2024-06
+    old.write.parquet(str(path))  # legacy plain-dir layout
+    monkeypatch.setattr(
+        writers, "_point_at", lambda *a: (_ for _ in ()).throw(RuntimeError("kill"))
+    )
+    with pytest.raises(RuntimeError):
+        overwrite_table(old, str(path))  # re-publish crashes mid-migration
+    monkeypatch.undo()
+    assert not path.exists() and not path.is_symlink()  # the crash window
+    # late batch owns [2024-07-01, ∞) — no overlap with history
+    new = spark.createDataFrame(
+        [(900, dt.date(2024, 7, 1))], "pk long, d date"
+    )
+    merge_into_path(spark, str(path), new, "d", partition_by_month=False)
+    got = _rows(spark, path)
+    assert (900, dt.date(2024, 7, 1)) in got
+    assert len(got) == 41, "history must survive the recovered merge"
+
+
+def test_stale_takeover_race_exactly_one_winner(tmp_path):
+    """N racers observing the SAME stale lock: the atomic rename-claim
+    guarantees exactly one acquires; losers see the winner's fresh lock
+    and raise (the naive unlink-and-recreate let a loser unlink the
+    winner's FRESH lock, re-admitting two writers)."""
+    import os
+    import threading
+    import time
+
+    from awi_datapipelinepublic_spark.sources.writers import ConcurrentPublishError
+
+    target = tmp_path / "t"
+    lock = tmp_path / ".t.lock"
+    lock.write_text("pid=1 token=dead\n")
+    stale = time.time() - (writers._LOCK_STALE_SECONDS + 60)
+    os.utime(lock, (stale, stale))
+
+    barrier = threading.Barrier(4)
+    results = []
+    res_lock = threading.Lock()
+
+    def racer():
+        barrier.wait()
+        try:
+            got = writers._acquire_publish_lock(target)
+            with res_lock:
+                results.append(("acquired", got))
+        except ConcurrentPublishError:
+            with res_lock:
+                results.append(("refused", None))
+
+    threads = [threading.Thread(target=racer) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert sorted(r[0] for r in results) == [
+        "acquired",
+        "refused",
+        "refused",
+        "refused",
+    ]
+    assert lock.exists(), "winner's fresh lock must survive the losers"
+    winner_lock, token = next(r[1] for r in results if r[0] == "acquired")
+    assert f"token={token}" in lock.read_text()
+    assert not list(tmp_path.glob(".t.lock.claim-*")), "claims are cleaned up"
+
+
+def test_takeover_backs_off_when_lock_refreshed_mid_claim(tmp_path, monkeypatch):
+    """If a heartbeat lands between the racer's stat and its rename
+    (the lock is STALE-looking but its holder is alive), the racer must
+    restore the lock and back off — never destroy a live writer's lock."""
+    import os
+    import time
+
+    from awi_datapipelinepublic_spark.sources.writers import ConcurrentPublishError
+
+    target = tmp_path / "t"
+    lock = tmp_path / ".t.lock"
+    lock.write_text("pid=1 token=alive\n")
+    stale = time.time() - (writers._LOCK_STALE_SECONDS + 60)
+    os.utime(lock, (stale, stale))
+
+    real_rename = os.rename
+
+    def revive_then_rename(src, dst):
+        os.utime(lock)  # the live holder's heartbeat fires first
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(writers.os, "rename", revive_then_rename)
+    with pytest.raises(ConcurrentPublishError):
+        writers._acquire_publish_lock(target)
+    monkeypatch.undo()
+    assert lock.exists(), "live holder's lock must be restored"
+    assert "token=alive" in lock.read_text()
+    assert not list(tmp_path.glob(".t.lock.claim-*"))
+
+
+def test_heartbeat_keeps_slow_publish_lock_fresh(tmp_path):
+    """A slow-but-alive publish must never look stale: the heartbeat
+    refreshes the lock's mtime, so a contender arriving after the
+    nominal staleness horizon still refuses instead of stealing."""
+    import os
+    import time
+
+    from awi_datapipelinepublic_spark.sources.writers import ConcurrentPublishError
+
+    target = tmp_path / "t"
+    lock, token = writers._acquire_publish_lock(target)
+    # simulate a publish already _LOCK_STALE_SECONDS old...
+    stale = time.time() - (writers._LOCK_STALE_SECONDS + 60)
+    os.utime(lock, (stale, stale))
+    # ...whose holder is alive: one heartbeat tick refreshes it
+    with writers._LockHeartbeat(lock, interval=0.05):
+        time.sleep(0.3)
+        with pytest.raises(ConcurrentPublishError):
+            writers._acquire_publish_lock(target)
+    writers._release_publish_lock(lock, token)
+    assert not lock.exists()
+
+
+def test_release_only_removes_own_token(tmp_path):
+    """Token-checked release: a writer whose lock was (theoretically)
+    replaced must not unlink the new holder's lock."""
+    target = tmp_path / "t"
+    lock, token = writers._acquire_publish_lock(target)
+    lock.write_text("pid=2 token=someoneelse\n")  # usurped
+    writers._release_publish_lock(lock, token)
+    assert lock.exists(), "foreign lock must survive our release"
+    writers._release_publish_lock(lock, "someoneelse")
+    assert not lock.exists()
+
+
+def test_merge_into_table_publish_lock(spark, tmp_path):
+    """Catalog-merge twin of the path writer's lock: a FRESH foreign
+    lock refuses the merge (no staging table created, base untouched);
+    a STALE one is taken over and the merge lands. Reference semantics:
+    the per-type serialized Cloud Functions (main.py:39-41)."""
+    import os
+    import time
+
+    from awi_datapipelinepublic_spark.operators.merge import (
+        _table_location,
+        merge_into_table,
+    )
+    from awi_datapipelinepublic_spark.sources.writers import ConcurrentPublishError
+
+    table = "t_lock_catalog_r10"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}__staging")
+    b1 = spark.createDataFrame([(1, dt.date(2024, 1, 1))], "pk long, d date")
+    merge_into_table(spark, table, b1, "d", partition_by_month=False)
+    loc = _table_location(spark, table)
+    lock = loc.parent / f".{loc.name}.lock"
+    lock.write_text("pid=99999 token=foreign\n")
+    b2 = spark.createDataFrame([(2, dt.date(2024, 2, 1))], "pk long, d date")
+    with pytest.raises(ConcurrentPublishError):
+        merge_into_table(spark, table, b2, "d", partition_by_month=False)
+    assert not spark.catalog.tableExists(f"{table}__staging")
+    assert [r["pk"] for r in spark.table(table).collect()] == [1]
+    stale = time.time() - (writers._LOCK_STALE_SECONDS + 60)
+    os.utime(lock, (stale, stale))
+    merge_into_table(spark, table, b2, "d", partition_by_month=False)
+    assert sorted(r["pk"] for r in spark.table(table).collect()) == [1, 2]
+    assert not lock.exists(), "lock released after the catalog merge"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+@settings(max_examples=3, deadline=None)
+@given(data=st.data())
+def test_compaction_under_merge_pressure_property(spark, tmp_path_factory, data):
+    """N small merges accrete small files; compaction must (a) hold the
+    publish lock across its read+rewrite — a merge landing between an
+    UNLOCKED read and the pointer flip would be erased by the stale
+    compacted snapshot — (b) preserve content exactly, (c) land the
+    file count on the size-derived target."""
+    from awi_datapipelinepublic_spark.operators.merge import merge_into_path
+    from awi_datapipelinepublic_spark.sources.writers import (
+        ConcurrentPublishError,
+        compact_table,
+    )
+
+    tmp_path = tmp_path_factory.mktemp("compact")
+    path = tmp_path / "t"
+    n_batches = data.draw(st.integers(min_value=2, max_value=4))
+    batches = []
+    for i in range(n_batches):
+        start = data.draw(st.integers(min_value=1, max_value=5))
+        rows = [
+            (100 * i + j, dt.date(2024, 1 + ((start + j) % 6), 1 + ((start + j) % 27)))
+            for j in range(data.draw(st.integers(min_value=1, max_value=6)))
+        ]
+        batches.append(rows)
+        batch_df = spark.createDataFrame(rows, "pk long, d date")
+        merge_into_path(spark, str(path), batch_df, "d", partition_by_month=False)
+    expected = _merge_expected(batches)
+    assert _rows(spark, path) == expected
+    # compaction refuses while a (simulated) merge holds the lock
+    lock = path.parent / f".{path.name}.lock"
+    lock.write_text("pid=9 token=merge-in-flight\n")
+    with pytest.raises(ConcurrentPublishError):
+        compact_table(spark, str(path))
+    lock.unlink()
+    n_files = compact_table(spark, str(path))
+    assert n_files == 1, "tiny table must compact to the 1-file target"
+    assert len(list(Path(str(path) + "/").rglob("*.parquet"))) == 1
+    assert _rows(spark, path) == expected, "compaction preserves content"
+    assert not lock.exists()

@@ -59,6 +59,9 @@ def main() -> None:
         print(f"{r:5.2f}x  {k}  {old[k]:.3f} -> {new[k]:.3f}")
     if not movers:
         print(f"no movers beyond {thresh}x among {len(shared)} shared queries")
+    if not ratios:
+        print("no shared queries >= 0.3s between the two runs — nothing to compare")
+        return
     gm = math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios))
     print(f"geomean {gm:.3f} over {len(ratios)} shared queries "
           f"(old total {sum(old[k] for k in shared):.1f}s, "
