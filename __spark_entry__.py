@@ -4819,41 +4819,174 @@ def q_reshard_movement(spark, sf_dir):
     )
 
 
-# Round-8 driver window: the driver oracle-verifies the FIRST 50
-# queries() entries each round (CORRECTNESS_r*). After r7, 9 gate ids
-# still had NO green driver row (r7's two red rows ab_test_zscore /
-# feature_hash — both fixed this round: ANSI try_divide in
-# operators/events.py, string-serialized indices in q_feature_hash —
-# knn_lsh whose only row was a stale r2 `no_oracle`, and the 6 r7
-# additions the window never reached). r8 fronts those 9, repeats the
-# 4 §2 flagships, and fills the rest with the least-recently-verified
-# ids (last green r1/r3) as staleness rotation.
-_R9_WINDOW = [
-    # 21 never-driver-windowed ids (r8 verdict item 1): the round-8
-    # additions were judge-verified under ORACLE_VANILLA but have no
-    # driver-signed CORRECTNESS row yet — front all of them.
-    "dsir_weights", "ann_recall_eval", "ngram_novelty",
-    "hard_negative_mine", "ccnet_buckets", "rolling_anomaly",
-    "changepoint_scan", "skyline_pareto", "link_prediction",
-    "itemset_triples", "mutual_information", "random_projection",
-    "poisson_bootstrap", "packing_efficiency", "spearman_corr",
-    "target_encode", "weighted_quantiles", "semantic_decontaminate",
-    "session_paths", "bipartite_project", "reshard_movement",
-    # §2 flagship repeats
+def q_acf_lags(spark, sf_dir):
+    """Autocorrelation of the daily-revenue series at lags 1..7
+    (operators/timeseries.py:acf_lags): calendar-indexed cents series,
+    floor-mean deviations, DECIMAL(38,0) product sums, one double
+    division per lag — exactly replayed by the oracle. The weekly
+    order cadence shows up as the lag-7 coefficient."""
+    from awi_datapipelinepublic_spark.operators.timeseries import acf_lags
+
+    o = _t(spark, sf_dir, "orders")
+    day = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("bigint")
+        ).alias("cents")
+    )
+    m = day.agg(F.min("d").alias("d0"))
+    ser = day.crossJoin(F.broadcast(m)).select(
+        F.datediff(F.col("d"), F.col("d0")).alias("idx"), "cents"
+    )
+    return acf_lags(ser, "idx", "cents", max_lag=7)
+
+
+def q_holt_linear(spark, sf_dir):
+    """Per-user Holt linear-trend smoothing of event values
+    (operators/timeseries.py:holt_linear) — the two-state recursion
+    (level+trend) over bounded per-key histories via applyInPandas;
+    the oracle replays the identical fp recursion as a recursive CTE
+    (the ewma contract, extended to two carried states)."""
+    from awi_datapipelinepublic_spark.operators.timeseries import holt_linear
+
+    e = (
+        read_events(spark, sf_dir)
+        .select("user_id", "event_id", "value")
+        .filter(F.col("value").isNotNull())
+    )
+    out = holt_linear(e, "user_id", "event_id", "value", alpha=0.3, beta=0.1)
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("level"), 6).alias("level"),
+        F.round(F.col("trend"), 6).alias("trend"),
+    )
+
+
+def q_twap_interval(spark, sf_dir):
+    """Per-user time-weighted average event value (operators/
+    timeseries.py:twap_interval): truncated epoch-second holding
+    intervals as exact integer weights, micro-unit values,
+    DECIMAL(38,0) sums, one double division."""
+    from awi_datapipelinepublic_spark.operators.timeseries import twap_interval
+
+    return twap_interval(read_events(spark, sf_dir), "user_id", "ts", "value")
+
+
+def q_burstiness(spark, sf_dir):
+    """Goh-Barabasi burstiness B = (sigma-mu)/(sigma+mu) of each user's
+    inter-arrival gaps (operators/events.py:burstiness): exact BIGINT
+    moment sums from one per-user lag window, identical double formula
+    both engines, n_gaps >= 5."""
+    from awi_datapipelinepublic_spark.operators.events import burstiness
+
+    return burstiness(read_events(spark, sf_dir), "user_id", "ts", min_gaps=5)
+
+
+def q_hhi_concentration(spark, sf_dir):
+    """Herfindahl-Hirschman supplier-revenue concentration per nation
+    (operators/quality.py:hhi_concentration): ten-thousandths-exact
+    revenue, BIGINT member sums, DECIMAL(38,0) squares, one double
+    division — the source-dominance audit of a training mix."""
+    from awi_datapipelinepublic_spark.operators.quality import hhi_concentration
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.floor(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(10000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("rev"),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("n_name", "l_suppkey", "rev")
+    )
+    return hhi_concentration(j, "n_name", "l_suppkey", "rev")
+
+
+def q_lcc_topk(spark, sf_dir):
+    """Local clustering coefficient of the 20 highest-degree parts in
+    the co-purchase graph (operators/graph.py:local_clustering_topk),
+    neighbor cap 64 (lowest-id, deterministic — the link_prediction
+    cap contract): hub cohesion vs star-hub detection. The oracle
+    replays the cap exactly."""
+    from awi_datapipelinepublic_spark.operators.graph import local_clustering_topk
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ids")
+    )
+    edges = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (a, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                "b -> struct(a AS u, b AS v))))"
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
+    return local_clustering_topk(edges, "u", "v", k=20, neighbor_cap=64)
+
+
+def q_split_leakage(spark, sf_dir):
+    """Train/eval split leakage audit (operators/dedup.py:
+    split_leakage_audit): every val/test document MinHash-LSH-matching
+    a train document, with band-hit count and lowest-id train match —
+    the data-card honesty check composed from the md5 split rule and
+    the md5-portable band keys (both already oracle-replayable)."""
+    from awi_datapipelinepublic_spark.operators.dedup import split_leakage_audit
+
+    return split_leakage_audit(_t(spark, sf_dir, "documents"), k=3)
+
+
+def q_unimax_weights(spark, sf_dir):
+    """UniMax budget allocation over document languages (operators/
+    sampling.py:unimax_weights): ascending-size greedy with a 2-epoch
+    cap and integer arithmetic throughout; the oracle walks the same
+    order in a recursive CTE. Budget 500k chars."""
+    from awi_datapipelinepublic_spark.operators.sampling import unimax_weights
+
+    return unimax_weights(
+        _t(spark, sf_dir, "documents"), "lang", "n_chars",
+        total_budget=500_000, epoch_cap=2,
+    )
+
+
+# Round-10 driver window: the driver oracle-verifies the FIRST 50
+# queries() entries each round (CORRECTNESS_r*). After r9 every one of
+# the 280 pre-r10 ids has a driver-green row; this window fronts the
+# 8 round-10 additions (never driver-green), repeats the 4 §2
+# flagships, and rotates in the least-recently-signed cohort (oldest
+# signatures r3/r4: sort_asc, make_view, and the r4 batch) —
+# tools/gen_window.py generates the list mechanically.
+_R10_WINDOW = [
+    # 8 round-10 additions (never driver-green): front them
+    "acf_lags", "holt_linear", "twap_interval", "burstiness",
+    "hhi_concentration", "lcc_topk", "split_leakage", "unimax_weights",
+    # §2 flagship repeats (every window carries the three views + merge)
     "view_retention", "view_transactions", "view_auto_optiom",
     "merge_time_window",
-    # rotation: least-recently driver-green (last green r3)
-    "asof_join", "chunk_documents", "connected_components",
-    "dedup_minhash_lsh", "derive_is_new", "events_funnel",
-    "events_session", "fn_case_eq", "fn_coalesce", "fn_date_cmp",
-    "fn_date_lt_param", "fn_isnotnull", "knn_cosine", "knn_ivf",
-    "limit_topk", "merge_upsert", "multimodal_decode", "pagerank",
-    "paragraph_dedup", "range_join_binned", "scd2_merge",
-    "sequence_pack", "text_stats", "train_test_split",
-    "win_row_number",
+    # staleness rotation: least-recently driver-green (r3/r4 cohort)
+    "sort_asc", "bm25_topk", "colocated_join", "dataset_diff",
+    "decontaminate", "dedup_incremental", "dedup_simhash",
+    "dedup_simhash_pairs", "dup_span_stats", "ewma_smooth",
+    "fuzzy_decontaminate", "heavy_hitters", "hybrid_search_rrf",
+    "inverted_index", "knn_join", "make_view", "mixture_resample",
+    "remove_dup_spans", "skew_join_salted", "stratified_sample",
+    "streaming_pipeline", "subquery_correlated", "tfidf_keywords",
+    "tpch_q10_returns", "tpch_q11_important_stock", "tpch_q12_lateship",
+    "tpch_q13_custdist", "tpch_q14_promo", "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt", "tpch_q17_small_qty", "tpch_q18_large_orders",
+    "tpch_q19_brackets", "tpch_q1_pricing", "tpch_q20_promo_suppliers",
+    "tpch_q21_waiting_suppliers", "tpch_q22_prospects", "tpch_q2_min_cost",
 ]
-_R8_WINDOW = _R9_WINDOW  # names kept so older tooling keeps working
-_R7_WINDOW = _R9_WINDOW
+_R9_WINDOW = _R10_WINDOW  # names kept so older tooling keeps working
+_R8_WINDOW = _R10_WINDOW
+_R7_WINDOW = _R10_WINDOW
 
 
 # Gates that drain a Structured Streaming query (writeStream +
@@ -5158,8 +5291,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_paths": q_session_paths,
         "bipartite_project": q_bipartite_project,
         "reshard_movement": q_reshard_movement,
+        "acf_lags": q_acf_lags,
+        "holt_linear": q_holt_linear,
+        "twap_interval": q_twap_interval,
+        "burstiness": q_burstiness,
+        "hhi_concentration": q_hhi_concentration,
+        "lcc_topk": q_lcc_topk,
+        "split_leakage": q_split_leakage,
+        "unimax_weights": q_unimax_weights,
     }
-    window = {k: q[k] for k in _R9_WINDOW}
+    window = {k: q[k] for k in _R10_WINDOW}
     window.update((k, v) for k, v in q.items() if k not in window)
     return window
 
@@ -9109,5 +9250,195 @@ def oracle_sql() -> dict[str, str]:
                CAST(shard_to AS INT) AS shard_to,
                CAST(COUNT(*) AS BIGINT) AS n_rows
         FROM a GROUP BY 1, 2
+    """
+    # ACF about the floor-mean: n-free deviations stay BIGINT-exact;
+    # products/sums in HUGEINT mirror Spark's DECIMAL(38,0); one double
+    # division per lag (operators/timeseries.py:acf_lags).
+    sql["acf_lags"] = """
+        WITH day AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 SUM(CAST(floor(o_totalprice * 100.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)) AS cents
+          FROM orders GROUP BY 1),
+        idx AS (SELECT date_diff('day', (SELECT MIN(d) FROM day), d) AS idx, cents FROM day),
+        st AS (SELECT COUNT(*) AS n, SUM(cents) AS s FROM idx),
+        ser AS (SELECT idx, cents - (st.s // st.n) AS dev FROM idx, st),
+        den AS (SELECT SUM(dev::HUGEINT * dev::HUGEINT) AS den FROM ser),
+        lags AS (SELECT CAST(unnest(range(1, 8)) AS INTEGER) AS lag),
+        num AS (SELECT l.lag, COUNT(*) AS n_pairs,
+                       SUM(a.dev::HUGEINT * b.dev::HUGEINT) AS num
+                FROM ser a CROSS JOIN lags l
+                JOIN ser b ON b.idx = a.idx + l.lag
+                GROUP BY 1)
+        SELECT num.lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+               ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
+        FROM num, den
+    """
+    # Holt recursion replayed with the engine's exact op order; the
+    # VARCHAR->DECIMAL(38,24) round replica matches Spark F.round's
+    # shortest-decimal-string HALF_UP (the ewma precedent, two states).
+    sql["holt_linear"] = """
+        WITH RECURSIVE e AS (
+          SELECT user_id, event_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS t
+          FROM events WHERE value IS NOT NULL),
+        r AS (
+          SELECT user_id, event_id, t,
+                 CAST(value AS DOUBLE) AS lvl, 0.0::DOUBLE AS trd
+          FROM e WHERE t = 0
+          UNION ALL
+          SELECT e.user_id, e.event_id, e.t,
+                 0.3::DOUBLE * e.value
+                   + (1.0::DOUBLE - 0.3::DOUBLE) * (r.lvl + r.trd),
+                 0.1::DOUBLE * ((0.3::DOUBLE * e.value
+                   + (1.0::DOUBLE - 0.3::DOUBLE) * (r.lvl + r.trd)) - r.lvl)
+                   + (1.0::DOUBLE - 0.1::DOUBLE) * r.trd
+          FROM e JOIN r ON e.user_id = r.user_id AND e.t = r.t + 1)
+        SELECT user_id, event_id,
+               CAST(ROUND(CAST(CAST(lvl AS VARCHAR) AS DECIMAL(38, 24)), 6) AS DOUBLE) AS level,
+               CAST(ROUND(CAST(CAST(trd AS VARCHAR) AS DECIMAL(38, 24)), 6) AS DOUBLE) AS trend
+        FROM r
+    """
+    # Truncated epoch seconds (floor(epoch()) — Spark cast(long)
+    # truncates), half-up micro-unit values, HUGEINT sums, one double
+    # division (operators/timeseries.py:twap_interval).
+    sql["twap_interval"] = """
+        WITH base AS (
+          SELECT user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                 CAST(floor(value * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS vm
+          FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        stepped AS (
+          SELECT user_id, vm,
+                 LEAD(sec) OVER (PARTITION BY user_id ORDER BY sec ASC, vm ASC) - sec AS dt
+          FROM base),
+        agg AS (
+          SELECT user_id, COUNT(*) AS n_intervals,
+                 SUM(vm::HUGEINT * dt) AS num, SUM(dt::HUGEINT) AS den
+          FROM stepped WHERE dt IS NOT NULL GROUP BY 1)
+        SELECT user_id, CAST(n_intervals AS BIGINT) AS n_intervals,
+               ROUND(CAST(num AS DOUBLE) / (1000000.0::DOUBLE * CAST(den AS DOUBLE)), 6) AS twap
+        FROM agg
+    """
+    # Identical double formula on exact BIGINT moment sums
+    # (operators/events.py:burstiness).
+    sql["burstiness"] = """
+        WITH g AS (
+          SELECT user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT)
+                 - LAG(CAST(floor(epoch(ts)) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts ASC) AS gap
+          FROM events WHERE ts IS NOT NULL),
+        s AS (SELECT user_id, COUNT(*) AS n,
+                     CAST(SUM(gap) AS BIGINT) AS sg,
+                     CAST(SUM(gap * gap) AS BIGINT) AS qg
+              FROM g WHERE gap IS NOT NULL GROUP BY 1 HAVING COUNT(*) >= 5)
+        SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+               ROUND((sqrt((CAST(n AS DOUBLE) * CAST(qg AS DOUBLE)
+                            - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+                           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0::DOUBLE)))
+                      - CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+                     / (sqrt((CAST(n AS DOUBLE) * CAST(qg AS DOUBLE)
+                              - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+                             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0::DOUBLE)))
+                        + CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS burstiness
+        FROM s
+    """
+    # Ten-thousandths-exact revenue, HUGEINT share squares, one double
+    # division (operators/quality.py:hhi_concentration).
+    sql["hhi_concentration"] = """
+        WITH rev AS (
+          SELECT l_suppkey,
+                 CAST(floor(l_extendedprice * (1.0::DOUBLE - l_discount)
+                            * 10000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS r
+          FROM lineitem),
+        mem AS (
+          SELECT n.n_name AS n_name, v.l_suppkey AS sk,
+                 CAST(SUM(v.r) AS BIGINT) AS amt
+          FROM rev v
+          JOIN supplier s ON v.l_suppkey = s.s_suppkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          GROUP BY 1, 2)
+        SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_members,
+               ROUND(CAST(SUM(amt::HUGEINT * amt::HUGEINT) AS DOUBLE)
+                     / (CAST(SUM(amt::HUGEINT) AS DOUBLE)
+                        * CAST(SUM(amt::HUGEINT) AS DOUBLE)), 6) AS hhi
+        FROM mem GROUP BY 1
+    """
+    # Capped-LCC replay: same top-20 (degree desc, id asc), same
+    # 64-lowest-id neighbor cap, same pair->edge semi probe
+    # (operators/graph.py:local_clustering_topk).
+    sql["lcc_topk"] = """
+        WITH e AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+        deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+        top AS (SELECT a, d FROM deg ORDER BY d DESC, a ASC LIMIT 20),
+        nb AS (SELECT s.a, s.b,
+                      ROW_NUMBER() OVER (PARTITION BY s.a ORDER BY s.b ASC) AS rk
+               FROM sym s JOIN top t ON s.a = t.a),
+        cap AS (SELECT a, b FROM nb WHERE rk <= 64),
+        cnt AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS c FROM cap GROUP BY 1),
+        pr AS (SELECT x.a, x.b AS nu, y.b AS nv
+               FROM cap x JOIN cap y ON x.a = y.a AND x.b < y.b),
+        tri AS (SELECT pr.a, CAST(COUNT(*) AS BIGINT) AS t
+                FROM pr JOIN e ON e.u = pr.nu AND e.v = pr.nv GROUP BY 1)
+        SELECT t2.a AS node, t2.d AS degree, cnt.c AS c_capped,
+               CAST(COALESCE(tri.t, 0) AS BIGINT) AS triangles,
+               ROUND(2.0::DOUBLE * CAST(COALESCE(tri.t, 0) AS DOUBLE)
+                     / (CAST(cnt.c AS DOUBLE) * (CAST(cnt.c AS DOUBLE) - 1.0::DOUBLE)), 6) AS lcc
+        FROM top t2 JOIN cnt ON cnt.a = t2.a LEFT JOIN tri ON tri.a = t2.a
+    """
+    # md5 split rule + md5-portable band keys; a holdout doc's band_no
+    # determines its bkey, so distinct matched band_nos == distinct
+    # matched (band_no, bkey) pairs (operators/dedup.py:
+    # split_leakage_audit).
+    sql["split_leakage"] = f"""
+        WITH {_minhash_band_ctes(k=3)},
+        sp AS (SELECT doc_id,
+                 CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'val'
+                      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '34' THEN 'test'
+                      ELSE 'train' END AS split
+               FROM documents),
+        tr AS (SELECT b.band_no, b.bkey, b.doc_id AS tid
+               FROM bands b JOIN sp ON sp.doc_id = b.doc_id
+               WHERE sp.split = 'train'),
+        ho AS (SELECT b.doc_id, sp.split, b.band_no, b.bkey
+               FROM bands b JOIN sp ON sp.doc_id = b.doc_id
+               WHERE sp.split <> 'train')
+        SELECT ho.doc_id, ho.split,
+               CAST(COUNT(DISTINCT ho.band_no) AS BIGINT) AS n_shared_bands,
+               CAST(MIN(tr.tid) AS BIGINT) AS train_match
+        FROM ho JOIN tr ON ho.band_no = tr.band_no AND ho.bkey = tr.bkey
+        GROUP BY 1, 2
+    """
+    # UniMax greedy walked in ascending (size, lang) order by a
+    # recursive CTE carrying the remaining budget — integer arithmetic
+    # only (operators/sampling.py:unimax_weights).
+    sql["unimax_weights"] = """
+        WITH RECURSIVE sz AS (
+          SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY 1),
+        ord AS (SELECT lang, n_tokens,
+                       ROW_NUMBER() OVER (ORDER BY n_tokens ASC, lang ASC) AS rk,
+                       (SELECT COUNT(*) FROM sz) AS total
+                FROM sz),
+        alloc AS (
+          SELECT rk, lang, n_tokens,
+                 LEAST(2 * n_tokens, CAST(500000 AS BIGINT) // (total - rk + 1)) AS quota,
+                 CAST(500000 AS BIGINT)
+                   - LEAST(2 * n_tokens, CAST(500000 AS BIGINT) // (total - rk + 1)) AS rem,
+                 total
+          FROM ord WHERE rk = 1
+          UNION ALL
+          SELECT o.rk, o.lang, o.n_tokens,
+                 LEAST(2 * o.n_tokens, a.rem // (o.total - o.rk + 1)),
+                 a.rem - LEAST(2 * o.n_tokens, a.rem // (o.total - o.rk + 1)),
+                 o.total
+          FROM ord o JOIN alloc a ON o.rk = a.rk + 1)
+        SELECT lang, n_tokens, CAST(quota AS BIGINT) AS quota,
+               ROUND(CAST(quota AS DOUBLE) / 500000.0::DOUBLE, 6) AS weight
+        FROM alloc
     """
     return sql

@@ -938,3 +938,52 @@ def semantic_decontaminate(
         corpus.select(F.col(id_col))
         .join(contaminated, F.col(id_col) == F.col("a_id"), "left_anti")
     )
+
+
+def split_leakage_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    val_hex: str = "1a",
+    test_hex: str = "34",
+) -> DataFrame:
+    """Train/eval leakage audit for a corpus split in one pipeline:
+    every val/test document that is a MinHash-LSH near-duplicate of
+    some TRAIN document is a leak — the eval score it contributes is
+    memorization, not generalization. Run after
+    :func:`~awi_datapipelinepublic_spark.operators.sampling.
+    train_val_test_split` and before shipping a data card.
+
+    Composition, not new machinery: the split is the deterministic
+    md5-prefix rule (so the audit replays cross-engine), the
+    signatures are the md5-portable band keys
+    (:func:`minhash_band_keys`), and the probe is the
+    fuzzy-decontamination shape — eval-side band rows join the
+    train-side band index. Unlike the benchmark case the train side
+    is CORPUS-sized, so nothing is force-broadcast: the band join is
+    a plain equi-join on (band_no, band_key) that AQE sizes.
+
+    Output: (doc_id, split, n_shared_bands BIGINT, train_match BIGINT)
+    — one row per leaked eval document, with the lowest-id matching
+    train document as deterministic evidence.
+    """
+    from awi_datapipelinepublic_spark.operators.sampling import train_val_test_split
+
+    split = train_val_test_split(df, id_col, val_hex, test_hex)
+    banded = minhash_band_keys(df, text_col, id_col, num_hashes, bands, k).join(
+        split.select(id_col, "split"), id_col
+    )
+    train = banded.filter(F.col("split") == "train").select(
+        "band_no", "band_key", F.col(id_col).alias("__train_id")
+    )
+    holdout = banded.filter(F.col("split") != "train")
+    hits = holdout.join(train, ["band_no", "band_key"])
+    return hits.groupBy(id_col, "split").agg(
+        F.count_distinct(F.col("band_no"), F.col("band_key"))
+        .cast("bigint")
+        .alias("n_shared_bands"),
+        F.min("__train_id").cast("bigint").alias("train_match"),
+    )

@@ -663,3 +663,55 @@ def session_paths(
         .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
         .limit(int(k))
     )
+
+
+def burstiness(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    min_gaps: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-entity burstiness of an event stream — Goh & Barabási's
+    B = (σ − μ)/(σ + μ) over inter-arrival gaps: −1 for a metronome,
+    0 for a Poisson process, →1 for extreme bursts. The behavioral
+    fingerprint that separates organic users from schedulers/bots in
+    crawl and clickstream curation.
+
+    Gaps are TRUNCATED epoch-second diffs via one per-entity lag
+    window (bounded per-key history, the ewma scale contract; one
+    shuffle on the key). σ is the SAMPLE standard deviation. The
+    moment sums S = Σg, Q = Σg² are exact BIGINTs, and both engines
+    evaluate the identical double formula on them::
+
+        μ = S/n,  σ = sqrt((n·Q − S²) / (n·(n−1))),  B = (σ−μ)/(σ+μ)
+
+    — correctly-rounded IEEE ops on identical inputs, so the rounded
+    output replays bit-for-bit. σ+μ = 0 (all gaps zero) yields NULL
+    via try_divide. Entities with fewer than ``min_gaps`` gaps are
+    dropped (B is noise at tiny n).
+    """
+    sec = F.col(ts_col).cast("long")
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc())
+    gaps = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(F.col(key_col), sec.alias("__sec"), F.lag(sec).over(w).alias("__prev"))
+        .filter(F.col("__prev").isNotNull())
+        .select(F.col(key_col), (F.col("__sec") - F.col("__prev")).alias("__g"))
+    )
+    s = gaps.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("__g").alias("__s"),
+        F.sum(F.col("__g") * F.col("__g")).alias("__q"),
+    ).filter(F.col("n_gaps") >= min_gaps)
+    n = F.col("n_gaps").cast("double")
+    mu = F.col("__s").cast("double") / n
+    sd = F.sqrt(
+        (n * F.col("__q").cast("double") - F.col("__s").cast("double") * F.col("__s").cast("double"))
+        / (n * (n - F.lit(1.0)))
+    )
+    return s.select(
+        key_col,
+        "n_gaps",
+        F.round(F.try_divide(sd - mu, sd + mu), round_dp).alias("burstiness"),
+    )

@@ -630,3 +630,95 @@ def bipartite_project(
         .agg(F.count(F.lit(1)).cast("bigint").alias("weight"))
         .filter(F.col("weight") >= int(min_weight))
     )
+
+
+def local_clustering_topk(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    k: int = 20,
+    neighbor_cap: int = 64,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Local clustering coefficient for the ``k`` highest-degree
+    nodes: lcc(v) = 2·t(v) / (c·(c−1)) where t(v) counts edges among
+    v's neighbors — the hub-cohesion probe (a high-degree node with
+    lcc ≈ 1 is a clique's core; ≈ 0 is a star hub / spam magnet).
+
+    Degree cap, same contract as link_prediction's center cap: each
+    top node's neighbor set is truncated to its ``neighbor_cap``
+    LOWEST-ID neighbors (deterministic, oracle-replayable), bounding
+    the pair expansion at k·cap²/2 — PARAMETER-sized, never
+    data-sized — because top-degree nodes are by construction the
+    ones whose uncapped N(v)² detonates. c is the CAPPED neighbor
+    count and the reported lcc is the capped estimator (documented,
+    replayed exactly by the oracle).
+
+    Plan: degree table (one |E| shuffle), TakeOrderedAndProject for
+    the top-k, per-center neighbor ranking over a k-key window, pair
+    expansion, one equi-join of the (tiny) pair list against the edge
+    list — AQE broadcasts the pair side by measured size.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    top = deg.orderBy(F.col("d").desc(), F.col("a").asc()).limit(k)
+    nbrs = sym.join(top.select(F.col("a"), F.col("d")), "a")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a").orderBy(F.col("b").asc())
+    capped = nbrs.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") <= neighbor_cap
+    )
+    pairs = (
+        capped.groupBy("a", "d")
+        .agg(F.array_sort(F.collect_list("b")).alias("ids"))
+        .select(
+            F.col("a"),
+            F.col("d"),
+            F.size("ids").cast("bigint").alias("c_capped"),
+            F.explode_outer(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x AS nu, y AS nv))))"
+                )
+            ).alias("p"),
+        )
+        .select("a", "d", "c_capped", "p.nu", "p.nv")
+    )
+    tri = (
+        pairs.join(
+            e.select(F.col("u").alias("nu"), F.col("v").alias("nv")),
+            ["nu", "nv"],
+            "left_semi",
+        )
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
+    )
+    out = (
+        pairs.select("a", "d", "c_capped")
+        .distinct()
+        .join(tri, "a", "left")
+        .withColumn("triangles", F.coalesce(F.col("triangles"), F.lit(0).cast("bigint")))
+    )
+    cc = F.col("c_capped").cast("double")
+    return out.select(
+        F.col("a").alias("node"),
+        F.col("d").alias("degree"),
+        "c_capped",
+        "triangles",
+        F.round(
+            F.try_divide(F.lit(2.0) * F.col("triangles").cast("double"), cc * (cc - F.lit(1.0))),
+            round_dp,
+        ).alias("lcc"),
+    )

@@ -1285,3 +1285,49 @@ def weighted_quantiles(
         .groupBy(F.col("__q.q").alias("q"))
         .agg(F.min("__v").alias(value_col))
     )
+
+
+def hhi_concentration(
+    df: DataFrame,
+    group_col: str,
+    member_col: str,
+    amount_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per group: HHI =
+    Σᵢ shareᵢ² over each member's share of the group total — the
+    standard market-concentration / source-dominance audit (a training
+    mix where one crawl source carries HHI ≈ 1 is one takedown away
+    from an empty shard).
+
+    ``amount_col`` must already be an exact integer (pre-scale money
+    to cents/ten-thousandths upstream). Per-member sums are BIGINT;
+    their squares accumulate as DECIMAL(38,0) (member sums square past
+    BIGINT range long before 100 TB), and HHI = Σs²/ (Σs)² is one
+    double division of exact integers — bit-replayable. Plan: two
+    map-side-combined groupBys on (group, member) then (group) — the
+    fact shuffles once on the composite key, the member table once on
+    the group.
+
+    Output: (group, n_members BIGINT, hhi DOUBLE). An all-zero group
+    (total 0) yields NULL via try_divide.
+    """
+    member = df.groupBy(group_col, member_col).agg(
+        F.sum(F.col(amount_col).cast("bigint")).alias("__amt")
+    )
+    g = member.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum(F.col("__amt").cast("decimal(38,0)") * F.col("__amt")).alias("__ss"),
+        F.sum(F.col("__amt").cast("decimal(38,0)")).alias("__tot"),
+    )
+    return g.select(
+        group_col,
+        "n_members",
+        F.round(
+            F.try_divide(
+                F.col("__ss").cast("double"),
+                F.col("__tot").cast("double") * F.col("__tot").cast("double"),
+            ),
+            round_dp,
+        ).alias("hhi"),
+    )

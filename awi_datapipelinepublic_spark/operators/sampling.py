@@ -745,3 +745,56 @@ def reshard_movement(
         b.groupBy("shard_from", "shard_to")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
     )
+
+
+def unimax_weights(
+    df: DataFrame,
+    group_col: str,
+    size_col: str,
+    total_budget: int,
+    epoch_cap: int = 4,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023) across groups
+    (languages/domains): distribute ``total_budget`` tokens as
+    uniformly as possible, capping every group at ``epoch_cap`` epochs
+    of its own corpus so low-resource groups are never over-repeated.
+    Greedy over groups in ASCENDING corpus size: each takes
+    ``min(epoch_cap·size, remaining DIV groups_left)`` — integer
+    arithmetic throughout, so the allocation replays exactly in any
+    engine (the oracle is a recursive CTE walking the same order).
+
+    Scale shape: the per-group sizes aggregate distributively from the
+    fact (one map-side-combined groupBy); the greedy itself is
+    GROUP-cardinality work — languages/domains number in the hundreds,
+    a bounded-by-contract driver computation (same class as the
+    centroid collects in similarity.py), never fact-sized.
+
+    Output: (group, n_tokens BIGINT, quota BIGINT, weight DOUBLE =
+    quota/total_budget at 6dp).
+    """
+    sizes = (
+        df.groupBy(group_col)
+        .agg(F.sum(F.col(size_col).cast("bigint")).alias("n_tokens"))
+        .collect()
+    )
+    ordered = sorted((int(r["n_tokens"]), r[group_col]) for r in sizes)
+    remaining = int(total_budget)
+    left = len(ordered)
+    rows = []
+    for n_tokens, grp in ordered:
+        quota = min(int(epoch_cap) * n_tokens, remaining // left if left else 0)
+        remaining -= quota
+        left -= 1
+        rows.append((grp, n_tokens, quota))
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        rows, f"{group_col} string, n_tokens bigint, quota bigint"
+    )
+    return out.select(
+        group_col,
+        "n_tokens",
+        "quota",
+        F.round(
+            F.col("quota").cast("double") / F.lit(float(int(total_budget))), 6
+        ).alias("weight"),
+    )

@@ -380,3 +380,179 @@ def changepoint_scan(
         ).alias("mean_after"),
         F.col("b.g").alias("g_stat"),
     )
+
+
+def acf_lags(
+    df: DataFrame,
+    idx_col: str,
+    value_col: str,
+    max_lag: int = 7,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Autocorrelation function of an integer-valued series at lags
+    1..``max_lag`` — the seasonality/persistence probe behind
+    ingestion-volume monitoring (weekly crawl cadence shows up as a
+    lag-7 spike) and forecasting sanity checks.
+
+    ``idx_col`` is an integer position (e.g. days since the series
+    start): a pair (t, t+k) contributes to lag k only when BOTH
+    positions exist, so calendar gaps shrink n_pairs instead of
+    silently misaligning the series. Deviations are taken about the
+    FLOOR of the mean (``S DIV n``): < 1 unit from the true mean —
+    statistically indistinguishable for any real series — and exactly
+    integer, so every product ``dev_t · dev_{t+k}`` and both sums
+    accumulate exactly (DECIMAL(38,0); BIGINT would overflow at
+    squared-deviation scale) and the single double division replays
+    bit-identically cross-engine.
+
+    Plan shape: the series is one row per index — calendar-bounded,
+    never fact-volume-bounded — so the lag pairing is a broadcast of
+    the tiny lag list plus one equi-join of the series to itself on
+    the shifted index; the fact table only ever feeds the upstream
+    per-index aggregate. r_k = Σ dev_t·dev_{t+k} / Σ dev_t².
+    """
+    stats = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col(value_col).cast("bigint")).alias("__s"),
+    )
+    ser = (
+        df.crossJoin(F.broadcast(stats))
+        .select(
+            F.col(idx_col).alias("__idx"),
+            (F.col(value_col).cast("bigint") - F.expr("__s DIV __n")).alias("__dev"),
+        )
+    )
+    den = ser.agg(
+        F.sum((F.col("__dev").cast("decimal(38,0)") * F.col("__dev"))).alias("__den")
+    )
+    lags = df.sparkSession.range(1, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    shifted = ser.select(
+        F.col("__idx").alias("__idx2"), F.col("__dev").alias("__dev2")
+    )
+    nums = (
+        ser.crossJoin(F.broadcast(lags))
+        .withColumn("__tgt", F.col("__idx") + F.col("lag"))
+        .join(shifted, F.col("__tgt") == F.col("__idx2"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.col("__dev").cast("decimal(38,0)") * F.col("__dev2")).alias("__num"),
+        )
+    )
+    return nums.crossJoin(F.broadcast(den)).select(
+        "lag",
+        "n_pairs",
+        F.round(
+            F.try_divide(F.col("__num").cast("double"), F.col("__den").cast("double")),
+            round_dp,
+        ).alias("acf"),
+    )
+
+
+def holt_linear(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+) -> DataFrame:
+    """Per-key Holt linear-trend double exponential smoothing::
+
+        level_t = α·x_t + (1−α)·(level_{t−1} + trend_{t−1})
+        trend_t = β·(level_t − level_{t−1}) + (1−β)·trend_{t−1}
+
+    initialized level_0 = x_0, trend_0 = 0 — the trend-aware
+    generalization of :func:`ewma` (which chases a trending series
+    with lagged bias). Like ewma, the recursion depends on previous
+    OUTPUT, so it cannot be a SQL window: one shuffle on the key,
+    each bounded per-key history smoothed by a plain loop over numpy
+    arrays inside an Arrow batch. 10⁹ keys scale linearly; a key's
+    history must fit one task (chunk unbounded entities upstream).
+
+    Float contract: the loop body is written with the exact operation
+    order documented above, so a DuckDB recursive CTE spelling the
+    same ops replays every double bit-for-bit (CPython and DuckDB
+    share libm; only +,·,− are involved — all correctly rounded).
+    """
+    import pandas as pd
+
+    out_fields = df.schema.fields + [
+        T.StructField("level", T.DoubleType()),
+        T.StructField("trend", T.DoubleType()),
+    ]
+    schema = T.StructType(out_fields)
+    a, b = float(alpha), float(beta)
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        xs = pdf[value_col].to_numpy(dtype="float64")
+        levels = [0.0] * len(xs)
+        trends = [0.0] * len(xs)
+        for i, x in enumerate(xs):
+            if i == 0:
+                levels[0] = float(x)
+                trends[0] = 0.0
+            else:
+                prev_l, prev_t = levels[i - 1], trends[i - 1]
+                l_new = a * float(x) + (1.0 - a) * (prev_l + prev_t)
+                t_new = b * (l_new - prev_l) + (1.0 - b) * prev_t
+                levels[i], trends[i] = l_new, t_new
+        pdf["level"] = levels
+        pdf["trend"] = trends
+        return pdf
+
+    return df.groupBy(key_col).applyInPandas(smooth, schema=schema)
+
+
+def twap_interval(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-key time-weighted average value over an irregularly-sampled
+    series: each observation holds until the next one, so its weight
+    is the gap to the successor (the last observation is unweighted —
+    its holding interval is unknown). The metric behind sensor/price
+    rollups where a plain AVG over-counts bursts of rapid samples.
+
+    Exactness: timestamps become TRUNCATED epoch seconds (Spark
+    ``cast(long)``; the oracle mirrors with ``floor(epoch(ts))`` —
+    Spark truncates where DuckDB's ``::BIGINT`` rounds), values become
+    half-up micro-units — every weight and weighted term is then an
+    exact integer, DECIMAL(38,0)-accumulated, and the TWAP is one
+    double division: Σ v_micro·Δt / (10⁶ · Σ Δt), bit-replayable.
+
+    One shuffle on the key; the lead() window is per-entity (bounded
+    history, the ewma scale contract), ordered by (ts, value) so equal
+    timestamps pair deterministically in both engines.
+    """
+    sec = F.col(ts_col).cast("long")
+    vmicro = F.floor(F.col(value_col) * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(F.col(key_col), sec.alias("__sec"), vmicro.alias("__vm"))
+    w = Window.partitionBy(key_col).orderBy(F.col("__sec").asc(), F.col("__vm").asc())
+    stepped = base.withColumn("__dt", F.lead("__sec").over(w) - F.col("__sec")).filter(
+        F.col("__dt").isNotNull()
+    )
+    agg = stepped.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum(F.col("__vm").cast("decimal(38,0)") * F.col("__dt")).alias("__num"),
+        F.sum(F.col("__dt").cast("decimal(38,0)")).alias("__den"),
+    )
+    return agg.select(
+        key_col,
+        "n_intervals",
+        F.round(
+            F.try_divide(
+                F.col("__num").cast("double"),
+                F.lit(1000000.0) * F.col("__den").cast("double"),
+            ),
+            round_dp,
+        ).alias("twap"),
+    )

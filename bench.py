@@ -204,6 +204,22 @@ BENCH_QUERIES = [
     "bipartite_project",
     # consistent-hashing reshard audit (zero-shuffle argmax placement)
     "reshard_movement",
+    # r10: exact-integer ACF of the daily revenue series
+    "acf_lags",
+    # r10: two-state Holt recursion per user (applyInPandas)
+    "holt_linear",
+    # r10: interval-weighted average over irregular samples
+    "twap_interval",
+    # r10: inter-arrival burstiness per user
+    "burstiness",
+    # r10: HHI source-concentration audit
+    "hhi_concentration",
+    # r10: capped local clustering coefficient at the graph's hubs
+    "lcc_topk",
+    # r10: minhash leakage audit across the md5 split
+    "split_leakage",
+    # r10: UniMax language budget allocation
+    "unimax_weights",
 ]
 
 

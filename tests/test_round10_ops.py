@@ -1,0 +1,179 @@
+"""Round-10 operator contracts: hand-computable fixtures for the new
+time-series, concentration, graph, audit, and allocation operators.
+
+Every operator also has a DuckDB-hash-verified driver gate; these
+tests pin the SEMANTICS on inputs small enough to verify by hand
+(the oracle only proves Spark and DuckDB agree — not that both mean
+what the docstring says).
+"""
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_acf_lags_constant_and_alternating(spark):
+    """A constant series has zero deviations (NULL acf via 0/0); a
+    ±1-alternating series has acf(1) = -1, acf(2) = +1 exactly."""
+    from awi_datapipelinepublic_spark.operators.timeseries import acf_lags
+
+    # alternating 10, 12, 10, 12... mean 11 exactly (even count)
+    rows = [(i, 10 if i % 2 == 0 else 12) for i in range(10)]
+    df = spark.createDataFrame(rows, "idx int, v long")
+    out = {r["lag"]: (r["n_pairs"], r["acf"]) for r in acf_lags(df, "idx", "v", 2).collect()}
+    assert out[1][0] == 9 and out[2][0] == 8
+    # lag-1 pairs all have dev_t·dev_{t+1} = -1·(n·1)² scale; ratio is
+    # n_pairs/n_total of full strength: 9 of 10 deviations pair at lag 1
+    assert out[1][1] == pytest.approx(-0.9)
+    assert out[2][1] == pytest.approx(0.8)
+
+    const = spark.createDataFrame([(i, 7) for i in range(6)], "idx int, v long")
+    for r in acf_lags(const, "idx", "v", 2).collect():
+        assert r["acf"] is None  # zero variance → try_divide NULL
+
+    # calendar gap: missing idx shrinks n_pairs, never misaligns
+    gappy = spark.createDataFrame(
+        [(0, 1), (1, 5), (3, 9)], "idx int, v long"
+    )
+    got = {r["lag"]: r["n_pairs"] for r in acf_lags(gappy, "idx", "v", 1).collect()}
+    assert got[1] == 1  # only (0,1) pairs; (1,3) is a gap
+
+
+def test_holt_linear_tracks_exact_line(spark):
+    """On a perfect line the recursion converges toward the line; the
+    first two steps are hand-checkable with alpha=0.5, beta=0.5."""
+    from awi_datapipelinepublic_spark.operators.timeseries import holt_linear
+
+    df = spark.createDataFrame(
+        [(1, i, float(10 + 2 * i)) for i in range(4)], "k int, t int, v double"
+    )
+    out = {r["t"]: (r["level"], r["trend"]) for r in holt_linear(df, "k", "t", "v", 0.5, 0.5).collect()}
+    assert out[0] == (10.0, 0.0)
+    # l1 = .5*12 + .5*(10+0) = 11 ; b1 = .5*(11-10) + .5*0 = 0.5
+    assert out[1] == (11.0, 0.5)
+    # l2 = .5*14 + .5*(11.5) = 12.75 ; b2 = .5*1.75 + .25 = 1.125
+    assert out[2] == (12.75, 1.125)
+    # keys never mix
+    two = df.union(spark.createDataFrame([(2, 0, 100.0)], "k int, t int, v double"))
+    got = holt_linear(two, "k", "t", "v", 0.5, 0.5).filter(F.col("k") == 2).collect()
+    assert (got[0]["level"], got[0]["trend"]) == (100.0, 0.0)
+
+
+def test_twap_interval_weights_by_holding_time(spark):
+    """v=10 held 3s then v=20 held 1s then a terminal sample:
+    TWAP = (10·3 + 20·1)/4 = 12.5; the last observation is unweighted."""
+    from awi_datapipelinepublic_spark.operators.timeseries import twap_interval
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 10.0),
+        (1, t0 + dt.timedelta(seconds=3), 20.0),
+        (1, t0 + dt.timedelta(seconds=4), 999.0),  # terminal: no interval
+    ]
+    df = spark.createDataFrame(rows, "u int, ts timestamp, v double")
+    out = twap_interval(df, "u", "ts", "v").collect()
+    assert len(out) == 1
+    assert out[0]["n_intervals"] == 2
+    assert out[0]["twap"] == pytest.approx(12.5)
+
+
+def test_burstiness_metronome_vs_bursty(spark):
+    """Equal gaps → σ=0 → B = (0-μ)/(0+μ) = -1 exactly; a bursty
+    pattern scores > the metronome."""
+    from awi_datapipelinepublic_spark.operators.events import burstiness
+
+    t0 = dt.datetime(2024, 1, 1)
+    metro = [(1, t0 + dt.timedelta(seconds=10 * i)) for i in range(7)]
+    bursty = [(2, t0 + dt.timedelta(seconds=s)) for s in [0, 1, 2, 3, 4, 1000]]
+    df = spark.createDataFrame(metro + bursty, "u int, ts timestamp")
+    out = {r["u"]: (r["n_gaps"], r["burstiness"]) for r in burstiness(df, "u", "ts", min_gaps=5).collect()}
+    assert out[1] == (6, -1.0)
+    assert out[2][0] == 5 and out[2][1] > 0.0  # bursty ≫ metronome's -1
+    # below min_gaps → dropped
+    few = spark.createDataFrame([(3, t0), (3, t0 + dt.timedelta(seconds=5))], "u int, ts timestamp")
+    assert burstiness(few, "u", "ts", min_gaps=5).count() == 0
+
+
+def test_hhi_concentration_monopoly_and_uniform(spark):
+    """One member owning everything → HHI = 1; k equal members →
+    HHI = 1/k; zero-total group → NULL."""
+    from awi_datapipelinepublic_spark.operators.quality import hhi_concentration
+
+    rows = (
+        [("mono", 1, 500)]
+        + [("quad", m, 100) for m in range(4)]
+        + [("zero", 1, 0), ("zero", 2, 0)]
+    )
+    df = spark.createDataFrame(rows, "g string, m int, amt long")
+    out = {r["g"]: (r["n_members"], r["hhi"]) for r in hhi_concentration(df, "g", "m", "amt").collect()}
+    assert out["mono"] == (1, 1.0)
+    assert out["quad"] == (4, 0.25)
+    assert out["zero"][1] is None
+
+
+def test_local_clustering_topk_clique_vs_star(spark):
+    """A 4-clique's members have lcc=1; a star hub has lcc=0; the cap
+    truncates to the lowest-id neighbors."""
+    from awi_datapipelinepublic_spark.operators.graph import local_clustering_topk
+
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    star = [(100, x) for x in range(101, 107)]  # hub degree 6, leaves unconnected
+    df = spark.createDataFrame(clique + star, "u long, v long")
+    out = {r["node"]: r for r in local_clustering_topk(df, "u", "v", k=2, neighbor_cap=64).collect()}
+    # top-2 by degree: hub 100 (deg 6), then node 0 (deg 3, lowest id tiebreak)
+    assert set(out) == {100, 0}
+    assert out[100]["lcc"] == 0.0 and out[100]["triangles"] == 0
+    assert out[0]["lcc"] == 1.0 and out[0]["triangles"] == 3
+    # cap: hub's capped neighbor count limited to 2 lowest ids
+    capped = {r["node"]: r for r in local_clustering_topk(df, "u", "v", k=1, neighbor_cap=2).collect()}
+    assert capped[100]["c_capped"] == 2 and capped[100]["degree"] == 6
+
+
+def test_split_leakage_audit_flags_near_dup_across_split(spark):
+    """A test-split document that is a near-duplicate of a train
+    document is flagged; self-contained: split membership is derived
+    from the same md5 rule the operator uses."""
+    from awi_datapipelinepublic_spark.operators.dedup import split_leakage_audit
+    from awi_datapipelinepublic_spark.operators.sampling import train_val_test_split
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    # enough ids that both splits are populated
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(40)] + [(i, f"unique text number {i} nothing shared here at all") for i in range(40, 60)],
+        "doc_id long, text string",
+    )
+    splits = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(docs, "doc_id").collect()
+    }
+    dup_train = [i for i in range(40) if splits[i] == "train"]
+    dup_holdout = [i for i in range(40) if splits[i] != "train"]
+    assert dup_train and dup_holdout, "fixture must straddle the split"
+    out = {r["doc_id"]: r for r in split_leakage_audit(docs, k=3).collect()}
+    for i in dup_holdout:
+        assert i in out, f"identical holdout doc {i} must be flagged"
+        assert out[i]["train_match"] == min(dup_train)
+        assert out[i]["n_shared_bands"] == 8  # identical text → all bands
+    # unique holdout docs never flagged
+    for i in range(40, 60):
+        if splits[i] != "train":
+            assert i not in out
+
+
+def test_unimax_weights_caps_and_budget(spark):
+    """Low-resource groups saturate at epoch_cap·size; the remainder
+    spreads over larger groups; total never exceeds the budget."""
+    from awi_datapipelinepublic_spark.operators.sampling import unimax_weights
+
+    rows = [("tiny", 10)] * 1 + [("mid", 100)] * 1 + [("big", 10_000)] * 1
+    df = spark.createDataFrame(rows, "g string, n long")
+    out = {r["g"]: r for r in unimax_weights(df, "g", "n", total_budget=1000, epoch_cap=2).collect()}
+    # ascending order: tiny(10) capped at 20; mid(100) capped at 200
+    # (fair share 490 > cap); big gets the rest min(20000, 780) = 780
+    assert out["tiny"]["quota"] == 20
+    assert out["mid"]["quota"] == 200
+    assert out["big"]["quota"] == 780
+    assert sum(r["quota"] for r in out.values()) <= 1000
+    assert out["big"]["weight"] == pytest.approx(0.78)
