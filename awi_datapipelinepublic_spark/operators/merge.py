@@ -363,3 +363,53 @@ def dataset_diff(
         .otherwise(F.lit("unchanged"))
     )
     return joined.select(*keys, status.alias("diff_status"))
+
+
+def refresh_monthly_rollup(
+    spark,
+    base_path: str,
+    rollup_path: str,
+    group_cols: list[str],
+    agg_exprs: list,
+    since_month: str | None = None,
+) -> None:
+    """Incremental maintenance of a month-grained aggregate over a
+    month-partitioned merged base (the materialized-view refresh the
+    reference's BI layer re-derives by full CTAS on every load —
+    config.py:190-199 — made incremental).
+
+    The insight: a monthly rollup of a time-window-merged base obeys
+    the SAME ownership contract as the base itself — a batch that owns
+    ``[cutoff, ∞)`` at the row level owns ``[month(cutoff), ∞)`` at
+    the aggregate level. So the refresh IS :func:`merge_time_window`
+    applied at the aggregate grain: recompute only months ≥
+    ``since_month`` (the base scan partition-prunes on
+    ``_merge_month``; at 100 TB this reads one month's data, not the
+    history) and merge the fresh month rows over the stored rollup,
+    discarding the restated months. A full recompute and the
+    incremental path provably agree because monthly groups never
+    straddle a month boundary.
+
+    ``since_month`` is ``date_format(cutoff, 'yyyy-MM')`` of the batch
+    just merged; None forces a full rebuild (bootstrap or backfill).
+    Atomic publish via the same versioned-snapshot writer; the rollup
+    is itself month-partitioned so downstream month filters prune too.
+    """
+    from pathlib import Path
+
+    from awi_datapipelinepublic_spark.sources.writers import (
+        overwrite_table,
+        recover_table,
+    )
+
+    recover_table(rollup_path)
+    base = spark.read.parquet(base_path)
+    if since_month is not None:
+        base = base.filter(F.col("_merge_month") >= F.lit(since_month))
+    fresh = base.groupBy("_merge_month", *group_cols).agg(*agg_exprs)
+    if since_month is not None and Path(rollup_path).exists():
+        old = spark.read.parquet(rollup_path)
+        merged = merge_time_window(old, fresh, "_merge_month", cutoff=since_month)
+    else:
+        merged = fresh
+    overwrite_table(merged, rollup_path, partition_by=["_merge_month"])
