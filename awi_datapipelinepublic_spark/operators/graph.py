@@ -722,3 +722,101 @@ def local_clustering_topk(
             round_dp,
         ).alias("lcc"),
     )
+
+
+def two_hop_reach(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    k: int = 20,
+    neighbor_cap: int = 32,
+) -> DataFrame:
+    """Capped 1- and 2-hop reach of the ``k`` highest-degree nodes —
+    the influence-radius audit (how much of the graph a hub touches
+    within two steps) that sizes blast radii for takedowns and seeds
+    for crawl frontier expansion.
+
+    Both hops walk a CAPPED adjacency: every node's neighbor list is
+    truncated to its ``neighbor_cap`` lowest-id neighbors
+    (deterministic, replayed exactly by the oracle), bounding the
+    expansion at k·cap² — parameter-sized, never data-sized; the cap
+    ranking itself is one keyed window over the symmetrized edge list
+    (per-key size = degree, no global sort). The reported reach is the
+    capped estimator, a documented lower bound of the true reach.
+
+    Output: (node, degree BIGINT, reach_1 BIGINT, reach_2 BIGINT) —
+    reach_2 counts distinct nodes at distance 1 OR 2, self excluded.
+    """
+    from pyspark.sql import Window
+
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    top = deg.orderBy(F.col("d").desc(), F.col("a").asc()).limit(k)
+    w = Window.partitionBy("a").orderBy(F.col("b").asc())
+    capped = sym.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") <= neighbor_cap
+    ).select("a", "b")
+    hop1 = capped.join(top.select("a"), "a")
+    hop2 = hop1.select(F.col("a").alias("__ctr"), F.col("b").alias("a")).join(
+        capped.select(F.col("a"), F.col("b").alias("__w")), "a"
+    ).select(F.col("__ctr").alias("a"), F.col("__w").alias("b"))
+    reach1 = hop1.groupBy("a").agg(F.count_distinct("b").cast("bigint").alias("reach_1"))
+    both = hop1.select("a", "b").unionAll(hop2).filter(F.col("a") != F.col("b"))
+    reach2 = both.groupBy("a").agg(F.count_distinct("b").cast("bigint").alias("reach_2"))
+    return (
+        top.join(reach1, "a", "left")
+        .join(reach2, "a", "left")
+        .select(
+            F.col("a").alias("node"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("reach_1"), F.lit(0).cast("bigint")).alias("reach_1"),
+            F.coalesce(F.col("reach_2"), F.lit(0).cast("bigint")).alias("reach_2"),
+        )
+    )
+
+
+def degree_histogram(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Log2-binned degree distribution of an undirected graph — the
+    one-page shape audit (power-law tail vs bounded lattice) run
+    before any wedge/pair-expanding operator is let loose, since the
+    top bucket IS the detonation risk those operators cap against.
+
+    The bucket is the BIT LENGTH of the degree minus one (degree 1 →
+    bucket 0, 2-3 → 1, 4-7 → 2, ...), computed by base-2 string
+    conversion — floor(log2(d)) via libm is ±1-ulp-unsafe at exact
+    powers of two and may disagree across engines; string length
+    cannot. Pure integers end-to-end; one |E| shuffle for the degree
+    table, a 64-row-bounded groupBy after it.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    bucket = (F.length(F.conv(F.col("d").cast("string"), 10, 2)) - F.lit(1)).cast("int")
+    return (
+        deg.select(bucket.alias("bucket"), "d")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min("d").alias("min_deg"),
+            F.max("d").alias("max_deg"),
+        )
+    )

@@ -1240,3 +1240,65 @@ def random_projection(
             ).alias(f"proj_{j}")
         )
     return df.select(id_col, *cols)
+
+
+def embedding_drift(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Centroid drift between two deterministic halves of an embedding
+    corpus (id parity split): cosine similarity of the per-half mean
+    vectors — the cheap embedding-space health check that catches a
+    re-encoded or corrupted shard before an ANN index is built on it
+    (cos ≈ 1 for homogeneous halves; a drop means the halves live in
+    different regions).
+
+    Float contract: per-dimension means are rounded at 9dp and
+    re-scaled to exact nano-unit BIGINTs (|mean| ≤ 1 for normalized
+    embeddings, so nano-units and their 64-dim dot products stay
+    within BIGINT exactly); the cosine is then one double formula on
+    exact integer sums — the kmeans-oracle determinism contract. The
+    only cross-engine exposure is the pre-round mean itself (±1 ulp of
+    summation order against a 0.5e-9 boundary — the accepted kmeans
+    risk).
+
+    Plan: one posexplode (rows × dim), one groupBy(half, dim) — dim ×
+    2 output rows, trivially AQE-broadcast for the final dim-join.
+    """
+    ev = df.select(
+        (F.col(id_col) % 2).alias("__half"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("__dim", "__val"),
+    )
+    means = ev.groupBy("__half", "__dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.floor(F.round(F.avg("__val"), 9) * F.lit(1000000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("__m"),
+    )
+    a = means.filter(F.col("__half") == 0).select(
+        F.col("__dim"), F.col("__m").alias("__ma"), F.col("__n").alias("__na")
+    )
+    b = means.filter(F.col("__half") == 1).select(
+        F.col("__dim"), F.col("__m").alias("__mb"), F.col("__n").alias("__nb")
+    )
+    j = a.join(b, "__dim")
+    s = j.agg(
+        F.max("__na").alias("n_even"),
+        F.max("__nb").alias("n_odd"),
+        F.sum(F.col("__ma").cast("decimal(38,0)") * F.col("__mb")).alias("__ab"),
+        F.sum(F.col("__ma").cast("decimal(38,0)") * F.col("__ma")).alias("__aa"),
+        F.sum(F.col("__mb").cast("decimal(38,0)") * F.col("__mb")).alias("__bb"),
+    )
+    return s.select(
+        "n_even",
+        "n_odd",
+        F.round(
+            F.try_divide(
+                F.col("__ab").cast("double"),
+                F.sqrt(F.col("__aa").cast("double")) * F.sqrt(F.col("__bb").cast("double")),
+            ),
+            round_dp,
+        ).alias("drift_cos"),
+    )

@@ -556,3 +556,42 @@ def twap_interval(
             round_dp,
         ).alias("twap"),
     )
+
+
+def weekday_profile(
+    df: DataFrame,
+    date_col: str,
+    amount_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Day-of-week seasonality profile of an integer-valued measure:
+    per weekday, the number of distinct dates observed, the exact
+    total, and its share of the grand total — the cadence fingerprint
+    (crawl schedules, order seasonality) that rolling monitors
+    de-trend against.
+
+    ``dow`` uses Spark's convention (1 = Sunday .. 7 = Saturday; the
+    DuckDB oracle shifts its 0-based dayofweek by +1). Amounts must be
+    pre-scaled exact integers; shares are one double division of two
+    exact BIGINT sums. Two map-side-combined groupBys (7-row output),
+    one broadcast of the 1-row total.
+    """
+    d = df.select(
+        F.dayofweek(F.col(date_col).cast("date")).alias("dow"),
+        F.col(date_col).cast("date").alias("__d"),
+        F.col(amount_col).cast("bigint").alias("__amt"),
+    )
+    per = d.groupBy("dow").agg(
+        F.count_distinct("__d").cast("bigint").alias("n_days"),
+        F.sum("__amt").alias("total"),
+    )
+    tot = per.agg(F.sum("total").alias("__g"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "n_days",
+        "total",
+        F.round(
+            F.try_divide(F.col("total").cast("double"), F.col("__g").cast("double")),
+            round_dp,
+        ).alias("share"),
+    )

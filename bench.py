@@ -220,6 +220,14 @@ BENCH_QUERIES = [
     "split_leakage",
     # r10: UniMax language budget allocation
     "unimax_weights",
+    # r10: day-of-week seasonality shares
+    "weekday_profile",
+    # r10: embedding-corpus centroid drift (shard health)
+    "embedding_drift",
+    # r10: capped hub blast radius
+    "two_hop_reach",
+    # r10: log2 degree distribution (detonation-risk audit)
+    "degree_histogram",
 ]
 
 

@@ -177,3 +177,70 @@ def test_unimax_weights_caps_and_budget(spark):
     assert out["big"]["quota"] == 780
     assert sum(r["quota"] for r in out.values()) <= 1000
     assert out["big"]["weight"] == pytest.approx(0.78)
+
+
+def test_weekday_profile_exact_shares(spark):
+    """Two Mondays totalling 30 and one Sunday of 10: Monday (dow=2)
+    share 0.75, n_days counts distinct dates."""
+    from awi_datapipelinepublic_spark.operators.timeseries import weekday_profile
+
+    rows = [
+        (dt.date(2024, 1, 1), 10),   # Monday
+        (dt.date(2024, 1, 8), 20),   # Monday
+        (dt.date(2024, 1, 7), 10),   # Sunday
+    ]
+    df = spark.createDataFrame(rows, "d date, amt long")
+    out = {r["dow"]: r for r in weekday_profile(df, "d", "amt").collect()}
+    assert out[2]["n_days"] == 2 and out[2]["total"] == 30
+    assert out[2]["share"] == pytest.approx(0.75)
+    assert out[1]["share"] == pytest.approx(0.25)
+
+
+def test_embedding_drift_identical_and_opposite_halves(spark):
+    """Identical halves → cos 1; sign-flipped halves → cos -1."""
+    from awi_datapipelinepublic_spark.operators.similarity import embedding_drift
+
+    same = spark.createDataFrame(
+        [(i, [0.5, -0.25, 0.125]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    out = embedding_drift(same).collect()[0]
+    assert out["drift_cos"] == pytest.approx(1.0)
+    assert out["n_even"] == 4 and out["n_odd"] == 4
+    flipped = spark.createDataFrame(
+        [(i, [0.5, -0.25] if i % 2 == 0 else [-0.5, 0.25]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    assert embedding_drift(flipped).collect()[0]["drift_cos"] == pytest.approx(-1.0)
+
+
+def test_two_hop_reach_path_graph(spark):
+    """Path 1-2-3-4-5: center 3 reaches {2,4} at hop1, {1,2,4,5} by
+    hop2; caps truncate to lowest-id neighbors."""
+    from awi_datapipelinepublic_spark.operators.graph import two_hop_reach
+
+    path = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(path, "u long, v long")
+    out = {r["node"]: r for r in two_hop_reach(df, "u", "v", k=1, neighbor_cap=32).collect()}
+    # top-1 by degree: nodes 2,3,4 all deg 2 → lowest id 2 wins
+    assert set(out) == {2}
+    assert out[2]["reach_1"] == 2          # {1, 3}
+    assert out[2]["reach_2"] == 3          # {1, 3, 4}; self excluded
+    # cap=1 keeps only the lowest-id neighbor at each hop
+    capped = {r["node"]: r for r in two_hop_reach(df, "u", "v", k=1, neighbor_cap=1).collect()}
+    assert capped[2]["reach_1"] == 1       # {1}
+    assert capped[2]["reach_2"] == 1       # 1's capped nbr is 2 = self → excluded
+
+
+def test_degree_histogram_buckets(spark):
+    """Degrees 1,2,3,4 land in buckets 0,1,1,2 with exact min/max."""
+    from awi_datapipelinepublic_spark.operators.graph import degree_histogram
+
+    # star core 0 with 4 leaves (deg 4), a triangle hanging off leaf 1
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (1, 5)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    # degrees: 0→4, 1→3, 2→2, 3→1, 4→1, 5→1
+    out = {r["bucket"]: r for r in degree_histogram(df, "u", "v").collect()}
+    assert out[0]["n_nodes"] == 3 and out[0]["min_deg"] == 1 and out[0]["max_deg"] == 1
+    assert out[1]["n_nodes"] == 2 and out[1]["min_deg"] == 2 and out[1]["max_deg"] == 3
+    assert out[2]["n_nodes"] == 1 and out[2]["min_deg"] == 4
