@@ -244,3 +244,35 @@ def test_degree_histogram_buckets(spark):
     assert out[0]["n_nodes"] == 3 and out[0]["min_deg"] == 1 and out[0]["max_deg"] == 1
     assert out[1]["n_nodes"] == 2 and out[1]["min_deg"] == 2 and out[1]["max_deg"] == 3
     assert out[2]["n_nodes"] == 1 and out[2]["min_deg"] == 4
+
+
+def test_round10_zero_denominators_yield_null_not_error(spark):
+    """ANSI robustness: every r10 division with a data-dependent
+    denominator must NULL out on degenerate input (try_divide), never
+    raise — the driver runs a vanilla ANSI-on session."""
+    import datetime as dt
+
+    from awi_datapipelinepublic_spark.operators.events import burstiness
+    from awi_datapipelinepublic_spark.operators.similarity import embedding_drift
+    from awi_datapipelinepublic_spark.operators.timeseries import twap_interval
+
+    t0 = dt.datetime(2024, 1, 1)
+    # all events in the same second: every gap is 0 → sd+mu = 0
+    same = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(microseconds=i)) for i in range(6)],
+        "u int, ts timestamp",
+    )
+    rows = burstiness(same, "u", "ts", min_gaps=5).collect()
+    assert rows[0]["burstiness"] is None
+    # all samples in the same second: every dt is 0 → den = 0
+    tw = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(microseconds=i), 5.0) for i in range(3)],
+        "u int, ts timestamp, v double",
+    )
+    out = twap_interval(tw, "u", "ts", "v").collect()
+    assert out[0]["twap"] is None
+    # all-zero embeddings: both norms 0 → NULL cosine
+    zeros = spark.createDataFrame(
+        [(i, [0.0, 0.0]) for i in range(4)], "vec_id long, embedding array<double>"
+    )
+    assert embedding_drift(zeros).collect()[0]["drift_cos"] is None
