@@ -1331,3 +1331,58 @@ def hhi_concentration(
             round_dp,
         ).alias("hhi"),
     )
+
+
+def percentile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    out_col: str = "pct",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Rank-based percentile normalization within each group: every
+    value maps to its AVERAGE-rank percentile ``(2·cum − c + 1)/(2n)``
+    in (0, 1) — the distribution-free feature scaling that survives
+    outliers and arbitrary marginals where min-max and z-scores do not
+    (the rank step of quantile/normal-score transforms).
+
+    Exactness is the spearman_corr layout scoped per group: distinct-
+    value counts (exchange is distinct-value-sized), a cumulative sum
+    over a KEYED window (partitioned by group — never a global sort),
+    rank2 = 2·cum − c + 1 an exact integer, and the percentile one
+    double division by 2n. NULL values are excluded EXPLICITLY (rank
+    semantics; Spark sorts NULLS FIRST, DuckDB SUM() OVER defaults
+    NULLS LAST — an implicit null group would shift every rank).
+
+    Plan: one groupBy(group, value), one window over the group key,
+    one join back to rows — the fact shuffles once on (group, value)
+    and once on group.
+    """
+    from pyspark.sql import Window
+
+    base = df.filter(F.col(value_col).isNotNull())
+    counts = base.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(value_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = counts.withColumn("__cum", F.sum("__c").over(w)).withColumn(
+        "__rank2", F.lit(2) * F.col("__cum") - F.col("__c") + 1
+    )
+    totals = base.groupBy(group_col).agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    return (
+        base.join(ranked.select(group_col, value_col, "__rank2"), [group_col, value_col])
+        .join(totals, group_col)
+        .withColumn(
+            out_col,
+            F.round(
+                F.col("__rank2").cast("double")
+                / (F.lit(2.0) * F.col("__n").cast("double")),
+                round_dp,
+            ),
+        )
+        .drop("__rank2", "__n")
+    )

@@ -1302,3 +1302,70 @@ def embedding_drift(
             round_dp,
         ).alias("drift_cos"),
     )
+
+
+# nDCG position weights: 1/log2(i+1) in nano-units, computed ONCE in
+# CPython and injected as LITERALS into both engines (the dsir/benford
+# contract — log2 is libm, so evaluating it engine-side risks 1-ulp
+# divergence; identical integer literals cannot diverge).
+def _ndcg_weights_nano(k: int) -> list[int]:
+    import math
+
+    return [int(math.floor(1e9 / math.log2(i + 1) + 0.5)) for i in range(1, k + 1)]
+
+
+def ann_ndcg_eval(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Graded ranking quality of the IVF index: per-query nDCG@k of
+    :func:`knn_join_ivf` against the exact brute-force top-k — the
+    metric that sees what recall cannot (an index returning the right
+    set in the wrong ORDER scores recall 1.0 but loses nDCG; ranking
+    order is what a retrieval consumer actually experiences).
+
+    Binary relevance (approx item ∈ exact top-k); DCG = Σ relᵢ·wᵢ and
+    ideal DCG = Σ_{i≤min(n_exact,k)} wᵢ, with wᵢ = 1/log2(i+1) as
+    exact nano-unit literals (:func:`_ndcg_weights_nano`) — both sums
+    are exact BIGINTs and nDCG is one double division, bit-replayable.
+    Plan: the two kNN joins (bounded-collect matmul kernels), one
+    semi-join, one per-query window for the approx rank, two
+    map-side-combined groupBys.
+    """
+    from pyspark.sql import Window
+
+    W = _ndcg_weights_nano(k)
+    IW = [sum(W[: i + 1]) for i in range(k)]
+    exact = (
+        knn_join_brute(emb, k=k, id_col=id_col, vec_col=vec_col)
+        .select("a_id", "b_id")
+        .localCheckpoint()
+    )
+    approx = knn_join_ivf(emb, k=k, id_col=id_col, vec_col=vec_col)
+    w = Window.partitionBy("a_id").orderBy(F.col("cos").desc(), F.col("b_id").asc())
+    ranked = approx.withColumn("__rk", F.row_number().over(w))
+    wmap = F.create_map(*[F.lit(x) for i, wt in enumerate(W, 1) for x in (i, wt)])
+    rel = ranked.join(exact, ["a_id", "b_id"], "left_semi")
+    dcg = rel.groupBy("a_id").agg(
+        F.sum(wmap[F.col("__rk")]).cast("bigint").alias("dcg_nano")
+    )
+    iwmap = F.create_map(*[F.lit(x) for i, s in enumerate(IW, 1) for x in (i, s)])
+    base = exact.groupBy("a_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    return (
+        base.join(dcg, "a_id", "left")
+        .select(
+            "a_id",
+            "n_exact",
+            F.coalesce(F.col("dcg_nano"), F.lit(0).cast("bigint")).alias("dcg_nano"),
+            F.round(
+                F.try_divide(
+                    F.coalesce(F.col("dcg_nano"), F.lit(0)).cast("double"),
+                    iwmap[F.least(F.col("n_exact"), F.lit(k))].cast("double"),
+                ),
+                round_dp,
+            ).alias("ndcg"),
+        )
+    )

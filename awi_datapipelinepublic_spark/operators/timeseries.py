@@ -595,3 +595,45 @@ def weekday_profile(
             round_dp,
         ).alias("share"),
     )
+
+
+def seasonal_anomaly(
+    df: DataFrame,
+    key_col: str = "event_type",
+    order_col: str = "day",
+    dow_col: str = "dow",
+    value_col: str = "n",
+    window: int = 7,
+    z: float = 3.0,
+) -> DataFrame:
+    """Day-of-week-detrended volume anomaly: :func:`rolling_anomaly`'s
+    trailing z-test applied to the integer-exact seasonal deviation
+    ``dev = x·n_dow − S_dow`` (per key, n_dow/S_dow = count/sum of the
+    series on that weekday) instead of the raw count — so a Sunday
+    that is merely "Sunday-shaped" stops tripping the monitor and a
+    Sunday that is anomalous FOR A SUNDAY trips it.
+
+    The detrending is exactly integer (the acf_lags floor-free n-scale
+    trick: subtracting the dow MEAN would be fractional, so the
+    deviation is scaled by n_dow — within a key each weekday's count
+    differs by ≤1 over any span, a ≤2% scale wobble that the z-window
+    normalizes away). Everything downstream is rolling_anomaly's
+    cleared inequality on exact BIGINTs — bit-replayable. One extra
+    (key × 7)-row aggregate and a join-back; no forced broadcast (AQE
+    promotes the dow table when small).
+
+    Output: rolling_anomaly's columns over the ``dev`` series
+    (key, order, dev, base_sum, base_sumsq, is_anomaly).
+    """
+    per_dow = df.groupBy(key_col, dow_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_dow"),
+        F.sum(F.col(value_col).cast("bigint")).alias("__s_dow"),
+    )
+    dev = df.join(per_dow, [key_col, dow_col]).select(
+        F.col(key_col),
+        F.col(order_col),
+        (F.col(value_col).cast("bigint") * F.col("__n_dow") - F.col("__s_dow")).alias(
+            "dev"
+        ),
+    )
+    return rolling_anomaly(dev, key_col, order_col, "dev", window, z)

@@ -228,6 +228,12 @@ BENCH_QUERIES = [
     "two_hop_reach",
     # r10: log2 degree distribution (detonation-risk audit)
     "degree_histogram",
+    # r10: graded IVF ranking quality (order-aware companion of recall)
+    "ann_ndcg_eval",
+    # r10: dow-detrended volume anomaly
+    "seasonal_anomaly",
+    # r10: rank-percentile feature normalization
+    "percentile_normalize",
 ]
 
 

@@ -276,3 +276,81 @@ def test_round10_zero_denominators_yield_null_not_error(spark):
         [(i, [0.0, 0.0]) for i in range(4)], "vec_id long, embedding array<double>"
     )
     assert embedding_drift(zeros).collect()[0]["drift_cos"] is None
+
+
+def test_ann_ndcg_perfect_index_scores_one(spark):
+    """Identical-direction vectors: every IVF assignment lands in one
+    cluster and every ranking tie breaks by id identically in approx
+    and exact — nDCG is exactly 1.0 for every query. (A 10-vector
+    corpus still builds max(8, n//64) = 8 centroids, so a spread-out
+    fixture legitimately scores < 1 — the metric working, not a bug.)"""
+    from awi_datapipelinepublic_spark.operators.similarity import ann_ndcg_eval
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    out = ann_ndcg_eval(emb, k=3).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r["ndcg"] == pytest.approx(1.0)
+        assert r["n_exact"] == 3
+    # and on a spread corpus the metric stays in (0, 1]
+    spread = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5 * i]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    for r in ann_ndcg_eval(spread, k=3).collect():
+        assert 0.0 <= r["ndcg"] <= 1.0
+
+
+def test_ndcg_weights_are_exact_literals():
+    import math
+
+    from awi_datapipelinepublic_spark.operators.similarity import _ndcg_weights_nano
+
+    w = _ndcg_weights_nano(5)
+    assert w[0] == 1_000_000_000  # 1/log2(2) = 1
+    assert w == sorted(w, reverse=True)
+    assert w[1] == int(math.floor(1e9 / math.log2(3) + 0.5))
+
+
+def test_seasonal_anomaly_ignores_weekly_shape(spark):
+    """A series that is purely weekly-shaped (every Monday 100, all
+    other days 10) never trips the detrended monitor; a broken Monday
+    does."""
+    from awi_datapipelinepublic_spark.operators.timeseries import seasonal_anomaly
+
+    rows = []
+    d0 = dt.date(2024, 1, 1)  # a Monday
+    for i in range(35):
+        day = d0 + dt.timedelta(days=i)
+        n = 100 if day.weekday() == 0 else 10
+        if day == dt.date(2024, 1, 29):
+            n = 500  # the 5th Monday explodes
+        rows.append(("t", day, day.isoweekday(), n))
+    df = spark.createDataFrame(rows, "k string, day date, dow int, n long")
+    out = {r["day"]: r["is_anomaly"] for r in seasonal_anomaly(df, "k", "day", "dow", "n").collect()}
+    flagged = [d for d, a in out.items() if a]
+    assert dt.date(2024, 1, 29) in flagged, "broken Monday must trip"
+    # regular Mondays with a full baseline never trip
+    for d in [dt.date(2024, 1, 22)]:
+        assert not out[d], "Monday-shaped Monday must not trip"
+
+
+def test_percentile_normalize_ranks_and_ties(spark):
+    """Average-rank percentiles: [10, 20, 20, 40] → 1/8, 4.5/... —
+    rank2 = {1, 5, 5, 7}/2 → pct = rank2/(2n) with tie averaging."""
+    from awi_datapipelinepublic_spark.operators.quality import percentile_normalize
+
+    df = spark.createDataFrame(
+        [(1, "g", 10.0), (2, "g", 20.0), (3, "g", 20.0), (4, "g", 40.0), (5, "g", None)],
+        "id long, g string, v double",
+    )
+    out = {r["id"]: r["pct"] for r in percentile_normalize(df, "g", "v").collect()}
+    assert 5 not in out  # NULL excluded
+    # rank2 = 2·cum − c + 1 over distinct values: 10→2, 20→5, 40→8;
+    # pct = rank2/(2n) = avg_rank/n
+    assert out[1] == pytest.approx(0.25)
+    assert out[2] == out[3] == pytest.approx(0.625)
+    assert out[4] == pytest.approx(1.0)
