@@ -197,7 +197,7 @@ def merge_into_table(
     loc.parent.mkdir(parents=True, exist_ok=True)
     lock, token = _acquire_publish_lock(loc)
     try:
-        with _LockHeartbeat(lock):
+        with _LockHeartbeat(lock, token):
             _merge_into_table_locked(spark, table, new_batch, date_col, partition_by_month)
     finally:
         _release_publish_lock(lock, token)
@@ -398,18 +398,46 @@ def refresh_monthly_rollup(
     from pathlib import Path
 
     from awi_datapipelinepublic_spark.sources.writers import (
-        overwrite_table,
+        _acquire_publish_lock,
+        _LockHeartbeat,
+        _publish_locked,
+        _release_publish_lock,
         recover_table,
     )
 
-    recover_table(rollup_path)
-    base = spark.read.parquet(base_path)
-    if since_month is not None:
-        base = base.filter(F.col("_merge_month") >= F.lit(since_month))
-    fresh = base.groupBy("_merge_month", *group_cols).agg(*agg_exprs)
-    if since_month is not None and Path(rollup_path).exists():
-        old = spark.read.parquet(rollup_path)
-        merged = merge_time_window(old, fresh, "_merge_month", cutoff=since_month)
-    else:
-        merged = fresh
-    overwrite_table(merged, rollup_path, partition_by=["_merge_month"])
+    # The publish lock is held across the READ of the old rollup as
+    # well as the merge + publish (same structure as compact_table):
+    # two concurrent refreshes that each read-then-publish unlocked
+    # would interleave and one refresh's months would vanish from the
+    # survivor's snapshot.
+    target = Path(rollup_path)
+    target.parent.mkdir(parents=True, exist_ok=True)
+    lock, token = _acquire_publish_lock(target)
+    try:
+        with _LockHeartbeat(lock, token) as hb:
+            recover_table(rollup_path)
+            have_rollup = target.exists()
+            if since_month is not None and not have_rollup:
+                # No stored rollup to merge the fresh months over: an
+                # incremental refresh would publish ONLY months >=
+                # since_month and silently truncate all history. Fall
+                # back to a full rebuild from the unfiltered base.
+                since_month = None
+            base = spark.read.parquet(base_path)
+            if since_month is not None:
+                base = base.filter(F.col("_merge_month") >= F.lit(since_month))
+            fresh = base.groupBy("_merge_month", *group_cols).agg(*agg_exprs)
+            if since_month is not None:
+                old = spark.read.parquet(rollup_path)
+                merged = merge_time_window(old, fresh, "_merge_month", cutoff=since_month)
+            else:
+                merged = fresh
+            _publish_locked(
+                merged,
+                target,
+                partition_by=["_merge_month"],
+                keep_versions=1,
+                heartbeat=hb,
+            )
+    finally:
+        _release_publish_lock(lock, token)

@@ -777,6 +777,13 @@ def unimax_weights(
         .agg(F.sum(F.col(size_col).cast("bigint")).alias("n_tokens"))
         .collect()
     )
+    if len(sizes) > 100_000:
+        raise ValueError(
+            f"unimax_weights: {len(sizes)} groups in {group_col!r} — the "
+            "greedy allocation is driver-side and bounded-by-contract to "
+            "group (language/domain) cardinality; a fact-sized group "
+            "column is the wrong input"
+        )
     ordered = sorted((int(r["n_tokens"]), r[group_col]) for r in sizes)
     remaining = int(total_budget)
     left = len(ordered)
@@ -787,9 +794,19 @@ def unimax_weights(
         left -= 1
         rows.append((grp, n_tokens, quota))
     spark = df.sparkSession
-    out = spark.createDataFrame(
-        rows, f"{group_col} string, n_tokens bigint, quota bigint"
+    # The group column keeps its SOURCE type (an int domain id must not
+    # be coerced to string — or worse, fail createDataFrame's hardcoded
+    # schema); only the computed columns have fixed types.
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(group_col, df.schema[group_col].dataType, True),
+            StructField("n_tokens", LongType(), True),
+            StructField("quota", LongType(), True),
+        ]
     )
+    out = spark.createDataFrame(rows, out_schema)
     return out.select(
         group_col,
         "n_tokens",

@@ -398,8 +398,11 @@ def acf_lags(
     start): a pair (t, t+k) contributes to lag k only when BOTH
     positions exist, so calendar gaps shrink n_pairs instead of
     silently misaligning the series. Deviations are taken about the
-    FLOOR of the mean (``S DIV n``): < 1 unit from the true mean —
-    statistically indistinguishable for any real series — and exactly
+    TRUNCATED mean (``S DIV n`` — both Spark's DIV and DuckDB's //
+    truncate toward zero, so e.g. -7 DIV 2 = -3, not the floor -4;
+    cross-engine agreement rides that shared truncation, and the
+    reference point is within 1 unit of the true mean either way —
+    statistically indistinguishable for any real series) and exactly
     integer, so every product ``dev_t · dev_{t+k}`` and both sums
     accumulate exactly (DECIMAL(38,0); BIGINT would overflow at
     squared-deviation scale) and the single double division replays

@@ -127,7 +127,19 @@ def _acquire_publish_lock(target: Path) -> tuple[Path, str]:
                 try:
                     os.link(claim, lock)
                 except FileExistsError:
-                    pass
+                    # A third writer O_EXCL-created a fresh lock inside
+                    # our rename→restore window. The claim IS the live
+                    # holder's lock inode — unlinking it here would
+                    # destroy the only record of that holder, so LEAVE
+                    # IT IN PLACE; the holder's heartbeat re-creates the
+                    # canonical lock path on its next beat (see
+                    # _LockHeartbeat._run), which surfaces the conflict
+                    # to whichever of the two survives. We just back off.
+                    raise ConcurrentPublishError(
+                        f"another writer holds {lock} (refreshed "
+                        "mid-takeover; restore raced a third writer); "
+                        "the engine is single-writer per table"
+                    ) from None
                 claim.unlink(missing_ok=True)
                 raise ConcurrentPublishError(
                     f"another writer holds {lock} (refreshed mid-takeover); "
@@ -153,12 +165,28 @@ class _LockHeartbeat:
     writer (plausible for 100 TB-scale snapshot writes) is never
     mistaken for a crashed one and never has its lock taken over
     mid-publish. Crash semantics are unchanged: a dead process stops
-    touching, the mtime ages out, takeover proceeds."""
+    touching, the mtime ages out, takeover proceeds.
 
-    def __init__(self, lock: Path, interval: float = _HEARTBEAT_SECONDS):
+    Self-healing: if a beat finds the lock file MISSING (a mistaken
+    takeover renamed it away), the heartbeat O_EXCL-recreates it with
+    the holder's own token, so a live holder's lock presence is
+    restored within one beat and later acquirers still see it held.
+    If the recreate loses to a usurper's fresh lock (FileExistsError),
+    the lock is genuinely contested: ``lost`` flips True and the
+    publish path refuses to flip the pointer (ConcurrentPublishError)
+    rather than racing the usurper's publish."""
+
+    def __init__(
+        self,
+        lock: Path,
+        token: str | None = None,
+        interval: float = _HEARTBEAT_SECONDS,
+    ):
         import threading
 
         self._lock = lock
+        self._token = token
+        self.lost = False
         self._stop = threading.Event()
         self._thread = threading.Thread(
             target=self._run, args=(interval,), daemon=True
@@ -168,8 +196,35 @@ class _LockHeartbeat:
         while not self._stop.wait(interval):
             try:
                 os.utime(self._lock)
+                if self._token is not None:
+                    # utime is path-based and content-agnostic: if the
+                    # lock file was REPLACED (not just touched), we'd
+                    # happily keep a usurper's lock fresh forever.
+                    # Token-verify each beat — a mismatch means the
+                    # lock is genuinely someone else's now.
+                    try:
+                        if f"token={self._token}" not in self._lock.read_text():
+                            self.lost = True
+                    except OSError:
+                        pass
+            except FileNotFoundError:
+                if self._token is None:
+                    continue  # legacy caller: nothing to restore with
+                try:
+                    fd = os.open(
+                        self._lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                    )
+                    os.write(
+                        fd,
+                        f"pid={os.getpid()} token={self._token}\n".encode(),
+                    )
+                    os.close(fd)
+                except FileExistsError:
+                    self.lost = True  # a usurper holds a fresh lock now
+                except OSError:
+                    pass
             except OSError:
-                pass  # lock gone (release raced the timer): nothing to refresh
+                pass  # transient stat/utime failure: retry next beat
 
     def __enter__(self):
         self._thread.start()
@@ -255,8 +310,8 @@ def overwrite_table(
     target = Path(path)
     lock, token = _acquire_publish_lock(target)
     try:
-        with _LockHeartbeat(lock):
-            _publish_locked(df, target, partition_by, keep_versions)
+        with _LockHeartbeat(lock, token) as hb:
+            _publish_locked(df, target, partition_by, keep_versions, hb)
     finally:
         _release_publish_lock(lock, token)
 
@@ -266,6 +321,7 @@ def _publish_locked(
     target: Path,
     partition_by: list[str] | None,
     keep_versions: int,
+    heartbeat: "_LockHeartbeat | None" = None,
 ) -> None:
     path = str(target)
     recover_table(path)
@@ -290,6 +346,15 @@ def _publish_locked(
         # window where `path` is briefly absent; recover_table rolls it
         # forward (both snapshots are complete, newest wins).
         os.rename(target, target.parent / f".{target.name}.v-{n - 1:08d}-legacy")
+    if heartbeat is not None and heartbeat.lost:
+        # The heartbeat detected a usurper's fresh lock while we wrote:
+        # flipping the pointer now would race the usurper's publish.
+        # The snapshot we wrote is _SUCCESS-complete but unpointed —
+        # plain reclaimable garbage for the next publish's GC sweep.
+        raise ConcurrentPublishError(
+            f"publish lock for {target} was taken over mid-write; "
+            "refusing to flip the pointer over the new holder's publish"
+        )
     _point_at(target, vdir)
     # GC: keep the pointer's target plus the newest complete snapshots
     # up to keep_versions; everything else — superseded history past
@@ -328,7 +393,7 @@ def compact_table(spark, path: str, target_file_mb: int = 256, partition_by: lis
     target = _P(path)
     lock, token = _acquire_publish_lock(target)
     try:
-        with _LockHeartbeat(lock):
+        with _LockHeartbeat(lock, token) as hb:
             total_bytes = sum(f.stat().st_size for f in target.rglob("*.parquet"))
             n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
             df = spark.read.parquet(path)
@@ -336,7 +401,7 @@ def compact_table(spark, path: str, target_file_mb: int = 256, partition_by: lis
                 compacted = df.repartition(n_files, *[df[c] for c in partition_by])
             else:
                 compacted = df.repartition(n_files)
-            _publish_locked(compacted, target, partition_by, keep_versions=1)
+            _publish_locked(compacted, target, partition_by, keep_versions=1, heartbeat=hb)
     finally:
         _release_publish_lock(lock, token)
     return len(list(target.rglob("*.parquet")))

@@ -897,3 +897,135 @@ def test_rollup_refresh_base_scan_is_partition_pruned(spark, tmp_path):
     _rollup_refresh(spark, base_path, rollup_path, "2024-06")
     got = {r["_merge_month"]: r["n"] for r in spark.read.parquet(rollup_path).collect()}
     assert got["2024-06"] == 100 and len(got) == 6
+
+
+# ---------------------------------------------------------------------------
+# Round 11: ADVICE regressions — rollup bootstrap/locking, heartbeat
+# self-healing, takeover-restore race.
+# ---------------------------------------------------------------------------
+
+
+def test_rollup_incremental_without_stored_rollup_rebuilds_full(spark, tmp_path):
+    """since_month set but NO stored rollup: an incremental refresh
+    would publish only months >= since_month and silently truncate all
+    history. The fallback must rebuild from the UNFILTERED base."""
+    from awi_datapipelinepublic_spark.operators.merge import merge_into_path
+
+    base_path = str(tmp_path / "base")
+    rows = [(m * 100 + j, dt.date(2024, m, 1 + j)) for m in (1, 2, 3) for j in range(3)]
+    merge_into_path(
+        spark, base_path, spark.createDataFrame(rows, "pk long, d date"), "d"
+    )
+    rollup_path = str(tmp_path / "rollup")  # never bootstrapped
+    _rollup_refresh(spark, base_path, rollup_path, "2024-03")
+    got = {r["_merge_month"]: r["n"] for r in spark.read.parquet(rollup_path).collect()}
+    assert got == {"2024-01": 3, "2024-02": 3, "2024-03": 3}, (
+        "missing rollup + since_month must full-rebuild, not truncate history"
+    )
+
+
+def test_rollup_refresh_holds_publish_lock(spark, tmp_path):
+    """Two concurrent refreshes of one rollup must serialize: a FRESH
+    foreign lock refuses the whole read-merge-publish (the unlocked
+    read-then-publish interleave would lose one refresh)."""
+    from awi_datapipelinepublic_spark.operators.merge import merge_into_path
+    from awi_datapipelinepublic_spark.sources.writers import ConcurrentPublishError
+
+    base_path = str(tmp_path / "base")
+    rows = [(j, dt.date(2024, 1, 1 + j)) for j in range(3)]
+    merge_into_path(
+        spark, base_path, spark.createDataFrame(rows, "pk long, d date"), "d"
+    )
+    rollup_path = tmp_path / "rollup"
+    lock = rollup_path.parent / f".{rollup_path.name}.lock"
+    lock.write_text("pid=9 token=other-refresh\n")
+    with pytest.raises(ConcurrentPublishError):
+        _rollup_refresh(spark, base_path, str(rollup_path), None)
+    assert not rollup_path.exists(), "refused refresh must not publish"
+    lock.unlink()
+    _rollup_refresh(spark, base_path, str(rollup_path), None)
+    assert not lock.exists(), "lock released after the refresh"
+    got = {r["_merge_month"]: r["n"] for r in spark.read.parquet(str(rollup_path)).collect()}
+    assert got == {"2024-01": 3}
+
+
+def test_heartbeat_self_heals_missing_lock(tmp_path):
+    """A mistaken takeover that renamed a LIVE holder's lock away must
+    be healed: the holder's next beat O_EXCL-recreates the lock with
+    its own token, so later acquirers still see the table held."""
+    import time
+
+    target = tmp_path / "t"
+    lock, token = writers._acquire_publish_lock(target)
+    with writers._LockHeartbeat(lock, token, interval=0.05) as hb:
+        lock.unlink()  # simulate the mistaken takeover
+        deadline = time.time() + 3
+        while not lock.exists() and time.time() < deadline:
+            time.sleep(0.05)
+        assert lock.exists(), "heartbeat must recreate the missing lock"
+        assert f"token={token}" in lock.read_text()
+        assert not hb.lost
+    writers._release_publish_lock(lock, token)
+    assert not lock.exists()
+
+
+def test_heartbeat_flags_usurped_lock_and_publish_refuses(spark, tmp_path):
+    """If a usurper's FRESH lock beats the heartbeat's recreate, the
+    original holder must not flip the pointer over the usurper's
+    publish: ``lost`` flips True and _publish_locked raises."""
+    import time
+
+    from awi_datapipelinepublic_spark.sources.writers import (
+        ConcurrentPublishError,
+        _publish_locked,
+    )
+
+    target = tmp_path / "t"
+    lock, token = writers._acquire_publish_lock(target)
+    df = spark.createDataFrame([(1,)], "pk long")
+    with writers._LockHeartbeat(lock, token, interval=0.05) as hb:
+        lock.write_text("pid=2 token=usurper\n")  # replaced, not just touched
+        lock.unlink()
+        lock.write_text("pid=2 token=usurper\n")  # fresh foreign lock wins
+        deadline = time.time() + 3
+        while not hb.lost and time.time() < deadline:
+            time.sleep(0.05)
+        assert hb.lost, "heartbeat must detect the usurper's fresh lock"
+        with pytest.raises(ConcurrentPublishError):
+            _publish_locked(df, target, None, 1, heartbeat=hb)
+    assert not target.exists(), "no pointer flip after a lost lock"
+    writers._release_publish_lock(lock, "usurper")
+
+
+def test_takeover_restore_race_preserves_holder_inode(tmp_path, monkeypatch):
+    """Third-writer window: a stale-looking lock is renamed to the
+    claim, found live, and the os.link restore loses to a third
+    writer's fresh O_EXCL lock. The claim (= the live holder's only
+    inode) must SURVIVE — unlinking it would leave the holder and the
+    third writer publishing concurrently."""
+    import os
+    import time
+
+    from awi_datapipelinepublic_spark.sources.writers import ConcurrentPublishError
+
+    target = tmp_path / "t"
+    lock = tmp_path / ".t.lock"
+    lock.write_text("pid=1 token=holder\n")
+    stale = time.time() - (writers._LOCK_STALE_SECONDS + 60)
+    os.utime(lock, (stale, stale))
+
+    real_rename = os.rename
+
+    def heartbeat_then_third_writer(src, dst):
+        os.utime(src)  # holder's heartbeat fires: the lock is LIVE
+        real_rename(src, dst)
+        lock.write_text("pid=3 token=third\n")  # third writer lands in the window
+
+    monkeypatch.setattr(writers.os, "rename", heartbeat_then_third_writer)
+    with pytest.raises(ConcurrentPublishError):
+        writers._acquire_publish_lock(target)
+    monkeypatch.undo()
+    claims = list(tmp_path.glob(".t.lock.claim-*"))
+    assert len(claims) == 1, "holder's inode must survive at the claim name"
+    assert "token=holder" in claims[0].read_text()
+    assert "token=third" in lock.read_text(), "third writer's lock untouched"

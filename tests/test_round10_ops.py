@@ -179,6 +179,19 @@ def test_unimax_weights_caps_and_budget(spark):
     assert out["big"]["weight"] == pytest.approx(0.78)
 
 
+def test_unimax_weights_non_string_group_col(spark):
+    """An int domain id as group column must keep its source type in
+    the output (no hardcoded-string coercion, no createDataFrame
+    failure)."""
+    from awi_datapipelinepublic_spark.operators.sampling import unimax_weights
+
+    df = spark.createDataFrame([(7, 10), (9, 100)], "dom int, n long")
+    out = unimax_weights(df, "dom", "n", total_budget=100, epoch_cap=2)
+    assert out.schema["dom"].dataType.simpleString() == "int"
+    got = {r["dom"]: r["quota"] for r in out.collect()}
+    assert got == {7: 20, 9: 80}
+
+
 def test_weekday_profile_exact_shares(spark):
     """Two Mondays totalling 30 and one Sunday of 10: Monday (dow=2)
     share 0.75, n_days counts distinct dates."""
