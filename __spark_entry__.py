@@ -5066,38 +5066,228 @@ def q_percentile_normalize(spark, sf_dir):
     )
 
 
-# Round-10 driver window: the driver oracle-verifies the FIRST 50
-# queries() entries each round (CORRECTNESS_r*). After r9 every one of
-# the 280 pre-r10 ids has a driver-green row; this window fronts the
-# 15 round-10 additions (never driver-green), repeats the 4 §2
+# --- Round-11 additions ---------------------------------------------------
+
+
+def q_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation census (operators/events.py:
+    rfm_segments): rank-quantile scores 1..4 per axis via the
+    closed-form 1 + ((rank-1)*bins) DIV n over two-pass global ranks
+    (no NTILE convention drift, no single-partition window)."""
+    from awi_datapipelinepublic_spark.operators.events import rfm_segments
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return rfm_segments(o, "o_custkey", "o_orderdate", "cents", n_bins=4)
+
+
+def q_theil_sen_trend(spark, sf_dir):
+    """Theil-Sen robust slope of monthly revenue (operators/
+    timeseries.py:theil_sen_trend): median of pairwise slopes over the
+    calendar-bounded monthly series; each slope is one double division
+    of exact integers, the median ranks picked by the two-pass global
+    row number."""
+    from awi_datapipelinepublic_spark.operators.timeseries import theil_sen_trend
+
+    m = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            ((F.year("o_orderdate") - F.lit(1992)) * 12 + F.month("o_orderdate") - 1)
+            .cast("bigint")
+            .alias("i")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    return theil_sen_trend(m, "i", "v")
+
+
+def q_trend_by_group(spark, sf_dir):
+    """Per-nation OLS revenue trend (operators/timeseries.py:
+    trend_by_group): DECIMAL(38,0)-exact moment sums, one double
+    division per group, 6dp round."""
+    from awi_datapipelinepublic_spark.operators.timeseries import trend_by_group
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        ((F.year("o_orderdate") - F.lit(1992)) * 12 + F.month("o_orderdate") - 1)
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    m = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey", "x")
+        .agg(F.sum("cents").cast("bigint").alias("y"))
+    )
+    return trend_by_group(m, "c_nationkey", "x", "y")
+
+
+def q_attribution_position(spark, sf_dir):
+    """Position-based (U-shaped 40/20/40) attribution (operators/
+    events.py:attribution_position): exact integer basis points per
+    path, remainder to the first touch, one keyed window chain."""
+    from awi_datapipelinepublic_spark.operators.events import attribution_position
+
+    return attribution_position(read_events(spark, sf_dir))
+
+
+def q_activity_streaks(spark, sf_dir):
+    """Longest consecutive-active-day streak census (operators/
+    events.py:activity_streaks): gaps-and-islands via day - row_number
+    on the deduplicated (user, day) activity table."""
+    from awi_datapipelinepublic_spark.operators.events import activity_streaks
+
+    return activity_streaks(read_events(spark, sf_dir))
+
+
+def q_cdc_apply(spark, sf_dir):
+    """CDC changelog materialization (operators/merge.py:cdc_apply):
+    highest-sequence op wins per key, delete tombstones drop the key;
+    one keyed window, no join. Changelog synthesized deterministically
+    from orders (status F/O/P -> I/U/D, seq = order key)."""
+    from awi_datapipelinepublic_spark.operators.merge import cdc_apply
+
+    ch = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", F.lit("I"))
+        .when(F.col("o_orderstatus") == "O", F.lit("U"))
+        .otherwise(F.lit("D"))
+        .alias("op"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return cdc_apply(ch, ["o_custkey"], "o_orderkey", "op").select(
+        "o_custkey", "o_orderkey", "op", "cents"
+    )
+
+
+def q_bfs_distance(spark, sf_dir):
+    """Bounded multi-source BFS distances (operators/graph.py:
+    bfs_distance): level-synchronous frontier expansion over the
+    deterministic customer chain graph (the connected_components
+    fixture), seeds at multiples of 100, 3 hops; the oracle replays it
+    as a bounded recursive CTE with MIN(dist)."""
+    from awi_datapipelinepublic_spark.operators.graph import bfs_distance
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    edges = (
+        c.alias("a")
+        .join(c.alias("b"), F.col("a.c_custkey") + 1 == F.col("b.c_custkey"))
+        .filter(F.col("a.c_custkey") % 5 != 4)
+        .select(F.col("a.c_custkey").alias("src"), F.col("b.c_custkey").alias("dst"))
+    )
+    seeds = c.filter(F.col("c_custkey") % 100 == 0).select(
+        F.col("c_custkey").alias("node")
+    )
+    return bfs_distance(edges, seeds, "src", "dst", max_hops=3)
+
+
+def q_ann_mrr_eval(spark, sf_dir):
+    """Mean-reciprocal-rank of the IVF index vs the exact brute top-1
+    (operators/similarity.py:ann_mrr_eval): rank 0 records a miss; rr
+    is one double division of two small integers."""
+    from awi_datapipelinepublic_spark.operators.similarity import ann_mrr_eval
+
+    return ann_mrr_eval(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    """Canonical-copy selection per exact-dup cluster (operators/
+    dedup.py:dedup_keep_best): highest score (n_chars) wins, ties to
+    the lowest id; one keyed window on the fingerprint shuffle."""
+    from awi_datapipelinepublic_spark.operators.dedup import dedup_keep_best
+
+    return dedup_keep_best(_t(spark, sf_dir, "documents"))
+
+
+def q_trimmed_mean(spark, sf_dir):
+    """Per-returnflag 10%-trimmed mean of line price cents (operators/
+    quality.py:trimmed_mean): exact integer trim counts + BIGINT sum,
+    one double division, 6dp round replica in the oracle."""
+    from awi_datapipelinepublic_spark.operators.quality import trimmed_mean
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    return trimmed_mean(li, "l_returnflag", "cents", ["l_orderkey", "l_linenumber"])
+
+
+def q_quantile_mapping(spark, sf_dir):
+    """Cross-source score calibration by quantile mapping (operators/
+    quality.py:quantile_mapping): src1's n_chars distribution mapped
+    onto src0's via pure-integer proportional ranks."""
+    from awi_datapipelinepublic_spark.operators.quality import quantile_mapping
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return quantile_mapping(d, "source", "n_chars", "doc_id", "src1", "src0")
+
+
+def q_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth curve (operators/corpus.py:
+    vocab_growth): per-document new-type counts via first-occurrence
+    attribution, cumulatives via the two-pass global running sum."""
+    from awi_datapipelinepublic_spark.operators.corpus import vocab_growth
+
+    return vocab_growth(_t(spark, sf_dir, "documents"))
+
+
+# Round-11 driver window: the driver oracle-verifies the FIRST 50
+# queries() entries each round (CORRECTNESS_r*). After r10 every one of
+# the 295 pre-r11 ids has a driver-green row; this window fronts the
+# 12 round-11 additions (never driver-green), repeats the 4 §2
 # flagships, and rotates in the least-recently-signed cohort (oldest
-# signatures r3/r4: sort_asc, make_view, and the r4 batch) —
+# signatures r5: the TPC-H tail and the r5 batch) —
 # tools/gen_window.py generates the list mechanically.
-_R10_WINDOW = [
-    # 15 round-10 additions (never driver-green): front them
-    "acf_lags", "holt_linear", "twap_interval", "burstiness",
-    "hhi_concentration", "lcc_topk", "split_leakage", "unimax_weights",
-    "weekday_profile", "embedding_drift", "two_hop_reach",
-    "degree_histogram", "ann_ndcg_eval", "seasonal_anomaly",
-    "percentile_normalize",
+_R11_WINDOW = [
+    # 12 round-11 additions (never driver-green): front them
+    "rfm_segments", "theil_sen_trend", "trend_by_group",
+    "attribution_position", "activity_streaks", "cdc_apply",
+    "bfs_distance", "ann_mrr_eval", "dedup_keep_best",
+    "trimmed_mean", "quantile_mapping", "vocab_growth",
     # §2 flagship repeats (every window carries the three views + merge)
     "view_retention", "view_transactions", "view_auto_optiom",
     "merge_time_window",
-    # staleness rotation: least-recently driver-green (r3/r4 cohort)
-    "sort_asc", "bm25_topk", "colocated_join", "dataset_diff",
-    "decontaminate", "dedup_incremental", "dedup_simhash",
-    "dedup_simhash_pairs", "dup_span_stats", "ewma_smooth",
-    "fuzzy_decontaminate", "heavy_hitters", "hybrid_search_rrf",
-    "inverted_index", "knn_join", "make_view", "mixture_resample",
-    "remove_dup_spans", "skew_join_salted", "stratified_sample",
-    "streaming_pipeline", "subquery_correlated", "tfidf_keywords",
-    "tpch_q10_returns", "tpch_q11_important_stock", "tpch_q12_lateship",
-    "tpch_q13_custdist", "tpch_q14_promo", "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt", "tpch_q17_small_qty",
+    # staleness rotation: least-recently driver-green (r5 cohort)
+    "tpch_q18_large_orders", "tpch_q19_brackets",
+    "tpch_q1_pricing", "tpch_q20_promo_suppliers", "tpch_q21_waiting_suppliers",
+    "tpch_q22_prospects", "tpch_q2_min_cost", "tpch_q3_topk",
+    "tpch_q4_priority", "tpch_q5_revenue", "tpch_q6_forecast",
+    "tpch_q7_volume", "tpch_q8_market_share", "tpch_q9_profit",
+    "weighted_sample", "agg_distinct", "agg_percentile",
+    "agg_stats", "agg_string_list", "balanced_sample",
+    "date_spine_gapfill", "decimal_sum_exact", "dedup_containment",
+    "embedding_near_dup", "embedding_outliers", "events_json",
+    "events_tumbling", "forward_fill", "fuzzy_join_blocked",
+    "hll_incremental", "intersect_all", "join_anti",
+    "join_semi", "kmeans_clusters",
 ]
-_R9_WINDOW = _R10_WINDOW  # names kept so older tooling keeps working
-_R8_WINDOW = _R10_WINDOW
-_R7_WINDOW = _R10_WINDOW
+_R10_WINDOW = _R11_WINDOW  # names kept so older tooling keeps working
+_R9_WINDOW = _R11_WINDOW
+_R8_WINDOW = _R11_WINDOW
+_R7_WINDOW = _R11_WINDOW
 
 
 # Gates that drain a Structured Streaming query (writeStream +
@@ -5417,8 +5607,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ndcg_eval": q_ann_ndcg_eval,
         "seasonal_anomaly": q_seasonal_anomaly,
         "percentile_normalize": q_percentile_normalize,
+        "rfm_segments": q_rfm_segments,
+        "theil_sen_trend": q_theil_sen_trend,
+        "trend_by_group": q_trend_by_group,
+        "attribution_position": q_attribution_position,
+        "activity_streaks": q_activity_streaks,
+        "cdc_apply": q_cdc_apply,
+        "bfs_distance": q_bfs_distance,
+        "ann_mrr_eval": q_ann_mrr_eval,
+        "dedup_keep_best": q_dedup_keep_best,
+        "trimmed_mean": q_trimmed_mean,
+        "quantile_mapping": q_quantile_mapping,
+        "vocab_growth": q_vocab_growth,
     }
-    window = {k: q[k] for k in _R10_WINDOW}
+    window = {k: q[k] for k in _R11_WINDOW}
     window.update((k, v) for k, v in q.items() if k not in window)
     return window
 
@@ -9744,5 +9946,281 @@ def oracle_sql() -> dict[str, str]:
         FROM b
         JOIN rk ON rk.seg = b.c_mktsegment AND rk.v = b.c_acctbal
         JOIN n ON n.seg = b.c_mktsegment
+    """
+    # --- Round-11 oracles --------------------------------------------
+    # RFM rank-quantile census: closed-form score 1 + ((rank-1)*4)//n
+    # over deterministic total orders (operators/events.py:
+    # rfm_segments). Pure integers.
+    sql["rfm_segments"] = """
+        WITH per AS (
+          SELECT o_custkey AS c, MAX(CAST(o_orderdate AS DATE)) AS lastd,
+                 CAST(COUNT(*) AS BIGINT) AS freq,
+                 CAST(SUM(CAST(floor(o_totalprice * 100.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)) AS BIGINT) AS mon
+          FROM orders GROUP BY 1),
+        mx AS (SELECT MAX(lastd) AS maxd FROM per),
+        r AS (SELECT c, CAST(date_diff('day', lastd, maxd) AS BIGINT) AS rec,
+                     freq, mon
+              FROM per, mx),
+        rk AS (SELECT mon,
+                      ROW_NUMBER() OVER (ORDER BY rec ASC, c ASC) AS rr,
+                      ROW_NUMBER() OVER (ORDER BY freq DESC, c ASC) AS rf,
+                      ROW_NUMBER() OVER (ORDER BY mon DESC, c ASC) AS rm,
+                      COUNT(*) OVER () AS n
+               FROM r)
+        SELECT CAST(1 + ((rr - 1) * 4) // n AS INT) AS r_score,
+               CAST(1 + ((rf - 1) * 4) // n AS INT) AS f_score,
+               CAST(1 + ((rm - 1) * 4) // n AS INT) AS m_score,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(mon) AS BIGINT) AS monetary_cents
+        FROM rk GROUP BY 1, 2, 3
+    """
+    # Theil-Sen: every pairwise slope is one double division of exact
+    # integers (identical operands cross-engine); median ranks
+    # (m+1)//2 and (m+2)//2 of the (slope, i, j) total order
+    # (operators/timeseries.py:theil_sen_trend).
+    sql["theil_sen_trend"] = """
+        WITH m AS (
+          SELECT CAST((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS BIGINT) AS i,
+                 CAST(SUM(CAST(floor(o_totalprice * 100.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)) AS BIGINT) AS v
+          FROM orders GROUP BY 1),
+        p AS (
+          SELECT a.i AS i, b.i AS j,
+                 CAST(b.v - a.v AS DOUBLE) / CAST(b.i - a.i AS DOUBLE) AS slope
+          FROM m a JOIN m b ON a.i < b.i),
+        r AS (
+          SELECT slope,
+                 ROW_NUMBER() OVER (ORDER BY slope ASC, i ASC, j ASC) AS rn,
+                 COUNT(*) OVER () AS mcnt
+          FROM p)
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM m) AS n_points,
+               CAST(MAX(mcnt) AS BIGINT) AS n_pairs,
+               SUM(slope) / COUNT(*) AS slope
+        FROM r WHERE rn = (mcnt + 1) // 2 OR rn = (mcnt + 2) // 2
+    """
+    # Per-nation OLS slope from HUGEINT-exact moment sums; the 6dp
+    # round rides the VARCHAR->DECIMAL(38,24) F.round replica
+    # (operators/timeseries.py:trend_by_group).
+    sql["trend_by_group"] = """
+        WITH o AS (
+          SELECT o_custkey,
+                 CAST((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS BIGINT) AS x,
+                 CAST(floor(o_totalprice * 100.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS cents
+          FROM orders),
+        j AS (SELECT c.c_nationkey AS g, o.x AS x, o.cents AS cents
+              FROM o JOIN customer c ON c.c_custkey = o.o_custkey),
+        m AS (SELECT g, x, CAST(SUM(cents) AS BIGINT) AS y FROM j GROUP BY 1, 2),
+        s AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+                     SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+                     SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                     SUM(CAST(x AS HUGEINT) * x) AS sxx
+              FROM m GROUP BY 1)
+        SELECT g AS c_nationkey, CAST(n AS BIGINT) AS n_points,
+               CAST(ROUND(CAST(CAST(
+                 CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+               AS VARCHAR) AS DECIMAL(38, 24)), 6) AS DOUBLE) AS slope
+        FROM s
+    """
+    # U-shaped attribution in exact basis points: 40/40 first/last,
+    # 2000//(k-2) per middle, remainder to the first touch
+    # (operators/events.py:attribution_position).
+    sql["attribution_position"] = """
+        WITH conv AS (
+          SELECT user_id, MIN(ts) AS cts FROM events
+          WHERE event_type = 'purchase' GROUP BY 1),
+        t AS (
+          SELECT e.user_id AS user_id, e.event_type AS event_type,
+                 ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                    ORDER BY e.ts ASC, e.event_id ASC) AS pos,
+                 COUNT(*) OVER (PARTITION BY e.user_id) AS k
+          FROM events e JOIN conv c ON e.user_id = c.user_id AND e.ts < c.cts
+          WHERE e.event_type IN ('click', 'view', 'signup')),
+        cr AS (
+          SELECT event_type AS touch_type,
+                 CAST(CASE WHEN k = 1 THEN 10000
+                           WHEN k = 2 THEN 5000
+                           ELSE CASE WHEN pos = 1 THEN 4000 + (2000 - (2000 // (k - 2)) * (k - 2))
+                                     WHEN pos = k THEN 4000
+                                     ELSE 2000 // (k - 2) END
+                      END AS BIGINT) AS bp
+          FROM t),
+        none_p AS (
+          SELECT '(none)' AS touch_type, CAST(10000 AS BIGINT) AS bp
+          FROM conv c
+          WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.user_id = c.user_id)),
+        allc AS (SELECT touch_type, bp FROM cr
+                 UNION ALL SELECT touch_type, bp FROM none_p)
+        SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+               CAST(SUM(bp) AS BIGINT) AS credit_bp
+        FROM allc GROUP BY 1
+    """
+    # Gaps-and-islands longest-streak census: island key day - rn
+    # (operators/events.py:activity_streaks). Pure integers.
+    sql["activity_streaks"] = """
+        WITH a AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+        i AS (SELECT u, d - CAST(ROW_NUMBER() OVER (PARTITION BY u ORDER BY d ASC) AS INT) AS isl
+              FROM a),
+        runs AS (SELECT u, isl, CAST(COUNT(*) AS INT) AS len FROM i GROUP BY 1, 2),
+        lg AS (SELECT u, MAX(len) AS streak_days FROM runs GROUP BY 1)
+        SELECT CAST(streak_days AS INT) AS streak_days,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM lg GROUP BY 1
+    """
+    # CDC materialization: highest-seq op wins, delete tombstones drop
+    # the key (operators/merge.py:cdc_apply).
+    sql["cdc_apply"] = """
+        WITH ch AS (
+          SELECT o_custkey, o_orderkey,
+                 CASE WHEN o_orderstatus = 'F' THEN 'I'
+                      WHEN o_orderstatus = 'O' THEN 'U'
+                      ELSE 'D' END AS op,
+                 CAST(floor(o_totalprice * 100.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS cents
+          FROM orders)
+        SELECT o_custkey, o_orderkey, op, cents FROM ch
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) = 1
+                AND op <> 'D'
+    """
+    # Bounded multi-source BFS as a recursive CTE: (node, dist) pairs
+    # dedupe via UNION, MIN(dist) is the hop distance (operators/
+    # graph.py:bfs_distance). Same chain fixture as
+    # connected_components.
+    sql["bfs_distance"] = """
+        WITH RECURSIVE
+        edges AS (
+          SELECT a.c_custkey AS src, b.c_custkey AS dst
+          FROM customer a JOIN customer b ON a.c_custkey + 1 = b.c_custkey
+          WHERE a.c_custkey % 5 <> 4),
+        sym AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+        walk AS (
+          SELECT c_custkey AS node, 0 AS dist FROM customer WHERE c_custkey % 100 = 0
+          UNION
+          SELECT s.dst AS node, w.dist + 1 AS dist
+          FROM walk w JOIN sym s ON s.src = w.node
+          WHERE w.dist < 3)
+        SELECT node, CAST(MIN(dist) AS INT) AS dist FROM walk GROUP BY node
+    """
+    # MRR of the IVF index vs brute top-1: replays the ndcg oracle's
+    # IVF assignment CTEs; rr = ROUND(1/rank, 6) (operators/
+    # similarity.py:ann_mrr_eval).
+    sql["ann_mrr_eval"] = """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        exact1 AS (
+          SELECT a_id, b_id AS true_nn FROM (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY a.vec_id
+                     ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 6) DESC,
+                              b.vec_id ASC) AS rk
+            FROM e a JOIN e b ON a.vec_id <> b.vec_id) t
+          WHERE rk = 1),
+        params AS (
+          SELECT GREATEST(8, LEAST(65536, COUNT(*) // 64)) AS k_,
+                 GREATEST(1, COUNT(*) // GREATEST(8, LEAST(65536, COUNT(*) // 64))) AS s
+          FROM embeddings),
+        cents0 AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS c,
+                 ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ci
+          FROM embeddings, params WHERE vec_id % s = 0),
+        cents AS (SELECT c, ci FROM cents0, params WHERE ci < k_),
+        assigned AS (
+          SELECT e2.vec_id, CAST(e2.embedding AS DOUBLE[]) AS v,
+                 (SELECT c2.ci FROM cents c2
+                  ORDER BY ROUND(list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]), c2.c), 9) DESC,
+                           c2.ci ASC LIMIT 1) AS cluster
+          FROM embeddings e2),
+        approx AS (
+          SELECT a_id, b_id, rk FROM (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY a.vec_id
+                     ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 6) DESC,
+                              b.vec_id ASC) AS rk
+            FROM assigned a JOIN assigned b
+              ON a.cluster = b.cluster AND a.vec_id <> b.vec_id) t
+          WHERE rk <= 5),
+        hit AS (
+          SELECT ap.a_id AS a_id, ap.rk AS rk
+          FROM approx ap JOIN exact1 x
+            ON x.a_id = ap.a_id AND x.true_nn = ap.b_id)
+        SELECT x.a_id, x.true_nn,
+               CAST(COALESCE(h.rk, 0) AS INT) AS "rank",
+               CASE WHEN h.rk IS NULL THEN 0.0::DOUBLE
+                    ELSE ROUND(1.0::DOUBLE / h.rk, 6) END AS rr
+        FROM exact1 x LEFT JOIN hit h ON h.a_id = x.a_id
+    """
+    # Keep-best survivorship per exact-dup fingerprint cluster:
+    # score DESC, id ASC (operators/dedup.py:dedup_keep_best).
+    sql["dedup_keep_best"] = f"""
+        WITH d AS (
+          SELECT doc_id, CAST(n_chars AS BIGINT) AS score,
+                 md5({_NORM}) AS fp
+          FROM documents),
+        r AS (
+          SELECT doc_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY fp ORDER BY score DESC, doc_id ASC) AS rn,
+                 CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS dup_count
+          FROM d)
+        SELECT doc_id, score, dup_count FROM r WHERE rn = 1
+    """
+    # Per-returnflag 10%-trimmed mean: k = (n*1000)//10000 rows off
+    # each end of the (cents, orderkey, linenumber) total order;
+    # F.round replica on the one double division (operators/
+    # quality.py:trimmed_mean).
+    sql["trimmed_mean"] = """
+        WITH li AS (
+          SELECT l_returnflag AS g,
+                 CAST(floor(l_extendedprice * 100.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS v,
+                 l_orderkey, l_linenumber
+          FROM lineitem),
+        r AS (
+          SELECT g, v,
+                 ROW_NUMBER() OVER (PARTITION BY g
+                                    ORDER BY v ASC, l_orderkey ASC, l_linenumber ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY g) AS n
+          FROM li),
+        k AS (SELECT g, v, rn, n, (n * 1000) // 10000 AS kk FROM r)
+        SELECT g AS l_returnflag, CAST(MAX(n) AS BIGINT) AS n_total,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(ROUND(CAST(CAST(
+                 CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS VARCHAR) AS DECIMAL(38, 24)), 6) AS DOUBLE) AS trimmed_mean
+        FROM k WHERE rn > kk AND rn <= n - kk GROUP BY 1
+    """
+    # Quantile mapping src1 -> src0 by pure-integer proportional rank:
+    # rb = 1 + ((rn-1)*(nb-1)) // (na-1) (operators/quality.py:
+    # quantile_mapping).
+    sql["quantile_mapping"] = """
+        WITH d AS (
+          SELECT source AS g, doc_id AS id, n_chars AS value
+          FROM documents WHERE source IN ('src1', 'src0')),
+        r AS (
+          SELECT g, id, value,
+                 ROW_NUMBER() OVER (PARTITION BY g ORDER BY value ASC, id ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY g) AS n
+          FROM d),
+        a AS (SELECT id, value, rn, n FROM r WHERE g = 'src1'),
+        b AS (SELECT rn AS rb, value AS mapped FROM r WHERE g = 'src0'),
+        nb AS (SELECT MAX(n) AS nbv FROM r WHERE g = 'src0')
+        SELECT a.id, a.value, b.mapped
+        FROM a CROSS JOIN nb
+        JOIN b ON b.rb = CASE WHEN a.n = 1 THEN 1
+                              ELSE 1 + ((a.rn - 1) * (nb.nbv - 1)) // (a.n - 1) END
+    """
+    # Heaps-law growth: first-occurrence attribution + sequential
+    # window cumulatives (the engine uses the two-pass running sum —
+    # bit-identical for integers) (operators/corpus.py:vocab_growth).
+    sql["vocab_growth"] = f"""
+        WITH t AS (
+          SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term
+          FROM documents),
+        pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM t GROUP BY 1),
+        fs AS (SELECT term, MIN(doc_id) AS doc_id FROM t GROUP BY 1),
+        nt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS new_types FROM fs GROUP BY 1),
+        b AS (SELECT pd.doc_id AS doc_id, pd.n_tokens AS n_tokens,
+                     CAST(COALESCE(nt.new_types, 0) AS BIGINT) AS new_types
+              FROM pd LEFT JOIN nt ON nt.doc_id = pd.doc_id)
+        SELECT doc_id, n_tokens, new_types,
+               CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens,
+               CAST(SUM(new_types) OVER (ORDER BY doc_id) AS BIGINT) AS cum_types
+        FROM b
     """
     return sql

@@ -457,3 +457,57 @@ def bpe_top_pairs(
         .orderBy(F.col("n").desc(), F.col("pair").asc())
         .limit(top_k)
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) curve: cumulative token count vs
+    cumulative distinct-type count in document-id order — the
+    one-plot corpus fingerprint (a flattening curve means the corpus
+    is saturating; a straight log-log line with slope β ≈ 0.5 is
+    healthy natural text; near-linear growth flags boilerplate/serial
+    IDs inflating the type space).
+
+    The classic formulation is a sequential scan; the scale shape is
+    first-occurrence attribution: a type's FIRST document (min doc
+    id per term — one groupBy) is where it increments the type count,
+    so per-doc new-type counts aggregate distributively and both
+    cumulatives ride
+    :func:`~awi_datapipelinepublic_spark.operators.windows.global_running_sum`
+    (range-partition two-pass — no single-partition window, exact for
+    integers). Tokenization is the vocab_build contract
+    (normalize + whitespace split), replayed verbatim by the oracle.
+
+    Output: (doc_id, n_tokens, new_types, cum_tokens, cum_types) —
+    one row per document, BIGINTs throughout.
+    """
+    from awi_datapipelinepublic_spark.operators.windows import global_running_sum
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(X.tokens(X.normalize_text(text_col))).alias("term"),
+    )
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    )
+    first_seen = toks.groupBy("term").agg(F.min("doc_id").alias("doc_id"))
+    new_types = first_seen.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_types")
+    )
+    base = per_doc.join(new_types, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("new_types"), F.lit(0).cast("bigint")).alias("new_types"),
+    )
+    cum1 = global_running_sum(
+        base, [F.col("doc_id").asc()], "n_tokens", out_col="cum_tokens"
+    )
+    cum2 = global_running_sum(
+        cum1, [F.col("doc_id").asc()], "new_types", out_col="cum_types"
+    )
+    return cum2.select(
+        "doc_id", "n_tokens", "new_types", "cum_tokens", "cum_types"
+    )

@@ -987,3 +987,44 @@ def split_leakage_audit(
         .alias("n_shared_bands"),
         F.min("__train_id").cast("bigint").alias("train_match"),
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+) -> DataFrame:
+    """Canonical-document selection: within each exact-duplicate
+    cluster (same normalized-content fingerprint), keep the
+    HIGHEST-QUALITY copy — ties to the lowest id. The survivorship
+    policy real curation pipelines want where :func:`exact_dedup`'s
+    keep-lowest-id is arbitrary: duplicates differ in upstream
+    cleaning (truncation, encoding damage), and the scored copy is
+    the one worth keeping.
+
+    One keyed window (row_number per fingerprint over
+    (score DESC, id ASC) — a total order, deterministic in any
+    engine) on the fingerprint shuffle; no join, no collect. Output
+    carries the cluster size so downstream weighting (count-aware
+    sampling) needs no second pass.
+
+    Output: (doc_id, score, dup_count BIGINT) — one row per cluster,
+    the surviving copy.
+    """
+    from pyspark.sql import Window
+
+    keyed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(score_col).cast("bigint").alias("score"),
+        doc_fingerprint(text_col).alias("__fp"),
+    )
+    w = Window.partitionBy("__fp").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    ranked = keyed.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "dup_count", F.count(F.lit(1)).over(Window.partitionBy("__fp"))
+    )
+    return ranked.filter(F.col("__rn") == 1).select(
+        "doc_id", "score", F.col("dup_count").cast("bigint").alias("dup_count")
+    )

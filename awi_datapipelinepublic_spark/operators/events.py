@@ -715,3 +715,188 @@ def burstiness(
         "n_gaps",
         F.round(F.try_divide(sd - mu, sd + mu), round_dp).alias("burstiness"),
     )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    cust_col: str,
+    date_col: str,
+    cents_col: str,
+    n_bins: int = 4,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the marketing staple: score every customer 1..``n_bins`` on each
+    axis (1 = best: most recent, most frequent, highest spend) and
+    report the segment census.
+
+    Scoring is a RANK QUANTILE, not NTILE: score = 1 + ((rank−1)·bins)
+    DIV n — the same closed form both engines replay exactly (NTILE's
+    remainder distribution is engine-convention-prone; this formula is
+    pure integer arithmetic over a total order). Ranks are
+    deterministic: recency ties break by customer id, frequency and
+    monetary rank descending with the same tie-break.
+
+    Scale: one map-side-combined groupBy(customer) builds the
+    per-customer triple (customer-cardinality, not fact); each rank
+    rides the two-pass
+    :func:`~awi_datapipelinepublic_spark.operators.windows.global_row_number`
+    (range-partition + broadcast offsets — no single-partition
+    window); the final census is a ≤ bins³-row groupBy.
+
+    Output: (r_score INT, f_score INT, m_score INT,
+    n_customers BIGINT, monetary_cents BIGINT).
+    """
+    from awi_datapipelinepublic_spark.operators.windows import global_row_number
+
+    per = orders.groupBy(F.col(cust_col).alias("__c")).agg(
+        F.max(F.col(date_col).cast("date")).alias("__last"),
+        F.count(F.lit(1)).cast("bigint").alias("__freq"),
+        F.sum(F.col(cents_col).cast("bigint")).alias("__mon"),
+    )
+    anchor = per.agg(F.max("__last").alias("__maxd"))
+    per = per.crossJoin(F.broadcast(anchor)).select(
+        "__c",
+        F.datediff(F.col("__maxd"), F.col("__last")).cast("bigint").alias("__rec"),
+        "__freq",
+        "__mon",
+    )
+    b = int(n_bins)
+    scored = per
+    for rank_col, order in (
+        ("__rr", [F.col("__rec").asc(), F.col("__c").asc()]),
+        ("__rf", [F.col("__freq").desc(), F.col("__c").asc()]),
+        ("__rm", [F.col("__mon").desc(), F.col("__c").asc()]),
+    ):
+        scored = global_row_number(scored, order, out_col=rank_col)
+    n_total = scored.count()  # customer cardinality, needed as a literal
+    scored = scored.select(
+        "__mon",
+        F.expr(f"cast(1 + ((__rr - 1) * {b}) div {max(n_total, 1)} as int)").alias(
+            "r_score"
+        ),
+        F.expr(f"cast(1 + ((__rf - 1) * {b}) div {max(n_total, 1)} as int)").alias(
+            "f_score"
+        ),
+        F.expr(f"cast(1 + ((__rm - 1) * {b}) div {max(n_total, 1)} as int)").alias(
+            "m_score"
+        ),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("__mon").alias("monetary_cents"),
+    )
+
+
+def attribution_position(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple = ("click", "view", "signup"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Position-based (U-shaped) conversion attribution — the
+    complement of :func:`attribution_last_touch`: each user's path to
+    their FIRST conversion splits credit 40% to the first touch, 40%
+    to the last, 20% across the middles.
+
+    Credit is EXACT integer basis points (10000 = one conversion):
+    k = 1 touch → 10000; k = 2 → 5000/5000; k ≥ 3 → 4000 + 4000 +
+    each middle ``2000 DIV (k−2)``, remainder to the FIRST touch —
+    fully deterministic, replayed verbatim by the oracle (float
+    40/20/40 splits would accumulate in engine-dependent order).
+
+    Plan: one keyed window per user (min conversion ts over the
+    user's conversions — no self-join), touches filtered to those
+    strictly before it, one keyed row_number for position, per-path
+    counts from a count-over-window (no join-back), one
+    type-cardinality groupBy. Paths with zero touches credit
+    ``"(none)"``.
+
+    Output: (touch_type, n_paths BIGINT, credit_bp BIGINT).
+    """
+    w_user = Window.partitionBy(user_col)
+    conv_ts = F.min(
+        F.when(F.col(type_col) == conversion_type, F.col(ts_col))
+    ).over(w_user)
+    e = events.select(user_col, ts_col, id_col, type_col).withColumn(
+        "__conv_ts", conv_ts
+    )
+    converted = e.filter(F.col("__conv_ts").isNotNull())
+    touches = converted.filter(
+        F.col(type_col).isin(list(touch_types))
+        & (F.col(ts_col) < F.col("__conv_ts"))
+    )
+    w_path = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    pos = touches.withColumn("__pos", F.row_number().over(w_path)).withColumn(
+        "__k", F.count(F.lit(1)).over(w_user)
+    )
+    k = F.col("__k")
+    p = F.col("__pos")
+    mid_each = F.expr("2000 div (__k - 2)")
+    mid_rem = F.lit(2000) - mid_each * (k - 2)
+    credit = (
+        F.when(k == 1, F.lit(10000))
+        .when(k == 2, F.lit(5000))
+        .otherwise(
+            F.when(p == 1, F.lit(4000) + mid_rem)
+            .when(p == k, F.lit(4000))
+            .otherwise(mid_each)
+        )
+        .cast("bigint")
+    )
+    credited = pos.select(F.col(type_col).alias("touch_type"), credit.alias("__bp"))
+    # zero-touch conversions: one "(none)" path per converted user
+    # with an empty pre-conversion touch list
+    users_with = pos.select(user_col).distinct()
+    none_paths = (
+        converted.filter(F.col(type_col) == conversion_type)
+        .groupBy(user_col)
+        .agg(F.lit(1).alias("__one"))
+        .join(users_with, user_col, "left_anti")
+        .select(F.lit("(none)").alias("touch_type"), F.lit(10000).cast("bigint").alias("__bp"))
+    )
+    both = credited.unionByName(none_paths)
+    return both.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.sum("__bp").alias("credit_bp"),
+    )
+
+
+def activity_streaks(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Longest consecutive-active-day streak per user, reported as a
+    census (streak length → user count) — the engagement metric every
+    habit-loop dashboard tracks, and the canonical gaps-and-islands
+    exercise: within a user's DISTINCT activity days, consecutive
+    days share the island key ``day − row_number`` (dates minus a
+    dense sequence are constant exactly on runs).
+
+    Plan: raw events dedupe to (user, day) first (the
+    sliding_distinct_users contract — window math runs on the bounded
+    activity table); one keyed window (row_number per user over day
+    order), two map-side-combined groupBys (islands, then per-user
+    max), and a streak-length-cardinality census. Pure integers.
+
+    Output: (streak_days INT, n_users BIGINT) — each user counted
+    once, at their LONGEST streak.
+    """
+    day = F.to_date(F.col(ts_col))
+    activity = events.select(F.col(user_col).alias("u"), day.alias("d")).distinct()
+    w = Window.partitionBy("u").orderBy(F.col("d").asc())
+    islands = activity.withColumn(
+        "__isl", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    runs = islands.groupBy("u", "__isl").agg(
+        F.count(F.lit(1)).cast("int").alias("__len")
+    )
+    longest = runs.groupBy("u").agg(F.max("__len").alias("streak_days"))
+    return longest.groupBy("streak_days").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )

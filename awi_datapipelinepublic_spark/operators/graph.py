@@ -820,3 +820,68 @@ def degree_histogram(edges: DataFrame, src: str, dst: str) -> DataFrame:
             F.max("d").alias("max_deg"),
         )
     )
+
+
+def bfs_distance(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Bounded-hop multi-source BFS: the exact shortest-path distance
+    (in hops) from a SEED SET to every node within ``max_hops`` — the
+    blast-radius / trust-propagation / crawl-frontier primitive
+    (:func:`two_hop_reach` counts a capped estimate for hubs; this is
+    the exact distance field for an arbitrary seed set).
+
+    Plan: level-synchronous frontier expansion — ``max_hops``
+    iterations of (frontier ⋈ adjacency → subtract visited), each a
+    plain shuffled equi-join keyed on the node id, the textbook
+    Pregel/BSP schedule expressed as DataFrame ops. The visited set
+    is localCheckpoint-ed per level: lineage would otherwise double
+    per hop and re-derive every prior frontier from the raw scan.
+    State is O(|reached|); per-level work is O(edges touching the
+    frontier) — linear, never all-pairs. Hop count is a small
+    constant by contract (the oracle replays it as a bounded
+    recursive CTE).
+
+    Output: (node, dist INT) — dist 0 for seeds present in the seed
+    set (whether or not they appear in the edge list), minimum hop
+    distance otherwise; nodes beyond ``max_hops`` are absent.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = (
+        e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionAll(e.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .localCheckpoint()  # consumed once per hop
+    )
+    visited = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = visited
+    for hop in range(1, int(max_hops) + 1):
+        nxt = (
+            frontier.join(adj, frontier["node"] == adj["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+        )
+        nxt = nxt.localCheckpoint()
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited.select("node", F.col("dist").cast("int").alias("dist"))

@@ -441,3 +441,39 @@ def refresh_monthly_rollup(
             )
     finally:
         _release_publish_lock(lock, token)
+
+
+def cdc_apply(
+    changelog: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str,
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a CDC changelog (insert/update/delete ops with a
+    monotonic sequence) to produce the current-state table — the
+    Debezium-feed materialization every lakehouse ingests: for each
+    key, the HIGHEST-sequence operation wins; if it is a delete
+    tombstone the key is absent from the result, otherwise the
+    payload of that winning row survives.
+
+    A strict generalization of :func:`merge_upsert` (which has no
+    tombstones and assumes one batch): here the whole out-of-order
+    changelog collapses in one pass. Plan: one keyed window
+    (row_number per key over seq DESC — sequence values are unique
+    per key by CDC contract, making the winner deterministic), one
+    filter; single shuffle on the key, no join. At 100 TB the window
+    state is one row per key per partition — the same shape Spark's
+    own streaming dedup keeps.
+
+    Output: all changelog columns except the helper rank; one row per
+    surviving key.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+    ranked = changelog.withColumn("__cdc_rn", F.row_number().over(w))
+    return (
+        ranked.filter((F.col("__cdc_rn") == 1) & (F.col(op_col) != delete_op))
+        .drop("__cdc_rn")
+    )

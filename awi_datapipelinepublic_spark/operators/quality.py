@@ -1386,3 +1386,106 @@ def percentile_normalize(
         )
         .drop("__rank2", "__n")
     )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    order_cols: list | None = None,
+    trim_bp: int = 1000,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group trimmed mean of an integer-valued measure: drop the
+    lowest and highest ``trim_bp`` basis points (default 10% each
+    side) of each group's ORDERED rows and average the rest — the
+    robust location estimate monitoring dashboards prefer over raw
+    means (one fat-fingered price doesn't move the KPI) and over
+    medians (still uses the bulk of the data).
+
+    The trim count is exact integer arithmetic: k = (n·trim_bp) DIV
+    10000 rows off each end, ranks from ONE keyed window over the
+    total order (value, then ``order_cols`` tie-breaks — deterministic
+    cross-engine), and the kept-range mean is an exact BIGINT sum over
+    one double division (the acf_lags replay contract). One shuffle on
+    the group key; output is group-cardinality.
+
+    Output: (group, n_total BIGINT, n_kept BIGINT, trimmed_mean
+    DOUBLE round_dp).
+    """
+    from pyspark.sql import Window
+
+    ties = [F.col(c).asc() for c in (order_cols or [])]
+    w = Window.partitionBy(group_col).orderBy(F.col("__v").asc(), *ties)
+    wg = Window.partitionBy(group_col)
+    ranked = (
+        df.select(group_col, F.col(value_col).cast("bigint").alias("__v"), *(order_cols or []))
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wg))
+    )
+    k = F.expr(f"(__n * {int(trim_bp)}) div 10000")
+    kept = ranked.filter((F.col("__rn") > k) & (F.col("__rn") <= F.col("__n") - k))
+    return kept.groupBy(group_col).agg(
+        F.max("__n").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.round(
+            F.try_divide(
+                F.sum("__v").cast("double"), F.count(F.lit(1)).cast("double")
+            ),
+            round_dp,
+        ).alias("trimmed_mean"),
+    )
+
+
+def quantile_mapping(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    source_group: str,
+    ref_group: str,
+) -> DataFrame:
+    """Quantile (CDF) mapping of one group's score distribution onto a
+    reference group's — the cross-source calibration step before
+    mixing heterogeneously-scored corpora (source A's "0.8 quality"
+    and source B's "0.8" mean different things; after mapping, equal
+    values mean equal percentile rank in B).
+
+    Pure integer construction — no percentile floats anywhere: row
+    ``r`` of A's n_a ordered rows maps to B's row
+    ``1 + ((r−1)·(n_b−1)) DIV (n_a−1)`` (endpoints meet endpoints,
+    interior ranks land on the floor of the proportional rank), then
+    ONE equi-join on that target rank fetches B's value. Both ranks
+    come from keyed windows partitioned by the group column (the
+    repo's no-unpartitioned-window contract); ties order by id.
+
+    Output: (id, value, mapped) — one row per source-group row;
+    ``mapped`` is the reference group's value at the matched quantile.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("value").asc(), F.col("id").asc()
+    )
+    wg = Window.partitionBy(group_col)
+    ranked = (
+        df.filter(F.col(group_col).isin([source_group, ref_group]))
+        .select(group_col, F.col(id_col).alias("id"), F.col(value_col).alias("value"))
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wg))
+    )
+    a = ranked.filter(F.col(group_col) == source_group)
+    b = ranked.filter(F.col(group_col) == ref_group).select(
+        F.col("__rn").alias("__rb"),
+        F.col("value").alias("mapped"),
+        F.col("__n").alias("__nb"),
+    )
+    nb = b.agg(F.max("__nb").alias("__nbv"))
+    target = a.crossJoin(F.broadcast(nb)).withColumn(
+        "__rb",
+        F.when(F.col("__n") == 1, F.lit(1).cast("bigint")).otherwise(
+            F.lit(1)
+            + F.expr("((__rn - 1) * (__nbv - 1)) div (__n - 1)")
+        ).cast("bigint"),
+    )
+    return target.join(b.drop("__nb"), "__rb").select("id", "value", "mapped")

@@ -1369,3 +1369,56 @@ def ann_ndcg_eval(
             ).alias("ndcg"),
         )
     )
+
+
+def ann_mrr_eval(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Mean-reciprocal-rank diagnostic of the IVF index: per query,
+    the reciprocal rank at which the TRUE nearest neighbor (exact
+    brute-force top-1) appears in :func:`knn_join_ivf`'s top-``k``
+    list — the retrieval metric when exactly one answer is right
+    (entity lookup, known-item search), sharper than recall@k (which
+    rewards the right item anywhere) and cheaper than nDCG (no graded
+    gains). rank = 0 / rr = 0.0 records a miss.
+
+    Determinism: the approx ranking orders by (cos DESC, id ASC) —
+    the knn contract's total order; rr is ONE double division of two
+    small exact integers (1/rank), identical cross-engine.
+    Plan: two kNN joins (bounded kernels), one top-1 filter, one
+    equi-join on (query, neighbor), no window over data-sized
+    partitions (the rank window is per-query, ≤ k rows).
+
+    Output: (a_id, true_nn BIGINT, rank INT, rr DOUBLE round_dp).
+    """
+    from pyspark.sql import Window
+
+    exact1 = (
+        knn_join_brute(emb, k=1, id_col=id_col, vec_col=vec_col)
+        .select("a_id", F.col("b_id").alias("true_nn"))
+        .localCheckpoint()
+    )
+    approx = knn_join_ivf(emb, k=k, id_col=id_col, vec_col=vec_col)
+    w = Window.partitionBy("a_id").orderBy(F.col("cos").desc(), F.col("b_id").asc())
+    ranked = approx.withColumn("__rk", F.row_number().over(w))
+    hit = ranked.join(
+        exact1,
+        (ranked["a_id"] == exact1["a_id"]) & (ranked["b_id"] == exact1["true_nn"]),
+    ).select(exact1["a_id"].alias("a_id"), F.col("__rk").alias("rank"))
+    return (
+        exact1.join(hit, "a_id", "left")
+        .select(
+            "a_id",
+            "true_nn",
+            F.coalesce(F.col("rank"), F.lit(0)).cast("int").alias("rank"),
+            F.when(F.col("rank").isNull(), F.lit(0.0))
+            .otherwise(
+                F.round(F.try_divide(F.lit(1.0), F.col("rank").cast("double")), round_dp)
+            )
+            .alias("rr"),
+        )
+    )

@@ -640,3 +640,116 @@ def seasonal_anomaly(
         ),
     )
     return rolling_anomaly(dev, key_col, order_col, "dev", window, z)
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    idx_col: str,
+    value_col: str,
+    max_points: int = 10_000,
+) -> DataFrame:
+    """Theil–Sen robust trend estimate of an integer-valued series:
+    the MEDIAN of all pairwise slopes (v_j − v_i)/(j − i), i < j — the
+    outlier-immune slope (breakdown point ~29%) that ingestion-volume
+    and spend dashboards want where one bad backfill day wrecks an
+    OLS fit (compare :func:`trend_by_group`).
+
+    Quadratic BY DESIGN in the series length — but the input is a
+    pre-aggregated series (one row per period), calendar-bounded,
+    never fact-volume-bounded; ``max_points`` refuses a fact-sized
+    input loudly (a 10k-month series is 8 centuries). Pairs ≈ n²/2
+    enumerate via a self-equi-join-free theta join on the tiny series
+    (both sides the same aggregate, Spark broadcasts one).
+
+    Exactness: each slope is ONE double division of exact integers —
+    identical operands cross-engine, so identical doubles; the median
+    picks ranks (m+1) DIV 2 and (m+2) DIV 2 of the (slope, i, j)
+    total order (equal for odd m) and averages the two, a single
+    reproducible float add/halve. Rank selection rides the two-pass
+    :func:`~awi_datapipelinepublic_spark.operators.windows.global_row_number`
+    — no single-partition window.
+
+    Output: one row (n_points BIGINT, n_pairs BIGINT, slope DOUBLE).
+    """
+    from awi_datapipelinepublic_spark.operators.windows import global_row_number
+
+    n = df.count()
+    if n > max_points:
+        raise ValueError(
+            f"theil_sen_trend: {n} points — pairwise slopes are quadratic "
+            "by design; pre-aggregate the series to a calendar grain "
+            f"(max_points={max_points})"
+        )
+    s = df.select(
+        F.col(idx_col).cast("bigint").alias("i"),
+        F.col(value_col).cast("bigint").alias("v"),
+    )
+    b = s.select(F.col("i").alias("j"), F.col("v").alias("w"))
+    pairs = s.join(b, F.col("i") < F.col("j")).select(
+        "i",
+        "j",
+        F.try_divide(
+            (F.col("w") - F.col("v")).cast("double"),
+            (F.col("j") - F.col("i")).cast("double"),
+        ).alias("slope"),
+    )
+    ranked = global_row_number(
+        pairs, [F.col("slope").asc(), F.col("i").asc(), F.col("j").asc()],
+        out_col="__grn",
+    )
+    m = ranked.agg(F.count(F.lit(1)).alias("__m"))
+    mid = ranked.crossJoin(F.broadcast(m)).filter(
+        (F.col("__grn") == F.expr("(__m + 1) div 2"))
+        | (F.col("__grn") == F.expr("(__m + 2) div 2"))
+    )
+    return mid.agg(
+        F.lit(int(n)).cast("bigint").alias("n_points"),
+        F.max("__m").cast("bigint").alias("n_pairs"),
+        (F.sum("slope") / F.count(F.lit(1)).cast("double")).alias("slope"),
+    )
+
+
+def trend_by_group(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group OLS slope of an integer-valued series — the
+    one-number trend column on every "by segment" dashboard (revenue
+    trend per nation, volume trend per source), computed exactly:
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with every sum an exact
+    DECIMAL(38,0) (x is a small period index, y a pre-scaled integer;
+    BIGINT would overflow at Σxy scale), then ONE double division —
+    the acf_lags replay contract, bit-identical cross-engine.
+
+    One map-side-combined groupBy; output is group-cardinality.
+    Degenerate groups (single point, zero x-variance) yield NULL via
+    try_divide, never an ANSI error.
+
+    Output: (group, n_points BIGINT, slope DOUBLE round_dp).
+    """
+    d = df.select(
+        F.col(group_col),
+        F.col(x_col).cast("decimal(38,0)").alias("__x"),
+        F.col(y_col).cast("decimal(38,0)").alias("__y"),
+    )
+    agg = d.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+    )
+    num = (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast(
+        "double"
+    )
+    den = (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast(
+        "double"
+    )
+    return agg.select(
+        group_col,
+        F.col("__n").cast("bigint").alias("n_points"),
+        F.round(F.try_divide(num, den), round_dp).alias("slope"),
+    )

@@ -234,6 +234,30 @@ BENCH_QUERIES = [
     "seasonal_anomaly",
     # r10: rank-percentile feature normalization
     "percentile_normalize",
+    # r11: RFM rank-quantile segmentation census
+    "rfm_segments",
+    # r11: Theil-Sen robust monthly-revenue slope
+    "theil_sen_trend",
+    # r11: per-nation OLS revenue trend
+    "trend_by_group",
+    # r11: U-shaped attribution in exact basis points
+    "attribution_position",
+    # r11: gaps-and-islands longest-streak census
+    "activity_streaks",
+    # r11: CDC changelog materialization (last-wins + tombstones)
+    "cdc_apply",
+    # r11: bounded multi-source BFS distance field
+    "bfs_distance",
+    # r11: MRR of the IVF index vs brute top-1
+    "ann_mrr_eval",
+    # r11: keep-best survivorship per exact-dup cluster
+    "dedup_keep_best",
+    # r11: per-group 10%-trimmed mean
+    "trimmed_mean",
+    # r11: cross-source quantile mapping calibration
+    "quantile_mapping",
+    # r11: Heaps-law vocabulary growth curve
+    "vocab_growth",
 ]
 
 

@@ -1,0 +1,251 @@
+"""Round-11 operator contracts: hand-computable fixtures for the new
+segmentation, trend, attribution, streak, CDC, BFS, survivorship,
+calibration, and vocabulary-growth operators.
+
+Every operator also has a DuckDB-hash-verified driver gate; these
+tests pin the SEMANTICS on inputs small enough to verify by hand.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_rfm_segments_scores_and_census(spark):
+    """4 customers, 2 bins: best recency/frequency/monetary gets score
+    1 via the closed-form rank quantile; census counts land exactly."""
+    from awi_datapipelinepublic_spark.operators.events import rfm_segments
+
+    rows = [
+        # cust, date, cents: c1 recent+frequent+big, c4 stale+rare+small
+        (1, dt.date(2024, 3, 1), 1000),
+        (1, dt.date(2024, 3, 2), 1000),
+        (2, dt.date(2024, 2, 1), 500),
+        (2, dt.date(2024, 2, 2), 500),
+        (3, dt.date(2024, 1, 10), 300),
+        (4, dt.date(2024, 1, 1), 100),
+    ]
+    df = spark.createDataFrame(rows, "c long, d date, cents long")
+    out = rfm_segments(df, "c", "d", "cents", n_bins=2).collect()
+    by_seg = {(r["r_score"], r["f_score"], r["m_score"]): r for r in out}
+    # n=4, bins=2: ranks 1-2 -> score 1, ranks 3-4 -> score 2.
+    # c1+c2 top both halves of every axis -> (1,1,1); c3+c4 -> (2,2,2)
+    assert by_seg[(1, 1, 1)]["n_customers"] == 2
+    assert by_seg[(1, 1, 1)]["monetary_cents"] == 3000
+    assert by_seg[(2, 2, 2)]["n_customers"] == 2
+    assert by_seg[(2, 2, 2)]["monetary_cents"] == 400
+    assert sum(r["n_customers"] for r in out) == 4
+    assert sum(r["monetary_cents"] for r in out) == 3400
+
+
+def test_theil_sen_trend_robust_to_outlier(spark):
+    """A perfect slope-2 line with one wild outlier still medians to
+    slope 2 (the whole point vs OLS); n_pairs = C(n,2)."""
+    from awi_datapipelinepublic_spark.operators.timeseries import theil_sen_trend
+
+    rows = [(i, 2 * i) for i in range(9)] + [(9, 1000)]
+    df = spark.createDataFrame(rows, "i long, v long")
+    r = theil_sen_trend(df, "i", "v").collect()[0]
+    assert r["n_points"] == 10 and r["n_pairs"] == 45
+    assert r["slope"] == pytest.approx(2.0)
+
+
+def test_theil_sen_trend_refuses_fact_sized_input(spark):
+    from awi_datapipelinepublic_spark.operators.timeseries import theil_sen_trend
+
+    df = spark.range(100).selectExpr("id AS i", "id AS v")
+    with pytest.raises(ValueError, match="quadratic"):
+        theil_sen_trend(df, "i", "v", max_points=50)
+
+
+def test_trend_by_group_exact_line_and_degenerate(spark):
+    """y = 3x + 7 recovers slope 3.0 exactly; a single-point group
+    yields NULL (0/0 under try_divide), never an error."""
+    from awi_datapipelinepublic_spark.operators.timeseries import trend_by_group
+
+    rows = [("a", x, 3 * x + 7) for x in range(5)] + [("b", 1, 42)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {r["g"]: r for r in trend_by_group(df, "g", "x", "y").collect()}
+    assert out["a"]["slope"] == pytest.approx(3.0)
+    assert out["a"]["n_points"] == 5
+    assert out["b"]["slope"] is None
+
+
+def test_attribution_position_u_shape_exact_bp(spark):
+    """k=4 path: first 4000+rem(2000-2·1000=0), last 4000, middles
+    1000 each; k=1 gets all 10000; zero-touch converter credits
+    (none). Credit per path always sums to 10000."""
+    from awi_datapipelinepublic_spark.operators.events import attribution_position
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: click, view, signup, click -> purchase
+        (1, t0, 1, "click", 0.0, ""),
+        (2, t0 + dt.timedelta(minutes=1), 1, "view", 0.0, ""),
+        (3, t0 + dt.timedelta(minutes=2), 1, "signup", 0.0, ""),
+        (4, t0 + dt.timedelta(minutes=3), 1, "click", 0.0, ""),
+        (5, t0 + dt.timedelta(minutes=4), 1, "purchase", 9.0, ""),
+        # user 2: single view -> purchase
+        (6, t0, 2, "view", 0.0, ""),
+        (7, t0 + dt.timedelta(minutes=1), 2, "purchase", 5.0, ""),
+        # user 3: purchase with no prior touch
+        (8, t0, 3, "purchase", 1.0, ""),
+        # user 4: touch but never converts -> excluded entirely
+        (9, t0, 4, "click", 0.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = {r["touch_type"]: r for r in attribution_position(df).collect()}
+    # user1: click pos1 4000 + pos4(last) 4000; view 1000; signup 1000
+    assert out["click"]["credit_bp"] == 8000
+    assert out["view"]["credit_bp"] == 1000 + 10000  # + user2's k=1 path
+    assert out["signup"]["credit_bp"] == 1000
+    assert out["(none)"]["credit_bp"] == 10000
+    assert sum(r["credit_bp"] for r in out.values()) == 30000  # 3 paths
+
+
+def test_activity_streaks_census(spark):
+    """User A active 3 consecutive days + an isolated day -> longest 3;
+    user B one day -> 1. Duplicate same-day events collapse."""
+    from awi_datapipelinepublic_spark.operators.events import activity_streaks
+
+    t = lambda d, h=0: dt.datetime(2024, 1, d, h)
+    rows = [
+        (1, t(1)), (2, t(1, 5)), (3, t(2)), (4, t(3)), (5, t(10)),  # user A
+        (6, t(7)),  # user B
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, 100 + (i > 5)) for i, ts in [(r[0], r[1]) for r in rows]],
+        "event_id long, ts timestamp, user_id long",
+    )
+    out = {r["streak_days"]: r["n_users"] for r in activity_streaks(df).collect()}
+    assert out == {3: 1, 1: 1}
+
+
+def test_cdc_apply_last_wins_and_tombstones(spark):
+    """Out-of-order changelog: key 1 ends on U (kept, latest payload),
+    key 2 ends on D (absent), key 3 insert-only (kept)."""
+    from awi_datapipelinepublic_spark.operators.merge import cdc_apply
+
+    rows = [
+        (1, 10, "I", 100), (1, 30, "U", 300), (1, 20, "U", 200),
+        (2, 11, "I", 111), (2, 21, "D", 0),
+        (3, 12, "I", 333),
+    ]
+    df = spark.createDataFrame(rows, "k long, seq long, op string, v long")
+    out = {r["k"]: r for r in cdc_apply(df, ["k"], "seq", "op").collect()}
+    assert set(out) == {1, 3}
+    assert out[1]["v"] == 300 and out[1]["seq"] == 30
+    assert out[3]["v"] == 333
+
+
+def test_bfs_distance_chain_and_cap(spark):
+    """Path graph 1-2-3-4-5-6 with seed 1: dists 0..3 within 3 hops,
+    nodes 5,6 unreached; a seed outside the edge list still reports
+    dist 0."""
+    from awi_datapipelinepublic_spark.operators.graph import bfs_distance
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (99,)], "node long")
+    out = {r["node"]: r["dist"] for r in bfs_distance(edges, seeds, max_hops=3).collect()}
+    assert out == {1: 0, 99: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_distance_takes_shortest_route(spark):
+    """Diamond 1-2, 1-3, 2-4, 3-4: node 4 is dist 2, counted once."""
+    from awi_datapipelinepublic_spark.operators.graph import bfs_distance
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {r["node"]: r["dist"] for r in bfs_distance(edges, seeds, max_hops=5).collect()}
+    assert out == {1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_ann_mrr_eval_self_consistent(spark, sf_dir):
+    """Every rank is 0 (miss) or 1..k; rr = 1/rank exactly; a hit at
+    rank 1 yields rr 1.0."""
+    from awi_datapipelinepublic_spark.operators.similarity import ann_mrr_eval
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = ann_mrr_eval(emb, k=5).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["rank"] <= 5
+        if r["rank"] == 0:
+            assert r["rr"] == 0.0
+        else:
+            assert r["rr"] == pytest.approx(1.0 / r["rank"], abs=1e-6)
+
+
+def test_dedup_keep_best_picks_highest_score(spark):
+    """Two exact dups (modulo whitespace/case): the higher-score copy
+    survives with dup_count 2; tie breaks to the lowest id."""
+    from awi_datapipelinepublic_spark.operators.dedup import dedup_keep_best
+
+    rows = [
+        (1, "Hello  World", 5),
+        (2, "hello world", 9),   # same fingerprint, higher score -> survives
+        (3, "unique doc", 4),
+        (4, "Unique   DOC", 4),  # tie on score -> lowest id (3) survives
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    out = {r["doc_id"]: r for r in dedup_keep_best(df).collect()}
+    assert set(out) == {2, 3}
+    assert out[2]["dup_count"] == 2 and out[2]["score"] == 9
+    assert out[3]["dup_count"] == 2
+
+
+def test_trimmed_mean_drops_exact_tail_counts(spark):
+    """10 rows, 10% trim -> k=1 off each end: mean of the middle 8;
+    a tiny group (n=4, k=0) keeps everything."""
+    from awi_datapipelinepublic_spark.operators.quality import trimmed_mean
+
+    rows = [("a", v, i) for i, v in enumerate([0, 1, 2, 3, 4, 5, 6, 7, 8, 1000])]
+    rows += [("b", v, i) for i, v in enumerate([10, 20, 30, 40])]
+    df = spark.createDataFrame(rows, "g string, v long, tid long")
+    out = {r["g"]: r for r in trimmed_mean(df, "g", "v", ["tid"]).collect()}
+    assert out["a"]["n_total"] == 10 and out["a"]["n_kept"] == 8
+    assert out["a"]["trimmed_mean"] == pytest.approx(sum(range(1, 9)) / 8)
+    assert out["b"]["n_kept"] == 4
+    assert out["b"]["trimmed_mean"] == pytest.approx(25.0)
+
+
+def test_quantile_mapping_endpoints_and_monotone(spark):
+    """A's min maps to B's min, A's max to B's max; mapping is
+    monotone in the source value."""
+    from awi_datapipelinepublic_spark.operators.quality import quantile_mapping
+
+    rows = [("A", i, v) for i, v in enumerate([5, 1, 9, 3])]
+    rows += [("B", 100 + i, v) for i, v in enumerate([100, 400, 200, 300, 500])]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    out = quantile_mapping(df, "g", "v", "id", "A", "B").collect()
+    got = {r["value"]: r["mapped"] for r in out}
+    # A ranks: 1,3,5,9 -> rb = 1 + (r-1)*4//3 -> 1, 2, 3, 5
+    assert got[1] == 100 and got[9] == 500
+    assert got[3] == 200 and got[5] == 300
+    ordered = [got[v] for v in sorted(got)]
+    assert ordered == sorted(ordered)
+
+
+def test_vocab_growth_cumulatives(spark):
+    """Three docs with overlapping vocab: new_types counts first
+    occurrences only; cumulatives are exact running sums."""
+    from awi_datapipelinepublic_spark.operators.corpus import vocab_growth
+
+    rows = [
+        (1, "a b c"),
+        (2, "b c d"),
+        (3, "a a e"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in vocab_growth(df).collect()}
+    assert out[1]["n_tokens"] == 3 and out[1]["new_types"] == 3
+    assert out[2]["new_types"] == 1  # only d is new
+    assert out[3]["new_types"] == 1  # only e is new
+    assert out[3]["cum_tokens"] == 9 and out[3]["cum_types"] == 5
