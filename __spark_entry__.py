@@ -5254,6 +5254,43 @@ def q_vocab_growth(spark, sf_dir):
     return vocab_growth(_t(spark, sf_dir, "documents"))
 
 
+def q_scd2_lookup(spark, sf_dir):
+    """Point-in-time SCD2 lookup (operators/merge.py:scd2_lookup):
+    per-customer priority regimes built by scd2_merge over the
+    (deduped to one order per customer-day, lowest orderkey) order
+    history; every order then probes the regime current 30 days after
+    its own date. Equi-join on the key + residual interval filter —
+    at most one version matches by construction."""
+    from awi_datapipelinepublic_spark.operators.merge import scd2_lookup, scd2_merge
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    w = Window.partitionBy("o_custkey", "d").orderBy(F.col("o_orderkey").asc())
+    hist = (
+        o.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("o_custkey", "o_orderpriority", "d")
+    )
+    dim = scd2_merge(hist, keys=["o_custkey"], change_col="o_orderpriority", effective_col="d")
+    facts = o.select("o_orderkey", "o_custkey", F.date_add(F.col("d"), 30).alias("probe"))
+    return scd2_lookup(facts, dim, ["o_custkey"], "probe").select(
+        "o_orderkey", "o_custkey", "probe",
+        F.col("o_orderpriority").alias("regime"), "valid_from",
+    )
+
+
+def q_mutual_nn(spark, sf_dir):
+    """Mutual-nearest-neighbor pairs (operators/similarity.py:
+    mutual_nn): reciprocal exact top-1 cosine edges, a < b — the
+    embedding-alignment matcher."""
+    from awi_datapipelinepublic_spark.operators.similarity import mutual_nn
+
+    return mutual_nn(_t(spark, sf_dir, "embeddings"))
+
+
 # Round-11 driver window: the driver oracle-verifies the FIRST 50
 # queries() entries each round (CORRECTNESS_r*). After r10 every one of
 # the 295 pre-r11 ids has a driver-green row; this window fronts the
@@ -5262,11 +5299,12 @@ def q_vocab_growth(spark, sf_dir):
 # signatures r5: the TPC-H tail and the r5 batch) —
 # tools/gen_window.py generates the list mechanically.
 _R11_WINDOW = [
-    # 12 round-11 additions (never driver-green): front them
+    # 14 round-11 additions (never driver-green): front them
     "rfm_segments", "theil_sen_trend", "trend_by_group",
     "attribution_position", "activity_streaks", "cdc_apply",
     "bfs_distance", "ann_mrr_eval", "dedup_keep_best",
     "trimmed_mean", "quantile_mapping", "vocab_growth",
+    "scd2_lookup", "mutual_nn",
     # §2 flagship repeats (every window carries the three views + merge)
     "view_retention", "view_transactions", "view_auto_optiom",
     "merge_time_window",
@@ -5282,7 +5320,6 @@ _R11_WINDOW = [
     "embedding_near_dup", "embedding_outliers", "events_json",
     "events_tumbling", "forward_fill", "fuzzy_join_blocked",
     "hll_incremental", "intersect_all", "join_anti",
-    "join_semi", "kmeans_clusters",
 ]
 _R10_WINDOW = _R11_WINDOW  # names kept so older tooling keeps working
 _R9_WINDOW = _R11_WINDOW
@@ -5619,6 +5656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trimmed_mean": q_trimmed_mean,
         "quantile_mapping": q_quantile_mapping,
         "vocab_growth": q_vocab_growth,
+        "scd2_lookup": q_scd2_lookup,
+        "mutual_nn": q_mutual_nn,
     }
     window = {k: q[k] for k in _R11_WINDOW}
     window.update((k, v) for k, v in q.items() if k not in window)
@@ -10222,5 +10261,58 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens,
                CAST(SUM(new_types) OVER (ORDER BY doc_id) AS BIGINT) AS cum_types
         FROM b
+    """
+    # Point-in-time SCD2 lookup: replay scd2_merge's islands on the
+    # per-customer-day-deduped priority history, then the half-open
+    # interval join at probe = order date + 30 days (operators/
+    # merge.py:scd2_lookup).
+    sql["scd2_lookup"] = """
+        WITH o AS (
+          SELECT o_orderkey, o_custkey, o_orderpriority,
+                 CAST(o_orderdate AS DATE) AS d
+          FROM orders),
+        hist AS (
+          SELECT o_custkey, o_orderpriority, d FROM (
+            SELECT o_custkey, o_orderpriority, d,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey, d
+                                      ORDER BY o_orderkey ASC) AS rn
+            FROM o) t WHERE rn = 1),
+        dd AS (
+          SELECT o_custkey, o_orderpriority, d,
+                 CASE WHEN lag(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY d)
+                           IS NOT DISTINCT FROM o_orderpriority
+                      THEN 0 ELSE 1 END AS chg
+          FROM hist),
+        i AS (SELECT *, SUM(chg) OVER (PARTITION BY o_custkey ORDER BY d) AS island FROM dd),
+        g AS (SELECT o_custkey, island, o_orderpriority, MIN(d) AS valid_from
+              FROM i GROUP BY 1, 2, 3),
+        dim AS (
+          SELECT o_custkey, o_orderpriority, valid_from,
+                 LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from) AS valid_to
+          FROM g),
+        facts AS (SELECT o_orderkey, o_custkey, d + 30 AS probe FROM o)
+        SELECT f.o_orderkey, f.o_custkey, f.probe,
+               dim.o_orderpriority AS regime, dim.valid_from
+        FROM facts f JOIN dim ON dim.o_custkey = f.o_custkey
+        WHERE f.probe >= dim.valid_from
+          AND (dim.valid_to IS NULL OR f.probe < dim.valid_to)
+    """
+    # Reciprocal exact top-1 cosine pairs, a < b (operators/
+    # similarity.py:mutual_nn).
+    sql["mutual_nn"] = """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        nn AS (
+          SELECT a_id, b_id, cos FROM (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY a.vec_id
+                     ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 6) DESC,
+                              b.vec_id ASC) AS rk
+            FROM e a JOIN e b ON a.vec_id <> b.vec_id) t
+          WHERE rk = 1)
+        SELECT x.a_id, x.b_id, x.cos
+        FROM nn x JOIN nn y ON x.a_id = y.b_id AND x.b_id = y.a_id
+        WHERE x.a_id < x.b_id
     """
     return sql

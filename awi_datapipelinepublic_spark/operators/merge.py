@@ -477,3 +477,38 @@ def cdc_apply(
         ranked.filter((F.col("__cdc_rn") == 1) & (F.col(op_col) != delete_op))
         .drop("__cdc_rn")
     )
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time (as-of) lookup against an SCD type-2 dimension:
+    each fact row joins the dimension VERSION whose validity interval
+    covers the fact's timestamp — the other half of the SCD2 story
+    (:func:`scd2_merge` builds the versions; this consumes them), and
+    the join every "what did the dimension say at the time" audit
+    needs.
+
+    Version intervals are half-open ``[valid_from, valid_to)`` with
+    NULL = still current (scd2_merge's contract), so intervals per key
+    are disjoint and each fact matches AT MOST one version — the join
+    is deterministic with no tie-break needed.
+
+    Plan: a plain equi-join on the business key + a residual range
+    filter — NOT a range join; versions-per-key is small by SCD
+    construction (changes, not rows), so the per-key fan-out before
+    the filter is bounded and Spark keeps the hash/SMJ strategy with
+    AQE free to pick sides. Facts whose timestamp predates the key's
+    first version (or whose key is absent) drop out (inner-join
+    semantics).
+    """
+    j = facts.join(dim, keys)
+    return j.filter(
+        (F.col(ts_col) >= F.col(valid_from))
+        & (F.col(valid_to).isNull() | (F.col(ts_col) < F.col(valid_to)))
+    )

@@ -1422,3 +1422,37 @@ def ann_mrr_eval(
             .alias("rr"),
         )
     )
+
+
+def mutual_nn(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mutual-nearest-neighbor pairs: (a, b) where b is a's exact
+    top-1 cosine neighbor AND a is b's — the high-precision matcher
+    behind cross-lingual embedding alignment (MUSE-style), parallel-
+    corpus mining, and record-linkage seeding, where one-directional
+    top-1 is noisy but reciprocity is strong evidence.
+
+    Built on :func:`knn_join_brute`'s k=1 edge list (6dp-rounded
+    cosine, id-asc tie-break — the cross-engine total order): one
+    self-equi-join on the reversed pair detects reciprocity, a < b
+    dedupes each pair to one row. The nn edge list is |V| rows, so the
+    join is key-sized, never pair-sized; for unbounded corpora swap
+    the brute kernel for knn_join_lsh's edges and keep this join
+    as-is.
+
+    Output: (a_id, b_id, cos) with a_id < b_id.
+    """
+    nn = knn_join_brute(emb, k=1, id_col=id_col, vec_col=vec_col).select(
+        "a_id", "b_id", "cos"
+    )
+    rev = nn.select(F.col("a_id").alias("__ra"), F.col("b_id").alias("__rb"))
+    return (
+        nn.join(
+            rev, (nn["a_id"] == F.col("__rb")) & (nn["b_id"] == F.col("__ra"))
+        )
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "cos")
+    )

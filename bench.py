@@ -258,6 +258,10 @@ BENCH_QUERIES = [
     "quantile_mapping",
     # r11: Heaps-law vocabulary growth curve
     "vocab_growth",
+    # r11: point-in-time SCD2 dimension lookup
+    "scd2_lookup",
+    # r11: reciprocal exact top-1 cosine pairs
+    "mutual_nn",
 ]
 
 

@@ -249,3 +249,51 @@ def test_vocab_growth_cumulatives(spark):
     assert out[2]["new_types"] == 1  # only d is new
     assert out[3]["new_types"] == 1  # only e is new
     assert out[3]["cum_tokens"] == 9 and out[3]["cum_types"] == 5
+
+
+def test_scd2_lookup_picks_covering_version(spark):
+    """Facts probe inside, at the boundary, and after the last
+    version: half-open intervals, NULL valid_to = current; a probe
+    before the first version drops out."""
+    from awi_datapipelinepublic_spark.operators.merge import scd2_lookup
+
+    dim = spark.createDataFrame(
+        [
+            (1, "A", dt.date(2024, 1, 1), dt.date(2024, 2, 1)),
+            (1, "B", dt.date(2024, 2, 1), None),
+            (2, "X", dt.date(2024, 3, 1), None),
+        ],
+        "k long, attr string, valid_from date, valid_to date",
+    )
+    facts = spark.createDataFrame(
+        [
+            (10, 1, dt.date(2024, 1, 15)),  # inside A
+            (11, 1, dt.date(2024, 2, 1)),   # boundary -> B (half-open)
+            (12, 1, dt.date(2025, 1, 1)),   # open-ended current -> B
+            (13, 2, dt.date(2024, 1, 1)),   # before first version -> dropped
+            (14, 3, dt.date(2024, 1, 1)),   # unknown key -> dropped
+        ],
+        "fid long, k long, ts date",
+    )
+    out = {r["fid"]: r["attr"] for r in scd2_lookup(facts, dim, ["k"], "ts").collect()}
+    assert out == {10: "A", 11: "B", 12: "B"}
+
+
+def test_mutual_nn_reciprocal_only(spark):
+    """Two tight pairs and one satellite: the satellite's top-1 points
+    into a pair whose member prefers its twin -> only the two
+    reciprocal pairs survive, each once with a_id < b_id."""
+    from awi_datapipelinepublic_spark.operators.similarity import mutual_nn
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.99, 0.14, 0.0]),   # twin of 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.14, 0.99, 0.0]),   # twin of 3
+        (5, [0.7, 0.71, 0.0]),    # satellite: closest to 2 or 4, not mutual
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {(r["a_id"], r["b_id"]) for r in mutual_nn(df).collect()}
+    assert (1, 2) in out and (3, 4) in out
+    assert all(a < b for a, b in out)
+    assert not any(5 in p for p in out)
