@@ -1404,27 +1404,38 @@ def trimmed_mean(
     medians (still uses the bulk of the data).
 
     The trim count is exact integer arithmetic: k = (n·trim_bp) DIV
-    10000 rows off each end, ranks from ONE keyed window over the
-    total order (value, then ``order_cols`` tie-breaks — deterministic
-    cross-engine), and the kept-range mean is an exact BIGINT sum over
-    one double division (the acf_lags replay contract). One shuffle on
-    the group key; output is group-cardinality.
+    10000 rows off each end, ranks from the two-pass PARALLEL keyed
+    rank (operators/windows.py:grouped_row_number — a plain keyed
+    window would funnel each of the handful of groups into one task)
+    over the total order (value, then ``order_cols`` tie-breaks —
+    deterministic cross-engine), and the kept-range mean is an exact
+    BIGINT sum over one double division (the acf_lags replay
+    contract). Output is group-cardinality.
 
     Output: (group, n_total BIGINT, n_kept BIGINT, trimmed_mean
     DOUBLE round_dp).
     """
-    from pyspark.sql import Window
+    from awi_datapipelinepublic_spark.operators.windows import grouped_row_number
 
     ties = [F.col(c).asc() for c in (order_cols or [])]
-    w = Window.partitionBy(group_col).orderBy(F.col("__v").asc(), *ties)
-    wg = Window.partitionBy(group_col)
-    ranked = (
-        df.select(group_col, F.col(value_col).cast("bigint").alias("__v"), *(order_cols or []))
-        .withColumn("__rn", F.row_number().over(w))
-        .withColumn("__n", F.count(F.lit(1)).over(wg))
+    sel = df.select(
+        group_col, F.col(value_col).cast("bigint").alias("__v"), *(order_cols or [])
     )
+    # grouped_row_number, NOT Window.partitionBy(group): the group
+    # column is low-cardinality by design (a handful of flags), so the
+    # plain keyed window funnels each group's sort into ONE task
+    # (measured 6.8x at a 10x volume step); the two-pass keyed rank
+    # stays fully parallel. Group sizes come from a map-side-combined
+    # groupBy for the same reason (count().over(partitionBy(g)) has
+    # the identical single-task funnel).
+    ranked = grouped_row_number(
+        sel, [group_col], [F.col("__v").asc(), *ties], out_col="__rn"
+    )
+    counts = sel.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
     k = F.expr(f"(__n * {int(trim_bp)}) div 10000")
-    kept = ranked.filter((F.col("__rn") > k) & (F.col("__rn") <= F.col("__n") - k))
+    kept = ranked.join(counts, group_col).filter(
+        (F.col("__rn") > k) & (F.col("__rn") <= F.col("__n") - k)
+    )
     return kept.groupBy(group_col).agg(
         F.max("__n").cast("bigint").alias("n_total"),
         F.count(F.lit(1)).cast("bigint").alias("n_kept"),
@@ -1456,23 +1467,26 @@ def quantile_mapping(
     ``1 + ((r−1)·(n_b−1)) DIV (n_a−1)`` (endpoints meet endpoints,
     interior ranks land on the floor of the proportional rank), then
     ONE equi-join on that target rank fetches B's value. Both ranks
-    come from keyed windows partitioned by the group column (the
-    repo's no-unpartitioned-window contract); ties order by id.
+    ride the two-pass parallel keyed rank (operators/windows.py:
+    grouped_row_number — two groups is exactly the regime where a
+    plain keyed window serializes); ties order by id.
 
     Output: (id, value, mapped) — one row per source-group row;
     ``mapped`` is the reference group's value at the matched quantile.
     """
-    from pyspark.sql import Window
+    from awi_datapipelinepublic_spark.operators.windows import grouped_row_number
 
-    w = Window.partitionBy(group_col).orderBy(
-        F.col("value").asc(), F.col("id").asc()
+    base = df.filter(F.col(group_col).isin([source_group, ref_group])).select(
+        group_col, F.col(id_col).alias("id"), F.col(value_col).alias("value")
     )
-    wg = Window.partitionBy(group_col)
-    ranked = (
-        df.filter(F.col(group_col).isin([source_group, ref_group]))
-        .select(group_col, F.col(id_col).alias("id"), F.col(value_col).alias("value"))
-        .withColumn("__rn", F.row_number().over(w))
-        .withColumn("__n", F.count(F.lit(1)).over(wg))
+    # Two groups by construction — the low-cardinality regime where a
+    # plain keyed window funnels each source's sort into one task;
+    # the two-pass keyed rank keeps both distributions parallel at
+    # corpus scale (see trimmed_mean).
+    ranked = grouped_row_number(
+        base, [group_col], [F.col("value").asc(), F.col("id").asc()], out_col="__rn"
+    ).join(
+        base.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n")), group_col
     )
     a = ranked.filter(F.col(group_col) == source_group)
     b = ranked.filter(F.col(group_col) == ref_group).select(

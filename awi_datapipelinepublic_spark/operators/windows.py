@@ -209,3 +209,53 @@ def global_running_sums(
     for c in value_cols:
         out = out.withColumn(c + suffix, F.col(c + suffix) + F.col(f"__off_{c}"))
     return out.drop("__pid", *[f"__off_{c}" for c in value_cols])
+
+
+def grouped_row_number(
+    df: DataFrame, group_cols: list, order_by: list, out_col: str = "rn"
+) -> DataFrame:
+    """Per-group row_number over a total order that stays PARALLEL for
+    low-cardinality groups — the keyed twin of :func:`global_row_number`.
+
+    A plain ``Window.partitionBy(group)`` hash-exchanges each group
+    into ONE task: for a 3-value group column over 10⁹ rows, three
+    tasks sort a third of the fact each while the rest of the cluster
+    idles (measured on trimmed_mean: 6.8× at a 10× volume step — the
+    fixed-parallelism sort, not the data, was the cost). Here the
+    range partitioner splits on (group, order) jointly, so ONE group
+    spans many partitions; each partition ranks locally per group, and
+    the broadcast per-(partition, group) offset table (bounded by
+    shuffle-partition count × group cardinality — both configuration,
+    not data) lifts local ranks to exact per-group ranks. Identical
+    values to the sequential keyed window for any total order.
+
+    High-cardinality group columns don't need this (the plain keyed
+    window already spreads; use it) — this is for the handful-of-
+    groups regime where per-group rank selection must still scale.
+    """
+    parts = [F.col(c) for c in group_cols]
+    ordered = df.repartitionByRange(*parts, *order_by).sortWithinPartitions(
+        *parts, *order_by
+    )
+    with_pid = ordered.withColumn("__gpid", F.spark_partition_id())
+    w = Window.partitionBy("__gpid", *group_cols).orderBy(*order_by)
+    local = with_pid.withColumn("__glrn", F.row_number().over(w))
+    counts = local.groupBy("__gpid", *group_cols).agg(
+        F.max("__glrn").alias("__gcnt")
+    )
+    woff = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__gpid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "__goff", F.coalesce(F.sum("__gcnt").over(woff), F.lit(0))
+    )
+    return (
+        local.join(
+            F.broadcast(offsets.select("__gpid", *group_cols, "__goff")),
+            ["__gpid", *group_cols],
+        )
+        .withColumn(out_col, (F.col("__glrn") + F.col("__goff")).cast("long"))
+        .drop("__gpid", "__glrn", "__goff")
+    )

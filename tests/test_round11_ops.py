@@ -297,3 +297,22 @@ def test_mutual_nn_reciprocal_only(spark):
     assert (1, 2) in out and (3, 4) in out
     assert all(a < b for a, b in out)
     assert not any(5 in p for p in out)
+
+
+def test_grouped_row_number_matches_sequential_window(spark):
+    """The two-pass parallel keyed rank must equal the sequential
+    keyed window for any total order — including groups that span
+    many range partitions."""
+    from pyspark.sql import Window
+
+    from awi_datapipelinepublic_spark.operators.windows import grouped_row_number
+
+    df = spark.range(0, 5000).selectExpr(
+        "id % 3 AS g", "CAST((id * 2654435761) % 100000 AS LONG) AS v", "id"
+    )
+    got = grouped_row_number(
+        df, ["g"], [F.col("v").asc(), F.col("id").asc()], out_col="rn"
+    )
+    w = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("id").asc())
+    want = df.withColumn("rn", F.row_number().over(w).cast("long"))
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
