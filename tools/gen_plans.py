@@ -83,6 +83,11 @@ TARGETS = {
     "rolling_anomaly": "One hash exchange on the key; both bounded ROWS-frame sums ride the same Window operator",
     "changepoint_scan": "Prefix-sum + row-number in one key-partitioned Window, argmax via max(struct) groupBy - series length is calendar-bounded per key",
     "itemset_triples": "Apriori item-prune (broadcast semi-join) BEFORE the capped cubic explode; one triple-key groupBy with map-side combine",
+    "trimmed_mean": "Per-group trim on a 3-value group key stays PARALLEL: grouped_row_number range-partitions (group, value) jointly, broadcast per-(pid, group) offsets lift local ranks - no one-task-per-group window",
+    "cdc_apply": "CDC last-wins: ONE key-partitioned window over the changelog, filter rn=1 AND op<>D - single shuffle, no join",
+    "scd2_lookup": "Point-in-time lookup = key equi-join (hash/SMJ, AQE picks) + residual interval filter - no range-join machinery, no nested loop",
+    "rfm_segments": "Customer-cardinality aggregate, then three two-pass global ranks (rangepartitioning + broadcast offsets) and a <=bins^3 census - fact never re-shuffles",
+    "vocab_growth": "First-occurrence attribution (term groupBy-min) + two global_running_sum passes - both cumulatives parallel, no single-partition window over documents",
 }
 
 
