@@ -5291,6 +5291,67 @@ def q_mutual_nn(spark, sf_dir):
     return mutual_nn(_t(spark, sf_dir, "embeddings"))
 
 
+def q_rank_movers(spark, sf_dir):
+    """Top-50 customer revenue-rank movers between the early (<=1994)
+    and late order eras (operators/timeseries.py:rank_movers): ranks
+    via the grouped two-pass keyed rank (period = the 2-value group),
+    top-k on the (|delta|, key) total order."""
+    from awi_datapipelinepublic_spark.operators.timeseries import rank_movers
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.when(F.year("o_orderdate") <= 1994, F.lit("early"))
+        .otherwise(F.lit("late"))
+        .alias("era"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return rank_movers(o, "o_custkey", "era", "cents", "early", "late", k=50)
+
+
+def q_local_peaks(spark, sf_dir):
+    """Strict local maxima of the daily per-type event counts with
+    one-step prominence (operators/timeseries.py:local_peaks)."""
+    from awi_datapipelinepublic_spark.operators.timeseries import local_peaks
+
+    d = (
+        read_events(spark, sf_dir)
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return local_peaks(d, "event_type", "day", "n")
+
+
+def q_winsorize_by_group(spark, sf_dir):
+    """Per-returnflag rank-based winsorization of line price cents
+    (operators/quality.py:winsorize_by_group): clip to the group's
+    [k+1, n-k] rank-bound VALUES, ranks via grouped_row_number."""
+    from awi_datapipelinepublic_spark.operators.quality import winsorize_by_group
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("bigint").alias("lid"),
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return winsorize_by_group(li, "l_returnflag", "cents", "lid")
+
+
+def q_chi2_independence(spark, sf_dir):
+    """Event-type x weekday chi-square cells (operators/quality.py:
+    chi2_independence): exact DECIMAL first-order products, the square
+    taken in double (identical operands cross-engine), per-cell
+    contributions — the consumer sums the tiny cell table."""
+    from awi_datapipelinepublic_spark.operators.quality import chi2_independence
+
+    e = read_events(spark, sf_dir).select(
+        "event_type", F.dayofweek(F.col("ts")).alias("dow")
+    )
+    return chi2_independence(e, "event_type", "dow")
+
+
 # Round-11 driver window: the driver oracle-verifies the FIRST 50
 # queries() entries each round (CORRECTNESS_r*). After r10 every one of
 # the 295 pre-r11 ids has a driver-green row; this window fronts the
@@ -5299,12 +5360,13 @@ def q_mutual_nn(spark, sf_dir):
 # signatures r5: the TPC-H tail and the r5 batch) —
 # tools/gen_window.py generates the list mechanically.
 _R11_WINDOW = [
-    # 14 round-11 additions (never driver-green): front them
+    # 18 round-11 additions (never driver-green): front them
     "rfm_segments", "theil_sen_trend", "trend_by_group",
     "attribution_position", "activity_streaks", "cdc_apply",
     "bfs_distance", "ann_mrr_eval", "dedup_keep_best",
     "trimmed_mean", "quantile_mapping", "vocab_growth",
-    "scd2_lookup", "mutual_nn",
+    "scd2_lookup", "mutual_nn", "rank_movers", "local_peaks",
+    "winsorize_by_group", "chi2_independence",
     # §2 flagship repeats (every window carries the three views + merge)
     "view_retention", "view_transactions", "view_auto_optiom",
     "merge_time_window",
@@ -5318,8 +5380,7 @@ _R11_WINDOW = [
     "agg_stats", "agg_string_list", "balanced_sample",
     "date_spine_gapfill", "decimal_sum_exact", "dedup_containment",
     "embedding_near_dup", "embedding_outliers", "events_json",
-    "events_tumbling", "forward_fill", "fuzzy_join_blocked",
-    "hll_incremental", "intersect_all", "join_anti",
+    "events_tumbling", "forward_fill",
 ]
 _R10_WINDOW = _R11_WINDOW  # names kept so older tooling keeps working
 _R9_WINDOW = _R11_WINDOW
@@ -5658,6 +5719,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": q_vocab_growth,
         "scd2_lookup": q_scd2_lookup,
         "mutual_nn": q_mutual_nn,
+        "rank_movers": q_rank_movers,
+        "local_peaks": q_local_peaks,
+        "winsorize_by_group": q_winsorize_by_group,
+        "chi2_independence": q_chi2_independence,
     }
     window = {k: q[k] for k in _R11_WINDOW}
     window.update((k, v) for k, v in q.items() if k not in window)
@@ -10314,5 +10379,84 @@ def oracle_sql() -> dict[str, str]:
         SELECT x.a_id, x.b_id, x.cos
         FROM nn x JOIN nn y ON x.a_id = y.b_id AND x.b_id = y.a_id
         WHERE x.a_id < x.b_id
+    """
+    # Era rank movers: ROW_NUMBER per period over (v DESC, k ASC),
+    # inner join, top-50 on the (|delta|, key) total order
+    # (operators/timeseries.py:rank_movers).
+    sql["rank_movers"] = """
+        WITH agg AS (
+          SELECT CASE WHEN year(o_orderdate) <= 1994 THEN 'early' ELSE 'late' END AS p,
+                 o_custkey AS k,
+                 CAST(SUM(CAST(floor(o_totalprice * 100.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)) AS BIGINT) AS v
+          FROM orders GROUP BY 1, 2),
+        r AS (SELECT p, k,
+                     ROW_NUMBER() OVER (PARTITION BY p ORDER BY v DESC, k ASC) AS rn
+              FROM agg),
+        a AS (SELECT k, rn AS rank_a FROM r WHERE p = 'early'),
+        b AS (SELECT k, rn AS rank_b FROM r WHERE p = 'late')
+        SELECT a.k AS o_custkey, CAST(rank_a AS BIGINT) AS rank_a,
+               CAST(rank_b AS BIGINT) AS rank_b,
+               CAST(rank_a - rank_b AS BIGINT) AS rank_delta
+        FROM a JOIN b ON a.k = b.k
+        ORDER BY abs(rank_a - rank_b) DESC, a.k ASC LIMIT 50
+    """
+    # Strict local maxima with one-step prominence over daily counts
+    # (operators/timeseries.py:local_peaks).
+    sql["local_peaks"] = """
+        WITH d AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        nb AS (
+          SELECT event_type, day, n AS value,
+                 lag(n) OVER (PARTITION BY event_type ORDER BY day) AS pv,
+                 lead(n) OVER (PARTITION BY event_type ORDER BY day) AS nx
+          FROM d)
+        SELECT event_type, day, value,
+               CAST(value - GREATEST(pv, nx) AS BIGINT) AS prominence
+        FROM nb
+        WHERE pv IS NOT NULL AND nx IS NOT NULL AND value > pv AND value > nx
+    """
+    # Grouped rank-bound winsorization: bounds are the values at ranks
+    # k+1 and n-k of the (value, id) total order per group
+    # (operators/quality.py:winsorize_by_group).
+    sql["winsorize_by_group"] = """
+        WITH li AS (
+          SELECT l_returnflag AS g,
+                 CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
+                 CAST(floor(l_extendedprice * 100.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS value
+          FROM lineitem),
+        r AS (
+          SELECT g, id, value,
+                 ROW_NUMBER() OVER (PARTITION BY g ORDER BY value ASC, id ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY g) AS n
+          FROM li),
+        k AS (SELECT g, id, value, rn, n, (n * 1000) // 10000 AS kk FROM r),
+        bounds AS (
+          SELECT g,
+                 MAX(CASE WHEN rn = kk + 1 THEN value END) AS lo,
+                 MAX(CASE WHEN rn = n - kk THEN value END) AS hi
+          FROM k GROUP BY 1)
+        SELECT k.g AS l_returnflag, k.id, k.value,
+               LEAST(GREATEST(k.value, b.lo), b.hi) AS clipped
+        FROM k JOIN bounds b ON b.g = k.g
+    """
+    # Chi-square cells: first-order products in HUGEINT, the square in
+    # DOUBLE of the identical exactly-converted operand, one division
+    # per cell (operators/quality.py:chi2_independence). Spark dow =
+    # DuckDB dayofweek + 1.
+    sql["chi2_independence"] = """
+        WITH cells AS (
+          SELECT event_type AS a, dayofweek(ts) + 1 AS b,
+                 CAST(COUNT(*) AS HUGEINT) AS o
+          FROM events GROUP BY 1, 2),
+        ra AS (SELECT a, SUM(o) AS rta FROM cells GROUP BY 1),
+        cb AS (SELECT b, SUM(o) AS ctb FROM cells GROUP BY 1),
+        nn AS (SELECT SUM(o) AS nt FROM cells)
+        SELECT c.a, CAST(c.b AS INT) AS b, CAST(c.o AS BIGINT) AS observed,
+               ROUND(CAST(ra.rta * cb.ctb AS DOUBLE) / CAST(nn.nt AS DOUBLE), 6) AS expected,
+               ROUND(CAST(c.o * nn.nt - ra.rta * cb.ctb AS DOUBLE)
+                     * CAST(c.o * nn.nt - ra.rta * cb.ctb AS DOUBLE)
+                     / CAST(nn.nt * ra.rta * cb.ctb AS DOUBLE), 6) AS contrib
+        FROM cells c JOIN ra ON ra.a = c.a JOIN cb ON cb.b = c.b CROSS JOIN nn
     """
     return sql

@@ -1503,3 +1503,123 @@ def quantile_mapping(
         ).cast("bigint"),
     )
     return target.join(b.drop("__nb"), "__rb").select("id", "value", "mapped")
+
+
+def winsorize_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    trim_bp: int = 1000,
+) -> DataFrame:
+    """Per-group rank-based winsorization: clip each row's value to
+    its group's [k+1, n−k] rank bounds (k = (n·trim_bp) DIV 10000) —
+    the grouped, exact-integer companion of :func:`winsorize` (which
+    clips at GLOBAL interpolated percentiles): per-segment outlier
+    capping before cross-segment comparisons, with bounds that are
+    actual observed values, deterministic in any engine.
+
+    Ranks ride the two-pass parallel keyed rank
+    (operators/windows.py:grouped_row_number — built for exactly this
+    low-cardinality-group regime); the two bound VALUES per group come
+    from one group-cardinality aggregate over the ranked table and
+    join back (AQE broadcasts them). Ties order by id, so bounds are
+    total-order-exact, not value-interpolated.
+
+    Output: (group, id, value, clipped) — one row per input row,
+    pure BIGINTs.
+    """
+    from awi_datapipelinepublic_spark.operators.windows import grouped_row_number
+
+    sel = df.select(
+        F.col(group_col),
+        F.col(id_col).alias("id"),
+        F.col(value_col).cast("bigint").alias("value"),
+    )
+    ranked = grouped_row_number(
+        sel, [group_col], [F.col("value").asc(), F.col("id").asc()], out_col="__rn"
+    )
+    counts = sel.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    rc = ranked.join(counts, group_col)
+    k = F.expr(f"(__n * {int(trim_bp)}) div 10000")
+    bounds = (
+        rc.withColumn("__k", k)
+        .groupBy(group_col)
+        .agg(
+            F.max(F.when(F.col("__rn") == F.col("__k") + 1, F.col("value"))).alias(
+                "__lo"
+            ),
+            F.max(F.when(F.col("__rn") == F.col("__n") - F.col("__k"), F.col("value"))).alias(
+                "__hi"
+            ),
+        )
+    )
+    return (
+        rc.join(bounds, group_col)
+        .select(
+            group_col,
+            "id",
+            "value",
+            F.least(F.greatest(F.col("value"), F.col("__lo")), F.col("__hi")).alias(
+                "clipped"
+            ),
+        )
+    )
+
+
+def chi2_independence(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Chi-square independence cells for two categorical columns: per
+    (a, b) cell the observed count, the expected count under
+    independence, and the chi-square contribution
+    (O − E)²/E — the contingency diagnostic behind "is event mix
+    independent of weekday" / "is language mix independent of source"
+    checks, kept PER CELL: the scalar statistic is a sum whose
+    floating-point accumulation order differs across engines, so the
+    engine emits exact per-cell terms and the consumer sums (cells
+    are category-product-bounded, tiny).
+
+    Exactness: contribution = (O·N − r·c)² / (N·r·c) with every
+    FIRST-ORDER product an exact DECIMAL(38,0) (counts can be
+    10⁹-scale at 100 TB); the SQUARE is taken in DOUBLE — squaring
+    the decimal would overflow 38 digits at that scale, while
+    double·double of the identical exactly-converted operand is
+    bit-reproducible cross-engine — then ONE double division per
+    cell, round at the edge. E = r·c/N likewise one division.
+    Plan: one cell groupBy (map-side combined) + two
+    marginal re-aggregates of the CELL table (category-sized, never
+    the fact) + one scalar broadcast.
+
+    Output: (a, b, observed BIGINT, expected DOUBLE, contrib DOUBLE).
+    """
+    cells = df.groupBy(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("__o"))
+    ra = cells.groupBy("a").agg(F.sum("__o").alias("__ra"))
+    cb = cells.groupBy("b").agg(F.sum("__o").alias("__cb"))
+    n = cells.agg(F.sum("__o").alias("__n"))
+    j = cells.join(ra, "a").join(cb, "b").crossJoin(F.broadcast(n))
+    num = (F.col("__o") * F.col("__n") - F.col("__ra") * F.col("__cb"))
+    return j.select(
+        "a",
+        "b",
+        F.col("__o").cast("bigint").alias("observed"),
+        F.round(
+            F.try_divide(
+                (F.col("__ra") * F.col("__cb")).cast("double"),
+                F.col("__n").cast("double"),
+            ),
+            round_dp,
+        ).alias("expected"),
+        F.round(
+            F.try_divide(
+                num.cast("double") * num.cast("double"),
+                (F.col("__n") * F.col("__ra") * F.col("__cb")).cast("double"),
+            ),
+            round_dp,
+        ).alias("contrib"),
+    )

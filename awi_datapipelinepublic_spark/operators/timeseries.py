@@ -753,3 +753,97 @@ def trend_by_group(
         F.col("__n").cast("bigint").alias("n_points"),
         F.round(F.try_divide(num, den), round_dp).alias("slope"),
     )
+
+
+def rank_movers(
+    df: DataFrame,
+    key_col: str,
+    period_col: str,
+    value_col: str,
+    period_a,
+    period_b,
+    k: int = 50,
+) -> DataFrame:
+    """Biggest rank movers between two periods: rank every key by an
+    integer measure within period A and within period B, and report
+    the top-``k`` keys by absolute rank change — the "who moved"
+    leaderboard (customer churn-risk, supplier volume shifts, token
+    frequency drift between corpus snapshots).
+
+    Ranks are (value DESC, key ASC) — total order, deterministic —
+    and ride :func:`~awi_datapipelinepublic_spark.operators.windows.
+    grouped_row_number` with the PERIOD as the group: two periods is
+    exactly the low-cardinality regime where a plain keyed window
+    would serialize each period's ranking into one task. Keys present
+    in only one period drop out (inner join — a rank delta needs both
+    ends). Top-k is a TakeOrderedAndProject on
+    (|delta| DESC, key ASC), never a global sort.
+
+    Output: (key, rank_a BIGINT, rank_b BIGINT, rank_delta BIGINT) —
+    rank_delta = rank_a − rank_b (positive = improved in B).
+    """
+    from awi_datapipelinepublic_spark.operators.windows import grouped_row_number
+
+    agg = (
+        df.filter(F.col(period_col).isin([period_a, period_b]))
+        .groupBy(F.col(period_col).alias("__p"), F.col(key_col).alias("__k"))
+        .agg(F.sum(F.col(value_col).cast("bigint")).alias("__v"))
+    )
+    ranked = grouped_row_number(
+        agg, ["__p"], [F.col("__v").desc(), F.col("__k").asc()], out_col="__r"
+    )
+    a = ranked.filter(F.col("__p") == period_a).select(
+        F.col("__k").alias(key_col), F.col("__r").alias("rank_a")
+    )
+    b = ranked.filter(F.col("__p") == period_b).select(
+        F.col("__k").alias(key_col), F.col("__r").alias("rank_b")
+    )
+    return (
+        a.join(b, key_col)
+        .withColumn("rank_delta", F.col("rank_a") - F.col("rank_b"))
+        .orderBy(F.abs(F.col("rank_delta")).desc(), F.col(key_col).asc())
+        .limit(int(k))
+    )
+
+
+def local_peaks(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Strict local maxima of an integer-valued series per key: points
+    where the value exceeds BOTH ordered neighbors, with the one-step
+    prominence (height above the taller neighbor) — the spike-shape
+    detector behind release-day/incident annotation, complementary to
+    :func:`rolling_anomaly` (which scores against a trailing window,
+    not the immediate shape).
+
+    Interior points only (endpoints have one neighbor and are never
+    peaks — documented, replayed by the oracle). One keyed window
+    feeds lag and lead off the same sort; everything is exact
+    integers.
+
+    Output: (key, order, value, prominence BIGINT) — prominence =
+    value − max(prev, next) > 0 by construction.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.col(order_col).asc())
+    v = F.col(value_col).cast("bigint")
+    with_nb = df.select(
+        key_col, order_col, v.alias("value")
+    ).withColumn("__prev", F.lag("value").over(w)).withColumn(
+        "__next", F.lead("value").over(w)
+    )
+    return with_nb.filter(
+        F.col("__prev").isNotNull()
+        & F.col("__next").isNotNull()
+        & (F.col("value") > F.col("__prev"))
+        & (F.col("value") > F.col("__next"))
+    ).select(
+        key_col,
+        order_col,
+        "value",
+        (F.col("value") - F.greatest("__prev", "__next")).alias("prominence"),
+    )

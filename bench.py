@@ -262,6 +262,14 @@ BENCH_QUERIES = [
     "scd2_lookup",
     # r11: reciprocal exact top-1 cosine pairs
     "mutual_nn",
+    # r11: era rank movers (grouped two-pass keyed rank)
+    "rank_movers",
+    # r11: strict local maxima with prominence
+    "local_peaks",
+    # r11: grouped rank-bound winsorization
+    "winsorize_by_group",
+    # r11: chi-square independence cells
+    "chi2_independence",
 ]
 
 

@@ -316,3 +316,69 @@ def test_grouped_row_number_matches_sequential_window(spark):
     w = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("id").asc())
     want = df.withColumn("rn", F.row_number().over(w).cast("long"))
     assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_rank_movers_delta_and_topk(spark):
+    """Key A falls #1 -> #3, key C climbs #3 -> #1: deltas are exact
+    rank differences; a key missing from one era drops out."""
+    from awi_datapipelinepublic_spark.operators.timeseries import rank_movers
+
+    rows = [
+        ("p1", "A", 300), ("p1", "B", 200), ("p1", "C", 100),
+        ("p2", "A", 100), ("p2", "B", 200), ("p2", "C", 300),
+        ("p1", "D", 50),  # no p2 presence -> excluded
+    ]
+    df = spark.createDataFrame(rows, "p string, k string, v long")
+    out = {r["k"]: r for r in rank_movers(df, "k", "p", "v", "p1", "p2", k=10).collect()}
+    assert "D" not in out
+    assert out["A"]["rank_a"] == 1 and out["A"]["rank_b"] == 3
+    assert out["A"]["rank_delta"] == -2 and out["C"]["rank_delta"] == 2
+    assert out["B"]["rank_delta"] == 0
+
+
+def test_local_peaks_strict_interior(spark):
+    """Series 1,5,2,7,7,3: only the 5 is a strict peak (the 7-plateau
+    fails v > next; endpoints excluded); prominence = 5 - max(1,2)."""
+    from awi_datapipelinepublic_spark.operators.timeseries import local_peaks
+
+    rows = [("k", i, v) for i, v in enumerate([1, 5, 2, 7, 7, 3])]
+    df = spark.createDataFrame(rows, "g string, t int, v long")
+    out = local_peaks(df, "g", "t", "v").collect()
+    assert len(out) == 1
+    assert out[0]["t"] == 1 and out[0]["value"] == 5 and out[0]["prominence"] == 3
+
+
+def test_winsorize_by_group_clips_to_rank_bounds(spark):
+    """10 values, 10% trim -> k=1: bounds are the 2nd and 9th ordered
+    values; min clips up, max clips down, interior unchanged."""
+    from awi_datapipelinepublic_spark.operators.quality import winsorize_by_group
+
+    vals = [0, 10, 20, 30, 40, 50, 60, 70, 80, 1000]
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals)], "g string, lid long, v long"
+    )
+    out = {r["id"]: r["clipped"] for r in winsorize_by_group(df, "g", "v", "lid").collect()}
+    assert out[0] == 10      # 0 -> lo bound (2nd value)
+    assert out[9] == 80      # 1000 -> hi bound (9th value)
+    assert out[5] == 50      # interior untouched
+
+
+def test_chi2_independence_exact_cells(spark):
+    """2x2 with perfect independence: every contribution is 0; a
+    dependent table shows the textbook (O-E)^2/E per cell."""
+    from awi_datapipelinepublic_spark.operators.quality import chi2_independence
+
+    # independent: P(a)P(b) factorizes (counts 1,1,1,1)
+    rows = [("x", 1), ("x", 2), ("y", 1), ("y", 2)]
+    df = spark.createDataFrame(rows, "a string, b int")
+    for r in chi2_independence(df, "a", "b").collect():
+        assert r["contrib"] == 0.0 and r["expected"] == 1.0
+
+    # dependent: x always 1, y always 2 (2 rows each)
+    rows2 = [("x", 1), ("x", 1), ("y", 2), ("y", 2)]
+    df2 = spark.createDataFrame(rows2, "a string, b int")
+    out = {(r["a"], r["b"]): r for r in chi2_independence(df2, "a", "b").collect()}
+    # E = 2*2/4 = 1; contrib = (2-1)^2/1 = 1 for both observed cells
+    assert out[("x", 1)]["observed"] == 2
+    assert out[("x", 1)]["expected"] == 1.0
+    assert out[("x", 1)]["contrib"] == 1.0
