@@ -5352,6 +5352,52 @@ def q_chi2_independence(spark, sf_dir):
     return chi2_independence(e, "event_type", "dow")
 
 
+def q_hits_scores(spark, sf_dir):
+    """Fixed-iteration unnormalized HITS over the customer->supplier
+    order graph (operators/graph.py:hits_scores): integer-exact hub/
+    authority scores, k=3; the oracle unrolls the same iterations as
+    chained HUGEINT CTEs (the pagerank pattern, float-free)."""
+    from awi_datapipelinepublic_spark.operators.graph import hits_scores
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return hits_scores(edges, iterations=3)
+
+
+def q_vocab_overlap(spark, sf_dir):
+    """Pairwise source vocabulary Jaccard (operators/corpus.py:
+    vocab_overlap): distinct token sets per source, C(sources,2)
+    pairs, exact BIGINT set sizes, one double division."""
+    from awi_datapipelinepublic_spark.operators.corpus import vocab_overlap
+
+    return vocab_overlap(_t(spark, sf_dir, "documents"))
+
+
+def q_ttr_by_source(spark, sf_dir):
+    """Type-token lexical diversity per source (operators/corpus.py:
+    ttr_by_group)."""
+    from awi_datapipelinepublic_spark.operators.corpus import ttr_by_group
+
+    return ttr_by_group(_t(spark, sf_dir, "documents"))
+
+
+def q_activity_gaps(spark, sf_dir):
+    """Per-user inactivity episodes >= 2 days between consecutive
+    active days (operators/events.py:activity_gaps) — the inverse of
+    activity_streaks, off the same deduplicated activity table."""
+    from awi_datapipelinepublic_spark.operators.events import activity_gaps
+
+    return activity_gaps(read_events(spark, sf_dir), min_gap_days=2)
+
+
 # Round-11 driver window: the driver oracle-verifies the FIRST 50
 # queries() entries each round (CORRECTNESS_r*). After r10 every one of
 # the 295 pre-r11 ids has a driver-green row; this window fronts the
@@ -5360,13 +5406,14 @@ def q_chi2_independence(spark, sf_dir):
 # signatures r5: the TPC-H tail and the r5 batch) —
 # tools/gen_window.py generates the list mechanically.
 _R11_WINDOW = [
-    # 18 round-11 additions (never driver-green): front them
+    # 22 round-11 additions (never driver-green): front them
     "rfm_segments", "theil_sen_trend", "trend_by_group",
     "attribution_position", "activity_streaks", "cdc_apply",
     "bfs_distance", "ann_mrr_eval", "dedup_keep_best",
     "trimmed_mean", "quantile_mapping", "vocab_growth",
     "scd2_lookup", "mutual_nn", "rank_movers", "local_peaks",
-    "winsorize_by_group", "chi2_independence",
+    "winsorize_by_group", "chi2_independence", "hits_scores",
+    "vocab_overlap", "ttr_by_source", "activity_gaps",
     # §2 flagship repeats (every window carries the three views + merge)
     "view_retention", "view_transactions", "view_auto_optiom",
     "merge_time_window",
@@ -5379,8 +5426,7 @@ _R11_WINDOW = [
     "weighted_sample", "agg_distinct", "agg_percentile",
     "agg_stats", "agg_string_list", "balanced_sample",
     "date_spine_gapfill", "decimal_sum_exact", "dedup_containment",
-    "embedding_near_dup", "embedding_outliers", "events_json",
-    "events_tumbling", "forward_fill",
+    "embedding_near_dup",
 ]
 _R10_WINDOW = _R11_WINDOW  # names kept so older tooling keeps working
 _R9_WINDOW = _R11_WINDOW
@@ -5723,6 +5769,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_peaks": q_local_peaks,
         "winsorize_by_group": q_winsorize_by_group,
         "chi2_independence": q_chi2_independence,
+        "hits_scores": q_hits_scores,
+        "vocab_overlap": q_vocab_overlap,
+        "ttr_by_source": q_ttr_by_source,
+        "activity_gaps": q_activity_gaps,
     }
     window = {k: q[k] for k in _R11_WINDOW}
     window.update((k, v) for k, v in q.items() if k not in window)
@@ -10458,5 +10508,64 @@ def oracle_sql() -> dict[str, str]:
                      * CAST(c.o * nn.nt - ra.rta * cb.ctb AS DOUBLE)
                      / CAST(nn.nt * ra.rta * cb.ctb AS DOUBLE), 6) AS contrib
         FROM cells c JOIN ra ON ra.a = c.a JOIN cb ON cb.b = c.b CROSS JOIN nn
+    """
+    # Unnormalized integer HITS, k=3 unrolled (operators/graph.py:
+    # hits_scores): a0 = 1, h_i = SUM a_{i-1} over out-edges,
+    # a_i = SUM h_i over in-edges — HUGEINT sums, zero floats.
+    sql["hits_scores"] = """
+        WITH edges AS (
+          SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+        h1 AS (SELECT src, CAST(COUNT(*) AS HUGEINT) AS h FROM edges GROUP BY 1),
+        a1 AS (SELECT e.dst AS dst, SUM(h1.h) AS a FROM edges e JOIN h1 ON h1.src = e.src GROUP BY 1),
+        h2 AS (SELECT e.src AS src, SUM(a1.a) AS h FROM edges e JOIN a1 ON a1.dst = e.dst GROUP BY 1),
+        a2 AS (SELECT e.dst AS dst, SUM(h2.h) AS a FROM edges e JOIN h2 ON h2.src = e.src GROUP BY 1),
+        h3 AS (SELECT e.src AS src, SUM(a2.a) AS h FROM edges e JOIN a2 ON a2.dst = e.dst GROUP BY 1),
+        a3 AS (SELECT e.dst AS dst, SUM(h3.h) AS a FROM edges e JOIN h3 ON h3.src = e.src GROUP BY 1)
+        SELECT n.node,
+               CAST(COALESCE(h3.h, 0) AS BIGINT) AS hub,
+               CAST(COALESCE(a3.a, 0) AS BIGINT) AS auth
+        FROM nodes n
+        LEFT JOIN h3 ON h3.src = n.node
+        LEFT JOIN a3 ON a3.dst = n.node
+    """
+    # Pairwise source vocabulary Jaccard over distinct token sets
+    # (operators/corpus.py:vocab_overlap).
+    sql["vocab_overlap"] = f"""
+        WITH t AS (
+          SELECT DISTINCT source AS g,
+                 unnest(string_split({_NORM}, ' ')) AS term
+          FROM documents),
+        sizes AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1),
+        inter AS (
+          SELECT a.g AS source_a, b.g AS source_b, CAST(COUNT(*) AS BIGINT) AS inter
+          FROM t a JOIN t b ON a.term = b.term AND a.g < b.g
+          GROUP BY 1, 2)
+        SELECT i.source_a, i.source_b, i.inter,
+               sa.n + sb.n - i.inter AS union_,
+               ROUND(CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.g = i.source_a
+        JOIN sizes sb ON sb.g = i.source_b
+    """
+    # Type-token ratio per source (operators/corpus.py:ttr_by_group).
+    sql["ttr_by_source"] = f"""
+        WITH t AS (
+          SELECT source, unnest(string_split({_NORM}, ' ')) AS term
+          FROM documents)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT term) AS BIGINT) AS n_types,
+               ROUND(CAST(COUNT(DISTINCT term) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS ttr
+        FROM t GROUP BY 1
+    """
+    # Inactivity gaps >= 2 days off the deduplicated activity table
+    # (operators/events.py:activity_gaps).
+    sql["activity_gaps"] = """
+        WITH a AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+        p AS (SELECT u, d, lag(d) OVER (PARTITION BY u ORDER BY d ASC) AS pd FROM a)
+        SELECT u AS user_id, pd AS gap_start, d AS gap_end,
+               CAST(date_diff('day', pd, d) AS BIGINT) AS gap_days
+        FROM p WHERE pd IS NOT NULL AND date_diff('day', pd, d) >= 2
     """
     return sql

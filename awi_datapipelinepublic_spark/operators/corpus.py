@@ -511,3 +511,99 @@ def vocab_growth(
     return cum2.select(
         "doc_id", "n_tokens", "new_types", "cum_tokens", "cum_types"
     )
+
+
+def vocab_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources: for every source
+    pair, |V_a ∩ V_b| / |V_a ∪ V_b| over their DISTINCT token sets —
+    the corpus-mixing diagnostic that says which sources duplicate
+    each other's lexicon (near-1 pairs are redundant mixture
+    components; near-0 pairs add coverage). Complements source_overlap
+    (document containment) at the vocabulary level.
+
+    Plan: tokens dedupe to (source, term) first — all pair math runs
+    on the vocabulary table, never raw tokens; the term self-join
+    fans out at most C(sources, 2) pairs PER TERM (source count is
+    contract-small), one pair groupBy with map-side combine, sizes
+    join back twice. Jaccard is one double division of exact BIGINTs.
+
+    Output: (source_a, source_b, inter BIGINT, union_ BIGINT,
+    jaccard DOUBLE) with source_a < source_b.
+    """
+    toks = df.select(
+        F.col(group_col).alias("__g"),
+        F.explode(X.tokens(X.normalize_text(text_col))).alias("term"),
+    ).distinct()
+    sizes = toks.groupBy("__g").agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    a = toks.select(F.col("__g").alias("source_a"), "term")
+    b = toks.select(F.col("__g").alias("source_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("__g", "source_a"), "source_a")
+        .withColumnRenamed("__n", "__na")
+        .join(sizes.withColumnRenamed("__g", "source_b"), "source_b")
+        .withColumnRenamed("__n", "__nb")
+        .select(
+            "source_a",
+            "source_b",
+            "inter",
+            (F.col("__na") + F.col("__nb") - F.col("inter")).alias("union_"),
+            F.round(
+                F.try_divide(
+                    F.col("inter").cast("double"),
+                    (F.col("__na") + F.col("__nb") - F.col("inter")).cast("double"),
+                ),
+                round_dp,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ttr_by_group(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Type-token ratio per group: distinct terms / total tokens —
+    the classic lexical-diversity screen (template/boilerplate
+    sources score low TTR; natural prose scores high for its size).
+    Compare :func:`vocab_growth`, which tracks the corpus-WIDE type
+    accumulation curve; this is the per-source scalar mixture reports
+    want.
+
+    One explode + two map-side-combined aggregates over the same
+    (group, term) shuffle key; the ratio is one double division of
+    exact BIGINTs. Output is group-cardinality.
+
+    Output: (group, n_tokens BIGINT, n_types BIGINT, ttr DOUBLE).
+    """
+    toks = df.select(
+        F.col(group_col),
+        F.explode(X.tokens(X.normalize_text(text_col))).alias("term"),
+    )
+    agg = toks.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.count_distinct("term").cast("bigint").alias("n_types"),
+    )
+    return agg.select(
+        group_col,
+        "n_tokens",
+        "n_types",
+        F.round(
+            F.try_divide(
+                F.col("n_types").cast("double"), F.col("n_tokens").cast("double")
+            ),
+            round_dp,
+        ).alias("ttr"),
+    )

@@ -900,3 +900,41 @@ def activity_streaks(
     return longest.groupBy("streak_days").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     )
+
+
+def activity_gaps(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    min_gap_days: int = 2,
+) -> DataFrame:
+    """Inactivity gaps per user: every pair of consecutive ACTIVE days
+    more than ``min_gap_days`` apart, with the gap length — the
+    dropout-episode report (the inverse of :func:`activity_streaks`)
+    behind re-engagement triggers and retention forensics.
+
+    Raw events dedupe to (user, day) first (the repo's activity-table
+    contract); one keyed lag off that bounded table; pure integer
+    date arithmetic. A "gap" of g days means g−1 fully inactive days
+    between the two endpoints.
+
+    Output: (user, gap_start DATE = last active day before the gap,
+    gap_end DATE = first active day after, gap_days BIGINT =
+    datediff(end, start)).
+    """
+    day = F.to_date(F.col(ts_col))
+    activity = events.select(F.col(user_col).alias("u"), day.alias("d")).distinct()
+    w = Window.partitionBy("u").orderBy(F.col("d").asc())
+    with_prev = activity.withColumn("__prev", F.lag("d").over(w))
+    return (
+        with_prev.filter(
+            F.col("__prev").isNotNull()
+            & (F.datediff(F.col("d"), F.col("__prev")) >= int(min_gap_days))
+        )
+        .select(
+            F.col("u").alias(user_col),
+            F.col("__prev").alias("gap_start"),
+            F.col("d").alias("gap_end"),
+            F.datediff(F.col("d"), F.col("__prev")).cast("bigint").alias("gap_days"),
+        )
+    )

@@ -270,6 +270,14 @@ BENCH_QUERIES = [
     "winsorize_by_group",
     # r11: chi-square independence cells
     "chi2_independence",
+    # r11: integer-exact unnormalized HITS (hub/authority)
+    "hits_scores",
+    # r11: pairwise source vocabulary Jaccard
+    "vocab_overlap",
+    # r11: type-token lexical diversity per source
+    "ttr_by_source",
+    # r11: per-user inactivity episodes
+    "activity_gaps",
 ]
 
 

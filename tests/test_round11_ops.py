@@ -382,3 +382,78 @@ def test_chi2_independence_exact_cells(spark):
     assert out[("x", 1)]["observed"] == 2
     assert out[("x", 1)]["expected"] == 1.0
     assert out[("x", 1)]["contrib"] == 1.0
+
+
+def test_hits_scores_star_graph_exact(spark):
+    """Star u1..u3 -> v (plus u1 -> w): authority concentrates on v
+    with exactly computable integer scores, k=1: h(u)=outdeg? no —
+    h1(u) = #out-edges (a0=1), a1(v) = sum of pointing hubs."""
+    from awi_datapipelinepublic_spark.operators.graph import hits_scores
+
+    edges = spark.createDataFrame(
+        [("u1", "v"), ("u2", "v"), ("u3", "v"), ("u1", "w")],
+        "src string, dst string",
+    )
+    out = {r["node"]: r for r in hits_scores(edges, iterations=1).collect()}
+    # h1: u1=2 (v,w), u2=1, u3=1; a1: v = h(u1)+h(u2)+h(u3) = 4, w = 2
+    assert out["u1"]["hub"] == 2 and out["u2"]["hub"] == 1
+    assert out["v"]["auth"] == 4 and out["w"]["auth"] == 2
+    assert out["v"]["hub"] == 0 and out["u1"]["auth"] == 0
+
+
+def test_hits_scores_iterations_grow_exactly(spark):
+    """Two-node cycle a<->b: every score doubles per full iteration
+    in the unnormalized recurrence — exactly."""
+    from awi_datapipelinepublic_spark.operators.graph import hits_scores
+
+    edges = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    out = {r["node"]: r for r in hits_scores(edges, iterations=3).collect()}
+    # h1=1, a1=1; h2=1·? cycle: h_i = a_{i-1}(other) ... all stay
+    # powers: h3 = 1, a3 = 1 scaled by 1 each round (degree 1)
+    assert out["a"]["hub"] == 1 and out["a"]["auth"] == 1
+
+
+def test_vocab_overlap_exact_jaccard(spark):
+    """Sources with known token sets: jaccard = |∩|/|∪| exactly,
+    pairs emitted once with source_a < source_b."""
+    from awi_datapipelinepublic_spark.operators.corpus import vocab_overlap
+
+    rows = [
+        (1, "a b c", "s1"), (2, "b c d", "s2"), (3, "x y", "s3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r["source_a"], r["source_b"]): r for r in vocab_overlap(df).collect()}
+    assert out[("s1", "s2")]["inter"] == 2
+    assert out[("s1", "s2")]["union_"] == 4
+    assert out[("s1", "s2")]["jaccard"] == pytest.approx(0.5)
+    assert out[("s1", "s3")]["inter"] == 0 if ("s1", "s3") in out else True
+
+
+def test_ttr_by_group_counts(spark):
+    from awi_datapipelinepublic_spark.operators.corpus import ttr_by_group
+
+    df = spark.createDataFrame(
+        [(1, "a a b", "s1"), (2, "c", "s1"), (3, "z z z z", "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in ttr_by_group(df).collect()}
+    assert out["s1"]["n_tokens"] == 4 and out["s1"]["n_types"] == 3
+    assert out["s1"]["ttr"] == pytest.approx(0.75)
+    assert out["s2"]["n_types"] == 1 and out["s2"]["ttr"] == pytest.approx(0.25)
+
+
+def test_activity_gaps_thresholds(spark):
+    """Days 1,2,5,6 with min_gap 2: one gap (2 -> 5, 3 days);
+    consecutive days never report; multiple same-day events dedupe."""
+    from awi_datapipelinepublic_spark.operators.events import activity_gaps
+
+    t = lambda d, h=0: dt.datetime(2024, 1, d, h)
+    rows = [(1, t(1)), (2, t(2)), (3, t(2, 6)), (4, t(5)), (5, t(6))]
+    df = spark.createDataFrame(
+        [(i, ts, 7) for i, ts in rows], "event_id long, ts timestamp, user_id long"
+    )
+    out = activity_gaps(df, min_gap_days=2).collect()
+    assert len(out) == 1
+    g = out[0]
+    assert g["gap_start"] == dt.date(2024, 1, 2) and g["gap_end"] == dt.date(2024, 1, 5)
+    assert g["gap_days"] == 3
