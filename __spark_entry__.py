@@ -5398,6 +5398,55 @@ def q_activity_gaps(spark, sf_dir):
     return activity_gaps(read_events(spark, sf_dir), min_gap_days=2)
 
 
+def q_attribution_time_decay(spark, sf_dir):
+    """Time-decay attribution with exact staircase half-life credit
+    10000 DIV 2^(age DIV 7) basis points (operators/events.py:
+    attribution_time_decay) — integer arithmetic end to end, no
+    float pow to drift."""
+    from awi_datapipelinepublic_spark.operators.events import attribution_time_decay
+
+    return attribution_time_decay(read_events(spark, sf_dir), halflife_days=7)
+
+
+def q_fk_orphans(spark, sf_dir):
+    """Star-schema referential-integrity audit (operators/
+    expectations.py:fk_orphans): orphan fact keys per fact->dim link
+    via left-anti joins; four relations in one report."""
+    from awi_datapipelinepublic_spark.operators.expectations import fk_orphans
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    return fk_orphans(
+        [
+            ("orders.customer", o, "o_custkey", c, "c_custkey"),
+            ("lineitem.orders", li, "l_orderkey", o, "o_orderkey"),
+            ("lineitem.part", li, "l_partkey", p, "p_partkey"),
+            ("lineitem.supplier", li, "l_suppkey", s, "s_suppkey"),
+        ]
+    )
+
+
+def q_length_histogram(spark, sf_dir):
+    """Log2-binned document-length distribution per language
+    (operators/quality.py:length_histogram): bit-length buckets via
+    base-2 string conversion (libm-free, the degree_histogram trick)."""
+    from awi_datapipelinepublic_spark.operators.quality import length_histogram
+
+    return length_histogram(_t(spark, sf_dir, "documents"), "lang", "n_chars")
+
+
+def q_recency_features(spark, sf_dir):
+    """Per-user churn-risk features: last active day, staleness vs
+    the corpus anchor, active-day count, current streak (operators/
+    events.py:recency_features)."""
+    from awi_datapipelinepublic_spark.operators.events import recency_features
+
+    return recency_features(read_events(spark, sf_dir))
+
+
 # Round-11 driver window: the driver oracle-verifies the FIRST 50
 # queries() entries each round (CORRECTNESS_r*). After r10 every one of
 # the 295 pre-r11 ids has a driver-green row; this window fronts the
@@ -5406,7 +5455,7 @@ def q_activity_gaps(spark, sf_dir):
 # signatures r5: the TPC-H tail and the r5 batch) —
 # tools/gen_window.py generates the list mechanically.
 _R11_WINDOW = [
-    # 22 round-11 additions (never driver-green): front them
+    # 26 round-11 additions (never driver-green): front them
     "rfm_segments", "theil_sen_trend", "trend_by_group",
     "attribution_position", "activity_streaks", "cdc_apply",
     "bfs_distance", "ann_mrr_eval", "dedup_keep_best",
@@ -5414,6 +5463,8 @@ _R11_WINDOW = [
     "scd2_lookup", "mutual_nn", "rank_movers", "local_peaks",
     "winsorize_by_group", "chi2_independence", "hits_scores",
     "vocab_overlap", "ttr_by_source", "activity_gaps",
+    "attribution_time_decay", "fk_orphans", "length_histogram",
+    "recency_features",
     # §2 flagship repeats (every window carries the three views + merge)
     "view_retention", "view_transactions", "view_auto_optiom",
     "merge_time_window",
@@ -5425,8 +5476,6 @@ _R11_WINDOW = [
     "tpch_q7_volume", "tpch_q8_market_share", "tpch_q9_profit",
     "weighted_sample", "agg_distinct", "agg_percentile",
     "agg_stats", "agg_string_list", "balanced_sample",
-    "date_spine_gapfill", "decimal_sum_exact", "dedup_containment",
-    "embedding_near_dup",
 ]
 _R10_WINDOW = _R11_WINDOW  # names kept so older tooling keeps working
 _R9_WINDOW = _R11_WINDOW
@@ -5773,6 +5822,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_overlap": q_vocab_overlap,
         "ttr_by_source": q_ttr_by_source,
         "activity_gaps": q_activity_gaps,
+        "attribution_time_decay": q_attribution_time_decay,
+        "fk_orphans": q_fk_orphans,
+        "length_histogram": q_length_histogram,
+        "recency_features": q_recency_features,
     }
     window = {k: q[k] for k in _R11_WINDOW}
     window.update((k, v) for k, v in q.items() if k not in window)
@@ -10567,5 +10620,76 @@ def oracle_sql() -> dict[str, str]:
         SELECT u AS user_id, pd AS gap_start, d AS gap_end,
                CAST(date_diff('day', pd, d) AS BIGINT) AS gap_days
         FROM p WHERE pd IS NOT NULL AND date_diff('day', pd, d) >= 2
+    """
+    # Staircase half-life credit in pure integers: 10000 // (1 <<
+    # (age // 7)), 63-shift clamp (operators/events.py:
+    # attribution_time_decay).
+    sql["attribution_time_decay"] = """
+        WITH conv AS (
+          SELECT user_id, MIN(ts) AS cts FROM events
+          WHERE event_type = 'purchase' GROUP BY 1),
+        t AS (
+          SELECT e.event_type AS event_type,
+                 date_diff('day', CAST(e.ts AS DATE), CAST(c.cts AS DATE)) AS age
+          FROM events e JOIN conv c ON e.user_id = c.user_id AND e.ts < c.cts
+          WHERE e.event_type IN ('click', 'view', 'signup'))
+        SELECT event_type AS touch_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+               CAST(SUM(CASE WHEN age // 7 >= 63 THEN 0
+                             ELSE 10000 // (CAST(1 AS BIGINT) << (age // 7)) END)
+                    AS BIGINT) AS credit_bp
+        FROM t GROUP BY 1
+    """
+    # Left-anti orphan counts per fact->dim link (operators/
+    # expectations.py:fk_orphans).
+    sql["fk_orphans"] = """
+        SELECT 'orders.customer' AS relation,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_fact,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+        UNION ALL
+        SELECT 'lineitem.orders',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        UNION ALL
+        SELECT 'lineitem.part',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        UNION ALL
+        SELECT 'lineitem.supplier',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+    """
+    # Log2 length bins per language via bin-string length — DuckDB
+    # bin() is unpadded like Spark conv(n,10,2) (operators/quality.py:
+    # length_histogram).
+    sql["length_histogram"] = """
+        SELECT lang,
+               CAST(CASE WHEN n_chars <= 0 THEN -1
+                         ELSE length(bin(CAST(n_chars AS BIGINT))) - 1 END AS INT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1, 2
+    """
+    # Gaps-and-islands recency features; current streak = the island
+    # holding the user's last active day (operators/events.py:
+    # recency_features).
+    sql["recency_features"] = """
+        WITH a AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+        i AS (SELECT u, d,
+                     d - CAST(ROW_NUMBER() OVER (PARTITION BY u ORDER BY d ASC) AS INT) AS isl
+              FROM a),
+        runs AS (SELECT u, isl, CAST(COUNT(*) AS BIGINT) AS len, MAX(d) AS lastd
+                 FROM i GROUP BY 1, 2),
+        pu AS (SELECT u, MAX(lastd) AS last_day,
+                      CAST(SUM(len) AS BIGINT) AS n_active_days,
+                      arg_max(len, lastd) AS current_streak
+               FROM runs GROUP BY 1),
+        an AS (SELECT MAX(last_day) AS anchor FROM pu)
+        SELECT u AS user_id, last_day,
+               CAST(date_diff('day', last_day, anchor) AS BIGINT) AS days_since,
+               n_active_days, CAST(current_streak AS BIGINT) AS current_streak
+        FROM pu, an
     """
     return sql

@@ -938,3 +938,111 @@ def activity_gaps(
             F.datediff(F.col("d"), F.col("__prev")).cast("bigint").alias("gap_days"),
         )
     )
+
+
+def attribution_time_decay(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple = ("click", "view", "signup"),
+    halflife_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-decay attribution with EXACT integer weights: each touch
+    before the user's first conversion earns
+    ``10000 DIV 2^(age_days DIV halflife_days)`` basis points — a
+    staircase half-life (credit halves every ``halflife_days`` bucket
+    of age at conversion) computed entirely in integer arithmetic, so
+    the engine and the oracle agree bit-for-bit where a float
+    ``2^(−Δt/h)`` would drift. The recency-weighted member of the
+    attribution family (:func:`attribution_last_touch` winner-takes-
+    all, :func:`attribution_position` U-shaped).
+
+    Credits are UNNORMALIZED (per-touch, not per-path shares): the
+    report ranks channels by decayed influence; per-path
+    normalization would reintroduce a rational division per path.
+    Ages ≥ 63 half-lives clamp to zero credit (shift bound). Same
+    single keyed-window plan as the position variant: no self-join,
+    one type-cardinality aggregate.
+
+    Output: (touch_type, n_touches BIGINT, credit_bp BIGINT).
+    """
+    w_user = Window.partitionBy(user_col)
+    conv_ts = F.min(
+        F.when(F.col(type_col) == conversion_type, F.col(ts_col))
+    ).over(w_user)
+    e = events.select(user_col, ts_col, id_col, type_col).withColumn(
+        "__conv_ts", conv_ts
+    )
+    touches = e.filter(
+        F.col("__conv_ts").isNotNull()
+        & F.col(type_col).isin(list(touch_types))
+        & (F.col(ts_col) < F.col("__conv_ts"))
+    ).withColumn(
+        "__age_days",
+        F.datediff(F.to_date(F.col("__conv_ts")), F.to_date(F.col(ts_col))).cast(
+            "int"
+        ),
+    )
+    h = int(halflife_days)
+    credit = F.expr(
+        f"case when (__age_days div {h}) >= 63 then cast(0 as bigint) "
+        f"else cast(10000 div shiftleft(cast(1 as bigint), "
+        f"cast(__age_days div {h} as int)) as bigint) end"
+    )
+    credited = touches.select(
+        F.col(type_col).alias("touch_type"), credit.alias("__bp")
+    )
+    return credited.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.sum("__bp").alias("credit_bp"),
+    )
+
+
+def recency_features(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user churn-risk features off the activity table: last
+    active day, staleness (days since, anchored to the corpus's max
+    active day so the feature is reproducible from the data alone),
+    total active days, and the CURRENT streak — the consecutive run
+    ending at the user's last active day (the :func:`activity_streaks`
+    island containing it). The standard re-engagement feature row.
+
+    Same gaps-and-islands machinery as activity_streaks (one keyed
+    window over the deduplicated (user, day) table, one island
+    groupBy), plus one max_by to pick each user's LAST island; the
+    global anchor is a 1-row broadcast. Pure integer date arithmetic.
+
+    Output: (user, last_day DATE, days_since BIGINT,
+    n_active_days BIGINT, current_streak BIGINT).
+    """
+    day = F.to_date(F.col(ts_col))
+    activity = events.select(F.col(user_col).alias("u"), day.alias("d")).distinct()
+    w = Window.partitionBy("u").orderBy(F.col("d").asc())
+    islands = activity.withColumn(
+        "__isl", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    runs = islands.groupBy("u", "__isl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__len"),
+        F.max("d").alias("__last"),
+    )
+    per_user = runs.groupBy("u").agg(
+        F.max("__last").alias("last_day"),
+        F.sum("__len").alias("n_active_days"),
+        F.max_by("__len", "__last").alias("current_streak"),
+    )
+    anchor = per_user.agg(F.max("last_day").alias("__anchor"))
+    return per_user.crossJoin(F.broadcast(anchor)).select(
+        F.col("u").alias(user_col),
+        "last_day",
+        F.datediff(F.col("__anchor"), F.col("last_day")).cast("bigint").alias(
+            "days_since"
+        ),
+        F.col("n_active_days").cast("bigint").alias("n_active_days"),
+        F.col("current_streak").cast("bigint").alias("current_streak"),
+    )

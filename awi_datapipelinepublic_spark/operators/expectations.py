@@ -216,3 +216,35 @@ def mutual_information(
         f"x {schema[0]}, y {schema[1]}, n_xy bigint, n_x bigint, n_y bigint, "
         "pmi_nano bigint, mi_contrib_nano bigint",
     )
+
+
+def fk_orphans(
+    pairs: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit across fact→dimension links: for
+    each named (fact, fk, dim, pk) relation, the number of fact rows
+    whose key has NO match in the dimension — the conformance check
+    every star-schema load gate runs before publishing (a non-zero
+    orphan count means a late dimension or a corrupt extract), and
+    the row-count side of what :func:`validate_expectations` checks
+    column-wise.
+
+    ``pairs`` is [(name, fact_df, fk_col, dim_df, pk_col), ...]. Each
+    relation is ONE left-anti join (hash; AQE broadcasts
+    dimension-sized builds) feeding a scalar count; relations union
+    into the report. NULL fks count as orphans (an unresolvable link
+    is a violation under this audit — filter upstream if NULLs are
+    legitimate).
+
+    Output: (relation, n_fact BIGINT, n_orphans BIGINT).
+    """
+    out = None
+    for name, fact, fk, dim, pk in pairs:
+        keys = dim.select(F.col(pk).alias("__pk")).distinct()
+        f = fact.select(F.col(fk).alias("__fk"))
+        orphans = f.join(keys, f["__fk"] == keys["__pk"], "left_anti")
+        rep = f.agg(F.count(F.lit(1)).cast("bigint").alias("n_fact")).crossJoin(
+            orphans.agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+        ).select(F.lit(name).alias("relation"), "n_fact", "n_orphans")
+        out = rep if out is None else out.unionByName(rep)
+    return out

@@ -1623,3 +1623,34 @@ def chi2_independence(
             round_dp,
         ).alias("contrib"),
     )
+
+
+def length_histogram(
+    df: DataFrame,
+    group_col: str,
+    length_col: str,
+) -> DataFrame:
+    """Log2-binned length distribution per group (language/source):
+    bucket = bit_length(length) − 1 (length 1 → 0, 2-3 → 1, 4-7 → 2,
+    …) — the one-page shape audit run before setting min/max length
+    filters, per group so a short-form language isn't filtered by a
+    long-form language's thresholds. The degree_histogram trick:
+    bit length via base-2 string conversion, because floor(log2(n))
+    through libm is ±1-ulp-unsafe at exact powers of two across
+    engines; string length cannot drift.
+
+    Pure integers; one map-side-combined groupBy; output is
+    (groups × ~64) rows. Zero/negative lengths land in bucket −1
+    (kept, flagging upstream damage rather than hiding it).
+
+    Output: (group, bucket INT, n_docs BIGINT).
+    """
+    n = F.col(length_col).cast("bigint")
+    bucket = F.when(n <= 0, F.lit(-1)).otherwise(
+        (F.length(F.conv(n.cast("string"), 10, 2)) - F.lit(1)).cast("int")
+    )
+    return (
+        df.select(F.col(group_col), bucket.alias("bucket"))
+        .groupBy(group_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )

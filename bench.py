@@ -278,6 +278,14 @@ BENCH_QUERIES = [
     "ttr_by_source",
     # r11: per-user inactivity episodes
     "activity_gaps",
+    # r11: staircase half-life attribution (integer-exact)
+    "attribution_time_decay",
+    # r11: star-schema referential-integrity audit
+    "fk_orphans",
+    # r11: log2 length bins per language
+    "length_histogram",
+    # r11: churn-risk recency features
+    "recency_features",
 ]
 
 

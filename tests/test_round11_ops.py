@@ -457,3 +457,68 @@ def test_activity_gaps_thresholds(spark):
     g = out[0]
     assert g["gap_start"] == dt.date(2024, 1, 2) and g["gap_end"] == dt.date(2024, 1, 5)
     assert g["gap_days"] == 3
+
+
+def test_attribution_time_decay_staircase(spark):
+    """Ages 0, 7, 14 days before conversion at half-life 7: credits
+    10000, 5000, 2500 bp exactly; untouched users excluded."""
+    from awi_datapipelinepublic_spark.operators.events import attribution_time_decay
+
+    t0 = dt.datetime(2024, 1, 15, 12, 0, 0)
+    rows = [
+        (1, t0 - dt.timedelta(days=14), 1, "click"),
+        (2, t0 - dt.timedelta(days=7), 1, "view"),
+        (3, t0 - dt.timedelta(hours=1), 1, "signup"),  # age 0 days
+        (4, t0, 1, "purchase"),
+        (5, t0, 2, "click"),  # user 2 never converts
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, et, 0.0, "") for i, ts, u, et in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = {r["touch_type"]: r["credit_bp"] for r in attribution_time_decay(df).collect()}
+    assert out == {"click": 2500, "view": 5000, "signup": 10000}
+
+
+def test_fk_orphans_counts(spark):
+    """One orphan fact key and one NULL fk both count; a clean link
+    reports zero."""
+    from awi_datapipelinepublic_spark.operators.expectations import fk_orphans
+
+    fact = spark.createDataFrame([(1,), (2,), (99,), (None,)], "fk int")
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    out = {r["relation"]: r for r in fk_orphans([("f.d", fact, "fk", dim, "pk")]).collect()}
+    assert out["f.d"]["n_fact"] == 4
+    assert out["f.d"]["n_orphans"] == 2  # 99 and NULL
+
+
+def test_length_histogram_buckets(spark):
+    """Lengths 1,2,3,4,8,0: buckets 0,1,1,2,3,-1 — powers of two land
+    exactly (the libm-unsafe case the string trick avoids)."""
+    from awi_datapipelinepublic_spark.operators.quality import length_histogram
+
+    df = spark.createDataFrame(
+        [("en", 1), ("en", 2), ("en", 3), ("en", 4), ("en", 8), ("en", 0)],
+        "lang string, n long",
+    )
+    out = {r["bucket"]: r["n_docs"] for r in length_histogram(df, "lang", "n").collect()}
+    assert out == {0: 1, 1: 2, 2: 1, 3: 1, -1: 1}
+
+
+def test_recency_features_current_streak(spark):
+    """User active days 1-3 and 9-10 (anchor = day 10): current
+    streak 2, active days 5, staleness 0; a stale user measures days
+    since against the same anchor."""
+    from awi_datapipelinepublic_spark.operators.events import recency_features
+
+    t = lambda d: dt.datetime(2024, 1, d)
+    rows = [(1, d) for d in (1, 2, 3, 9, 10)] + [(2, d) for d in (4, 5)]
+    df = spark.createDataFrame(
+        [(i, t(d), u) for i, (u, d) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    out = {r["user_id"]: r for r in recency_features(df).collect()}
+    assert out[1]["last_day"] == dt.date(2024, 1, 10)
+    assert out[1]["days_since"] == 0
+    assert out[1]["n_active_days"] == 5 and out[1]["current_streak"] == 2
+    assert out[2]["days_since"] == 5 and out[2]["current_streak"] == 2
