@@ -88,6 +88,9 @@ TARGETS = {
     "scd2_lookup": "Point-in-time lookup = key equi-join (hash/SMJ, AQE picks) + residual interval filter - no range-join machinery, no nested loop",
     "rfm_segments": "Customer-cardinality aggregate, then three two-pass global ranks (rangepartitioning + broadcast offsets) and a <=bins^3 census - fact never re-shuffles",
     "vocab_growth": "First-occurrence attribution (term groupBy-min) + two global_running_sum passes - both cumulatives parallel, no single-partition window over documents",
+    "hits_scores": "Unnormalized integer HITS: per-iteration edge-join + partial-agg shuffles on DECIMAL(38,0) scores - zero float accumulation in an iterative loop",
+    "attribution_time_decay": "Staircase half-life credit: one keyed window + integer shift arithmetic, no self-join, no float pow",
+    "fk_orphans": "Four left-anti joins (AQE-sized dim builds) feeding scalar counts - referential audit without shuffling fact payloads",
 }
 
 
