@@ -5292,15 +5292,16 @@ def q_mutual_nn(spark, sf_dir):
 
 
 def q_rank_movers(spark, sf_dir):
-    """Top-50 customer revenue-rank movers between the early (<=1994)
+    """Top-50 customer revenue-rank movers between the early (<=1997)
     and late order eras (operators/timeseries.py:rank_movers): ranks
     via the grouped two-pass keyed rank (period = the 2-value group),
-    top-k on the (|delta|, key) total order."""
+    top-k on the (|delta|, key) total order. The cutoff sits inside
+    the fixture's 1995-2001 date range so both eras are non-empty."""
     from awi_datapipelinepublic_spark.operators.timeseries import rank_movers
 
     o = _t(spark, sf_dir, "orders").select(
         "o_custkey",
-        F.when(F.year("o_orderdate") <= 1994, F.lit("early"))
+        F.when(F.year("o_orderdate") <= 1997, F.lit("early"))
         .otherwise(F.lit("late"))
         .alias("era"),
         F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
@@ -5450,7 +5451,7 @@ def q_recency_features(spark, sf_dir):
 # Round-11 driver window: the driver oracle-verifies the FIRST 50
 # queries() entries each round (CORRECTNESS_r*). After r10 every one of
 # the 295 pre-r11 ids has a driver-green row; this window fronts the
-# 12 round-11 additions (never driver-green), repeats the 4 §2
+# 26 round-11 additions (never driver-green), repeats the 4 §2
 # flagships, and rotates in the least-recently-signed cohort (oldest
 # signatures r5: the TPC-H tail and the r5 batch) —
 # tools/gen_window.py generates the list mechanically.
@@ -10488,7 +10489,7 @@ def oracle_sql() -> dict[str, str]:
     # (operators/timeseries.py:rank_movers).
     sql["rank_movers"] = """
         WITH agg AS (
-          SELECT CASE WHEN year(o_orderdate) <= 1994 THEN 'early' ELSE 'late' END AS p,
+          SELECT CASE WHEN year(o_orderdate) <= 1997 THEN 'early' ELSE 'late' END AS p,
                  o_custkey AS k,
                  CAST(SUM(CAST(floor(o_totalprice * 100.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)) AS BIGINT) AS v
           FROM orders GROUP BY 1, 2),

@@ -928,8 +928,11 @@ def hits_scores(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    iterations = int(iterations)
+    if iterations < 1:
+        raise ValueError(f"hits_scores needs iterations >= 1, got {iterations}")
     auth = nodes.withColumn("a", F.lit(1).cast("decimal(38,0)"))
-    for _ in range(int(iterations)):
+    for _ in range(iterations):
         hub = (
             e.join(auth, e["dst"] == auth["node"])
             .groupBy("src")
@@ -948,6 +951,10 @@ def hits_scores(
                 "node",
                 F.coalesce(F.col("a2"), F.lit(0).cast("decimal(38,0)")).alias("a"),
             )
+            # Lazy checkpoint: truncates lineage without forcing a job
+            # per iteration. A lost executor mid-chain replays from the
+            # last materialized point; for long chains (k >> 4) switch
+            # to eager=True every few iterations.
             .localCheckpoint(eager=False)
         )
         last_hub = hub

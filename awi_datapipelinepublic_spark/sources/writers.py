@@ -339,6 +339,27 @@ def _publish_locked(
         w = w.partitionBy(*partition_by)
     w.parquet(str(vdir))
     (vdir / "_SUCCESS").touch()  # belt-and-braces if the committer marker is off
+
+    def _abort_takeover() -> None:
+        # The heartbeat detected a usurper's fresh lock while we wrote:
+        # flipping the pointer now would race the usurper's publish.
+        # Strip the refused snapshot's _SUCCESS and remove the vdir so
+        # recover_table / time travel / GC treat it as crash debris —
+        # a _SUCCESS-complete unpointed snapshot would otherwise be
+        # exactly what recovery repoints to, silently publishing the
+        # version this abort refused.
+        (vdir / "_SUCCESS").unlink(missing_ok=True)
+        shutil.rmtree(vdir, ignore_errors=True)
+        raise ConcurrentPublishError(
+            f"publish lock for {target} was taken over mid-write; "
+            "refusing to flip the pointer over the new holder's publish"
+        )
+
+    if heartbeat is not None and heartbeat.lost:
+        # Checked BEFORE the legacy migration rename: in the takeover
+        # path the pre-versioning dir must stay in place at `path`, not
+        # be renamed away leaving recovery to pick our refused vdir.
+        _abort_takeover()
     if migrate_legacy:
         # Pre-versioning plain-dir table: fold it into the version
         # scheme (its _SUCCESS makes it recoverable) so the swap is a
@@ -346,15 +367,11 @@ def _publish_locked(
         # window where `path` is briefly absent; recover_table rolls it
         # forward (both snapshots are complete, newest wins).
         os.rename(target, target.parent / f".{target.name}.v-{n - 1:08d}-legacy")
-    if heartbeat is not None and heartbeat.lost:
-        # The heartbeat detected a usurper's fresh lock while we wrote:
-        # flipping the pointer now would race the usurper's publish.
-        # The snapshot we wrote is _SUCCESS-complete but unpointed —
-        # plain reclaimable garbage for the next publish's GC sweep.
-        raise ConcurrentPublishError(
-            f"publish lock for {target} was taken over mid-write; "
-            "refusing to flip the pointer over the new holder's publish"
-        )
+        if heartbeat is not None and heartbeat.lost:
+            # Takeover landed during the rename window: same abort;
+            # with the refused vdir gone, recovery repoints to the
+            # just-migrated legacy snapshot (newest complete).
+            _abort_takeover()
     _point_at(target, vdir)
     # GC: keep the pointer's target plus the newest complete snapshots
     # up to keep_versions; everything else — superseded history past

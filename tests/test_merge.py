@@ -1029,3 +1029,78 @@ def test_takeover_restore_race_preserves_holder_inode(tmp_path, monkeypatch):
     assert len(claims) == 1, "holder's inode must survive at the claim name"
     assert "token=holder" in claims[0].read_text()
     assert "token=third" in lock.read_text(), "third writer's lock untouched"
+
+
+# Round 12: ADVICE regression — a lost-heartbeat abort must not leave
+# a _SUCCESS-complete refused snapshot that recovery would publish.
+
+
+def test_lost_heartbeat_abort_removes_refused_snapshot(spark, tmp_path):
+    """After a takeover abort, the refused vdir must be gone (not a
+    recoverable snapshot): recover_table on the bare table dir must
+    find nothing to repoint to, and a later clean publish must win."""
+    import time
+
+    from awi_datapipelinepublic_spark.sources.writers import (
+        ConcurrentPublishError,
+        _publish_locked,
+    )
+
+    target = tmp_path / "t"
+    lock, token = writers._acquire_publish_lock(target)
+    df = spark.createDataFrame([(1,)], "pk long")
+    with writers._LockHeartbeat(lock, token, interval=0.05) as hb:
+        lock.unlink()
+        lock.write_text("pid=2 token=usurper\n")
+        deadline = time.time() + 3
+        while not hb.lost and time.time() < deadline:
+            time.sleep(0.05)
+        assert hb.lost
+        with pytest.raises(ConcurrentPublishError):
+            _publish_locked(df, target, None, 3, heartbeat=hb)
+    writers._release_publish_lock(lock, "usurper")
+    assert not target.exists(), "no pointer flip after a lost lock"
+    refused = [
+        d
+        for d in tmp_path.glob(".t.v-*")
+        if (d / "_SUCCESS").exists()
+    ]
+    assert refused == [], "refused snapshot must not be recovery-publishable"
+    writers.recover_table(str(target))
+    assert not target.exists(), "recovery must not resurrect the refused write"
+
+
+def test_lost_heartbeat_abort_in_legacy_migration_keeps_legacy_visible(
+    spark, tmp_path
+):
+    """Takeover abort on a pre-versioning plain-dir table: the refused
+    vdir is removed BEFORE/AFTER the legacy rename, so recovery lands
+    on the legacy data, never the refused snapshot."""
+    import time
+
+    from awi_datapipelinepublic_spark.sources.writers import (
+        ConcurrentPublishError,
+        _publish_locked,
+    )
+
+    target = tmp_path / "t"
+    spark.createDataFrame([(10,)], "pk long").write.parquet(str(target))
+    assert target.exists() and not target.is_symlink()
+
+    lock, token = writers._acquire_publish_lock(target)
+    df = spark.createDataFrame([(99,)], "pk long")
+    with writers._LockHeartbeat(lock, token, interval=0.05) as hb:
+        lock.unlink()
+        lock.write_text("pid=2 token=usurper\n")
+        deadline = time.time() + 3
+        while not hb.lost and time.time() < deadline:
+            time.sleep(0.05)
+        assert hb.lost
+        with pytest.raises(ConcurrentPublishError):
+            _publish_locked(df, target, None, 3, heartbeat=hb)
+    writers._release_publish_lock(lock, "usurper")
+    writers.recover_table(str(target))
+    rows = spark.read.parquet(str(target)).collect()
+    assert [r["pk"] for r in rows] == [10], (
+        "recovery must surface the legacy data, not the refused snapshot"
+    )

@@ -522,3 +522,12 @@ def test_recency_features_current_streak(spark):
     assert out[1]["days_since"] == 0
     assert out[1]["n_active_days"] == 5 and out[1]["current_streak"] == 2
     assert out[2]["days_since"] == 5 and out[2]["current_streak"] == 2
+
+
+def test_hits_scores_rejects_zero_iterations(spark):
+    """iterations < 1 must raise ValueError up front, not NameError."""
+    from awi_datapipelinepublic_spark.operators.graph import hits_scores
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="iterations"):
+        hits_scores(edges, iterations=0)
