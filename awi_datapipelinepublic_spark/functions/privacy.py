@@ -220,3 +220,39 @@ def t_closeness(
         "n_rows",
         F.round(tv, round_dp).alias("tv_distance"),
     ).withColumn("above_t", (F.col("tv_distance") > t).cast("int"))
+
+
+def l_diversity(
+    df,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,
+):
+    """l-diversity audit: per quasi-identifier group, the distinct
+    sensitive-value count AND the modal sensitive value's share — the
+    release gate :func:`k_anonymity` points at. A k-anonymous group
+    with one (or one dominant) sensitive value still discloses it;
+    distinct-l is the classic test, the modal count is the
+    probabilistic variant's numerator (entropy-free, so exact).
+
+    Plan: two chained groupBys on a shared key prefix — (quasi,
+    sensitive) partial-agg, then quasi — ONE shuffle keyed on the
+    quasi columns; output bounded by group cardinality. The modal
+    count uses max(struct(count)) — value-only, no tie-break needed
+    since only the count is reported.
+
+    Output: quasi_cols..., n_rows BIGINT, n_sensitive BIGINT (the
+    distinct count), top_sensitive_n BIGINT (modal value's rows),
+    at_risk INT 0/1 (n_sensitive < l).
+    """
+    per_sv = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    g = per_sv.groupBy(*quasi_cols).agg(
+        F.sum("__c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sensitive"),
+        F.max("__c").cast("bigint").alias("top_sensitive_n"),
+    )
+    return g.withColumn(
+        "at_risk", F.when(F.col("n_sensitive") < l, 1).otherwise(0).cast("int")
+    )

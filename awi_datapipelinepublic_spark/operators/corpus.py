@@ -607,3 +607,57 @@ def ttr_by_group(
             round_dp,
         ).alias("ttr"),
     )
+
+
+def char_ngram_topk(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k character n-grams per group over normalized text — the
+    language-fingerprint profile (lang-ID models, encoding-anomaly
+    detection, boilerplate signatures are all char-n-gram consumers).
+    Normalization is the shared :func:`~awi_datapipelinepublic_spark.
+    functions.text.normalize_text` contract (lowercase, collapse
+    whitespace, trim), n-grams overlap and INCLUDE spaces (word
+    boundaries are the most discriminative chars).
+
+    Plan: grams come from a Catalyst higher-order ``transform`` over
+    an index ``sequence`` (JVM-side, no Python; the transient array is
+    O(text length) per row — chunk pathological documents upstream),
+    then explode → (group, gram) partial-agg groupBy → per-group
+    rank via a WindowGroupLimit-eligible row_number ≤ k over the
+    (freq DESC, gram ASC) deterministic order. Group cardinality is
+    small (languages), but the WINDOW input is the bounded per-group
+    gram vocabulary (≤ alphabet^n), never the corpus — no
+    grouped_row_number needed.
+
+    Output: (group, gram, freq BIGINT, rank INT), rank 1..k.
+    """
+    from pyspark.sql import Window
+
+    norm = X.normalize_text(text_col)
+    grams = (
+        df.select(F.col(group_col).alias("g"), norm.alias("__t"))
+        .filter(F.length("__t") >= n)
+        .select(
+            "g",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(__t) - {n - 1}),"
+                    f" i -> substring(__t, i, {n}))"
+                )
+            ).alias("gram"),
+        )
+    )
+    counts = grams.groupBy("g", "gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    )
+    w = Window.partitionBy("g").orderBy(F.col("freq").desc(), F.col("gram").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("g").alias(group_col), "gram", "freq", F.col("rank").cast("int"))
+    )

@@ -1046,3 +1046,159 @@ def recency_features(
         F.col("n_active_days").cast("bigint").alias("n_active_days"),
         F.col("current_streak").cast("bigint").alias("current_streak"),
     )
+
+
+def km_hazard(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier life-table components over (duration, event)
+    observations: for each distinct duration t (ascending) the
+    at-risk count (durations ≥ t), the events at t, and the censored
+    at t — the survival/churn primitive. The KM survival estimate is
+    the running product of surv_num/surv_den; the PRODUCT is left to
+    the consumer (a float cumulative product is accumulation-order
+    territory) while every column here is an exact integer, so the
+    table itself is engine-reproducible.
+
+    Plan: one groupBy on duration (bounded by distinct durations —
+    days, not rows), then a single ascending cumulative-sum window
+    over that bounded axis; n_risk(t) = N − Σ_{s<t} (events+censored).
+
+    Output: (duration BIGINT, n_risk, n_event, n_censored,
+    surv_num = n_risk − n_event, surv_den = n_risk, all BIGINT).
+    """
+    e = F.col(event_col).cast("int")
+    per_t = (
+        df.select(F.col(duration_col).cast("bigint").alias("duration"), e.alias("__e"))
+        .groupBy("duration")
+        .agg(
+            F.sum("__e").cast("bigint").alias("n_event"),
+            F.sum(1 - F.col("__e")).cast("bigint").alias("n_censored"),
+        )
+    )
+    w = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, -1)
+    # the duration axis is calendar-bounded (distinct days), so the
+    # single ordered window runs over a tiny aggregate, not the fact
+    out = per_t.withColumn(
+        "n_risk",
+        F.sum(F.col("n_event") + F.col("n_censored")).over(
+            Window.orderBy("duration").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        - F.coalesce(F.sum(F.col("n_event") + F.col("n_censored")).over(w), F.lit(0)),
+    )
+    return out.select(
+        "duration",
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        "n_event",
+        "n_censored",
+        (F.col("n_risk") - F.col("n_event")).cast("bigint").alias("surv_num"),
+        F.col("n_risk").cast("bigint").alias("surv_den"),
+    )
+
+
+def new_vs_returning(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily active users split into first-ever-seen vs returning —
+    the growth-accounting daily series every product dashboard leads
+    with. A user is "new" on their first active day and "returning"
+    on every later active day.
+
+    Plan: distinct (user, day) pairs (one partial-agg shuffle), a
+    per-user min-day aggregate (same key — co-partitioned), one join
+    back on the user, then a day groupBy over the bounded calendar
+    axis. No windows over the fact.
+
+    Output: (day, active, new_users, returning BIGINT).
+    """
+    ud = events.select(
+        F.col(user_col).alias("u"), F.to_date(ts_col).alias("day")
+    ).distinct()
+    first = ud.groupBy("u").agg(F.min("day").alias("__first"))
+    return (
+        ud.join(first, "u")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("active"),
+            F.sum(F.when(F.col("day") == F.col("__first"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("new_users"),
+            F.sum(F.when(F.col("day") != F.col("__first"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("returning"),
+        )
+    )
+
+
+def repeat_rate(
+    df: DataFrame,
+    group_col: str,
+    entity_col: str,
+) -> DataFrame:
+    """Per-segment repeat rate: of the entities active in a segment,
+    the fraction with 2+ rows — the retention headline (repeat
+    purchase rate, multi-session share). Counts are exact integers;
+    the rate is one double division.
+
+    Plan: two chained groupBys on a shared key prefix — (group,
+    entity) partial-agg then group — one shuffle; output bounded by
+    segment cardinality.
+
+    Output: (group, n_entities, n_repeat BIGINT, repeat_rate DOUBLE).
+    """
+    per_e = df.groupBy(group_col, entity_col).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return per_e.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_entities"),
+        F.sum(F.when(F.col("__n") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_repeat"),
+        (
+            F.sum(F.when(F.col("__n") >= 2, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("repeat_rate"),
+    )
+
+
+def session_duration_hist(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    bin_minutes: int = 5,
+) -> DataFrame:
+    """Histogram of session durations in fixed minute bins — the
+    engagement-depth distribution over :func:`sessionize`'s output.
+    Durations are computed in exact integer MICROSECONDS
+    (unix_micros; a µs epoch is < 2⁵³ so even the double-typed
+    oracle path is exact) and binned by integer division — no float
+    anywhere, engine-reproducible.
+
+    Plan: sessionize (one shuffle on the user) then a partial-agg
+    groupBy on the bin — output bounded by bin count.
+
+    Output: (bin BIGINT — bin × bin_minutes = lower bound in
+    minutes, bin_start_min BIGINT, n_sessions BIGINT).
+    """
+    s = sessionize(events, user_col, ts_col, gap_minutes)
+    us = F.unix_micros(F.col("session_end")) - F.unix_micros(F.col("session_start"))
+    div = 60_000_000 * bin_minutes
+    # integer DIV, never float division + floor: exact at any magnitude
+    return (
+        s.select(us.alias("__us"))
+        .select(F.expr(f"CAST(__us DIV {div} AS BIGINT)").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .select(
+            "bin",
+            (F.col("bin") * bin_minutes).cast("bigint").alias("bin_start_min"),
+            "n_sessions",
+        )
+    )

@@ -966,3 +966,79 @@ def hits_scores(
         F.col("h").cast("bigint").alias("hub"),
         F.col("a").cast("bigint").alias("auth"),
     )
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    max_hops: int = 4,
+    scale: int = 840,
+) -> DataFrame:
+    """Bounded-hop harmonic centrality for a SEED SET: per seed,
+    Σ_{v reachable, v≠seed} 1/d(seed, v), hops capped at
+    ``max_hops`` — the "how central are these candidate hubs"
+    ranking (influencer shortlists, mirror-placement, seed QA).
+    Computed in SCALED INTEGERS: each term is ``scale DIV d`` (the
+    default 840 = lcm(1..8) divides evenly for every d ≤ 8), so the
+    score is an exact BIGINT — no float harmonic sum, no
+    accumulation order, engine-reproducible.
+
+    Plan: the multi-source BFS of :func:`bfs_distance` with the seed
+    id CARRIED through the frontier — state is (seed, node, dist),
+    O(seeds × reached); per level one shuffled equi-join on the node
+    id plus a (seed, node) anti-join against the visited set, each
+    localCheckpoint-ed (lineage would double per hop). Meant for a
+    SHORTLIST of seeds (10s-100s): per-seed state multiplies, which
+    is the explicit contract — all-nodes centrality is a different
+    algorithm (HyperBall), not a bigger seed list.
+
+    Output: (seed, n_reached BIGINT — nodes within max_hops
+    excluding the seed, harmonic BIGINT — Σ scale DIV d).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = (
+        e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionAll(e.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .localCheckpoint()
+    )
+    visited = (
+        seeds.select(F.col(seed_col).alias("seed"))
+        .distinct()
+        .withColumn("node", F.col("seed"))
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = visited
+    for hop in range(1, int(max_hops) + 1):
+        nxt = (
+            frontier.join(adj, frontier["node"] == adj["a"])
+            .select("seed", F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("seed", "node"), ["seed", "node"], "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    reached = visited.filter(F.col("dist") > 0)
+    term = F.lit(int(scale)).cast("bigint")
+    return (
+        reached.withColumn("__t", F.expr(f"CAST({int(scale)} DIV dist AS BIGINT)"))
+        .groupBy("seed")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+            F.sum("__t").cast("bigint").alias("harmonic"),
+        )
+    )

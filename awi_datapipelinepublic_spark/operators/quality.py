@@ -1654,3 +1654,125 @@ def length_histogram(
         .groupBy(group_col, "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
+
+
+def simpson_diversity(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+) -> DataFrame:
+    """Per-group Simpson diversity of a categorical column: the
+    probability two draws WITHOUT replacement differ in category —
+    1 − Σ c·(c−1) / (n·(n−1)) — the concentration-free twin of
+    entropy that needs NO logarithm, so it is cross-engine exact:
+    counts stay integers end-to-end and the only float ops are one
+    division and one subtraction on identical operands (behavioral
+    breadth per user, source mix per shard, label balance per split).
+
+    Plan: two chained groupBys on a shared key prefix — (group, cat)
+    partial-agg then group partial-agg — one shuffle keyed on the
+    group column; no window, no collect. Sums are DECIMAL(38,0):
+    c·(c−1) for a 10¹⁰-row group is 10²⁰, past BIGINT.
+
+    Output: (group, n BIGINT, pair_same DECIMAL — Σc(c−1),
+    diversity DOUBLE); groups with n < 2 report NULL diversity.
+    """
+    c = F.count(F.lit(1)).cast("decimal(38,0)")
+    per_cat = df.groupBy(group_col, cat_col).agg(c.alias("__c"))
+    g = per_cat.groupBy(group_col).agg(
+        F.sum("__c").cast("bigint").alias("n"),
+        F.sum(F.col("__c") * (F.col("__c") - 1)).alias("pair_same"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    return g.select(
+        group_col,
+        "n",
+        "pair_same",
+        F.when(
+            F.col("n") >= 2,
+            F.lit(1.0)
+            - F.col("pair_same").cast("double")
+            / (n * (n - 1)).cast("double"),
+        ).alias("diversity"),
+    )
+
+
+def odds_ratio(
+    df: DataFrame,
+    group_col: str,
+    exposure: "F.Column",
+    outcome: "F.Column",
+) -> DataFrame:
+    """Per-group 2×2 odds ratio of a boolean outcome vs a boolean
+    exposure: OR = (a·d)/(b·c) with a = exposed∧outcome, b =
+    exposed∧¬outcome, c = ¬exposed∧outcome, d = neither — the
+    epidemiology / feature-association primitive. The four cells are
+    exact BIGINT conditional counts in ONE pass (no joins, no
+    pivots); the ratio is one double division of two exact integer
+    products, so it is engine-reproducible.
+
+    Output: (group, a, b, c, d, or_num, or_den BIGINT,
+    odds_ratio DOUBLE — NULL when b·c = 0).
+    """
+    e = exposure.cast("boolean")
+    o = outcome.cast("boolean")
+    cell = lambda p: F.sum(F.when(p, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    g = df.groupBy(group_col).agg(
+        cell(e & o).alias("a"),
+        cell(e & ~o).alias("b"),
+        cell(~e & o).alias("c"),
+        cell(~e & ~o).alias("d"),
+    )
+    return g.select(
+        group_col,
+        "a",
+        "b",
+        "c",
+        "d",
+        (F.col("a") * F.col("d")).alias("or_num"),
+        (F.col("b") * F.col("c")).alias("or_den"),
+        F.when(
+            F.col("b") * F.col("c") > 0,
+            (F.col("a") * F.col("d")).cast("double")
+            / (F.col("b") * F.col("c")).cast("double"),
+        ).alias("odds_ratio"),
+    )
+
+
+def dispersion_index(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key index of dispersion (variance-to-mean ratio) of an
+    integer series — D ≫ 1 flags bursty/overdispersed processes
+    (crawler traffic, event floods), D ≈ 1 is Poisson-like. Exact by
+    construction: with S = Σx and Q = Σx², sample variance/mean =
+    (n·Q − S²) / ((n−1)·S), so both numerator and denominator are
+    integers (DECIMAL(38,0) — S² for cent-scale series overflows
+    BIGINT) and the only float op is one division.
+
+    Plan: one partial-agg groupBy shuffle on the key; no window.
+    Output: (key, n BIGINT, sum_x, d_num, d_den DECIMAL,
+    dispersion DOUBLE — NULL when n < 2 or S = 0).
+    """
+    x = F.col(value_col).cast("decimal(38,0)")
+    g = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).alias("sum_x"),
+        F.sum(x * x).alias("sum_x2"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    d_num = (n * F.col("sum_x2") - F.col("sum_x") * F.col("sum_x"))
+    d_den = ((n - 1) * F.col("sum_x"))
+    return g.select(
+        key_col,
+        "n",
+        F.col("sum_x").cast("bigint").alias("sum_x"),
+        d_num.alias("d_num"),
+        d_den.alias("d_den"),
+        F.when(
+            (F.col("n") >= 2) & (F.col("sum_x") != 0),
+            d_num.cast("double") / d_den.cast("double"),
+        ).alias("dispersion"),
+    )

@@ -815,3 +815,31 @@ def unimax_weights(
             F.col("quota").cast("double") / F.lit(float(int(total_budget))), 6
         ).alias("weight"),
     )
+
+
+def systematic_sample(
+    df: DataFrame,
+    order_by: list,
+    k: int,
+    id_out: str = "rn",
+) -> DataFrame:
+    """Every-k-th-row systematic sample over a deterministic total
+    order: rank the frame, keep ranks 1, k+1, 2k+1, … — the
+    evenly-spaced n/k subset auditors and eyeball-QA passes want
+    (a hash sample clusters by chance; systematic sampling is
+    variance-free along the sort axis).
+
+    Plan: ranks come from the two-pass range-partition
+    :func:`~awi_datapipelinepublic_spark.operators.windows.
+    global_row_number` (no single-partition window), then a filter —
+    the modulo predicate is codegen-resident, so the sample never
+    materializes the full ranked frame beyond the scan.
+
+    Output: the sampled rows plus their global rank in ``id_out``.
+    """
+    from awi_datapipelinepublic_spark.operators.windows import global_row_number
+
+    if k < 1:
+        raise ValueError(f"systematic_sample needs k >= 1, got {k}")
+    ranked = global_row_number(df, order_by, out_col=id_out)
+    return ranked.filter((F.col(id_out) - 1) % k == 0)

@@ -847,3 +847,191 @@ def local_peaks(
         "value",
         (F.col("value") - F.greatest("__prev", "__next")).alias("prominence"),
     )
+
+
+def kendall_tau(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    max_points: int = 100_000,
+) -> DataFrame:
+    """Kendall rank correlation (tau-b) between two integer series:
+    concordant / discordant / tied pair counts over all point pairs,
+    then tau_b = (C − D) / √((n₀−Tx)·(n₀−Ty)) with n₀ = n(n−1)/2.
+    The pair-counting twin of :func:`spearman` — robust to monotone
+    transforms and EXACT up to the final two float ops (one sqrt —
+    IEEE correctly rounded — and one division) because every count is
+    an integer.
+
+    DECLARED QUADRATIC: the self-join is O(n²) pairs and is meant for
+    CALENDAR-BOUNDED series (daily/hourly aggregates — n is fixed by
+    the time range, not fact volume; 10 years of days is 6.7M pairs).
+    Refuses above ``max_points`` rather than silently exploding; use
+    a coarser grain instead of raising the cap.
+
+    Output: one row — (n, n_pairs, concordant, discordant, ties_x,
+    ties_y BIGINT, tau_b DOUBLE).
+    """
+    pts = df.select(
+        F.col(id_col).alias("i"),
+        F.col(x_col).cast("bigint").alias("x"),
+        F.col(y_col).cast("bigint").alias("y"),
+    )
+    n_rows = pts.count()
+    if n_rows > max_points:
+        raise ValueError(
+            f"kendall_tau is quadratic by design: {n_rows} points > "
+            f"max_points={max_points}; aggregate to a coarser grain first"
+        )
+    a, b = pts.alias("a"), pts.alias("b")
+    pairs = a.join(b, F.col("a.i") < F.col("b.i"))
+    dx = F.col("b.x") - F.col("a.x")
+    dy = F.col("b.y") - F.col("a.y")
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when((dx > 0) & (dy > 0) | (dx < 0) & (dy < 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("concordant"),
+        F.sum(F.when((dx > 0) & (dy < 0) | (dx < 0) & (dy > 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("discordant"),
+        F.sum(F.when(dx == 0, 1).otherwise(0)).cast("bigint").alias("ties_x"),
+        F.sum(F.when(dy == 0, 1).otherwise(0)).cast("bigint").alias("ties_y"),
+    )
+    return agg.select(
+        F.lit(n_rows).cast("bigint").alias("n"),
+        "n_pairs",
+        "concordant",
+        "discordant",
+        "ties_x",
+        "ties_y",
+        F.when(
+            (F.col("n_pairs") > F.col("ties_x"))
+            & (F.col("n_pairs") > F.col("ties_y")),
+            (F.col("concordant") - F.col("discordant")).cast("double")
+            / F.sqrt(
+                (
+                    (F.col("n_pairs") - F.col("ties_x"))
+                    * (F.col("n_pairs") - F.col("ties_y"))
+                ).cast("double")
+            ),
+        ).alias("tau_b"),
+    )
+
+
+def growth_decomposition(
+    df: DataFrame,
+    group_col: str,
+    period_col: str,
+    value_col: str,
+    period_a,
+    period_b,
+) -> DataFrame:
+    """Contribution-to-growth decomposition between two periods: per
+    segment, the value in each period, the delta, and the segment's
+    share of the TOTAL delta — "which segment drove the change" —
+    with Σ share = 1 by construction. Values are exact integers; the
+    share is one double division against the broadcast total.
+
+    Plan: one conditional-sum groupBy on the segment (both periods in
+    one pass — no self-join), then a broadcast crossJoin of the
+    1-row total. Output: (group, v_a, v_b, delta BIGINT,
+    delta_share DOUBLE — NULL when the total delta is 0).
+    """
+    v = F.col(value_col).cast("bigint")
+    p = F.col(period_col)
+    per = df.groupBy(group_col).agg(
+        F.sum(F.when(p == period_a, v).otherwise(0)).cast("bigint").alias("v_a"),
+        F.sum(F.when(p == period_b, v).otherwise(0)).cast("bigint").alias("v_b"),
+    )
+    per = per.withColumn("delta", F.col("v_b") - F.col("v_a"))
+    tot = per.agg(F.sum("delta").cast("bigint").alias("__tot"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            "v_a",
+            "v_b",
+            "delta",
+            F.when(
+                F.col("__tot") != 0,
+                F.col("delta").cast("double") / F.col("__tot").cast("double"),
+            ).alias("delta_share"),
+        )
+    )
+
+
+def linear_interpolate(
+    df: DataFrame,
+    key_col: str,
+    date_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Gap-filling by linear interpolation: per key, build the daily
+    spine between the key's first and last observed day and fill each
+    missing day from its two bracketing observations — v₀ + (v₁−v₀)·
+    (d−d₀)/(d₁−d₀) — the time-series twin of :func:`date_spine`'s
+    forward-fill. Exact-reproducible: values are integer units, the
+    bracketing is the count-of-non-null segment trick (no IGNORE
+    NULLS dialect dependence), and the interpolation is three float
+    ops on exact integers written identically in any engine.
+
+    Plan: the observed series is a partial-agg groupBy; the spine is
+    sequence+explode per key (O(days) rows, calendar-bounded); both
+    windows are keyed by (key) over the calendar axis — bounded
+    partitions, never fact-bounded.
+
+    Output: (key, day, value BIGINT — observed, interp DOUBLE —
+    observed value or the interpolated fill).
+    """
+    obs = df.select(
+        F.col(key_col).alias("k"),
+        F.to_date(date_col).alias("day"),
+        F.col(value_col).cast("bigint").alias("v"),
+    )
+    span = obs.groupBy("k").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = span.select(
+        "k", F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    j = spine.join(obs, ["k", "day"], "left")
+    w = Window.partitionBy("k").orderBy("day")
+    # segment id = count of observations so far → the last observed
+    # (day, v) at-or-before each spine day, portable across engines
+    seg = F.sum(F.when(F.col("v").isNotNull(), 1).otherwise(0)).over(w)
+    j = j.withColumn("__seg", seg)
+    prev = (
+        j.filter(F.col("v").isNotNull())
+        .select(
+            "k",
+            F.col("__seg").alias("__seg"),
+            F.col("day").alias("__pd"),
+            F.col("v").alias("__pv"),
+        )
+    )
+    nxt = prev.select(
+        "k",
+        (F.col("__seg") - 1).alias("__seg"),
+        F.col("__pd").alias("__nd"),
+        F.col("__pv").alias("__nv"),
+    )
+    out = (
+        j.join(prev, ["k", "__seg"], "left")
+        .join(nxt, ["k", "__seg"], "left")
+        .select(
+            F.col("k").alias(key_col),
+            "day",
+            F.col("v").alias("value"),
+            F.when(F.col("v").isNotNull(), F.col("v").cast("double"))
+            .otherwise(
+                F.col("__pv").cast("double")
+                + (
+                    (F.col("__nv") - F.col("__pv"))
+                    * F.datediff(F.col("day"), F.col("__pd"))
+                ).cast("double")
+                / F.datediff(F.col("__nd"), F.col("__pd")).cast("double")
+            )
+            .alias("interp"),
+        )
+    )
+    return out
