@@ -5448,40 +5448,293 @@ def q_recency_features(spark, sf_dir):
     return recency_features(read_events(spark, sf_dir))
 
 
-# Round-11 driver window: the driver oracle-verifies the FIRST 50
-# queries() entries each round (CORRECTNESS_r*). After r10 every one of
-# the 295 pre-r11 ids has a driver-green row; this window fronts the
-# 26 round-11 additions (never driver-green), repeats the 4 §2
+def q_simpson_diversity(spark, sf_dir):
+    """Per-user Simpson diversity of event types (operators/
+    quality.py:simpson_diversity): log-free behavioral breadth —
+    counts stay integers, the only float ops are one division and one
+    subtraction on identical operands."""
+    from awi_datapipelinepublic_spark.operators.quality import simpson_diversity
+
+    out = simpson_diversity(read_events(spark, sf_dir), "user_id", "event_type")
+    return out.select(
+        "user_id",
+        "n",
+        F.col("pair_same").cast("bigint").alias("pair_same"),
+        "diversity",
+    )
+
+
+def q_odds_ratio(spark, sf_dir):
+    """Odds of a return for discounted vs undiscounted lines per
+    status (operators/quality.py:odds_ratio): four exact conditional
+    counts in one pass, OR = one double division of integer
+    products."""
+    from awi_datapipelinepublic_spark.operators.quality import odds_ratio
+
+    return odds_ratio(
+        _t(spark, sf_dir, "lineitem"),
+        "l_linestatus",
+        F.col("l_discount") >= 0.05,
+        F.col("l_returnflag") == "R",
+    )
+
+
+def q_dispersion_index(spark, sf_dir):
+    """Variance-to-mean ratio of order price cents per priority
+    (operators/quality.py:dispersion_index): DECIMAL(38,0) moment
+    sums — n·Σx² − (Σx)² overflows BIGINT at cent scale — surfaced
+    as exact-integer-valued doubles plus one division."""
+    from awi_datapipelinepublic_spark.operators.quality import dispersion_index
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    out = dispersion_index(o, "o_orderpriority", "cents")
+    return out.select(
+        "o_orderpriority",
+        "n",
+        "sum_x",
+        F.col("d_num").cast("double").alias("d_num"),
+        F.col("d_den").cast("double").alias("d_den"),
+        "dispersion",
+    )
+
+
+def q_kendall_tau(spark, sf_dir):
+    """Kendall tau-b between daily order count and daily revenue
+    cents (operators/timeseries.py:kendall_tau): concordant/
+    discordant/tie pair counts over the calendar-bounded daily
+    series — exact integers, one sqrt + one division at the end."""
+    from awi_datapipelinepublic_spark.operators.timeseries import kendall_tau
+
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    return kendall_tau(daily, "n_orders", "cents", "day")
+
+
+def q_growth_decomposition(spark, sf_dir):
+    """Which market segment drove the 1997→1998 revenue change
+    (operators/timeseries.py:growth_decomposition): per-segment
+    deltas in exact cents, share = one double division against the
+    broadcast total."""
+    from awi_datapipelinepublic_spark.operators.timeseries import (
+        growth_decomposition,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    df = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "c_mktsegment",
+        F.year("o_orderdate").alias("yr"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return growth_decomposition(df, "c_mktsegment", "yr", "cents", 1997, 1998)
+
+
+def q_linear_interpolate(spark, sf_dir):
+    """Daily revenue per priority with gaps linearly interpolated
+    (operators/timeseries.py:linear_interpolate): sequence+explode
+    spine, segment-trick bracketing (dialect-free), the fill is three
+    float ops on exact integer cents."""
+    from awi_datapipelinepublic_spark.operators.timeseries import linear_interpolate
+
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    return linear_interpolate(daily, "prio", "day", "v")
+
+
+def q_l_diversity(spark, sf_dir):
+    """l-diversity audit of order priorities within (status, year)
+    quasi-identifier groups (functions/privacy.py:l_diversity):
+    distinct + modal sensitive counts, at_risk INT flag."""
+    from awi_datapipelinepublic_spark.functions.privacy import l_diversity
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.year("o_orderdate").alias("yr"),
+        "o_orderpriority",
+    )
+    return l_diversity(o, ["o_orderstatus", "yr"], "o_orderpriority", l=3)
+
+
+def q_systematic_sample(spark, sf_dir):
+    """Every-20th order along the (price DESC, key ASC) total order
+    (operators/sampling.py:systematic_sample): ranks via the two-pass
+    range-partition global rank, never a single-partition window."""
+    from awi_datapipelinepublic_spark.operators.sampling import systematic_sample
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return systematic_sample(
+        o, [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 20
+    )
+
+
+def q_km_hazard(spark, sf_dir):
+    """Kaplan-Meier life-table for days from first to second order
+    per customer, censored at the corpus max date (operators/
+    events.py:km_hazard): all columns exact integers; the survival
+    product is left to the consumer by design."""
+    from awi_datapipelinepublic_spark.operators.events import km_hazard
+
+    o = _t(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.min(F.to_date("o_orderdate")).alias("d1")
+    )
+    second = (
+        o.join(first, "o_custkey")
+        .filter(F.to_date("o_orderdate") > F.col("d1"))
+        .groupBy("o_custkey")
+        .agg(F.min(F.to_date("o_orderdate")).alias("d2"))
+    )
+    horizon = o.agg(F.max(F.to_date("o_orderdate")).alias("dmax"))
+    obs = (
+        first.join(second, "o_custkey", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("d2").isNotNull(), F.datediff(F.col("d2"), F.col("d1"))
+            )
+            .otherwise(F.datediff(F.col("dmax"), F.col("d1")))
+            .alias("dur"),
+            F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    return km_hazard(obs, "dur", "ev")
+
+
+def q_new_vs_returning(spark, sf_dir):
+    """Daily active users split first-ever vs returning (operators/
+    events.py:new_vs_returning): distinct user-days, min-day join,
+    calendar-bounded day aggregate."""
+    from awi_datapipelinepublic_spark.operators.events import new_vs_returning
+
+    return new_vs_returning(read_events(spark, sf_dir))
+
+
+def q_repeat_rate(spark, sf_dir):
+    """Within-year repeat-purchase rate per market segment
+    (operators/events.py:repeat_rate): exact entity counts, one
+    double division."""
+    from awi_datapipelinepublic_spark.operators.events import repeat_rate
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    df = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "c_mktsegment", F.year("o_orderdate").alias("yr"), "o_custkey"
+    )
+    return repeat_rate(df, ["c_mktsegment", "yr"], "o_custkey")
+
+
+def q_session_duration_hist(spark, sf_dir):
+    """Session-duration histogram in 5-minute bins (operators/
+    events.py:session_duration_hist): durations in exact integer
+    microseconds, binned by integer DIV — float-free."""
+    from awi_datapipelinepublic_spark.operators.events import session_duration_hist
+
+    return session_duration_hist(
+        read_events(spark, sf_dir), gap_minutes=30, bin_minutes=5
+    )
+
+
+def q_harmonic_centrality(spark, sf_dir):
+    """Bounded-hop harmonic centrality of a seed shortlist over the
+    deterministic customer chain graph (operators/graph.py:
+    harmonic_centrality): seed-carried BFS, scaled-integer 840 DIV d
+    terms — no float harmonic sum; the oracle replays it as a
+    seed-keyed bounded recursive CTE."""
+    from awi_datapipelinepublic_spark.operators.graph import harmonic_centrality
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    edges = (
+        c.alias("a")
+        .join(c.alias("b"), F.col("a.c_custkey") + 1 == F.col("b.c_custkey"))
+        .filter(F.col("a.c_custkey") % 5 != 4)
+        .select(
+            F.col("a.c_custkey").alias("src"), F.col("b.c_custkey").alias("dst")
+        )
+    )
+    seeds = c.filter(F.col("c_custkey") % 100 == 0).select(
+        F.col("c_custkey").alias("node")
+    )
+    return harmonic_centrality(edges, seeds, max_hops=4)
+
+
+def q_char_ngram_topk(spark, sf_dir):
+    """Top-20 character trigrams per language over normalized text
+    (operators/corpus.py:char_ngram_topk): Catalyst higher-order
+    transform, WindowGroupLimit-ranked (freq DESC, gram ASC)."""
+    from awi_datapipelinepublic_spark.operators.corpus import char_ngram_topk
+
+    return char_ngram_topk(
+        _t(spark, sf_dir, "documents"), "lang", "text", n=3, k=20
+    )
+
+
+# Round-12 driver window: the driver oracle-verifies the FIRST 50
+# queries() entries each round (CORRECTNESS_r*). After r11 every one of
+# the 321 pre-r12 ids has a driver-green row; this window fronts the
+# 14 round-12 additions (never driver-green), repeats the 4 §2
 # flagships, and rotates in the least-recently-signed cohort (oldest
-# signatures r5: the TPC-H tail and the r5 batch) —
-# tools/gen_window.py generates the list mechanically.
-_R11_WINDOW = [
-    # 26 round-11 additions (never driver-green): front them
-    "rfm_segments", "theil_sen_trend", "trend_by_group",
-    "attribution_position", "activity_streaks", "cdc_apply",
-    "bfs_distance", "ann_mrr_eval", "dedup_keep_best",
-    "trimmed_mean", "quantile_mapping", "vocab_growth",
-    "scd2_lookup", "mutual_nn", "rank_movers", "local_peaks",
-    "winsorize_by_group", "chi2_independence", "hits_scores",
-    "vocab_overlap", "ttr_by_source", "activity_gaps",
-    "attribution_time_decay", "fk_orphans", "length_histogram",
-    "recency_features",
+# signatures r5) — tools/gen_window.py generates the list mechanically.
+_R12_WINDOW = [
+    # 14 round-12 additions (never driver-green): front them
+    "simpson_diversity", "odds_ratio", "dispersion_index",
+    "kendall_tau", "growth_decomposition", "linear_interpolate",
+    "l_diversity", "systematic_sample", "km_hazard",
+    "new_vs_returning", "repeat_rate", "session_duration_hist",
+    "harmonic_centrality", "char_ngram_topk",
     # §2 flagship repeats (every window carries the three views + merge)
     "view_retention", "view_transactions", "view_auto_optiom",
     "merge_time_window",
     # staleness rotation: least-recently driver-green (r5 cohort)
-    "tpch_q18_large_orders", "tpch_q19_brackets",
-    "tpch_q1_pricing", "tpch_q20_promo_suppliers", "tpch_q21_waiting_suppliers",
-    "tpch_q22_prospects", "tpch_q2_min_cost", "tpch_q3_topk",
-    "tpch_q4_priority", "tpch_q5_revenue", "tpch_q6_forecast",
-    "tpch_q7_volume", "tpch_q8_market_share", "tpch_q9_profit",
-    "weighted_sample", "agg_distinct", "agg_percentile",
-    "agg_stats", "agg_string_list", "balanced_sample",
+    "date_spine_gapfill", "decimal_sum_exact", "dedup_containment",
+    "embedding_near_dup", "embedding_outliers", "events_json",
+    "events_tumbling", "forward_fill", "fuzzy_join_blocked",
+    "hll_incremental", "intersect_all", "join_anti",
+    "join_semi", "kmeans_clusters", "knn_join_ivf",
+    "knn_join_lsh", "lang_id", "lateral_topk",
+    "pii_counts", "pii_redact", "pivot_status",
+    "quality_score", "quantile_bins", "repetition_stats",
+    "resample_ohlc", "rollup_agg", "scan_binaryfile",
+    "scan_jsonl", "scan_orc", "scan_pysource",
+    "semantic_dedup", "set_except",
 ]
-_R10_WINDOW = _R11_WINDOW  # names kept so older tooling keeps working
-_R9_WINDOW = _R11_WINDOW
-_R8_WINDOW = _R11_WINDOW
-_R7_WINDOW = _R11_WINDOW
+_R11_WINDOW = _R12_WINDOW  # names kept so older tooling keeps working
+_R10_WINDOW = _R12_WINDOW
+_R9_WINDOW = _R12_WINDOW
+_R8_WINDOW = _R12_WINDOW
+_R7_WINDOW = _R12_WINDOW
 
 
 # Gates that drain a Structured Streaming query (writeStream +
@@ -5827,8 +6080,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_orphans": q_fk_orphans,
         "length_histogram": q_length_histogram,
         "recency_features": q_recency_features,
+        "simpson_diversity": q_simpson_diversity,
+        "odds_ratio": q_odds_ratio,
+        "dispersion_index": q_dispersion_index,
+        "kendall_tau": q_kendall_tau,
+        "growth_decomposition": q_growth_decomposition,
+        "linear_interpolate": q_linear_interpolate,
+        "l_diversity": q_l_diversity,
+        "systematic_sample": q_systematic_sample,
+        "km_hazard": q_km_hazard,
+        "new_vs_returning": q_new_vs_returning,
+        "repeat_rate": q_repeat_rate,
+        "session_duration_hist": q_session_duration_hist,
+        "harmonic_centrality": q_harmonic_centrality,
+        "char_ngram_topk": q_char_ngram_topk,
     }
-    window = {k: q[k] for k in _R11_WINDOW}
+    window = {k: q[k] for k in _R12_WINDOW}
     window.update((k, v) for k, v in q.items() if k not in window)
     return window
 
@@ -10692,5 +10959,288 @@ def oracle_sql() -> dict[str, str]:
                CAST(date_diff('day', last_day, anchor) AS BIGINT) AS days_since,
                n_active_days, CAST(current_streak AS BIGINT) AS current_streak
         FROM pu, an
+    """
+    # ---- Round 12 oracles -------------------------------------------------
+    # Simpson diversity per user: integer pair counts, one division +
+    # one subtraction (operators/quality.py:simpson_diversity).
+    sql["simpson_diversity"] = """
+        WITH pc AS (
+          SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        g AS (
+          SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+                 CAST(SUM(c * (c - 1)) AS BIGINT) AS pair_same
+          FROM pc GROUP BY 1)
+        SELECT user_id, n, pair_same,
+               CASE WHEN n >= 2 THEN
+                 1.0::DOUBLE - CAST(pair_same AS DOUBLE)
+                               / CAST(n * (n - 1) AS DOUBLE)
+               END AS diversity
+        FROM g
+    """
+    # 2x2 odds ratio per line status: exposure = discount >= 0.05,
+    # outcome = returned (operators/quality.py:odds_ratio).
+    sql["odds_ratio"] = """
+        WITH g AS (
+          SELECT l_linestatus,
+            CAST(SUM(CASE WHEN l_discount >= 0.05::DOUBLE AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+            CAST(SUM(CASE WHEN l_discount >= 0.05::DOUBLE AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS b,
+            CAST(SUM(CASE WHEN l_discount < 0.05::DOUBLE AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c,
+            CAST(SUM(CASE WHEN l_discount < 0.05::DOUBLE AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS d
+          FROM lineitem GROUP BY 1)
+        SELECT l_linestatus, a, b, c, d,
+               CAST(a * d AS BIGINT) AS or_num,
+               CAST(b * c AS BIGINT) AS or_den,
+               CASE WHEN b * c > 0 THEN
+                 CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE)
+               END AS odds_ratio
+        FROM g
+    """
+    # Variance-to-mean ratio of price cents per priority: HUGEINT
+    # moment sums mirror the engine's DECIMAL(38,0) — both exact, both
+    # cast to DOUBLE once (operators/quality.py:dispersion_index).
+    sql["dispersion_index"] = """
+        WITH o AS (
+          SELECT o_orderpriority,
+                 CAST(floor(o_totalprice * 100.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS c
+          FROM orders),
+        g AS (
+          SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(c::HUGEINT) AS s, SUM(c::HUGEINT * c::HUGEINT) AS q
+          FROM o GROUP BY 1)
+        SELECT o_orderpriority, n, CAST(s AS BIGINT) AS sum_x,
+               CAST(n::HUGEINT * q - s * s AS DOUBLE) AS d_num,
+               CAST((n::HUGEINT - 1) * s AS DOUBLE) AS d_den,
+               CASE WHEN n >= 2 AND s <> 0 THEN
+                 CAST(n::HUGEINT * q - s * s AS DOUBLE)
+                 / CAST((n::HUGEINT - 1) * s AS DOUBLE)
+               END AS dispersion
+        FROM g
+    """
+    # Kendall tau-b between daily order count and revenue cents:
+    # pair-concordance counts over the calendar-bounded daily series
+    # (operators/timeseries.py:kendall_tau).
+    sql["kendall_tau"] = """
+        WITH d AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS x,
+                 CAST(SUM(CAST(floor(o_totalprice * 100.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)) AS BIGINT) AS y
+          FROM orders GROUP BY 1),
+        p AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+            CAST(SUM(CASE WHEN (b.x > a.x AND b.y > a.y) OR (b.x < a.x AND b.y < a.y) THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+            CAST(SUM(CASE WHEN (b.x > a.x AND b.y < a.y) OR (b.x < a.x AND b.y > a.y) THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+            CAST(SUM(CASE WHEN b.x = a.x THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
+            CAST(SUM(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) AS BIGINT) AS ties_y
+          FROM d a JOIN d b ON a.day < b.day),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d)
+        SELECT nn.n AS n, p.n_pairs, p.concordant, p.discordant,
+               p.ties_x, p.ties_y,
+               CASE WHEN p.n_pairs > p.ties_x AND p.n_pairs > p.ties_y THEN
+                 CAST(p.concordant - p.discordant AS DOUBLE)
+                 / sqrt(CAST((p.n_pairs - p.ties_x) * (p.n_pairs - p.ties_y) AS DOUBLE))
+               END AS tau_b
+        FROM p, nn
+    """
+    # Per-segment contribution to the 1997->1998 revenue delta
+    # (operators/timeseries.py:growth_decomposition).
+    sql["growth_decomposition"] = """
+        WITH j AS (
+          SELECT c_mktsegment, year(o_orderdate) AS yr,
+                 CAST(floor(o_totalprice * 100.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS cents
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+        per AS (
+          SELECT c_mktsegment,
+            CAST(SUM(CASE WHEN yr = 1997 THEN cents ELSE 0 END) AS BIGINT) AS v_a,
+            CAST(SUM(CASE WHEN yr = 1998 THEN cents ELSE 0 END) AS BIGINT) AS v_b
+          FROM j GROUP BY 1),
+        pd AS (SELECT c_mktsegment, v_a, v_b,
+                      CAST(v_b - v_a AS BIGINT) AS delta FROM per),
+        t AS (SELECT CAST(SUM(delta) AS BIGINT) AS tot FROM pd)
+        SELECT c_mktsegment, v_a, v_b, delta,
+               CASE WHEN tot <> 0 THEN
+                 CAST(delta AS DOUBLE) / CAST(tot AS DOUBLE)
+               END AS delta_share
+        FROM pd, t
+    """
+    # Daily revenue per priority, gaps linearly interpolated via the
+    # segment-count bracketing trick — no IGNORE NULLS dialect
+    # dependence (operators/timeseries.py:linear_interpolate).
+    sql["linear_interpolate"] = """
+        WITH daily AS (
+          SELECT o_orderpriority AS k, CAST(o_orderdate AS DATE) AS day,
+                 CAST(SUM(CAST(floor(o_totalprice * 100.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)) AS BIGINT) AS v
+          FROM orders GROUP BY 1, 2),
+        span AS (SELECT k, MIN(day) AS dlo, MAX(day) AS dhi FROM daily GROUP BY 1),
+        spine AS (
+          SELECT k, CAST(unnest(generate_series(dlo::TIMESTAMP, dhi::TIMESTAMP, INTERVAL 1 DAY)) AS DATE) AS day
+          FROM span),
+        j AS (
+          SELECT s.k AS k, s.day AS day, d.v AS v
+          FROM spine s LEFT JOIN daily d ON d.k = s.k AND d.day = s.day),
+        seg AS (
+          SELECT k, day, v,
+                 SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY k ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sg
+          FROM j),
+        obs AS (SELECT k, sg, day AS pd, v AS pv FROM seg WHERE v IS NOT NULL),
+        nx AS (SELECT k, sg - 1 AS sg, pd AS nd, pv AS nv FROM obs)
+        SELECT s.k AS prio, s.day AS day, s.v AS value,
+               CASE WHEN s.v IS NOT NULL THEN CAST(s.v AS DOUBLE)
+                    ELSE CAST(o.pv AS DOUBLE)
+                         + CAST((nx.nv - o.pv) * date_diff('day', o.pd, s.day) AS DOUBLE)
+                           / CAST(date_diff('day', o.pd, nx.nd) AS DOUBLE)
+               END AS interp
+        FROM seg s
+        LEFT JOIN obs o ON o.k = s.k AND o.sg = s.sg
+        LEFT JOIN nx ON nx.k = s.k AND nx.sg = s.sg
+    """
+    # l-diversity audit of priorities within (status, year) QI groups
+    # (functions/privacy.py:l_diversity).
+    sql["l_diversity"] = """
+        WITH pc AS (
+          SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS yr,
+                 o_orderpriority, CAST(COUNT(*) AS BIGINT) AS c
+          FROM orders GROUP BY 1, 2, 3)
+        SELECT o_orderstatus, yr, CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_sensitive,
+               CAST(MAX(c) AS BIGINT) AS top_sensitive_n,
+               CAST(CASE WHEN COUNT(*) < 3 THEN 1 ELSE 0 END AS INT) AS at_risk
+        FROM pc GROUP BY 1, 2
+    """
+    # Every-20th order along the (price DESC, key ASC) total order
+    # (operators/sampling.py:systematic_sample).
+    sql["systematic_sample"] = """
+        SELECT o_orderkey, o_totalprice, rn FROM (
+          SELECT o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders) t
+        WHERE (rn - 1) % 20 = 0
+    """
+    # Kaplan-Meier life table of days from first to second order,
+    # censored at the corpus max date (operators/events.py:km_hazard).
+    sql["km_hazard"] = """
+        WITH fo AS (
+          SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS d1
+          FROM orders GROUP BY 1),
+        so AS (
+          SELECT o.o_custkey AS o_custkey, MIN(CAST(o.o_orderdate AS DATE)) AS d2
+          FROM orders o JOIN fo f ON o.o_custkey = f.o_custkey
+          WHERE CAST(o.o_orderdate AS DATE) > f.d1 GROUP BY 1),
+        h AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS dmax FROM orders),
+        obs AS (
+          SELECT CASE WHEN s.d2 IS NOT NULL THEN date_diff('day', f.d1, s.d2)
+                      ELSE date_diff('day', f.d1, h.dmax) END AS dur,
+                 CASE WHEN s.d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+          FROM fo f LEFT JOIN so s ON f.o_custkey = s.o_custkey, h),
+        per AS (
+          SELECT CAST(dur AS BIGINT) AS duration,
+                 CAST(SUM(ev) AS BIGINT) AS n_event,
+                 CAST(SUM(1 - ev) AS BIGINT) AS n_censored
+          FROM obs GROUP BY 1),
+        t AS (SELECT CAST(SUM(n_event + n_censored) AS BIGINT) AS tot FROM per)
+        SELECT duration, n_risk, n_event, n_censored,
+               CAST(n_risk - n_event AS BIGINT) AS surv_num,
+               n_risk AS surv_den
+        FROM (
+          SELECT duration, n_event, n_censored,
+                 CAST(tot - COALESCE(SUM(n_event + n_censored)
+                   OVER (ORDER BY duration
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS n_risk
+          FROM per, t) z
+    """
+    # Daily new vs returning active users (operators/events.py:
+    # new_vs_returning). "returning" is quoted: DuckDB keyword.
+    sql["new_vs_returning"] = """
+        WITH ud AS (
+          SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events),
+        f AS (SELECT u, MIN(day) AS fd FROM ud GROUP BY 1)
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS active,
+               CAST(SUM(CASE WHEN day = fd THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+               CAST(SUM(CASE WHEN day <> fd THEN 1 ELSE 0 END) AS BIGINT) AS "returning"
+        FROM ud JOIN f ON ud.u = f.u GROUP BY 1
+    """
+    # Within-year repeat-purchase rate per segment (operators/
+    # events.py:repeat_rate).
+    sql["repeat_rate"] = """
+        WITH j AS (
+          SELECT c_mktsegment, CAST(year(o_orderdate) AS INT) AS yr, o_custkey
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+        pe AS (
+          SELECT c_mktsegment, yr, o_custkey, COUNT(*) AS n
+          FROM j GROUP BY 1, 2, 3)
+        SELECT c_mktsegment, yr, CAST(COUNT(*) AS BIGINT) AS n_entities,
+               CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat,
+               CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS repeat_rate
+        FROM pe GROUP BY 1, 2
+    """
+    # Session-duration histogram: the events_session boundary CTE,
+    # then exact-microsecond durations binned by integer division
+    # (operators/events.py:session_duration_hist).
+    sql["session_duration_hist"] = """
+        WITH g AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
+        s AS (
+          SELECT user_id, ts,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                  ROWS UNBOUNDED PRECEDING) AS session_no
+          FROM g),
+        sess AS (
+          SELECT user_id, session_no, MIN(ts) AS st, MAX(ts) AS en
+          FROM s GROUP BY 1, 2),
+        d AS (SELECT (epoch_us(en) - epoch_us(st)) // 300000000 AS bin FROM sess)
+        SELECT CAST(bin AS BIGINT) AS bin,
+               CAST(bin * 5 AS BIGINT) AS bin_start_min,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions
+        FROM d GROUP BY 1, 2
+    """
+    # Seed-keyed bounded BFS -> scaled-integer harmonic sums: the
+    # bfs_distance recursive CTE carrying the seed id (operators/
+    # graph.py:harmonic_centrality).
+    sql["harmonic_centrality"] = """
+        WITH RECURSIVE
+        edges AS (
+          SELECT a.c_custkey AS src, b.c_custkey AS dst
+          FROM customer a JOIN customer b ON a.c_custkey + 1 = b.c_custkey
+          WHERE a.c_custkey % 5 <> 4),
+        sym AS (SELECT src, dst FROM edges
+                UNION SELECT dst AS src, src AS dst FROM edges),
+        walk AS (
+          SELECT c_custkey AS seed, c_custkey AS node, 0 AS dist
+          FROM customer WHERE c_custkey % 100 = 0
+          UNION
+          SELECT w.seed AS seed, s.dst AS node, w.dist + 1 AS dist
+          FROM walk w JOIN sym s ON s.src = w.node
+          WHERE w.dist < 4),
+        md AS (SELECT seed, node, MIN(dist) AS dist FROM walk GROUP BY 1, 2)
+        SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_reached,
+               CAST(SUM(840 // dist) AS BIGINT) AS harmonic
+        FROM md WHERE dist > 0 GROUP BY 1
+    """
+    # Top-20 character trigrams per language over normalized text
+    # (operators/corpus.py:char_ngram_topk).
+    sql["char_ngram_topk"] = f"""
+        WITH nt AS (SELECT lang, {_NORM} AS t FROM documents),
+        grams AS (
+          SELECT lang,
+                 unnest(list_transform(range(1, length(t) - 1),
+                        i -> substring(t, i, 3))) AS gram
+          FROM nt WHERE length(t) >= 3),
+        cnt AS (
+          SELECT lang, gram, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM grams GROUP BY 1, 2)
+        SELECT lang, gram, freq, CAST(rnk AS INT) AS rank FROM (
+          SELECT lang, gram, freq,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY freq DESC, gram ASC) AS rnk
+          FROM cnt) t
+        WHERE rnk <= 20
     """
     return sql

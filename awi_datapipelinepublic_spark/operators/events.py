@@ -1138,7 +1138,7 @@ def new_vs_returning(
 
 def repeat_rate(
     df: DataFrame,
-    group_col: str,
+    group_cols,
     entity_col: str,
 ) -> DataFrame:
     """Per-segment repeat rate: of the entities active in a segment,
@@ -1150,12 +1150,13 @@ def repeat_rate(
     entity) partial-agg then group — one shuffle; output bounded by
     segment cardinality.
 
-    Output: (group, n_entities, n_repeat BIGINT, repeat_rate DOUBLE).
+    Output: (group..., n_entities, n_repeat BIGINT, repeat_rate DOUBLE).
     """
-    per_e = df.groupBy(group_col, entity_col).agg(
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    per_e = df.groupBy(*groups, entity_col).agg(
         F.count(F.lit(1)).alias("__n")
     )
-    return per_e.groupBy(group_col).agg(
+    return per_e.groupBy(*groups).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_entities"),
         F.sum(F.when(F.col("__n") >= 2, 1).otherwise(0))
         .cast("bigint")

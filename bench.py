@@ -286,6 +286,34 @@ BENCH_QUERIES = [
     "length_histogram",
     # r11: churn-risk recency features
     "recency_features",
+    # r12: per-user Simpson diversity (log-free)
+    "simpson_diversity",
+    # r12: 2x2 odds ratio per line status
+    "odds_ratio",
+    # r12: variance-to-mean ratio (DECIMAL moments)
+    "dispersion_index",
+    # r12: Kendall tau-b over the daily series (calendar-bounded pairs)
+    "kendall_tau",
+    # r12: per-segment contribution to the period delta
+    "growth_decomposition",
+    # r12: daily spine + linear interpolation
+    "linear_interpolate",
+    # r12: l-diversity privacy audit
+    "l_diversity",
+    # r12: every-k-th systematic sample (two-pass global rank)
+    "systematic_sample",
+    # r12: Kaplan-Meier life-table components
+    "km_hazard",
+    # r12: daily new vs returning actives
+    "new_vs_returning",
+    # r12: within-year repeat-purchase rate
+    "repeat_rate",
+    # r12: session-duration histogram (integer-microsecond bins)
+    "session_duration_hist",
+    # r12: seed-carried BFS harmonic centrality (scaled integers)
+    "harmonic_centrality",
+    # r12: top char trigrams per language
+    "char_ngram_topk",
 ]
 
 
