@@ -5701,19 +5701,112 @@ def q_char_ngram_topk(spark, sf_dir):
     )
 
 
+def q_quartile_skew(spark, sf_dir):
+    """Bowley quartile skewness of line price cents per returnflag
+    (operators/quality.py:quartile_skew): quartiles at pure-integer
+    ranks on the grouped two-pass parallel rank; one division."""
+    from awi_datapipelinepublic_spark.operators.quality import quartile_skew
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        .cast("bigint")
+        .alias("lid"),
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return quartile_skew(li, "l_returnflag", "cents", "lid")
+
+
+def q_iqr_outliers(spark, sf_dir):
+    """Tukey-fence outlier census of line price cents per returnflag
+    (operators/quality.py:iqr_outliers): integer 2x vs 2·q±3·IQR
+    comparisons — the 1.5 never becomes a float."""
+    from awi_datapipelinepublic_spark.operators.quality import iqr_outliers
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        .cast("bigint")
+        .alias("lid"),
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return iqr_outliers(li, "l_returnflag", "cents", "lid")
+
+
+def q_capture_recapture(spark, sf_dir):
+    """Lincoln-Petersen active-user population estimate from the
+    first two event weeks (operators/quality.py:capture_recapture):
+    exact capture counts, one double division."""
+    from awi_datapipelinepublic_spark.operators.quality import capture_recapture
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    a = ev.filter(F.col("day") <= F.lit("2024-01-07").cast("date"))
+    b = ev.filter(
+        (F.col("day") >= F.lit("2024-01-08").cast("date"))
+        & (F.col("day") <= F.lit("2024-01-14").cast("date"))
+    )
+    return capture_recapture(a, b, "user_id")
+
+
+def q_chao1_richness(spark, sf_dir):
+    """Chao1 unseen-vocabulary estimate + Good-Turing singleton share
+    per language (operators/corpus.py:chao1_richness): frequency-of-
+    frequencies rollup, fixed float formulas on exact integers."""
+    from awi_datapipelinepublic_spark.operators.corpus import chao1_richness
+
+    return chao1_richness(_t(spark, sf_dir, "documents"), "lang", "text")
+
+
+def q_auc_eval(spark, sf_dir):
+    """Exact ROC-AUC of order value predicting URGENT priority
+    (operators/quality.py:auc_eval): Mann-Whitney U with doubled
+    midranks — integers end-to-end, one division; the running rank
+    rides the two-pass global running sum."""
+    from awi_datapipelinepublic_spark.operators.quality import auc_eval
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        "o_orderpriority",
+    )
+    return auc_eval(o, "cents", F.col("o_orderpriority") == "1-URGENT")
+
+
+def q_split_gini(spark, sf_dir):
+    """Gini impurity of returnflag on each side of the discount
+    >= 0.05 split (operators/quality.py:split_gini): exact class
+    counts, one division + one subtraction per side."""
+    from awi_datapipelinepublic_spark.operators.quality import split_gini
+
+    return split_gini(
+        _t(spark, sf_dir, "lineitem"),
+        F.col("l_discount") >= 0.05,
+        "l_returnflag",
+    )
+
+
 # Round-12 driver window: the driver oracle-verifies the FIRST 50
 # queries() entries each round (CORRECTNESS_r*). After r11 every one of
 # the 321 pre-r12 ids has a driver-green row; this window fronts the
-# 14 round-12 additions (never driver-green), repeats the 4 §2
+# 20 round-12 additions (never driver-green), repeats the 4 §2
 # flagships, and rotates in the least-recently-signed cohort (oldest
 # signatures r5) — tools/gen_window.py generates the list mechanically.
 _R12_WINDOW = [
-    # 14 round-12 additions (never driver-green): front them
+    # 20 round-12 additions (never driver-green): front them
     "simpson_diversity", "odds_ratio", "dispersion_index",
     "kendall_tau", "growth_decomposition", "linear_interpolate",
     "l_diversity", "systematic_sample", "km_hazard",
     "new_vs_returning", "repeat_rate", "session_duration_hist",
-    "harmonic_centrality", "char_ngram_topk",
+    "harmonic_centrality", "char_ngram_topk", "quartile_skew",
+    "iqr_outliers", "capture_recapture", "chao1_richness",
+    "auc_eval", "split_gini",
     # §2 flagship repeats (every window carries the three views + merge)
     "view_retention", "view_transactions", "view_auto_optiom",
     "merge_time_window",
@@ -5726,9 +5819,7 @@ _R12_WINDOW = [
     "knn_join_lsh", "lang_id", "lateral_topk",
     "pii_counts", "pii_redact", "pivot_status",
     "quality_score", "quantile_bins", "repetition_stats",
-    "resample_ohlc", "rollup_agg", "scan_binaryfile",
-    "scan_jsonl", "scan_orc", "scan_pysource",
-    "semantic_dedup", "set_except",
+    "resample_ohlc", "rollup_agg",
 ]
 _R11_WINDOW = _R12_WINDOW  # names kept so older tooling keeps working
 _R10_WINDOW = _R12_WINDOW
@@ -6094,6 +6185,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_duration_hist": q_session_duration_hist,
         "harmonic_centrality": q_harmonic_centrality,
         "char_ngram_topk": q_char_ngram_topk,
+        "quartile_skew": q_quartile_skew,
+        "iqr_outliers": q_iqr_outliers,
+        "capture_recapture": q_capture_recapture,
+        "chao1_richness": q_chao1_richness,
+        "auc_eval": q_auc_eval,
+        "split_gini": q_split_gini,
     }
     window = {k: q[k] for k in _R12_WINDOW}
     window.update((k, v) for k, v in q.items() if k not in window)
@@ -11242,5 +11339,136 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY freq DESC, gram ASC) AS rnk
           FROM cnt) t
         WHERE rnk <= 20
+    """
+    # Bowley quartile skew per returnflag: quartile values at the
+    # pure-integer ranks 1 + ((n-1)i) DIV 4 over the (value, id)
+    # total order (operators/quality.py:quartile_skew).
+    sql["quartile_skew"] = """
+        WITH li AS (
+          SELECT l_returnflag AS g,
+                 CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
+                 CAST(floor(l_extendedprice * 100.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS v
+          FROM lineitem),
+        r AS (SELECT g, v,
+                     ROW_NUMBER() OVER (PARTITION BY g ORDER BY v ASC, id ASC) AS rn
+              FROM li),
+        nn AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM li GROUP BY 1),
+        q AS (
+          SELECT r.g AS g, nn.n AS n,
+            CAST(MAX(CASE WHEN rn = 1 + ((n - 1) * 1) // 4 THEN v END) AS BIGINT) AS q1,
+            CAST(MAX(CASE WHEN rn = 1 + ((n - 1) * 2) // 4 THEN v END) AS BIGINT) AS q2,
+            CAST(MAX(CASE WHEN rn = 1 + ((n - 1) * 3) // 4 THEN v END) AS BIGINT) AS q3
+          FROM r JOIN nn ON r.g = nn.g GROUP BY 1, 2)
+        SELECT g AS l_returnflag, n, q1, q2, q3,
+               CASE WHEN q3 <> q1 THEN
+                 CAST(q3 + q1 - 2 * q2 AS DOUBLE) / CAST(q3 - q1 AS DOUBLE)
+               END AS skew
+        FROM q
+    """
+    # Tukey-fence census per returnflag: integer 2x vs 2q±3·IQR
+    # comparisons (operators/quality.py:iqr_outliers).
+    sql["iqr_outliers"] = """
+        WITH li AS (
+          SELECT l_returnflag AS g,
+                 CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
+                 CAST(floor(l_extendedprice * 100.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS v
+          FROM lineitem),
+        r AS (SELECT g, v,
+                     ROW_NUMBER() OVER (PARTITION BY g ORDER BY v ASC, id ASC) AS rn
+              FROM li),
+        nn AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM li GROUP BY 1),
+        q AS (
+          SELECT r.g AS g, nn.n AS n,
+            CAST(MAX(CASE WHEN rn = 1 + ((n - 1) * 1) // 4 THEN v END) AS BIGINT) AS q1,
+            CAST(MAX(CASE WHEN rn = 1 + ((n - 1) * 3) // 4 THEN v END) AS BIGINT) AS q3
+          FROM r JOIN nn ON r.g = nn.g GROUP BY 1, 2),
+        cen AS (
+          SELECT li.g AS g,
+            CAST(SUM(CASE WHEN 2 * v < 2 * q1 - 3 * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+            CAST(SUM(CASE WHEN 2 * v > 2 * q3 + 3 * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+          FROM li JOIN q ON li.g = q.g GROUP BY 1)
+        SELECT q.g AS l_returnflag, q.n, q.q1, q.q3,
+               CAST(q.q3 - q.q1 AS BIGINT) AS iqr, cen.n_low, cen.n_high,
+               CAST(cen.n_low + cen.n_high AS DOUBLE) / CAST(q.n AS DOUBLE) AS outlier_rate
+        FROM q JOIN cen ON q.g = cen.g
+    """
+    # Lincoln-Petersen estimate from the first two event weeks
+    # (operators/quality.py:capture_recapture).
+    sql["capture_recapture"] = """
+        WITH a AS (SELECT DISTINCT user_id FROM events
+                   WHERE CAST(ts AS DATE) <= DATE '2024-01-07'),
+        b AS (SELECT DISTINCT user_id FROM events
+              WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
+                AND CAST(ts AS DATE) <= DATE '2024-01-14'),
+        na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a FROM a),
+        nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b FROM b),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_both
+              FROM a JOIN b ON a.user_id = b.user_id)
+        SELECT n_a, n_b, n_both,
+               CAST(n_a + n_b - n_both AS BIGINT) AS n_observed,
+               CASE WHEN n_both > 0 THEN
+                 CAST(n_a * n_b AS DOUBLE) / CAST(n_both AS DOUBLE)
+               END AS estimate
+        FROM na, nb, m
+    """
+    # Chao1 unseen-vocabulary estimate per language over the shared
+    # normalize+split tokenization (operators/corpus.py:
+    # chao1_richness).
+    sql["chao1_richness"] = f"""
+        WITH toks AS (SELECT lang, unnest({_TOKS}) AS term FROM documents),
+        tc AS (SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS c
+               FROM toks GROUP BY 1, 2),
+        g AS (
+          SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS vocab,
+                 CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+                 CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+          FROM tc GROUP BY 1)
+        SELECT lang, n_tokens, vocab, f1, f2,
+               CAST(vocab AS DOUBLE)
+                 + CAST(f1 * (f1 - 1) AS DOUBLE) / CAST(2 * (f2 + 1) AS DOUBLE) AS chao1,
+               CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS singleton_share
+        FROM g
+    """
+    # Mann-Whitney exact AUC with doubled midranks (operators/
+    # quality.py:auc_eval): does order value predict URGENT priority.
+    sql["auc_eval"] = """
+        WITH per AS (
+          SELECT CAST(floor(o_totalprice * 100.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS score,
+                 CAST(COUNT(*) AS BIGINT) AS c,
+                 CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS cp
+          FROM orders GROUP BY 1),
+        run AS (
+          SELECT score, c, cp,
+                 SUM(c) OVER (ORDER BY score ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM per),
+        agg AS (
+          SELECT CAST(SUM(cp) AS BIGINT) AS n_pos,
+                 CAST(SUM(c) - SUM(cp) AS BIGINT) AS n_neg,
+                 CAST(SUM(cp * (2 * cum - c + 1)) AS BIGINT) AS sum2mid
+          FROM run)
+        SELECT n_pos, n_neg,
+               CAST(sum2mid - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+               CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                 CAST(sum2mid - n_pos * (n_pos + 1) AS DOUBLE)
+                 / CAST(2 * n_pos * n_neg AS DOUBLE)
+               END AS auc
+        FROM agg
+    """
+    # Gini impurity per side of the discount split (operators/
+    # quality.py:split_gini).
+    sql["split_gini"] = """
+        WITH per AS (
+          SELECT CASE WHEN l_discount >= 0.05::DOUBLE THEN 1 ELSE 0 END AS side,
+                 l_returnflag AS cl, CAST(COUNT(*) AS BIGINT) AS n
+          FROM lineitem GROUP BY 1, 2),
+        g AS (
+          SELECT side, CAST(SUM(n) AS BIGINT) AS n,
+                 CAST(SUM(n * n) AS BIGINT) AS sum_c2
+          FROM per GROUP BY 1)
+        SELECT CAST(side AS INT) AS side, n, sum_c2,
+               1.0::DOUBLE - CAST(sum_c2 AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini
+        FROM g
     """
     return sql

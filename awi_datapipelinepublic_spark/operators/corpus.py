@@ -661,3 +661,54 @@ def char_ngram_topk(
         .filter(F.col("rank") <= k)
         .select(F.col("g").alias(group_col), "gram", "freq", F.col("rank").cast("int"))
     )
+
+
+def chao1_richness(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Chao1 vocabulary-richness estimate per group: V̂ = V +
+    f₁(f₁−1) / (2(f₂+1)) from the singleton/doubleton frequency-of-
+    frequencies — "how much vocabulary have we NOT crawled yet", the
+    coverage-planning twin of :func:`vocab_growth`; plus the
+    Good-Turing singleton share f₁/N (the probability the next token
+    is unseen). Every count is an exact integer; each estimate is a
+    fixed two-or-three-float-op formula on those integers.
+
+    Plan: token counts per (group, term) — one shuffle with map-side
+    combine — then a frequency-of-frequencies rollup per group
+    (bounded by distinct counts, tiny). Tokenization is the shared
+    normalize+split contract (:func:`vocab_overlap`).
+
+    Output: (group, n_tokens, vocab, f1, f2 BIGINT, chao1 DOUBLE,
+    singleton_share DOUBLE)."""
+    tc = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.explode(X.tokens(X.normalize_text(text_col))).alias("term"),
+        )
+        .groupBy("__g", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    g = tc.groupBy("__g").agg(
+        F.sum("__c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum(F.when(F.col("__c") == 1, 1).otherwise(0)).cast("bigint").alias("f1"),
+        F.sum(F.when(F.col("__c") == 2, 1).otherwise(0)).cast("bigint").alias("f2"),
+    )
+    return g.select(
+        F.col("__g").alias(group_col),
+        "n_tokens",
+        "vocab",
+        "f1",
+        "f2",
+        (
+            F.col("vocab").cast("double")
+            + (F.col("f1") * (F.col("f1") - 1)).cast("double")
+            / (2 * (F.col("f2") + 1)).cast("double")
+        ).alias("chao1"),
+        (F.col("f1").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "singleton_share"
+        ),
+    )

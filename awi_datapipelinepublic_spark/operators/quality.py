@@ -1776,3 +1776,282 @@ def dispersion_index(
             d_num.cast("double") / d_den.cast("double"),
         ).alias("dispersion"),
     )
+
+
+def grouped_quartiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact per-group quartile VALUES at pure-integer ranks — the
+    value at rank 1 + ((n−1)·i) DIV 4 of the (value, id) total order
+    for i = 1, 2, 3 (the "lower" convention; no interpolation, no
+    NTILE engine-convention hazard). The shared kernel behind
+    :func:`quartile_skew` and :func:`iqr_outliers`.
+
+    Plan: ranks via the range-partitioned
+    :func:`~awi_datapipelinepublic_spark.operators.windows.
+    grouped_row_number` — per-group rank selection that stays
+    PARALLEL for low-cardinality groups (the r11 trimmed_mean
+    lesson) — then three rank-equality joins against the broadcast
+    per-group count table.
+
+    Output: (group, n BIGINT, q1, q2, q3 BIGINT — quartile values).
+    """
+    from awi_datapipelinepublic_spark.operators.windows import grouped_row_number
+
+    v = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("bigint").alias("__v"),
+        F.col(id_col).alias("__id"),
+    )
+    ranked = grouped_row_number(
+        v, ["__g"], [F.col("__v").asc(), F.col("__id").asc()], out_col="__qrn"
+    )
+    counts = v.groupBy("__g").agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    j = ranked.join(F.broadcast(counts), "__g")
+    # integer DIV, not float /: the three target ranks
+    q = j.withColumn(
+        "__r1", F.expr("CAST(1 + ((__n - 1) * 1) DIV 4 AS BIGINT)")
+    ).withColumn(
+        "__r2", F.expr("CAST(1 + ((__n - 1) * 2) DIV 4 AS BIGINT)")
+    ).withColumn(
+        "__r3", F.expr("CAST(1 + ((__n - 1) * 3) DIV 4 AS BIGINT)")
+    )
+    return (
+        q.filter(
+            (F.col("__qrn") == F.col("__r1"))
+            | (F.col("__qrn") == F.col("__r2"))
+            | (F.col("__qrn") == F.col("__r3"))
+        )
+        .groupBy("__g")
+        .agg(
+            F.max("__n").alias("n"),
+            F.max(F.when(F.col("__qrn") == F.col("__r1"), F.col("__v"))).alias("q1"),
+            F.max(F.when(F.col("__qrn") == F.col("__r2"), F.col("__v"))).alias("q2"),
+            F.max(F.when(F.col("__qrn") == F.col("__r3"), F.col("__v"))).alias("q3"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            "n",
+            F.col("q1").cast("bigint").alias("q1"),
+            F.col("q2").cast("bigint").alias("q2"),
+            F.col("q3").cast("bigint").alias("q3"),
+        )
+    )
+
+
+def quartile_skew(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Bowley (quartile) skewness per group: (q3 + q1 − 2·q2) /
+    (q3 − q1) — the outlier-robust skew measure; quartiles are exact
+    integer rank picks (:func:`grouped_quartiles`), so the only
+    float op is one division of two exact integers.
+
+    Output: (group, n, q1, q2, q3 BIGINT, skew DOUBLE — NULL when
+    q3 = q1)."""
+    q = grouped_quartiles(df, group_col, value_col, id_col)
+    return q.select(
+        group_col,
+        "n",
+        "q1",
+        "q2",
+        "q3",
+        F.when(
+            F.col("q3") != F.col("q1"),
+            (F.col("q3") + F.col("q1") - 2 * F.col("q2")).cast("double")
+            / (F.col("q3") - F.col("q1")).cast("double"),
+        ).alias("skew"),
+    )
+
+
+def iqr_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Tukey-fence outlier census per group: values beyond
+    q1 − 1.5·IQR / q3 + 1.5·IQR, counted with PURE INTEGER
+    comparisons (2x < 2·q1 − 3·IQR avoids the 1.5 float entirely) —
+    the boxplot-whisker audit, engine-exact.
+
+    Plan: :func:`grouped_quartiles` (two-pass parallel ranks), then
+    one broadcast join of the tiny per-group fence table back onto
+    the fact and a partial-agg count — the fact is scanned twice
+    total (once for ranks, once for the census), never sorted twice.
+
+    Output: (group, n BIGINT, q1, q3, iqr BIGINT, n_low, n_high
+    BIGINT, outlier_rate DOUBLE)."""
+    q = grouped_quartiles(df, group_col, value_col, id_col).withColumn(
+        "iqr", (F.col("q3") - F.col("q1")).cast("bigint")
+    )
+    v = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("bigint").alias("__v"),
+    )
+    j = v.join(
+        F.broadcast(q.select(F.col(group_col).alias("__g"), "q1", "q3", "iqr")),
+        "__g",
+    )
+    low = 2 * F.col("__v") < 2 * F.col("q1") - 3 * F.col("iqr")
+    high = 2 * F.col("__v") > 2 * F.col("q3") + 3 * F.col("iqr")
+    cen = j.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(low, 1).otherwise(0)).cast("bigint").alias("n_low"),
+        F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("n_high"),
+    )
+    return (
+        cen.join(q.select(group_col, "q1", "q3", "iqr"), cen["__g"] == F.col(group_col))
+        .select(
+            group_col,
+            "n",
+            "q1",
+            "q3",
+            "iqr",
+            "n_low",
+            "n_high",
+            (
+                (F.col("n_low") + F.col("n_high")).cast("double")
+                / F.col("n").cast("double")
+            ).alias("outlier_rate"),
+        )
+    )
+
+
+def capture_recapture(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_col: str,
+) -> DataFrame:
+    """Lincoln-Petersen population estimate from two overlapping
+    captures: N̂ = n₁·n₂ / m (m = keys seen in both) — "how big is
+    the true corpus/user base given two partial crawls". Counts are
+    exact; the estimate is one double division of integer products.
+
+    Plan: two distinct-key aggregates plus one equi-join intersect
+    count — three partial-agg shuffles on the key, output is one row.
+
+    Output: (n_a, n_b, n_both, n_observed BIGINT, estimate DOUBLE —
+    NULL when the overlap is empty)."""
+    a = df_a.select(F.col(key_col).alias("__k")).distinct()
+    b = df_b.select(F.col(key_col).alias("__k")).distinct()
+    na = a.agg(F.count(F.lit(1)).cast("bigint").alias("n_a"))
+    nb = b.agg(F.count(F.lit(1)).cast("bigint").alias("n_b"))
+    m = a.join(b, "__k").agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    return (
+        na.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "n_a",
+            "n_b",
+            "n_both",
+            (F.col("n_a") + F.col("n_b") - F.col("n_both")).alias("n_observed"),
+            F.when(
+                F.col("n_both") > 0,
+                (F.col("n_a") * F.col("n_b")).cast("double")
+                / F.col("n_both").cast("double"),
+            ).alias("estimate"),
+        )
+    )
+
+
+def split_gini(
+    df: DataFrame,
+    split: "F.Column",
+    class_col: str,
+) -> DataFrame:
+    """Gini impurity of a class column on each side of a boolean
+    split — the decision-tree split-quality diagnostic (does
+    discount level separate returns?). Per side: 1 − Σ c²/n², with
+    Σc² an exact integer sum, so the impurity is one division and
+    one subtraction on identical operands.
+
+    Plan: one (side, class) partial-agg groupBy then a side rollup —
+    one shuffle keyed on the 2-value side (counts, not rows, move).
+
+    Output: (side INT 0/1, n BIGINT, sum_c2 BIGINT, gini DOUBLE)."""
+    s = F.when(split, 1).otherwise(0).cast("int")
+    per = df.select(s.alias("side"), F.col(class_col).alias("__c")).groupBy(
+        "side", "__c"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    g = per.groupBy("side").agg(
+        F.sum("__n").cast("bigint").alias("n"),
+        F.sum(F.col("__n") * F.col("__n")).cast("bigint").alias("sum_c2"),
+    )
+    return g.select(
+        "side",
+        "n",
+        "sum_c2",
+        (
+            F.lit(1.0)
+            - F.col("sum_c2").cast("double")
+            / (F.col("n") * F.col("n")).cast("double")
+        ).alias("gini"),
+    )
+
+
+def auc_eval(
+    df: DataFrame,
+    score_col: str,
+    label: "F.Column",
+) -> DataFrame:
+    """Exact ROC-AUC of an INTEGER score against a boolean label via
+    the Mann-Whitney U statistic with midrank tie handling:
+    AUC = (Σ_pos 2·midrank − n₁(n₁+1)) / (2·n₁·n₀). Doubling the
+    midranks keeps every intermediate an exact integer (a tie
+    group's 2·midrank = first + last rank); the only float op is the
+    final division — cross-engine exact, unlike threshold-sweep
+    trapezoid implementations.
+
+    Plan: scores aggregate to (score, n, n_pos) — bounded by distinct
+    scores — then ONE two-pass global running sum over that
+    aggregate (:func:`~awi_datapipelinepublic_spark.operators.
+    windows.global_running_sum`: range-partitioned, no
+    single-partition window even when scores are near-unique), and a
+    scalar fold. Output: one row (n_pos, n_neg, u2 BIGINT — the
+    doubled U numerator, auc DOUBLE)."""
+    from awi_datapipelinepublic_spark.operators.windows import global_running_sum
+
+    per = (
+        df.select(
+            F.col(score_col).cast("bigint").alias("score"),
+            F.when(label, 1).otherwise(0).alias("__p"),
+        )
+        .groupBy("score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__c"),
+            F.sum("__p").cast("bigint").alias("__cp"),
+        )
+    )
+    run = global_running_sum(
+        per, [F.col("score").asc()], "__c", out_col="__cum"
+    )
+    # tie group [first, last]: first = cum - c + 1, last = cum;
+    # Σ_pos 2·midrank accumulates cp · (first + last)
+    agg = run.agg(
+        F.sum("__cp").cast("bigint").alias("n_pos"),
+        (F.sum("__c") - F.sum("__cp")).cast("bigint").alias("n_neg"),
+        F.sum(
+            F.col("__cp") * (2 * F.col("__cum") - F.col("__c") + 1)
+        )
+        .cast("bigint")
+        .alias("sum2mid"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        (F.col("sum2mid") - F.col("n_pos") * (F.col("n_pos") + 1)).alias("u2"),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            (F.col("sum2mid") - F.col("n_pos") * (F.col("n_pos") + 1)).cast(
+                "double"
+            )
+            / (2 * F.col("n_pos") * F.col("n_neg")).cast("double"),
+        ).alias("auc"),
+    )

@@ -314,6 +314,18 @@ BENCH_QUERIES = [
     "harmonic_centrality",
     # r12: top char trigrams per language
     "char_ngram_topk",
+    # r12: Bowley quartile skew (pure-integer rank quartiles)
+    "quartile_skew",
+    # r12: Tukey-fence outlier census (integer fences)
+    "iqr_outliers",
+    # r12: Lincoln-Petersen population estimate
+    "capture_recapture",
+    # r12: Chao1 unseen-vocabulary estimate per language
+    "chao1_richness",
+    # r12: exact Mann-Whitney ROC-AUC (two-pass running rank)
+    "auc_eval",
+    # r12: decision-split Gini impurity
+    "split_gini",
 ]
 
 

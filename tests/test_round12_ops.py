@@ -288,3 +288,117 @@ def test_char_ngram_topk_skips_short_and_normalizes(spark):
     )
     rows = char_ngram_topk(df, "lang", "text", n=3, k=10).collect()
     assert [(r["gram"], r["freq"]) for r in rows] == [("a b", 1)]
+
+
+# --------------------------------------------------- quality (batch 2)
+
+
+def test_grouped_quartiles_exact_ranks(spark):
+    """n=5 values 10..50: ranks 2,3,4 → q1=20, q2=30, q3=40."""
+    from awi_datapipelinepublic_spark.operators.quality import grouped_quartiles
+
+    df = spark.createDataFrame(
+        [("g", v, i) for i, v in enumerate([10, 20, 30, 40, 50])],
+        "g string, v int, i int",
+    )
+    r = grouped_quartiles(df, "g", "v", "i").collect()[0]
+    assert (r["n"], r["q1"], r["q2"], r["q3"]) == (5, 20, 30, 40)
+
+
+def test_grouped_quartiles_small_group_rank_collision(spark):
+    """n=2: all three target ranks are 1 → q1=q2=q3=min value."""
+    from awi_datapipelinepublic_spark.operators.quality import grouped_quartiles
+
+    df = spark.createDataFrame([("g", 7, 1), ("g", 9, 2)], "g string, v int, i int")
+    r = grouped_quartiles(df, "g", "v", "i").collect()[0]
+    assert (r["q1"], r["q2"], r["q3"]) == (7, 7, 7)
+
+
+def test_quartile_skew_symmetric_zero(spark):
+    from awi_datapipelinepublic_spark.operators.quality import quartile_skew
+
+    df = spark.createDataFrame(
+        [("g", v, i) for i, v in enumerate([10, 20, 30, 40, 50])],
+        "g string, v int, i int",
+    )
+    r = quartile_skew(df, "g", "v", "i").collect()[0]
+    assert r["skew"] == 0.0
+
+
+def test_iqr_outliers_census(spark):
+    """Values 10,20,30,40,1000 (n=5): q1=20, q3=40, iqr=20 → fences
+    [-10, 70]: one high outlier."""
+    from awi_datapipelinepublic_spark.operators.quality import iqr_outliers
+
+    df = spark.createDataFrame(
+        [("g", v, i) for i, v in enumerate([10, 20, 30, 40, 1000])],
+        "g string, v int, i int",
+    )
+    r = iqr_outliers(df, "g", "v", "i").collect()[0]
+    assert (r["q1"], r["q3"], r["iqr"]) == (20, 40, 20)
+    assert (r["n_low"], r["n_high"]) == (0, 1)
+    assert r["outlier_rate"] == 1.0 / 5.0
+
+
+def test_capture_recapture_estimate(spark):
+    """n1=4, n2=3, overlap 2 → estimate 6.0, observed 5."""
+    from awi_datapipelinepublic_spark.operators.quality import capture_recapture
+
+    a = spark.createDataFrame([(i,) for i in [1, 2, 3, 4]], "k int")
+    b = spark.createDataFrame([(i,) for i in [3, 4, 5]], "k int")
+    r = capture_recapture(a, b, "k").collect()[0]
+    assert (r["n_a"], r["n_b"], r["n_both"], r["n_observed"]) == (4, 3, 2, 5)
+    assert r["estimate"] == 6.0
+
+
+def test_split_gini_pure_and_mixed(spark):
+    """Side 1 is pure (gini 0); side 0 is 2+2 (gini 0.5)."""
+    from awi_datapipelinepublic_spark.operators.quality import split_gini
+
+    rows = [(1, "a"), (1, "a"), (0, "a"), (0, "a"), (0, "b"), (0, "b")]
+    df = spark.createDataFrame(rows, "e int, c string")
+    out = {r["side"]: r for r in split_gini(df, F.col("e") == 1, "c").collect()}
+    assert out[1]["gini"] == 0.0 and out[1]["sum_c2"] == 4
+    assert out[0]["gini"] == 0.5 and out[0]["sum_c2"] == 8
+
+
+def test_auc_eval_perfect_and_random(spark):
+    """Positives all score higher → AUC 1; identical scores → 0.5."""
+    from awi_datapipelinepublic_spark.operators.quality import auc_eval
+
+    perfect = spark.createDataFrame(
+        [(10, 1), (9, 1), (2, 0), (1, 0)], "s int, y int"
+    )
+    r = auc_eval(perfect, "s", F.col("y") == 1).collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (2, 2)
+    assert r["auc"] == 1.0
+
+    ties = spark.createDataFrame([(5, 1), (5, 0), (5, 1), (5, 0)], "s int, y int")
+    r = auc_eval(ties, "s", F.col("y") == 1).collect()[0]
+    assert r["auc"] == 0.5
+
+
+def test_auc_eval_midrank_ties(spark):
+    """Scores 1(neg), 2(pos+neg tie), 3(pos): positive 2·midranks are
+    {5, 8} → u2 = 13 − 6 = 7, auc = 7/8 (hand check: wins 3 + tie ½
+    over 4 pairs)."""
+    from awi_datapipelinepublic_spark.operators.quality import auc_eval
+
+    df = spark.createDataFrame([(1, 0), (2, 1), (2, 0), (3, 1)], "s int, y int")
+    r = auc_eval(df, "s", F.col("y") == 1).collect()[0]
+    assert r["u2"] == 7 and r["auc"] == 7.0 / 8.0
+
+
+# ---------------------------------------------------- corpus (batch 2)
+
+
+def test_chao1_richness_formula(spark):
+    """Tokens: a a b c → V=3, f1=2 (b,c), f2=1 (a):
+    chao1 = 3 + 2·1/(2·2) = 3.5; singleton share 2/4."""
+    from awi_datapipelinepublic_spark.operators.corpus import chao1_richness
+
+    df = spark.createDataFrame([("en", "a a b c")], "lang string, text string")
+    r = chao1_richness(df).collect()[0]
+    assert (r["n_tokens"], r["vocab"], r["f1"], r["f2"]) == (4, 3, 2, 1)
+    assert r["chao1"] == 3.0 + 2.0 / 4.0
+    assert r["singleton_share"] == 0.5
