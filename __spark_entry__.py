@@ -5792,21 +5792,63 @@ def q_split_gini(spark, sf_dir):
     )
 
 
+def q_type_cooccurrence_lift(spark, sf_dir):
+    """Event-type co-occurrence lift over daily per-user activity
+    baskets (operators/affinity.py:pair_lift): which behaviors happen
+    together on the same user-day — the behavioral-affinity twin of
+    the part-category basket gate; exact integer ratios at 6dp."""
+    from awi_datapipelinepublic_spark.operators.affinity import pair_lift
+
+    ev = read_events(spark, sf_dir).select(
+        F.concat_ws(
+            "|", F.col("user_id").cast("string"), F.to_date("ts").cast("string")
+        ).alias("basket"),
+        "event_type",
+    )
+    return pair_lift(ev, "basket", "event_type", min_support=5, max_basket=64)
+
+
+def q_dup_rate_by_source(spark, sf_dir):
+    """Per-source exact-duplication triage (operators/dedup.py:
+    dup_rate_by_source): the engine-wide md5 fingerprint, so the
+    rates agree exactly with dedup_exact's removals."""
+    from awi_datapipelinepublic_spark.operators.dedup import dup_rate_by_source
+
+    return dup_rate_by_source(_t(spark, sf_dir, "documents"), "source", "text")
+
+
+def q_palma_ratio(spark, sf_dir):
+    """Palma revenue-concentration ratio over per-customer totals
+    (operators/quality.py:palma_ratio): top-10%% share over
+    bottom-40%% share at pure-integer rank cuts on the two-pass
+    global rank."""
+    from awi_datapipelinepublic_spark.operators.quality import palma_ratio
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return palma_ratio(o, "o_custkey", "cents")
+
+
 # Round-12 driver window: the driver oracle-verifies the FIRST 50
 # queries() entries each round (CORRECTNESS_r*). After r11 every one of
 # the 321 pre-r12 ids has a driver-green row; this window fronts the
-# 20 round-12 additions (never driver-green), repeats the 4 §2
+# 23 round-12 additions (never driver-green), repeats the 4 §2
 # flagships, and rotates in the least-recently-signed cohort (oldest
 # signatures r5) — tools/gen_window.py generates the list mechanically.
 _R12_WINDOW = [
-    # 20 round-12 additions (never driver-green): front them
+    # 23 round-12 additions (never driver-green): front them
     "simpson_diversity", "odds_ratio", "dispersion_index",
     "kendall_tau", "growth_decomposition", "linear_interpolate",
     "l_diversity", "systematic_sample", "km_hazard",
     "new_vs_returning", "repeat_rate", "session_duration_hist",
     "harmonic_centrality", "char_ngram_topk", "quartile_skew",
     "iqr_outliers", "capture_recapture", "chao1_richness",
-    "auc_eval", "split_gini",
+    "auc_eval", "split_gini", "type_cooccurrence_lift",
+    "dup_rate_by_source", "palma_ratio",
     # §2 flagship repeats (every window carries the three views + merge)
     "view_retention", "view_transactions", "view_auto_optiom",
     "merge_time_window",
@@ -5818,8 +5860,7 @@ _R12_WINDOW = [
     "join_semi", "kmeans_clusters", "knn_join_ivf",
     "knn_join_lsh", "lang_id", "lateral_topk",
     "pii_counts", "pii_redact", "pivot_status",
-    "quality_score", "quantile_bins", "repetition_stats",
-    "resample_ohlc", "rollup_agg",
+    "quality_score", "quantile_bins",
 ]
 _R11_WINDOW = _R12_WINDOW  # names kept so older tooling keeps working
 _R10_WINDOW = _R12_WINDOW
@@ -6191,6 +6232,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chao1_richness": q_chao1_richness,
         "auc_eval": q_auc_eval,
         "split_gini": q_split_gini,
+        "type_cooccurrence_lift": q_type_cooccurrence_lift,
+        "dup_rate_by_source": q_dup_rate_by_source,
+        "palma_ratio": q_palma_ratio,
     }
     window = {k: q[k] for k in _R12_WINDOW}
     window.update((k, v) for k, v in q.items() if k not in window)
@@ -11470,5 +11514,63 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(side AS INT) AS side, n, sum_c2,
                1.0::DOUBLE - CAST(sum_c2 AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini
         FROM g
+    """
+    # Daily user-activity basket lift over event types: the
+    # basket_pair_lift CTE chain with (user, day) baskets
+    # (operators/affinity.py:pair_lift).
+    sql["type_cooccurrence_lift"] = """
+        WITH items AS (
+          SELECT DISTINCT CAST(user_id AS VARCHAR) || '|' ||
+                 CAST(CAST(ts AS DATE) AS VARCHAR) AS b, event_type AS it
+          FROM events),
+        sizes AS (SELECT b, COUNT(*) AS sz FROM items GROUP BY 1),
+        capped AS (SELECT i.b, i.it FROM items i JOIN sizes s ON i.b = s.b
+                   WHERE s.sz BETWEEN 2 AND 64),
+        nb AS (SELECT COUNT(DISTINCT b) AS N FROM capped),
+        ic AS (SELECT it, COUNT(*) AS n_item FROM capped GROUP BY 1),
+        pc AS (SELECT x.it AS item_a, y.it AS item_b, COUNT(*) AS n_ab
+               FROM capped x JOIN capped y ON x.b = y.b AND x.it < y.it
+               GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_ab,
+               ROUND(n_ab * 1.0 / N, 6) AS support,
+               ROUND(n_ab * 1.0 / ia.n_item, 6) AS confidence,
+               ROUND(n_ab * N * 1.0 / (ia.n_item * ib.n_item), 6) AS lift
+        FROM pc
+        JOIN ic ia ON pc.item_a = ia.it
+        JOIN ic ib ON pc.item_b = ib.it, nb
+    """
+    # Per-source exact-dup profile on the md5(normalized) fingerprint
+    # (operators/dedup.py:dup_rate_by_source).
+    sql["dup_rate_by_source"] = f"""
+        WITH fp AS (SELECT source, md5({_NORM}) AS f FROM documents),
+        pf AS (SELECT source, f, CAST(COUNT(*) AS BIGINT) AS c
+               FROM fp GROUP BY 1, 2)
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_dup_docs,
+               CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup_rate
+        FROM pf GROUP BY 1
+    """
+    # Palma ratio at integer rank cuts over per-customer revenue
+    # (operators/quality.py:palma_ratio).
+    sql["palma_ratio"] = """
+        WITH per AS (
+          SELECT o_custkey AS e,
+                 CAST(SUM(CAST(floor(o_totalprice * 100.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)) AS BIGINT) AS v
+          FROM orders GROUP BY 1),
+        r AS (SELECT e, v,
+                     ROW_NUMBER() OVER (ORDER BY v DESC, e ASC) AS rn
+              FROM per),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM per)
+        SELECT n,
+               CAST(n // 10 AS BIGINT) AS k10,
+               CAST((4 * n) // 10 AS BIGINT) AS k40,
+               CAST(SUM(CASE WHEN rn <= n // 10 THEN v ELSE 0 END) AS BIGINT) AS top_sum,
+               CAST(SUM(CASE WHEN rn > n - (4 * n) // 10 THEN v ELSE 0 END) AS BIGINT) AS bottom_sum,
+               CASE WHEN SUM(CASE WHEN rn > n - (4 * n) // 10 THEN v ELSE 0 END) <> 0 THEN
+                 CAST(SUM(CASE WHEN rn <= n // 10 THEN v ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(CASE WHEN rn > n - (4 * n) // 10 THEN v ELSE 0 END) AS DOUBLE)
+               END AS palma
+        FROM r, nn GROUP BY n
     """
     return sql

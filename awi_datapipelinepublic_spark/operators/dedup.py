@@ -1028,3 +1028,52 @@ def dedup_keep_best(
     return ranked.filter(F.col("__rn") == 1).select(
         "doc_id", "score", F.col("dup_count").cast("bigint").alias("dup_count")
     )
+
+
+def dup_rate_by_source(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source exact-duplication profile: how much of each source
+    is redundant BEFORE dedup runs — the triage report that decides
+    which feeds get the expensive near-dup pass (a 40%-duplicate
+    crawl and a 2%-duplicate curated feed need different pipelines).
+    Fingerprint is the engine-wide :func:`~awi_datapipelinepublic_
+    spark.functions.text.doc_fingerprint` (md5 of normalized text),
+    so the numbers agree exactly with what :func:`dedup_exact` would
+    remove per source.
+
+    Plan: two chained groupBys on a shared key prefix — (source,
+    fingerprint) then source — ONE shuffle keyed on the source;
+    counts exact, the rate one double division.
+
+    Output: (source, n_docs, n_distinct, n_dup_docs BIGINT,
+    dup_rate DOUBLE — duplicate rows over total rows).
+    """
+    from awi_datapipelinepublic_spark.functions.text import doc_fingerprint
+
+    per_fp = (
+        df.select(
+            F.col(source_col).alias("__s"), doc_fingerprint(text_col).alias("__fp")
+        )
+        .groupBy("__s", "__fp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    return (
+        per_fp.groupBy("__s")
+        .agg(
+            F.sum("__c").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        )
+        .select(
+            F.col("__s").alias(source_col),
+            "n_docs",
+            "n_distinct",
+            (F.col("n_docs") - F.col("n_distinct")).alias("n_dup_docs"),
+            (
+                (F.col("n_docs") - F.col("n_distinct")).cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("dup_rate"),
+        )
+    )

@@ -514,6 +514,12 @@ def fuzzy_join_edit1(
         )
         return s.withColumn("__blk", F.explode(variants))
 
+    # Self-joins on identical inputs need no special-casing: the two
+    # blocked subplans are structurally identical, so ReuseExchange
+    # runs the explode+distinct+shuffle ONCE and the second side reads
+    # the reused exchange (verified: an explicit block-once +
+    # localCheckpoint variant measured SLOWER — it replaced the free
+    # exchange reuse with a real materialization).
     l = blocked(left, left_col, "name_a")
     r = blocked(right, right_col, "name_b")
     cand = l.join(r, "__blk")

@@ -2055,3 +2055,61 @@ def auc_eval(
             / (2 * F.col("n_pos") * F.col("n_neg")).cast("double"),
         ).alias("auc"),
     )
+
+
+def palma_ratio(
+    df: DataFrame,
+    entity_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Palma inequality ratio over per-entity totals: the top-10%
+    share divided by the bottom-40% share — the concentration
+    headline that is more robust than Gini to middle-of-distribution
+    noise (revenue concentration, token-budget concentration across
+    sources). Cut points are PURE INTEGER ranks (k₁₀ = n DIV 10,
+    k₄₀ = 4n DIV 10 of the (value DESC, entity ASC) total order);
+    sums are exact; the ratio is one double division.
+
+    Plan: per-entity totals (one partial-agg shuffle), ranks via the
+    two-pass range-partition :func:`~awi_datapipelinepublic_spark.
+    operators.windows.global_row_number` (no single-partition
+    window), one conditional-sum fold against the broadcast count.
+
+    Output: one row — (n, k10, k40, top_sum, bottom_sum BIGINT,
+    palma DOUBLE — NULL when the bottom share is 0)."""
+    from awi_datapipelinepublic_spark.operators.windows import global_row_number
+
+    per = df.groupBy(F.col(entity_col).alias("__e")).agg(
+        F.sum(F.col(value_col).cast("bigint")).cast("bigint").alias("__v")
+    )
+    ranked = global_row_number(
+        per, [F.col("__v").desc(), F.col("__e").asc()], out_col="__prn"
+    )
+    n_tot = per.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    j = ranked.crossJoin(F.broadcast(n_tot))
+    k10 = F.expr("CAST(__n DIV 10 AS BIGINT)")
+    k40 = F.expr("CAST((4 * __n) DIV 10 AS BIGINT)")
+    agg = j.agg(
+        F.max("__n").alias("n"),
+        F.max(k10).alias("k10"),
+        F.max(k40).alias("k40"),
+        F.sum(F.when(F.col("__prn") <= k10, F.col("__v")).otherwise(0))
+        .cast("bigint")
+        .alias("top_sum"),
+        F.sum(
+            F.when(F.col("__prn") > F.col("__n") - k40, F.col("__v")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("bottom_sum"),
+    )
+    return agg.select(
+        "n",
+        "k10",
+        "k40",
+        "top_sum",
+        "bottom_sum",
+        F.when(
+            F.col("bottom_sum") != 0,
+            F.col("top_sum").cast("double") / F.col("bottom_sum").cast("double"),
+        ).alias("palma"),
+    )

@@ -326,6 +326,12 @@ BENCH_QUERIES = [
     "auc_eval",
     # r12: decision-split Gini impurity
     "split_gini",
+    # r12: daily user-activity basket lift over event types
+    "type_cooccurrence_lift",
+    # r12: per-source exact-dup triage
+    "dup_rate_by_source",
+    # r12: Palma concentration ratio (integer rank cuts)
+    "palma_ratio",
 ]
 
 

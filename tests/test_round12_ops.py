@@ -402,3 +402,43 @@ def test_chao1_richness_formula(spark):
     assert (r["n_tokens"], r["vocab"], r["f1"], r["f2"]) == (4, 3, 2, 1)
     assert r["chao1"] == 3.0 + 2.0 / 4.0
     assert r["singleton_share"] == 0.5
+
+
+# ---------------------------------------------------------------- batch 3
+
+
+def test_dup_rate_by_source(spark):
+    """Source s: 3 docs, 2 distinct (whitespace/case collapse) →
+    1 dup, rate 1/3; source t all unique."""
+    from awi_datapipelinepublic_spark.operators.dedup import dup_rate_by_source
+
+    df = spark.createDataFrame(
+        [("s", "Hello  world"), ("s", "hello world"), ("s", "bye"), ("t", "x")],
+        "source string, text string",
+    )
+    out = {r["source"]: r for r in dup_rate_by_source(df).collect()}
+    assert out["s"]["n_docs"] == 3 and out["s"]["n_distinct"] == 2
+    assert out["s"]["n_dup_docs"] == 1 and out["s"]["dup_rate"] == 1.0 / 3.0
+    assert out["t"]["dup_rate"] == 0.0
+
+
+def test_palma_ratio_exact_cuts(spark):
+    """10 entities with values 1..10: k10=1 (top value 10), k40=4
+    (bottom values 1..4 sum 10) → palma = 1.0."""
+    from awi_datapipelinepublic_spark.operators.quality import palma_ratio
+
+    df = spark.createDataFrame([(i, i) for i in range(1, 11)], "e int, v int")
+    r = palma_ratio(df, "e", "v").collect()[0]
+    assert (r["n"], r["k10"], r["k40"]) == (10, 1, 4)
+    assert r["top_sum"] == 10 and r["bottom_sum"] == 10
+    assert r["palma"] == 1.0
+
+
+def test_palma_ratio_zero_bottom_is_null(spark):
+    from awi_datapipelinepublic_spark.operators.quality import palma_ratio
+
+    df = spark.createDataFrame(
+        [(1, 100)] + [(i, 0) for i in range(2, 11)], "e int, v int"
+    )
+    r = palma_ratio(df, "e", "v").collect()[0]
+    assert r["bottom_sum"] == 0 and r["palma"] is None
