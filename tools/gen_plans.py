@@ -91,6 +91,12 @@ TARGETS = {
     "hits_scores": "Unnormalized integer HITS: per-iteration edge-join + partial-agg shuffles on DECIMAL(38,0) scores - zero float accumulation in an iterative loop",
     "attribution_time_decay": "Staircase half-life credit: one keyed window + integer shift arithmetic, no self-join, no float pow",
     "fk_orphans": "Four left-anti joins (AQE-sized dim builds) feeding scalar counts - referential audit without shuffling fact payloads",
+    "auc_eval": "Exact Mann-Whitney AUC: score-cardinality aggregate + two-pass running rank (rangepartitioning, broadcast offsets) folding to ONE scalar row - no single-partition window over near-unique scores",
+    "quartile_skew": "Per-group integer-rank quartiles via grouped_row_number: (group, value) range partitioning keeps a 3-value group key PARALLEL; three rank-equality picks in one max(when) aggregate",
+    "harmonic_centrality": "Seed-carried level-synchronous BFS: per-hop node-key equi-join + (seed, node) anti-join, checkpoint-cut lineage; harmonic terms are scaled-integer DIV - no float accumulation in an iterative loop",
+    "linear_interpolate": "Calendar spine (sequence+explode) left-joined to the pre-aggregated series; segment-count bracketing windows are key-partitioned over the bounded calendar axis",
+    "km_hazard": "Life-table: duration-cardinality aggregate, the only ordered window runs over distinct durations (calendar-bounded), n_risk = total minus prefix - fact shuffles once",
+    "kendall_tau": "Declared-quadratic pair concordance over the CALENDAR-bounded daily series: the self-join input is 'days', never fact rows; all counts integer, one sqrt+div at the end",
 }
 
 
