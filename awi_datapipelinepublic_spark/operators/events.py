@@ -1079,15 +1079,16 @@ def km_hazard(
         )
     )
     w = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, -1)
-    # the duration axis is calendar-bounded (distinct days), so the
-    # single ordered window runs over a tiny aggregate, not the fact
-    out = per_t.withColumn(
+    # the duration axis is calendar-bounded (distinct days-between),
+    # so the single ordered window runs over a tiny aggregate, not the
+    # fact; the grand total broadcasts as a 1-row scalar instead of a
+    # second full-range window
+    tot = per_t.agg(
+        F.sum(F.col("n_event") + F.col("n_censored")).cast("bigint").alias("__tot")
+    )
+    out = per_t.crossJoin(F.broadcast(tot)).withColumn(
         "n_risk",
-        F.sum(F.col("n_event") + F.col("n_censored")).over(
-            Window.orderBy("duration").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        )
+        F.col("__tot")
         - F.coalesce(F.sum(F.col("n_event") + F.col("n_censored")).over(w), F.lit(0)),
     )
     return out.select(

@@ -690,6 +690,10 @@ BOUNDED_GLOBAL_WINDOW_GATES = {
     # table: the axis is the CONSTANT bucket count (64), never data
     # (spatial.py:skyline2d step 4).
     "skyline_pareto": 1,
+    # Life-table prefix over the DISTINCT-DURATION aggregate: the axis
+    # is days-between-orders — calendar-bounded, never row-bounded
+    # (events.py:km_hazard documents the bound).
+    "km_hazard": 1,
 }
 
 # Gates that must drain a streaming query just to BUILD their result
