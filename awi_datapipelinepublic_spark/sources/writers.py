@@ -64,6 +64,10 @@ class ConcurrentPublishError(RuntimeError):
 
 _LOCK_STALE_SECONDS = 3600.0
 _HEARTBEAT_SECONDS = _LOCK_STALE_SECONDS / 4
+# A takeover critical section is a few syscalls (stat + rename + stat +
+# unlink) — milliseconds. 60 s of no-progress means the taker-over
+# crashed inside it; its sub-lock is then debris anyone may clear.
+_TAKEOVER_STALE_SECONDS = 60.0
 
 
 def _acquire_publish_lock(target: Path) -> tuple[Path, str]:
@@ -113,39 +117,86 @@ def _acquire_publish_lock(target: Path) -> tuple[Path, str]:
                     "the engine is single-writer per table — serialize "
                     "publishes upstream"
                 ) from None
-            claim = target.parent / f".{target.name}.lock.claim-{token[:8]}"
+            # Stale lock: take over — but SERIALIZE takeover attempts
+            # through a sibling O_EXCL sub-lock. Without it, a racer
+            # whose stat predates the previous takeover winner's fresh
+            # re-create can rename that FRESH lock away, and during its
+            # rename→restore absence window a third racer's O_EXCL
+            # create succeeds: two writers admitted (caught by
+            # test_stale_takeover_race_exactly_one_winner). Inside the
+            # critical section the staleness check is REDONE on a fresh
+            # stat, so a takeover can only ever claim an inode it just
+            # observed stale while no other takeover is in flight.
+            takeover = target.parent / f".{target.name}.lock.takeover"
             try:
-                os.rename(lock, claim)
-            except FileNotFoundError:
-                continue  # another racer claimed (or holder released) first
-            cst = claim.stat()
-            if cst.st_ino != st.st_ino or time.time() - cst.st_mtime < _LOCK_STALE_SECONDS:
-                # Between our stat and our rename the lock was replaced
-                # or heartbeat-refreshed: we grabbed a LIVE writer's
-                # lock. Put it back (link = create-only, never clobbers
-                # a newer lock) and treat the table as held.
+                tfd = os.open(takeover, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                # Another takeover is in flight. A crashed one (no
+                # heartbeat on takeover files; the critical section is
+                # milliseconds) ages out fast — clear and retry.
                 try:
-                    os.link(claim, lock)
-                except FileExistsError:
-                    # A third writer O_EXCL-created a fresh lock inside
-                    # our rename→restore window. The claim IS the live
-                    # holder's lock inode — unlinking it here would
-                    # destroy the only record of that holder, so LEAVE
-                    # IT IN PLACE; the holder's heartbeat re-creates the
-                    # canonical lock path on its next beat (see
-                    # _LockHeartbeat._run), which surfaces the conflict
-                    # to whichever of the two survives. We just back off.
-                    raise ConcurrentPublishError(
-                        f"another writer holds {lock} (refreshed "
-                        "mid-takeover; restore raced a third writer); "
-                        "the engine is single-writer per table"
-                    ) from None
-                claim.unlink(missing_ok=True)
+                    tage = time.time() - takeover.stat().st_mtime
+                except FileNotFoundError:
+                    continue  # it just finished — retry from the top
+                if tage > _TAKEOVER_STALE_SECONDS:
+                    takeover.unlink(missing_ok=True)
+                    continue
                 raise ConcurrentPublishError(
-                    f"another writer holds {lock} (refreshed mid-takeover); "
+                    f"another writer is taking over the stale {lock}; "
                     "the engine is single-writer per table"
                 ) from None
-            claim.unlink()  # stale inode confirmed ours alone — retry create
+            try:
+                os.write(tfd, f"pid={os.getpid()} token={token}\n".encode())
+                os.close(tfd)
+                # Re-verify under the takeover lock: our earlier stat
+                # may predate a previous winner's fresh lock.
+                try:
+                    st2 = lock.stat()
+                except FileNotFoundError:
+                    continue  # released mid-takeover — retry create
+                if time.time() - st2.st_mtime < _LOCK_STALE_SECONDS:
+                    raise ConcurrentPublishError(
+                        f"another writer holds {lock} (re-created before "
+                        "our takeover); the engine is single-writer per "
+                        "table"
+                    ) from None
+                claim = target.parent / f".{target.name}.lock.claim-{token[:8]}"
+                try:
+                    os.rename(lock, claim)
+                except FileNotFoundError:
+                    continue  # holder released first — retry create
+                cst = claim.stat()
+                if cst.st_ino != st2.st_ino or time.time() - cst.st_mtime < _LOCK_STALE_SECONDS:
+                    # Between our fresh stat and our rename the lock was
+                    # heartbeat-refreshed: we grabbed a LIVE (slow)
+                    # writer's lock. Put it back (link = create-only,
+                    # never clobbers a newer lock) and treat as held.
+                    try:
+                        os.link(claim, lock)
+                    except FileExistsError:
+                        # A third writer O_EXCL-created a fresh lock
+                        # inside our rename→restore window. The claim IS
+                        # the live holder's lock inode — unlinking it
+                        # here would destroy the only record of that
+                        # holder, so LEAVE IT IN PLACE; the holder's
+                        # heartbeat re-creates the canonical lock path
+                        # on its next beat (see _LockHeartbeat._run),
+                        # which surfaces the conflict to whichever of
+                        # the two survives. We just back off.
+                        raise ConcurrentPublishError(
+                            f"another writer holds {lock} (refreshed "
+                            "mid-takeover; restore raced a third writer); "
+                            "the engine is single-writer per table"
+                        ) from None
+                    claim.unlink(missing_ok=True)
+                    raise ConcurrentPublishError(
+                        f"another writer holds {lock} (refreshed "
+                        "mid-takeover); the engine is single-writer per "
+                        "table"
+                    ) from None
+                claim.unlink()  # stale inode confirmed ours alone — retry create
+            finally:
+                takeover.unlink(missing_ok=True)
 
 
 def _release_publish_lock(lock: Path, token: str) -> None:

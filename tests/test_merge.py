@@ -673,6 +673,40 @@ def test_stale_takeover_race_exactly_one_winner(tmp_path):
     winner_lock, token = next(r[1] for r in results if r[0] == "acquired")
     assert f"token={token}" in lock.read_text()
     assert not list(tmp_path.glob(".t.lock.claim-*")), "claims are cleaned up"
+    assert not (tmp_path / ".t.lock.takeover").exists(), "takeover sub-lock cleaned up"
+
+
+def test_takeover_serialized_by_sublock(tmp_path):
+    """Takeover attempts are serialized through the .lock.takeover
+    sub-lock: while one is in flight, a second stale-lock observer
+    refuses instead of renaming (its stat could predate the winner's
+    fresh re-create — the two-winner escape the r12 race test caught).
+    A CRASHED takeover (sub-lock older than _TAKEOVER_STALE_SECONDS)
+    is cleared and the lock is re-taken normally."""
+    import os
+    import time
+
+    from awi_datapipelinepublic_spark.sources.writers import ConcurrentPublishError
+
+    target = tmp_path / "t"
+    lock = tmp_path / ".t.lock"
+    lock.write_text("pid=1 token=dead\n")
+    stale = time.time() - (writers._LOCK_STALE_SECONDS + 60)
+    os.utime(lock, (stale, stale))
+
+    takeover = tmp_path / ".t.lock.takeover"
+    takeover.write_text("pid=2 token=inflight\n")  # fresh: in flight
+    with pytest.raises(ConcurrentPublishError, match="taking over"):
+        writers._acquire_publish_lock(target)
+    assert lock.read_text() == "pid=1 token=dead\n", "stale lock untouched"
+
+    # crashed takeover: sub-lock aged out — cleared, takeover proceeds
+    tstale = time.time() - (writers._TAKEOVER_STALE_SECONDS + 5)
+    os.utime(takeover, (tstale, tstale))
+    got_lock, token = writers._acquire_publish_lock(target)
+    assert f"token={token}" in lock.read_text()
+    assert not takeover.exists()
+    writers._release_publish_lock(got_lock, token)
 
 
 def test_takeover_backs_off_when_lock_refreshed_mid_claim(tmp_path, monkeypatch):
