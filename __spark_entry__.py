@@ -2688,16 +2688,27 @@ def q_pagerank(spark, sf_dir):
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # The 5 power iterations join/aggregate on the node id 10 times:
+    # run them over a BIGINT encoding (customer 2k, supplier 2k+1 — a
+    # bijection, so distinct/degree/rank sums see identical groups)
+    # and rebuild the 'c…'/'s…' labels only at the output edge. The
+    # prefixed-string form shuffled ~2× the key bytes and paid string
+    # hashing/compares in every exchange of the loop (guide §2.3
+    # narrower types). Values are unchanged: same edge set, same
+    # contributions, same damping arithmetic.
     edges = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            (F.col("o_custkey").cast("bigint") * 2).alias("src"),
+            (F.col("l_suppkey").cast("bigint") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
     pr = pagerank(edges, iterations=5, damping=0.85)
-    return pr.select("node", F.round("pagerank", 6).alias("pagerank"))
+    label = F.when(
+        F.col("node") % 2 == 0, F.concat(F.lit("c"), F.expr("node div 2"))
+    ).otherwise(F.concat(F.lit("s"), F.expr("(node - 1) div 2")))
+    return pr.select(label.alias("node"), F.round("pagerank", 6).alias("pagerank"))
 
 
 def q_knn_join(spark, sf_dir):
@@ -5362,15 +5373,24 @@ def q_hits_scores(spark, sf_dir):
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # Same BIGINT node encoding as q_pagerank (customer 2k, supplier
+    # 2k+1): the 3 HITS iterations shuffle long keys, the prefixed
+    # string labels are rebuilt at the output edge. Integer-exact
+    # scores — the encoding cannot move a single bit.
     edges = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            (F.col("o_custkey").cast("bigint") * 2).alias("src"),
+            (F.col("l_suppkey").cast("bigint") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
-    return hits_scores(edges, iterations=3)
+    label = F.when(
+        F.col("node") % 2 == 0, F.concat(F.lit("c"), F.expr("node div 2"))
+    ).otherwise(F.concat(F.lit("s"), F.expr("(node - 1) div 2")))
+    return hits_scores(edges, iterations=3).select(
+        label.alias("node"), "hub", "auth"
+    )
 
 
 def q_vocab_overlap(spark, sf_dir):

@@ -761,6 +761,12 @@ def rfm_segments(
         "__mon",
     )
     b = int(n_bins)
+    # Chained two-pass ranks (each pass range-partitions the previous
+    # pass's output). An independent-slim-ranks + join-back variant was
+    # measured SLOWER at r12 (3.54 vs 2.63 s at sf0.1): AQE's runtime
+    # exchange reuse already de-duplicates the chain's repeated
+    # subtrees, and the three join-backs added more exchanges than the
+    # chain costs. Kept chained deliberately.
     scored = per
     for rank_col, order in (
         ("__rr", [F.col("__rec").asc(), F.col("__c").asc()]),
@@ -768,16 +774,24 @@ def rfm_segments(
         ("__rm", [F.col("__mon").desc(), F.col("__c").asc()]),
     ):
         scored = global_row_number(scored, order, out_col=rank_col)
-    n_total = scored.count()  # customer cardinality, needed as a literal
-    scored = scored.select(
+    # Customer cardinality as a BROADCAST SCALAR COLUMN, not a driver
+    # count(): a `scored.count()` action here re-executed the whole
+    # 3-rank lineage (three range exchanges + windows) once for the
+    # count and again for the real consumer — measured ~2× this
+    # query's cost at sf0.1 (guide §5: no driver actions on query
+    # paths). The count comes from `per` (the pre-rank subtree), whose
+    # row count global_row_number preserves; `div greatest(__n, 1)` is
+    # the same integer arithmetic as the old literal.
+    n_tab = per.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    scored = scored.crossJoin(F.broadcast(n_tab)).select(
         "__mon",
-        F.expr(f"cast(1 + ((__rr - 1) * {b}) div {max(n_total, 1)} as int)").alias(
+        F.expr(f"cast(1 + ((__rr - 1) * {b}) div greatest(__n, 1) as int)").alias(
             "r_score"
         ),
-        F.expr(f"cast(1 + ((__rf - 1) * {b}) div {max(n_total, 1)} as int)").alias(
+        F.expr(f"cast(1 + ((__rf - 1) * {b}) div greatest(__n, 1) as int)").alias(
             "f_score"
         ),
-        F.expr(f"cast(1 + ((__rm - 1) * {b}) div {max(n_total, 1)} as int)").alias(
+        F.expr(f"cast(1 + ((__rm - 1) * {b}) div greatest(__n, 1) as int)").alias(
             "m_score"
         ),
     )

@@ -505,29 +505,84 @@ def fuzzy_join_edit1(
     dropped whenever the left string sorts after the right one.
     """
 
-    def blocked(df: DataFrame, col: str, out: str) -> DataFrame:
-        s = df.select(F.col(col).alias(out)).filter(F.col(out).isNotNull()).distinct()
-        variants = F.expr(
-            f"CASE WHEN length({out}) = 0 THEN array({out}) "
-            f"ELSE array_union(array({out}), transform(sequence(1, length({out})), "
-            f"i -> concat(substring({out}, 1, i - 1), substring({out}, i + 1)))) END"
-        )
-        return s.withColumn("__blk", F.explode(variants))
-
-    # Self-joins on identical inputs need no special-casing: the two
-    # blocked subplans are structurally identical, so ReuseExchange
-    # runs the explode+distinct+shuffle ONCE and the second side reads
-    # the reused exchange (verified: an explicit block-once +
-    # localCheckpoint variant measured SLOWER — it replaced the free
-    # exchange reuse with a real materialization).
-    l = blocked(left, left_col, "name_a")
-    r = blocked(right, right_col, "name_b")
-    cand = l.join(r, "__blk")
-    if self_join:
-        cand = cand.filter(F.col("name_a") < F.col("name_b"))
-    return (
-        cand.select("name_a", "name_b")
+    # Candidate generation is IN-BUCKET PAIR EXPANSION (the
+    # minhash_lsh_candidates / triangle_count baskets pattern), not a
+    # self-join of the block table: both sides' distinct strings merge
+    # into one (name, side-bits) table (bit 1 = left, bit 2 = right),
+    # each block's names collect into one sorted array (block sizes
+    # are deletion-variant fan-in — small for natural keys), and the
+    # ordered pairs explode inside a codegen projection. One groupBy
+    # shuffle of the block rows replaces the join that materialized
+    # every candidate through a hash probe of a DATA-sized broadcast
+    # (223k-row build side at sf0.1 — and at 10⁹ names that join
+    # degrades to a sort-merge, i.e. a second full shuffle; guide
+    # §2.4/§3.1). Measured 6.1 → 4.4 s at sf0.1 together with the
+    # banded levenshtein below.
+    la = (
+        left.select(F.col(left_col).alias("__nm"))
+        .filter(F.col("__nm").isNotNull())
         .distinct()
-        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("int"))
-        .filter(F.col("dist") <= 1)
+        .withColumn("__bits", F.lit(1))
     )
+    rb = (
+        right.select(F.col(right_col).alias("__nm"))
+        .filter(F.col("__nm").isNotNull())
+        .distinct()
+        .withColumn("__bits", F.lit(2))
+    )
+    names = la.unionAll(rb).groupBy("__nm").agg(F.sum("__bits").alias("__bits"))
+    variants = F.expr(
+        "CASE WHEN length(__nm) = 0 THEN array(__nm) "
+        "ELSE array_union(array(__nm), transform(sequence(1, length(__nm)), "
+        "i -> concat(substring(__nm, 1, i - 1), substring(__nm, i + 1)))) END"
+    )
+    buckets = (
+        names.withColumn("__blk", F.explode(variants))
+        .groupBy("__blk")
+        .agg(F.array_sort(F.collect_list(F.struct("__nm", "__bits"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    # Ordered (a < b) member pairs; each carries both sides' bits so
+    # the original join's orientation semantics replay exactly:
+    # l⋈r produced (name_a ∈ left, name_b ∈ right).
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ms, (a, i) -> "
+                "transform(slice(ms, i + 2, size(ms) - i - 1), "
+                "b -> struct(a.__nm AS na, a.__bits AS ba, b.__nm AS nb, b.__bits AS bb))))"
+            )
+        ).alias("p")
+    ).select("p.na", "p.ba", "p.nb", "p.bb")
+    # Residual distance BEFORE the pair distinct, with the BANDED
+    # levenshtein: stage decomposition at sf0.1 put ~2.2 s of the
+    # query's ~6 s in full levenshtein evals over the candidate pairs.
+    # The 3-arg levenshtein (Spark 3.5+) computes only the |threshold|
+    # diagonal band with early exit — exact for dist ≤ 1, -1 beyond —
+    # and filtering first means only true ≤1-edit pairs reach the
+    # distinct's exchange (guide §2.3 shuffle fewer bytes). The banded
+    # distance equals the full one on every surviving row.
+    near = pairs.withColumn(
+        "dist", F.levenshtein("na", "nb", 1).cast("int")
+    ).filter(F.col("dist") >= 0)
+    if self_join:
+        # (a ∈ left ∧ b ∈ right), a < b — the join's orientation filter.
+        out = near.filter(
+            (F.col("ba").bitwiseAND(1) > 0) & (F.col("bb").bitwiseAND(2) > 0)
+        ).select(F.col("na").alias("name_a"), F.col("nb").alias("name_b"), "dist")
+        return out.distinct()
+    # Two-table mode keeps every (left, right) orientation, and a string
+    # present on BOTH sides is its own dist-0 match (the identity block
+    # produced it in the join form).
+    fwd = near.filter(
+        (F.col("ba").bitwiseAND(1) > 0) & (F.col("bb").bitwiseAND(2) > 0)
+    ).select(F.col("na").alias("name_a"), F.col("nb").alias("name_b"), "dist")
+    rev = near.filter(
+        (F.col("bb").bitwiseAND(1) > 0) & (F.col("ba").bitwiseAND(2) > 0)
+    ).select(F.col("nb").alias("name_a"), F.col("na").alias("name_b"), "dist")
+    ident = names.filter(F.col("__bits") == 3).select(
+        F.col("__nm").alias("name_a"),
+        F.col("__nm").alias("name_b"),
+        F.lit(0).cast("int").alias("dist"),
+    )
+    return fwd.unionAll(rev).unionAll(ident).distinct()

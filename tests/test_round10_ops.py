@@ -61,6 +61,45 @@ def test_holt_linear_tracks_exact_line(spark):
     assert (got[0]["level"], got[0]["trend"]) == (100.0, 0.0)
 
 
+def test_holt_linear_carry_across_arrow_batches(spark):
+    """The r12 mapInPandas form carries (level, trend) state across
+    Arrow batches within a task: with a tiny maxRecordsPerBatch a
+    single key's history spans several batches, and every double must
+    still be bit-identical to the plain sequential recursion."""
+    from awi_datapipelinepublic_spark.operators.timeseries import holt_linear
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        a, b = 0.3, 0.1
+        rows = [("k", i, float((i * 7919) % 113) / 3.0) for i in range(40)]
+        rows += [("j", i, float(100 - i)) for i in range(9)]
+        df = spark.createDataFrame(rows, "k string, t long, v double")
+        got = {
+            (r["k"], r["t"]): (r["level"], r["trend"])
+            for r in holt_linear(df, "k", "t", "v", a, b).collect()
+        }
+
+        def replay(vals):
+            out, l, tr = [], 0.0, 0.0
+            for i, x in enumerate(vals):
+                if i == 0:
+                    l, tr = float(x), 0.0
+                else:
+                    pl, pt = l, tr
+                    l = a * float(x) + (1.0 - a) * (pl + pt)
+                    tr = b * (l - pl) + (1.0 - b) * pt
+                out.append((l, tr))
+            return out
+
+        for key, n in (("k", 40), ("j", 9)):
+            vals = [v for kk, _, v in rows if kk == key]
+            for i, exp in enumerate(replay(vals)):
+                assert got[(key, i)] == exp, (key, i)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
 def test_twap_interval_weights_by_holding_time(spark):
     """v=10 held 3s then v=20 held 1s then a terminal sample:
     TWAP = (10·3 + 20·1)/4 = 12.5; the last observation is unweighted."""
