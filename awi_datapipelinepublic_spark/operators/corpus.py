@@ -639,15 +639,24 @@ def char_ngram_topk(
     from pyspark.sql import Window
 
     norm = X.normalize_text(text_col)
+    # No pre-filter on length: a `.filter(length(__t) >= n)` gets
+    # pushed below the projection and re-evaluates the normalize
+    # regexp chain once in the Filter and again in the Project (the
+    # CollapseProject re-inline gotcha) — the CASE inside the explode
+    # makes short docs yield an empty array (explode drops the row),
+    # so normalization runs exactly once per document. Same rows out;
+    # the CASE also guards sequence(1, len-n+1) from the descending-
+    # sequence hazard when len < n.
     grams = (
         df.select(F.col(group_col).alias("g"), norm.alias("__t"))
-        .filter(F.length("__t") >= n)
         .select(
             "g",
             F.explode(
                 F.expr(
+                    f"CASE WHEN length(__t) >= {n} THEN "
                     f"transform(sequence(1, length(__t) - {n - 1}),"
-                    f" i -> substring(__t, i, {n}))"
+                    f" i -> substring(__t, i, {n})) "
+                    f"ELSE array() END"
                 )
             ).alias("gram"),
         )

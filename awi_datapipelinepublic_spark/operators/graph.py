@@ -397,6 +397,11 @@ def label_propagation(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    # EAGER checkpoints, deliberately: an r12 lazy-checkpoint variant
+    # (the pagerank pattern) measured SLOWER here (2.5 -> 4.0 s at
+    # sf0.1) - the per-round argmax consumes each label table twice,
+    # and the eager materialization keeps those reads O(1) while the
+    # lazy chain re-entered the whole round subtree.
     nbrs = e.select(F.col("u").alias("n"), F.col("v").alias("nb")).unionAll(
         e.select(F.col("v").alias("n"), F.col("u").alias("nb"))
     ).localCheckpoint()
@@ -659,6 +664,8 @@ def local_clustering_topk(
     expansion, one equi-join of the (tiny) pair list against the edge
     list — AQE broadcasts the pair side by measured size.
     """
+    from pyspark.storagelevel import StorageLevel
+
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -666,6 +673,12 @@ def local_clustering_topk(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        # e feeds the degree build (twice, via sym) AND the triangle
+        # semi-join probe; the upstream edge construction (typically a
+        # basket explode + distinct over a fact table) is the expensive
+        # part — persist so it runs once (the triangle_count policy:
+        # MEMORY_ONLY, eviction frees rather than spills).
+        .persist(StorageLevel.MEMORY_ONLY)
     )
     sym = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
         e.select(F.col("v").alias("a"), F.col("u").alias("b"))
@@ -695,6 +708,10 @@ def local_clustering_topk(
             ).alias("p"),
         )
         .select("a", "d", "c_capped", "p.nu", "p.nv")
+        # ≤ k·cap²/2 rows by construction (parameter-bounded); read by
+        # the triangle probe AND the per-center roll-up — persist so
+        # the window+expansion above runs once.
+        .persist(StorageLevel.MEMORY_ONLY)
     )
     tri = (
         pairs.join(
@@ -748,6 +765,7 @@ def two_hop_reach(
     reach_2 counts distinct nodes at distance 1 OR 2, self excluded.
     """
     from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
 
     e = (
         edges.select(
@@ -763,9 +781,15 @@ def two_hop_reach(
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     top = deg.orderBy(F.col("d").desc(), F.col("a").asc()).limit(k)
     w = Window.partitionBy("a").orderBy(F.col("b").asc())
+    # The capped adjacency is read by hop1 AND hop2 (and carries the
+    # whole upstream edge build — basket explode + distinct + window);
+    # `top` is read by hop1 and the final roll-up join. Persist both so
+    # the expensive subtrees run once (triangle_count cache policy:
+    # MEMORY_ONLY, bounded — capped ≤ |V|·cap slim rows, top = k rows).
     capped = sym.withColumn("__rk", F.row_number().over(w)).filter(
         F.col("__rk") <= neighbor_cap
-    ).select("a", "b")
+    ).select("a", "b").persist(StorageLevel.MEMORY_ONLY)
+    top = top.persist(StorageLevel.MEMORY_ONLY)
     hop1 = capped.join(top.select("a"), "a")
     hop2 = hop1.select(F.col("a").alias("__ctr"), F.col("b").alias("a")).join(
         capped.select(F.col("a"), F.col("b").alias("__w")), "a"

@@ -876,6 +876,13 @@ def ks_drift(
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("nb"))
     )
+    # DO NOT persist `merged`: global_running_sums consumes its
+    # windowed intermediate twice keyed on spark_partition_id, and the
+    # two executions stay consistent only because their byte-identical
+    # subtrees reuse ONE range exchange. An r12 MEMORY_ONLY persist
+    # here made AQE coalesce the two executions to different partition
+    # counts at sf0.01 — offsets joined against the wrong pids and the
+    # statistic silently corrupted (caught by the oracle gate).
     merged = (
         a.join(b, "v", "full_outer")
         .select(
@@ -947,9 +954,16 @@ def mad_outliers(
         F.expr(f"percentile({value_col}, 0.5)").alias("__med"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+    from pyspark.storagelevel import StorageLevel
+
+    # dev feeds TWO aggregations (the MAD percentile and the flag
+    # census); persisting it runs the fact scan + median join once
+    # instead of twice (MEMORY_ONLY per the repo cache policy —
+    # eviction frees and recomputes, so the 100 TB posture degrades to
+    # exactly the unpersisted plan, never to disk accumulation).
     dev = df.join(med, group_col).withColumn(
         "__adev", F.abs(F.col(value_col) - F.col("__med"))
-    )
+    ).persist(StorageLevel.MEMORY_ONLY)
     mad = dev.groupBy(group_col).agg(
         F.expr("percentile(__adev, 0.5)").alias("__mad")
     )

@@ -184,6 +184,15 @@ def global_running_sums(
     KS statistic that need two synchronized cumulative counts. Same
     exactness contract: integral columns are bit-identical to the
     sequential window.
+
+    CALLER WARNING (applies to every spark_partition_id two-pass
+    helper in this module): do NOT persist/cache ``df``. The offsets
+    subtree and the output subtree must observe the SAME physical
+    range partitioning; with a raw input their byte-identical plans
+    reuse one exchange, but an InMemoryRelation input let AQE coalesce
+    the two executions to DIFFERENT partition counts (observed r12 on
+    ks_drift at sf0.01) — offsets then join the wrong pids and the
+    result silently corrupts.
     """
     ordered = df.repartitionByRange(*order_by).sortWithinPartitions(*order_by)
     local = ordered.withColumn("__pid", F.spark_partition_id())
