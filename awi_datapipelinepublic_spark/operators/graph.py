@@ -138,7 +138,15 @@ def pagerank(
     analysis stays O(1) per round instead of doubling. Nothing
     unbounded ever reaches the driver — only the scalar node count.
     """
-    out_edges = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Materialize the edge list FIRST: it feeds four subtrees (both
+    # branches of the node union, the out-degree build, and the
+    # contrib join), and the upstream edge construction is typically a
+    # fact-fact join + distinct — without this checkpoint that join
+    # executed once per consumer (measured 4× at r12; the hits_scores
+    # loop already did this).
+    out_edges = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
     nodes = (
         out_edges.select(F.col("src").alias("node"))
         .union(out_edges.select(F.col("dst").alias("node")))
@@ -157,33 +165,57 @@ def pagerank(
     contrib_edges = (
         out_edges.join(deg, "src").repartition(F.col("src")).localCheckpoint(eager=True)
     )
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    if iterations < 1:
+        return nodes.select("node", F.lit(1.0 / n).alias("pagerank"))
+    # The loop carries only the SPARSE inbound-sum table s(v) — nodes
+    # with no inbound mass are absent (s = 0) — and the full rank
+    # expression rank(u) = (1-d)/n + d·s(u) is inlined where a rank is
+    # consumed (LEFT join + coalesce 0). This removes the per-iteration
+    # |V|-row nodes⋈inbound join the old loop used to re-materialize
+    # zero-inbound nodes (one fewer exchange per round, guide §2.4);
+    # the dense vector is reconstructed ONCE at the output edge.
+    # Float ops are the same per value in the same order — only the
+    # materialization point moved.
+    s_tab = None
     for _ in range(iterations):
-        inbound = (
-            contrib_edges.join(ranks, contrib_edges["src"] == ranks["node"])
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("outdeg")).alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("s"))
-        )
-        ranks = (
-            nodes.join(inbound, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
-                ).alias("rank"),
+        if s_tab is None:
+            # first round: every rank is exactly the uniform 1/n start
+            contrib = contrib_edges.select(
+                F.col("dst").alias("node"),
+                (F.lit(1.0 / n) / F.col("outdeg")).alias("c"),
             )
-            # LAZY checkpoint: still truncates lineage (each round's
-            # RDD is stored on first computation, so analysis stays
-            # O(1) per round) but — unlike the convergence-tested
-            # components loop, which must materialize to decide
-            # whether to stop — a fixed-iteration loop has no
-            # per-round decision, so the whole chain runs as one
-            # pipelined action instead of `iterations` blocking jobs.
+        else:
+            contrib = contrib_edges.join(
+                s_tab, contrib_edges["src"] == s_tab["node"], "left"
+            ).select(
+                F.col("dst").alias("node"),
+                (
+                    (
+                        F.lit(base)
+                        + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                    )
+                    / F.col("outdeg")
+                ).alias("c"),
+            )
+        # LAZY checkpoint: still truncates lineage (each round's RDD is
+        # stored on first computation, so analysis stays O(1) per
+        # round) but — unlike the convergence-tested components loop,
+        # which must materialize to decide whether to stop — a
+        # fixed-iteration loop has no per-round decision, so the whole
+        # chain runs as one pipelined action instead of `iterations`
+        # blocking jobs.
+        s_tab = (
+            contrib.groupBy("node")
+            .agg(F.sum("c").alias("s"))
             .localCheckpoint(eager=False)
         )
-    return ranks.select("node", F.col("rank").alias("pagerank"))
+    return nodes.join(s_tab, "node", "left").select(
+        "node",
+        (
+            F.lit(base) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+        ).alias("pagerank"),
+    )
 
 
 def dedup_clusters(
@@ -396,6 +428,11 @@ def label_propagation(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        # both branches of the symmetrization union read e — checkpoint
+        # so the upstream edge build (typically a basket explode +
+        # distinct over a fact) runs once, not twice (r12, the
+        # pagerank edge-materialization fix).
+        .localCheckpoint(eager=True)
     )
     # EAGER checkpoints, deliberately: an r12 lazy-checkpoint variant
     # (the pagerank pattern) measured SLOWER here (2.5 -> 4.0 s at
@@ -829,6 +866,9 @@ def degree_histogram(edges: DataFrame, src: str, dst: str) -> DataFrame:
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        # both union branches read e: checkpoint so the upstream edge
+        # build runs once (r12, the pagerank edge-materialization fix).
+        .localCheckpoint(eager=True)
     )
     sym = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
         e.select(F.col("v").alias("a"), F.col("u").alias("b"))
@@ -955,40 +995,49 @@ def hits_scores(
     iterations = int(iterations)
     if iterations < 1:
         raise ValueError(f"hits_scores needs iterations >= 1, got {iterations}")
-    auth = nodes.withColumn("a", F.lit(1).cast("decimal(38,0)"))
+    # SPARSE score tables through the loop: a node missing from the
+    # hub/auth table scores exactly 0, and a 0 score contributes
+    # nothing to any sum — so the per-iteration |V|-row nodes⋈scores
+    # join the old loop used to re-densify authorities is dropped
+    # (one fewer exchange per round, guide §2.4) and INNER joins
+    # against the sparse tables compute identical integer sums. The
+    # dense vectors are reconstructed once at the output edge.
+    auth = None
+    hub = None
     for _ in range(iterations):
-        hub = (
-            e.join(auth, e["dst"] == auth["node"])
-            .groupBy("src")
-            .agg(F.sum("a").alias("h"))
-        )
-        auth_new = (
+        if auth is None:
+            # first round: every authority is exactly 1, so
+            # h(u) = Σ_{u→v} 1 over the edge list directly.
+            hub = e.groupBy("src").agg(
+                F.sum(F.lit(1).cast("decimal(38,0)")).alias("h")
+            )
+        else:
+            hub = (
+                e.join(auth, e["dst"] == auth["node"])
+                .groupBy("src")
+                .agg(F.sum("a").alias("h"))
+            )
+        # Lazy checkpoints: truncate lineage without forcing a job per
+        # iteration (hub also feeds the final output on the last
+        # round, so the checkpoint de-duplicates that second read). A
+        # lost executor mid-chain replays from the last materialized
+        # point; for long chains (k >> 4) switch to eager=True every
+        # few iterations.
+        hub = hub.localCheckpoint(eager=False)
+        auth = (
             e.join(hub, "src")
             .groupBy("dst")
-            .agg(F.sum("h").alias("a2"))
-        )
-        auth = (
-            nodes.join(
-                auth_new.select(F.col("dst").alias("node"), F.col("a2")), "node", "left"
-            )
-            .select(
-                "node",
-                F.coalesce(F.col("a2"), F.lit(0).cast("decimal(38,0)")).alias("a"),
-            )
-            # Lazy checkpoint: truncates lineage without forcing a job
-            # per iteration. A lost executor mid-chain replays from the
-            # last materialized point; for long chains (k >> 4) switch
-            # to eager=True every few iterations.
+            .agg(F.sum("h").alias("a"))
+            .select(F.col("dst").alias("node"), "a")
             .localCheckpoint(eager=False)
         )
-        last_hub = hub
     hubs = nodes.join(
-        last_hub.select(F.col("src").alias("node"), F.col("h")), "node", "left"
+        hub.select(F.col("src").alias("node"), F.col("h")), "node", "left"
     ).select("node", F.coalesce(F.col("h"), F.lit(0).cast("decimal(38,0)")).alias("h"))
-    return hubs.join(auth, "node").select(
+    return hubs.join(auth, "node", "left").select(
         "node",
         F.col("h").cast("bigint").alias("hub"),
-        F.col("a").cast("bigint").alias("auth"),
+        F.coalesce(F.col("a"), F.lit(0).cast("decimal(38,0)")).cast("bigint").alias("auth"),
     )
 
 
