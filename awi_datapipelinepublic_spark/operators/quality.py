@@ -1554,7 +1554,13 @@ def winsorize_by_group(
         sel, [group_col], [F.col("value").asc(), F.col("id").asc()], out_col="__rn"
     )
     counts = sel.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
-    rc = ranked.join(counts, group_col)
+    from pyspark.storagelevel import StorageLevel
+
+    # rc feeds the bounds aggregation AND the final clip join; persist
+    # so the two-pass rank pipeline executes once (safe: rank OUTPUT,
+    # never the rank helper's input — the global_running_sums caller
+    # warning). MEMORY_ONLY: eviction recomputes, no disk accretion.
+    rc = ranked.join(counts, group_col).persist(StorageLevel.MEMORY_ONLY)
     k = F.expr(f"(__n * {int(trim_bp)}) div 10000")
     bounds = (
         rc.withColumn("__k", k)
@@ -1902,9 +1908,16 @@ def iqr_outliers(
 
     Output: (group, n BIGINT, q1, q3, iqr BIGINT, n_low, n_high
     BIGINT, outlier_rate DOUBLE)."""
+    from pyspark.storagelevel import StorageLevel
+
+    # q is GROUP-cardinality rows but carries the whole two-pass rank
+    # pipeline; it feeds the broadcast fence probe AND the final
+    # join-back — persist so the rank pipeline runs once, not twice
+    # (safe: this is the rank helper's OUTPUT, never its input — see
+    # the global_running_sums caller warning).
     q = grouped_quartiles(df, group_col, value_col, id_col).withColumn(
         "iqr", (F.col("q3") - F.col("q1")).cast("bigint")
-    )
+    ).persist(StorageLevel.MEMORY_ONLY)
     v = df.select(
         F.col(group_col).alias("__g"),
         F.col(value_col).cast("bigint").alias("__v"),
