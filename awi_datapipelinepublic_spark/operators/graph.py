@@ -428,11 +428,10 @@ def label_propagation(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        # both branches of the symmetrization union read e — checkpoint
-        # so the upstream edge build (typically a basket explode +
-        # distinct over a fact) runs once, not twice (r12, the
-        # pagerank edge-materialization fix).
-        .localCheckpoint(eager=True)
+        # no e checkpoint: the nbrs union's two branches share e's
+        # distinct exchange inside the nbrs materialization job (the
+        # degree_histogram r12 lesson — an eager checkpoint here is
+        # |E|-row overhead, not a saving).
     )
     # EAGER checkpoints, deliberately: an r12 lazy-checkpoint variant
     # (the pagerank pattern) measured SLOWER here (2.5 -> 4.0 s at
@@ -866,9 +865,13 @@ def degree_histogram(edges: DataFrame, src: str, dst: str) -> DataFrame:
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        # both union branches read e: checkpoint so the upstream edge
-        # build runs once (r12, the pagerank edge-materialization fix).
-        .localCheckpoint(eager=True)
+        # NO checkpoint here, deliberately: both union branches read
+        # e's distinct through ONE reused exchange inside a single job,
+        # so there is no recompute to save — an r12 eager checkpoint
+        # measured faster at sf0.1 but 1.5x SLOWER at sf1 (3.7 -> 5.6 s;
+        # the |E|-row materialization is pure linear overhead) and was
+        # reverted. Contrast pagerank, where separate ACTIONS consume
+        # the edge list and the checkpoint is a real win.
     )
     sym = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
         e.select(F.col("v").alias("a"), F.col("u").alias("b"))
