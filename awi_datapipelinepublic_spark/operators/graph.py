@@ -256,12 +256,29 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     measured 2.5× faster end-to-end (15.4 → ~4 s).
 
     Shuffles: degree groupBy, the two orientation joins, one
-    out-neighbor groupBy, two m-row⋈|V|-row joins — all skew-bounded
-    by the orientation. The triangle COUNT is orientation-invariant,
-    so the oracle may replay plain id-ordered counting.
-    """
-    from pyspark.storagelevel import StorageLevel
+    out-neighbor groupBy, one m-row⋈|V|-row probe join — all
+    skew-bounded by the orientation. The triangle COUNT is
+    orientation-invariant, so the oracle may replay plain id-ordered
+    counting.
 
+    Execution shape (r13): the operator is LAZY — one row
+    (n_edges, n_wedges, n_triangles) built as a crossJoin of the two
+    single-row aggregates, so the whole census runs as ONE pipelined
+    action. The r12 form collected each aggregate eagerly (three
+    blocking driver actions gated on persist materializations), which
+    measured 4.6 s vs 1.2 s for this plan at sf0.1 — the actions, not
+    the intersection, were the cost. No persists: every multiply-
+    consumed subtree (the deduped edge list, the degree table, the
+    out-neighbor arrays) is byte-identical across its consumers inside
+    the single action, so runtime exchange reuse shares them
+    (measured: the no-persist lazy plan is also marginally faster than
+    the persisted one, and nothing here depends on
+    spark_partition_id, so the ks_drift persist hazard does not
+    apply). The per-edge probe is derived by EXPLODING the
+    out-neighbor arrays (each (s,t) edge re-emerges with ns_s already
+    attached) instead of joining the oriented edge list back against
+    them — one fewer m-row join.
+    """
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -270,17 +287,10 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    # e is consumed three times (degree build + both orientation join
-    # inputs) and the edge build upstream of it (often a fact-table
-    # self-join) is the expensive part — persist or every downstream
-    # action replays it. MEMORY_ONLY per the repo cache policy:
-    # eviction must free, not spill (ADVICE r4).
-    e = e.persist(StorageLevel.MEMORY_ONLY)
     deg = (
         e.select(F.col("u").alias("n")).unionAll(e.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
-        .persist(StorageLevel.MEMORY_ONLY)  # |V| rows; read 3×
     )
     du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
@@ -293,43 +303,39 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
     )
-    # oriented feeds the neighbor-list groupBy AND the per-edge probe —
-    # persist so the e⋈deg orientation joins run once.
-    oriented = oriented.persist(StorageLevel.MEMORY_ONLY)
     # per-vertex sorted out-neighbor arrays: |array| ≤ O(√m) under the
     # degree orientation, so total array bytes ≈ m ids — this table is
-    # |V| rows and joins against the m-row edge list on a plain key
-    # (broadcastable when it fits; AQE decides, never forced).
+    # |V| rows and is probed by the m-row exploded edge list on a
+    # plain key (broadcastable when it fits; AQE decides, never
+    # forced).
     nbrs = oriented.groupBy("s").agg(F.array_sort(F.collect_list("t")).alias("ns"))
-    ns_s = nbrs.select(F.col("s"), F.col("ns").alias("ns_s"))
+    # each oriented edge (s, t) re-created from s's own array — ns_s
+    # rides along for free instead of a second m⋈|V| join
+    probe = nbrs.select(F.col("ns").alias("ns_s"), F.explode("ns").alias("t"))
     ns_t = nbrs.select(F.col("s").alias("t"), F.col("ns").alias("ns_t"))
-    per_edge = (
-        oriented.join(ns_s, "s")
-        .join(ns_t, "t", "left")  # sink vertices may have no out-edges
-        .select(
-            F.when(F.col("ns_t").isNull(), F.lit(0))
-            .otherwise(F.size(F.array_intersect("ns_s", "ns_t")))
-            .alias("k")
-        )
+    per_edge = probe.join(ns_t, "t", "left").select(  # sinks have no out-edges
+        F.when(F.col("ns_t").isNull(), F.lit(0))
+        .otherwise(F.size(F.array_intersect("ns_s", "ns_t")))
+        .alias("k")
     )
     # n_edges = Σd/2 and the standard wedge census Σ C(deg, 2) — the
     # denominator of the global clustering coefficient (3·triangles /
-    # wedges) — come from ONE aggregate over the cached degree table;
-    # no separate e.count() action replaying the edge build.
-    row = deg.agg(
-        (F.sum("d") / 2).cast("long").alias("m"),
-        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")).alias("w"),
-    ).collect()[0]
-    n_edges = int(row["m"] or 0)
-    n_wedges = int(row["w"] or 0)
-    n_tri = int(per_edge.agg(F.sum("k").alias("t")).collect()[0]["t"] or 0)
-    e.unpersist()
-    deg.unpersist()
-    oriented.unpersist()
-    spark = edges.sparkSession
-    return spark.createDataFrame(
-        [(n_edges, n_wedges, n_tri)], "n_edges bigint, n_wedges bigint, n_triangles bigint"
+    # wedges) — come from ONE aggregate over the degree table.
+    stats = deg.agg(
+        F.coalesce((F.sum("d") / 2).cast("long"), F.lit(0).cast("long")).alias(
+            "n_edges"
+        ),
+        F.coalesce(
+            F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")),
+            F.lit(0).cast("long"),
+        ).alias("n_wedges"),
     )
+    tri = per_edge.agg(
+        F.coalesce(F.sum("k").cast("long"), F.lit(0).cast("long")).alias(
+            "n_triangles"
+        )
+    )
+    return stats.crossJoin(tri)
 
 
 def kcore(

@@ -502,6 +502,7 @@ def holt_linear(
         import numpy as np
 
         carry_key = object()  # sentinel unequal to any real key
+        nan_key = object()  # shared sentinel for NaN/NaT keys (== itself)
         lvl = 0.0
         trd = 0.0
         for pdf in batches:
@@ -515,6 +516,16 @@ def holt_linear(
             trends = np.empty(n, dtype="float64")
             for i in range(n):
                 k = keys[i]
+                if k != k:
+                    # Float-NaN (or NaT) key: NaN != NaN, so the raw
+                    # carry comparison below would restart the
+                    # recursion on EVERY row, silently diverging from
+                    # the groupBy semantics this operator replaced
+                    # (grouping treats all NaN keys as ONE series —
+                    # Spark normalizes NaN in grouping keys). Map them
+                    # to a sentinel that equals itself. None keys are
+                    # fine as-is (None != None is False).
+                    k = nan_key
                 if k != carry_key:
                     carry_key = k
                     lvl = float(xs[i])

@@ -139,7 +139,39 @@ def _acquire_publish_lock(target: Path) -> tuple[Path, str]:
                 except FileNotFoundError:
                     continue  # it just finished — retry from the top
                 if tage > _TAKEOVER_STALE_SECONDS:
-                    takeover.unlink(missing_ok=True)
+                    # Clear the crashed sub-lock with the same
+                    # rename-claim + verify + restore discipline as the
+                    # main lock (ADVICE r12): when N racers observe the
+                    # same >60s-old takeover file, exactly ONE rename
+                    # succeeds; and if what we grabbed turns out FRESH
+                    # (re-created between our stat and our rename —
+                    # the window an unlink-by-path would silently
+                    # destroy), we put it back via create-only link
+                    # and treat the takeover as in flight.
+                    debris = (
+                        target.parent
+                        / f".{target.name}.lock.takeover.gc-{token[:8]}"
+                    )
+                    try:
+                        os.rename(takeover, debris)
+                    except FileNotFoundError:
+                        continue  # another clearer won — retry from the top
+                    try:
+                        dage = time.time() - debris.stat().st_mtime
+                    except FileNotFoundError:
+                        continue
+                    if dage <= _TAKEOVER_STALE_SECONDS:
+                        try:
+                            os.link(debris, takeover)
+                        except FileExistsError:
+                            pass  # a newer sub-lock already owns the path
+                        debris.unlink(missing_ok=True)
+                        raise ConcurrentPublishError(
+                            f"another writer is taking over the stale {lock} "
+                            "(sub-lock re-created mid-clear); the engine is "
+                            "single-writer per table"
+                        ) from None
+                    debris.unlink(missing_ok=True)
                     continue
                 raise ConcurrentPublishError(
                     f"another writer is taking over the stale {lock}; "
@@ -196,7 +228,21 @@ def _acquire_publish_lock(target: Path) -> tuple[Path, str]:
                     ) from None
                 claim.unlink()  # stale inode confirmed ours alone — retry create
             finally:
-                takeover.unlink(missing_ok=True)
+                _release_takeover(takeover, token)
+
+
+def _release_takeover(takeover: Path, token: str) -> None:
+    """Remove the takeover sub-lock ONLY if it still carries our token
+    (mirrors :func:`_release_publish_lock`): if our critical section
+    stalled past ``_TAKEOVER_STALE_SECONDS`` (VM pause, NFS hang), a
+    racer may have legitimately cleared our file and a NEW takeover may
+    own the path — an unconditional unlink here would delete that
+    racer's live sub-lock (ADVICE r12)."""
+    try:
+        if f"token={token}" in takeover.read_text():
+            takeover.unlink(missing_ok=True)
+    except FileNotFoundError:
+        pass
 
 
 def _release_publish_lock(lock: Path, token: str) -> None:

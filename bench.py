@@ -353,10 +353,19 @@ def main() -> None:
     # noise lands on it; min-of-2 is the steady-state per-query cost
     # (the quantity BASELINE.md tracks) with far lower run-to-run
     # variance than single-shot.
+    # Measurement-bug fix (r13, guide §1): several operators persist()
+    # multiply-consumed intermediates. Spark's CacheManager keys cached
+    # plans by CANONICALIZED plan, so the second timed invocation of
+    # the same query silently read the first run's cache (measured:
+    # two_hop_reach run1 10.3 s, run2 0.98 s) — min-of-2 then reported
+    # a cache read, not the query. Clearing the cache before EVERY
+    # timed run restores the contract that each invocation computes
+    # from the parquet inputs. The clear itself runs outside the timer.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         best = float("inf")
         for _ in range(2):
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
@@ -376,12 +385,32 @@ def main() -> None:
             }
         )
     )
-    # The driver records only the LAST 2000 chars of stdout
-    # (BENCH_rN.json "tail"), which truncates the full line above and
-    # loses the total + early-query timings to external audit (r6
-    # judge order #9). This FINAL compact line always fits: per-query
-    # seconds at 2dp as an array aligned with BENCH_QUERIES order
-    # (stable in-repo), sentinels, and the total.
+    # Every bench run also persists the FULL name->seconds map to a
+    # repo file: the driver records only the LAST 2000 chars of stdout
+    # (BENCH_rN.json "tail"), which truncated the full line above out
+    # of r12's PERF comparator entirely (per_query: {}, null geomean).
+    # The repo file survives regardless of stdout truncation.
+    try:
+        (Path(__file__).resolve().parent / "BENCH_NAMED.json").write_text(
+            json.dumps(
+                {
+                    "metric": "bench_total_wall",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf,
+                    "sentinels": sentinels,
+                },
+                indent=None,
+            )
+            + "\n"
+        )
+    except OSError:
+        pass  # read-only checkout must not fail the bench
+    # Positional compact record (kept for cross-round comparability of
+    # the r6..r12 tails): per-query seconds at 2dp aligned with
+    # BENCH_QUERIES order. May be partially truncated by the driver's
+    # 2000-char tail; BENCH_NAMED.json carries the authoritative map.
     print(
         json.dumps(
             {
@@ -395,6 +424,29 @@ def main() -> None:
             separators=(",", ":"),
         )
     )
+    # FINAL line (the one guaranteed to survive the 2000-char tail):
+    # NAMED timings for the slowest queries + the total, so the
+    # driver's PERF comparator can align by name without the repo
+    # file. Budget: keep the line under 1900 chars.
+    def _named_line(top: dict) -> str:
+        return json.dumps(
+            {
+                "named_slowest": top,
+                "total_sec": total,
+                "sf": sf,
+                "n": len(timings),
+                "sentinels": sentinels,
+            },
+            separators=(",", ":"),
+        )
+
+    named_top: dict[str, float] = {}
+    for q in sorted(timings, key=timings.get, reverse=True):
+        named_top[q] = round(timings[q], 2)
+        if len(_named_line(named_top)) > 1850:
+            del named_top[q]
+            break
+    print(_named_line(named_top))
 
 
 # Three fixed queries re-run in DuckDB (min-of-2, same parquet) every

@@ -24,10 +24,11 @@ def test_bench_emits_single_json_line():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
-    # line 1: the full contract JSON; line 2 (FINAL): the compact
-    # record that must survive the driver's last-2000-chars stdout
-    # truncation (r6 judge order #9)
-    assert len(lines) == 2, f"expected exactly two stdout lines, got {len(lines)}: {lines[:3]}"
+    # line 1: the full contract JSON; line 2: the positional compact
+    # record (r6 judge order #9); line 3 (FINAL): the NAMED
+    # slowest-queries record that must survive the driver's
+    # last-2000-chars stdout truncation (r12 judge order #2).
+    assert len(lines) == 3, f"expected exactly three stdout lines, got {len(lines)}: {lines[:4]}"
     payload = json.loads(lines[0])
     assert payload["metric"] == "bench_total_wall"
     assert payload["unit"] == "sec"
@@ -35,11 +36,64 @@ def test_bench_emits_single_json_line():
     assert isinstance(payload["value"], (int, float)) and payload["value"] > 0
     assert payload["queries"] and all(v >= 0 for v in payload["queries"].values())
     assert abs(sum(payload["queries"].values()) - payload["value"]) < 0.05
-    compact = json.loads(lines[-1])
-    assert len(lines[-1]) < 1900, f"compact line too long to survive tail truncation: {len(lines[-1])}"
+    compact = json.loads(lines[1])
+    assert len(lines[1]) < 1900, f"compact line too long: {len(lines[1])}"
     assert compact["total_sec"] == payload["value"]
     assert compact["n"] == len(payload["queries"]) == len(compact["t"])
     assert compact["sentinels"] == payload["sentinels"]
+    named = json.loads(lines[-1])
+    assert len(lines[-1]) < 1900, f"named line too long to survive tail truncation: {len(lines[-1])}"
+    assert named["total_sec"] == payload["value"]
+    assert named["n"] == len(payload["queries"])
+    assert len(named["named_slowest"]) >= min(40, len(payload["queries"]))
+    for q, t in named["named_slowest"].items():
+        assert abs(payload["queries"][q] - t) < 0.006
+    # the named map covers the slowest queries: nothing outside it is
+    # slower than anything inside it (0.006 absorbs 2dp vs 3dp rounding)
+    out = [v for k, v in payload["queries"].items() if k not in named["named_slowest"]]
+    if out and named["named_slowest"]:
+        assert max(out) <= min(named["named_slowest"].values()) + 0.006
+    # and the full map is persisted to the repo file
+    repo_named = json.loads((REPO / "BENCH_NAMED.json").read_text())
+    assert repo_named["queries"] == payload["queries"]
+    assert repo_named["value"] == payload["value"]
+
+
+def test_timed_runs_compute_from_parquet_not_cache():
+    """The r13 measurement fix: operators may persist() multiply-
+    consumed intermediates, and Spark's CacheManager matches cached
+    plans CANONICALLY — so without an explicit clear, the second timed
+    invocation of the same query reads the first run's cache (measured
+    two_hop_reach 10.3 s -> 0.98 s). bench.py clears the cache before
+    every timed run; this pins (a) that a persisting query does leave
+    cache behind (the hazard is real) and (b) that clearCache empties
+    it (the fix works)."""
+    from awi_datapipelinepublic_spark import get_spark
+
+    spark = get_spark("cache-contract")
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as em
+
+    q = em.queries()["winsorize_by_group"]
+    sc = spark.sparkContext._jsc.sc()
+    spark.catalog.clearCache()
+    q(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    assert len(sc.getRDDStorageInfo()) > 0, (
+        "expected the persisting query to leave cached blocks — if this "
+        "stopped holding, the clearCache guard in bench.py is moot (fine), "
+        "update this test"
+    )
+    spark.catalog.clearCache()
+    assert len(sc.getRDDStorageInfo()) == 0
+    # and the bench loop actually clears between timed runs
+    import inspect
+
+    import bench
+
+    src = inspect.getsource(bench.main)
+    assert "clearCache" in src.split("for name in BENCH_QUERIES")[1].split("timings[name]")[0]
 
 
 def _ensure_sf1() -> Path:

@@ -709,6 +709,70 @@ def test_takeover_serialized_by_sublock(tmp_path):
     writers._release_publish_lock(got_lock, token)
 
 
+def test_stale_takeover_clear_is_rename_claimed(tmp_path, monkeypatch):
+    """Clearing a crashed (stale) takeover sub-lock must be a rename-
+    claim with a freshness verify, not an unlink-by-path: if a racer
+    clears the same stale file and re-creates a FRESH sub-lock between
+    our stat and our clear, we must restore that fresh file and back
+    off — never destroy it (ADVICE r12: the two-takeover re-admission
+    window)."""
+    import os
+    import time
+
+    from awi_datapipelinepublic_spark.sources.writers import ConcurrentPublishError
+
+    target = tmp_path / "t"
+    lock = tmp_path / ".t.lock"
+    lock.write_text("pid=1 token=dead\n")
+    stale = time.time() - (writers._LOCK_STALE_SECONDS + 60)
+    os.utime(lock, (stale, stale))
+
+    takeover = tmp_path / ".t.lock.takeover"
+    takeover.write_text("pid=2 token=crashed\n")
+    tstale = time.time() - (writers._TAKEOVER_STALE_SECONDS + 5)
+    os.utime(takeover, (tstale, tstale))
+
+    real_rename = os.rename
+
+    def racer_wins_then_rename(src, dst):
+        # Between our stat (which saw the crashed file) and our clear,
+        # a racer clears the crashed sub-lock and re-creates a FRESH
+        # one at the same path.
+        if Path(src) == takeover:
+            takeover.unlink()
+            takeover.write_text("pid=9 token=racer\n")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(writers.os, "rename", racer_wins_then_rename)
+    with pytest.raises(ConcurrentPublishError, match="taking over"):
+        writers._acquire_publish_lock(target)
+    monkeypatch.undo()
+    assert takeover.exists(), "racer's fresh sub-lock must be restored"
+    assert "token=racer" in takeover.read_text()
+    assert not list(tmp_path.glob(".t.lock.takeover.gc-*")), "no debris left"
+    assert lock.read_text() == "pid=1 token=dead\n", "stale lock untouched"
+
+
+def test_takeover_release_spares_foreign_sublock(tmp_path):
+    """The takeover critical section's release must be token-verified
+    (mirroring _release_publish_lock): if the section stalled past the
+    staleness horizon and a racer legitimately cleared our sub-lock and
+    created its own, our release must NOT unlink the racer's file
+    (ADVICE r12: the unconditional finally-unlink flaw)."""
+    takeover = tmp_path / ".t.lock.takeover"
+    takeover.write_text("pid=9 token=racer\n")
+    writers._release_takeover(takeover, "ours")
+    assert takeover.exists(), "foreign sub-lock must survive our release"
+
+    takeover.unlink()
+    takeover.write_text("pid=1 token=ours\n")
+    writers._release_takeover(takeover, "ours")
+    assert not takeover.exists(), "own sub-lock is released"
+
+    # missing file: release is a no-op, never raises
+    writers._release_takeover(takeover, "ours")
+
+
 def test_takeover_backs_off_when_lock_refreshed_mid_claim(tmp_path, monkeypatch):
     """If a heartbeat lands between the racer's stat and its rename
     (the lock is STALE-looking but its holder is alive), the racer must

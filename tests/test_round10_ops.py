@@ -100,7 +100,37 @@ def test_holt_linear_carry_across_arrow_batches(spark):
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
 
 
-def test_twap_interval_weights_by_holding_time(spark):
+def test_holt_linear_nan_keys_form_one_series(spark):
+    """Float-NaN keys must behave like ONE series (groupBy semantics:
+    Spark grouping normalizes NaN = NaN), not restart the recursion
+    per row (NaN != NaN would) — the r12 ADVICE hazard. Values over
+    the NaN group must be bit-identical to the same history under an
+    ordinary key; and a NaN group must not leak state into the next
+    key (NaN sorts greatest in Spark, so it is the LAST series in its
+    partition — also cover a following key in another partition)."""
+    from awi_datapipelinepublic_spark.operators.timeseries import holt_linear
+
+    a, b = 0.3, 0.1
+    hist = [float((i * 31) % 17) for i in range(12)]
+    nan = float("nan")
+    rows = [(nan, i, v) for i, v in enumerate(hist)]
+    rows += [(2.0, i, v) for i, v in enumerate(hist)]  # same history, real key
+    df = spark.createDataFrame(rows, "k double, t long, v double")
+    out = holt_linear(df, "k", "t", "v", a, b).collect()
+    # the pandas->Arrow return path maps the float-NaN KEY cell to null
+    # in the output (same in the old applyInPandas form) — the group
+    # itself is identified by not-being-the-real-key
+    got_nan = {
+        r["t"]: (r["level"], r["trend"])
+        for r in out
+        if r["k"] is None or math.isnan(r["k"])
+    }
+    got_two = {r["t"]: (r["level"], r["trend"]) for r in out if r["k"] == 2.0}
+    assert len(got_nan) == len(hist) == len(got_two)
+    # one series: row i != reinitialized (level=x_i, trend=0) beyond i=0,
+    # and bit-identical to the ordinary-key replay of the same history
+    assert got_nan == got_two
+    assert got_nan[1] != (hist[1], 0.0), "NaN keys restarted per row"
     """v=10 held 3s then v=20 held 1s then a terminal sample:
     TWAP = (10·3 + 20·1)/4 = 12.5; the last observation is unweighted."""
     from awi_datapipelinepublic_spark.operators.timeseries import twap_interval

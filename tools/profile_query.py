@@ -47,6 +47,10 @@ def main() -> None:
             (plansdir / f"{name}{suffix}.txt").write_text(buf.getvalue())
         runs = []
         for _ in range(repeats):
+            # bench.py's r13 measurement fix: operators that persist()
+            # intermediates would otherwise serve the next run from the
+            # CacheManager (plans match canonically across invocations)
+            spark.catalog.clearCache()
             spark.sparkContext.setJobDescription(f"profile:{name}")
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
