@@ -5853,40 +5853,45 @@ def q_palma_ratio(spark, sf_dir):
     return palma_ratio(o, "o_custkey", "cents")
 
 
-# Round-12 driver window: the driver oracle-verifies the FIRST 50
-# queries() entries each round (CORRECTNESS_r*). After r11 every one of
-# the 321 pre-r12 ids has a driver-green row; this window fronts the
-# 23 round-12 additions (never driver-green), repeats the 4 §2
-# flagships, and rotates in the least-recently-signed cohort (oldest
-# signatures r5) — tools/gen_window.py generates the list mechanically.
-_R12_WINDOW = [
-    # 23 round-12 additions (never driver-green): front them
-    "simpson_diversity", "odds_ratio", "dispersion_index",
-    "kendall_tau", "growth_decomposition", "linear_interpolate",
-    "l_diversity", "systematic_sample", "km_hazard",
-    "new_vs_returning", "repeat_rate", "session_duration_hist",
-    "harmonic_centrality", "char_ngram_topk", "quartile_skew",
-    "iqr_outliers", "capture_recapture", "chao1_richness",
-    "auc_eval", "split_gini", "type_cooccurrence_lift",
-    "dup_rate_by_source", "palma_ratio",
+# Round-13 driver window: the driver oracle-verifies the FIRST 50
+# queries() entries each round (CORRECTNESS_r*). After r12 every id has
+# a driver-green row; this window fronts the round-13
+# optimization-touched gates (the changes the driver should
+# hard-verify), repeats the 4 §2 flagships, and rotates in the
+# least-recently-signed cohort (oldest signatures r6/r7).
+_R13_WINDOW = [
+    # Round-13 optimization-touched (or measurement-affected) gates:
+    # the driver should hard-verify exactly what changed this round —
+    # the triangle/LPA/link-prediction/dedup-window rewrites, the
+    # holt NaN-key hardening, and every query whose persist semantics
+    # the bench cache-clear fix re-measured.
+    "triangle_count", "label_propagation", "link_prediction",
+    "dedup_minhash_lsh", "dedup_pipeline", "dedup_incremental",
+    "dedup_keep_best", "split_leakage", "holt_linear",
+    "two_hop_reach", "lcc_topk", "winsorize_by_group",
+    "iqr_outliers", "mad_outliers", "fuzzy_join_edit1",
+    "pagerank", "hits_scores", "source_overlap",
+    "remove_dup_spans", "dedup_containment",
     # §2 flagship repeats (every window carries the three views + merge)
     "view_retention", "view_transactions", "view_auto_optiom",
     "merge_time_window",
-    # staleness rotation: least-recently driver-green (r5 cohort)
-    "date_spine_gapfill", "decimal_sum_exact", "dedup_containment",
-    "embedding_near_dup", "embedding_outliers", "events_json",
-    "events_tumbling", "forward_fill", "fuzzy_join_blocked",
-    "hll_incremental", "intersect_all", "join_anti",
-    "join_semi", "kmeans_clusters", "knn_join_ivf",
-    "knn_join_lsh", "lang_id", "lateral_topk",
-    "pii_counts", "pii_redact", "pivot_status",
-    "quality_score", "quantile_bins",
+    # staleness rotation: least-recently driver-green (r6/r7 cohort)
+    "ks_drift", "attribution_last_touch", "basket_pair_lift",
+    "activity_churn", "readability_score", "mixture_weights",
+    "bpe_top_pairs", "url_host_stats", "overlap_join",
+    "t_closeness", "funnel_timing", "ab_test_zscore",
+    "activity_heatmap", "group_percentiles", "histogram2d",
+    "ship_latency_stats", "share_of_parent", "benford_test",
+    "gini_coefficient", "period_over_period", "event_throttle",
+    "rolling_median", "poisson_weighted_sample", "event_rate_limit",
+    "degree_assortativity", "spearman_corr",
 ]
-_R11_WINDOW = _R12_WINDOW  # names kept so older tooling keeps working
-_R10_WINDOW = _R12_WINDOW
-_R9_WINDOW = _R12_WINDOW
-_R8_WINDOW = _R12_WINDOW
-_R7_WINDOW = _R12_WINDOW
+_R12_WINDOW = _R13_WINDOW  # names kept so older tooling keeps working
+_R11_WINDOW = _R13_WINDOW
+_R10_WINDOW = _R13_WINDOW
+_R9_WINDOW = _R13_WINDOW
+_R8_WINDOW = _R13_WINDOW
+_R7_WINDOW = _R13_WINDOW
 
 
 # Gates that drain a Structured Streaming query (writeStream +
@@ -6256,7 +6261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_rate_by_source": q_dup_rate_by_source,
         "palma_ratio": q_palma_ratio,
     }
-    window = {k: q[k] for k in _R12_WINDOW}
+    window = {k: q[k] for k in _R13_WINDOW}
     window.update((k, v) for k, v in q.items() if k not in window)
     return window
 

@@ -283,11 +283,17 @@ def dedup_incremental(
         .select(id_col)
         .distinct()
     )
-    mins = nb.groupBy("band_no", "band_key").agg(
-        F.min(id_col).alias("__mn"), F.count(F.lit(1)).alias("__c")
-    )
+    # within-batch keep-first as ONE pass: min/count over a bucket-key
+    # window instead of a groupBy + join-back on the same key (r13;
+    # the minhash_lsh_candidates window precedent — the join-back
+    # re-read nb and paid a join for values the window computes in the
+    # exchange the rows already need)
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("band_no", "band_key")
     batch_victims = (
-        nb.join(mins, ["band_no", "band_key"])
+        nb.withColumn("__mn", F.min(id_col).over(wb))
+        .withColumn("__c", F.count(F.lit(1)).over(wb))
         .filter((F.col("__c") > 1) & (F.col(id_col) > F.col("__mn")))
         .select(id_col)
         .distinct()
@@ -339,20 +345,25 @@ def minhash_lsh_candidates(
     # the degenerate-content case where one bucket swallows the corpus.
     #
     # The cap is enforced BEFORE collect_list, not by filtering the
-    # collected array: a count-only aggregation (map-side combinable,
-    # bytes per bucket) finds the surviving buckets, and the semi-join
-    # means no aggregation buffer ever holds an over-cap id list — a
-    # 10⁹-member boilerplate bucket costs one counter, not 8 GB in one
-    # task. Both aggregations and the join key on (band_no, band_key),
-    # so the exchange of `banded` is reused, not recomputed.
-    ok_buckets = (
-        banded.groupBy("band_no", "band_key")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter((F.col("__n") > 1) & (F.col("__n") <= max_bucket))
-        .drop("__n")
-    )
+    # collected array: a COUNT-OVER-WINDOW on the bucket key (r13; the
+    # ngram_novelty one-pass precedent) tags every band row with its
+    # bucket size in the same exchange the collect_list needs — no
+    # separate count aggregation and no semi-join back (the r12 form
+    # paid both over the reused exchange; measured 2.42 -> 1.86 s for
+    # the candidate subplan at sf0.1, identical pairs). No aggregation
+    # buffer ever holds an over-cap id list: the window buffers one
+    # bucket's rows per task and SPILLS if degenerate (no orderBy, so
+    # no sort), the filter drops over-cap rows before collect_list, so
+    # a 10⁹-member boilerplate bucket costs disk-bounded spill, never
+    # an 8 GB agg buffer or any pair expansion (pinned at sf1 by
+    # test_mega_bucket_boilerplate_at_sf1). Window and groupBy key on
+    # (band_no, band_key), so one exchange serves both.
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("band_no", "band_key")
     buckets = (
-        banded.join(ok_buckets, ["band_no", "band_key"], "left_semi")
+        banded.withColumn("__n", F.count(F.lit(1)).over(wb))
+        .filter((F.col("__n") > 1) & (F.col("__n") <= max_bucket))
         .groupBy("band_no", "band_key")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
     )

@@ -419,11 +419,20 @@ def label_propagation(
 
     Scale design: per round, one join of the (2·|E|)-row directed
     neighbor list against the |V|-row label table (label table is the
-    small side — AQE broadcasts it when it fits), one groupBy
-    (node, neighbor_label) with map-side combine, and one argmax-
-    struct groupBy per node — edge-key shuffles only, no per-node
-    iteration state beyond the label vector. localCheckpoint each
-    round cuts the growing lineage exactly like the pagerank loop.
+    small side — AQE broadcasts it when it fits), then ONE exchange
+    (explicit hash repartition on the node id) feeding BOTH the
+    (node, neighbor_label) count and the per-node argmax — hash(n)
+    satisfies the clustering requirement of both aggregations, so
+    neither adds its own shuffle (r13; two exchanges per round
+    before). The repartition does trade away map-side combine on the
+    (n, lbl) count, but neighbor labels are near-unique per node in
+    early rounds so the combine compressed little (measured: fused
+    form faster at sf0.1 AND sf1). localCheckpoint each round cuts
+    the growing lineage exactly like the pagerank loop — LAZY (r13),
+    so the whole fixed-round chain pipelines as one action instead of
+    one blocking job per round (eager vs lazy re-measured with the
+    fused exchange: lazy wins; the r12 eager choice was made against
+    the two-exchange rounds).
 
     Returns (node, label) — nodes sharing a label form a community.
     """
@@ -439,20 +448,20 @@ def label_propagation(
         # degree_histogram r12 lesson — an eager checkpoint here is
         # |E|-row overhead, not a saving).
     )
-    # EAGER checkpoints, deliberately: an r12 lazy-checkpoint variant
-    # (the pagerank pattern) measured SLOWER here (2.5 -> 4.0 s at
-    # sf0.1) - the per-round argmax consumes each label table twice,
-    # and the eager materialization keeps those reads O(1) while the
-    # lazy chain re-entered the whole round subtree.
     nbrs = e.select(F.col("u").alias("n"), F.col("v").alias("nb")).unionAll(
         e.select(F.col("v").alias("n"), F.col("u").alias("nb"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     labels = nbrs.select(F.col("n")).distinct().withColumn("lbl", F.col("n"))
     for _ in range(iterations):
         nl = nbrs.join(
             labels.select(F.col("n").alias("nb"), F.col("lbl")), "nb"
         ).select("n", "lbl").unionAll(labels.select("n", "lbl"))
-        cnt = nl.groupBy("n", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        # one exchange for the round: hash(n) co-locates every (n, lbl)
+        # group AND every n group, so the count and the argmax below
+        # both plan as partial+final aggregates with no further shuffle
+        cnt = nl.repartition(F.col("n")).groupBy("n", "lbl").agg(
+            F.count(F.lit(1)).alias("c")
+        )
         # argmax by (max count, smallest label) — negate the COUNT,
         # never the label: unary minus on a string label casts to
         # double and yields null (dedup graphs key on md5 strings).
@@ -460,7 +469,7 @@ def label_propagation(
             cnt.groupBy("n")
             .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("lbl"))).alias("w"))
             .select("n", F.col("w.lbl").alias("lbl"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return labels.select(F.col("n").alias("node"), F.col("lbl").alias("label"))
 
@@ -595,12 +604,20 @@ def link_prediction(
     )
     deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
     centers = deg.filter((F.col("d") >= 2) & (F.col("d") <= int(max_degree)))
-    # ≤ max_degree-1 distinct degree values — a constant-bounded
-    # collect; 1/ln(d) in CPython libm, shipped back as literals.
+    # Every surviving degree is an integer in [2, max_degree], so the
+    # 1/ln(d) weight table is ENUMERATED driver-side — no collect. The
+    # r12 form collected the distinct degrees first, which forced a
+    # full extra degree-build job at operator-construction time (the
+    # whole adj groupBy ran once for the collect and again inside the
+    # real plan). Values are unchanged: CPython libm literals
+    # (bit-identical to the oracle's LN — the mixture_weights
+    # precedent), and the broadcast join simply ignores absent degrees.
     spark = edges.sparkSession
-    dvals = [r["d"] for r in centers.select("d").distinct().collect()]
     wtab = spark.createDataFrame(
-        [(int(d), int(math.floor(1e9 / math.log(d)))) for d in dvals],
+        [
+            (int(d), int(math.floor(1e9 / math.log(d))))
+            for d in range(2, int(max_degree) + 1)
+        ],
         "d bigint, w_nano bigint",
     )
     nbrs = (

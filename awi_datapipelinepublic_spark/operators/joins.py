@@ -494,6 +494,18 @@ def fuzzy_join_edit1(
     before blocking (the join is string-level; re-attach row payloads
     downstream by equi-joining on the string).
 
+    Block-size bound (the r12 ADVICE skew question): a block key k's
+    members are exactly k itself plus the strings that DELETE down to
+    k, i.e. single-character insertions into k — at most
+    1 + (len(k)+1)·|alphabet| DISTINCT strings (the table is distinct
+    before blocking). For ASCII names of length ~20 that is ≤ ~2,000
+    members per block — a structural bound, not a distributional
+    assumption — so the per-task collect_list array and the in-bucket
+    pair expansion are alphabet-bounded, never corpus-sized. Corpora
+    over enormous alphabets (e.g. full-Unicode identifiers) weaken the
+    bound multiplicatively in the DISTINCT characters actually present
+    at one position; that is the documented input contract.
+
     ``self_join`` (default True) declares the UNORDERED-DISTINCT-PAIR
     contract: the output is each distinct {a, b} pair of the two
     sides' UNION exactly once, oriented name_a < name_b, with

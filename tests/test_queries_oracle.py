@@ -51,7 +51,7 @@ def test_driver_window_invariants():
     window list must be exactly 50 unique ids, every id must exist,
     every windowed id must have an oracle (a rows-only id would waste
     a hard-signal slot), and the dict must actually front-load it."""
-    win = entry_mod._R12_WINDOW
+    win = entry_mod._R13_WINDOW
     assert len(win) == 50 and len(set(win)) == 50
     assert list(QUERIES)[:50] == win
     assert not set(win) - set(QUERIES)
