@@ -12,6 +12,7 @@ import pytest
 REPO = Path(__file__).resolve().parents[1]
 
 
+@pytest.mark.slow  # 193 s: runs the full 179-query bench at sf0.001; the driver exercises bench.py directly every round, and the cache-contract test below stays in the default tier (r13 pytest-window fix)
 def test_bench_emits_single_json_line():
     env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
     proc = subprocess.run(
@@ -75,18 +76,22 @@ def test_timed_runs_compute_from_parquet_not_cache():
     import __spark_entry__ as em
 
     q = em.queries()["winsorize_by_group"]
-    sc = spark.sparkContext._jsc.sc()
+    # pin the REGISTRATION, not materialized blocks: the reuse hazard
+    # is plan-keyed (CacheManager), and MEMORY_ONLY blocks can be
+    # LRU-evicted in a long-lived test session (getRDDStorageInfo was
+    # flaky under the full suite for exactly that reason)
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
     spark.catalog.clearCache()
     q(spark, "/root/testdata/sf0.001").write.format("noop").mode(
         "overwrite"
     ).save()
-    assert len(sc.getRDDStorageInfo()) > 0, (
-        "expected the persisting query to leave cached blocks — if this "
+    assert not cache_mgr.isEmpty(), (
+        "expected the persisting query to register cached plans — if this "
         "stopped holding, the clearCache guard in bench.py is moot (fine), "
         "update this test"
     )
     spark.catalog.clearCache()
-    assert len(sc.getRDDStorageInfo()) == 0
+    assert cache_mgr.isEmpty()
     # and the bench loop actually clears between timed runs
     import inspect
 

@@ -197,6 +197,7 @@ def test_streaming_pipeline_emits_one_completion_event_per_batch(spark, spec, tm
     assert {_json.loads(r["value"])["rows"] for r in after} == {2, 1}
 
 
+@pytest.mark.slow  # 88 s: whole demo pipeline end-to-end; nightly tier (r13 pytest-window fix)
 def test_training_prep_demo_end_to_end(spark, sf_dir, tmp_path):
     """The training-data-prep chain (filter → exact dedup → near dedup
     → split → chunk → partitioned write) runs end to end, shrinks

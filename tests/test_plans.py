@@ -4,6 +4,8 @@ claims must actually appear in the optimized plans."""
 import sys
 from pathlib import Path
 
+import pytest
+
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import __spark_entry__ as entry_mod
@@ -718,6 +720,7 @@ def _global_window_orders(df) -> list:
     return found
 
 
+@pytest.mark.slow  # 77 s: plans all 344 gates; nightly tier (r13 pytest-window fix)
 def test_no_unbounded_single_partition_window_in_any_gate(spark, sf_dir):
     """Sweep EVERY gate's optimized plan: a Window with no partitionBy
     drags all rows through one task, so any such node must either ride
@@ -775,6 +778,7 @@ def test_attribution_no_join_single_user_window(spark, sf_dir):
     assert "Window" in plan
 
 
+@pytest.mark.slow  # 66 s: plans all 344 gates; nightly tier (r13 pytest-window fix)
 def test_no_cartesian_product_in_any_gate(spark, sf_dir):
     """Sweep EVERY gate's PHYSICAL plan: a CartesianProduct is the
     O(n·m) shuffle-everything plan no gate may reach — at 100 TB it is

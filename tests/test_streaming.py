@@ -227,6 +227,7 @@ def test_transform_with_state_matches_legacy_stateful(spark, events_stream_dir, 
     assert last == want
 
 
+@pytest.mark.slow  # 181 s: full-history EWMA replay per micro-batch; nightly tier (r13 pytest-window fix)
 def test_streaming_ewma_matches_batch_ewma(spark, events_stream_dir, tmp_path):
     """Final per-user streaming EWMA (applyInPandasWithState, one
     double of state) must equal the last value of the batch
